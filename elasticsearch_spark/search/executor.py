@@ -1,0 +1,286 @@
+"""Query execution: analyzed text -> BM25 top-k over the inverted index.
+
+Physical plan (Spark re-creation of the reference's query_then_fetch with
+DFS-global stats — action/search/TransportSearchAction.java:91,
+search/query/QueryPhase.java:86, merge SearchPhaseController.java:144-208):
+
+  1. driver: analyze the query text (tiny), look up TermStatistics in
+     ``term_dict`` (filter + collect: a handful of rows) and
+     CollectionStatistics in ``coll_stats`` — the DFS phase, always-on.
+  2. ``postings.filter(field == f & term isin qterms)`` — Parquet
+     predicate pushdown + term-sorted row-group skipping; only blocks
+     of the query terms are read (per-term scan, like a term-dictionary
+     seek).
+  3. ``groupBy(part_id).applyInPandas(scorer)`` — each index partition
+     (ES shard) scores its docs independently (doc-routing guarantees a
+     doc's postings for ALL terms share one part_id) and emits a LOCAL
+     top-k. The scorer is numpy-vectorized, decodes delta+VByte blocks,
+     and prunes with a term-at-a-time MaxScore/block-max strategy
+     (reference: WAND activated by the 10k total-hits cap,
+     search/query/TopDocsCollectorContext.java:202-206,
+     search/internal/SearchContext.java:60-62).
+  4. global merge: ``orderBy(score desc, doc_id asc).limit(k)`` —
+     Catalyst's TakeOrderedAndProject == Lucene TopDocs.merge
+     (SearchPhaseController.java:205-208), same tie-break.
+
+Pruning safety: before scoring term i (terms ordered by max-impact
+desc), any doc NOT yet in the accumulator can reach at most
+``sum(ub_j, j >= i)``; once a full local top-k exists with k-th score
+theta, if that bound < theta strictly, new docs are provably outside
+the top-k and term i only updates accumulator members (block decode is
+skipped when a block holds no members). Property-tested against the
+exhaustive scorer.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from elasticsearch_spark.index import codec
+from elasticsearch_spark.index.builder import InvertedIndex
+from elasticsearch_spark.search import bm25
+from elasticsearch_spark.search.bm25 import BM25Params
+
+TOPK_SCHEMA = "doc_id long, score double, matched int"
+
+
+@dataclass
+class TermStats:
+    term: str
+    df: int
+    idf: float
+    ub: float  # global max impact (score upper bound for one posting)
+
+
+def _lookup_terms(
+    index: InvertedIndex, field: str, terms: list[str], params: BM25Params
+) -> tuple[list[TermStats], float, float]:
+    """DFS phase: global term + collection statistics (driver-side)."""
+    coll = index.collection_stats()[field]
+    n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+    seen: set[str] = set()
+    terms = [t for t in terms if not (t in seen or seen.add(t))]
+    rows = (
+        index.term_dict.filter(
+            (F.col("field") == field) & F.col("term").isin(terms)
+        )
+        .collect()
+    )
+    by_term = {r["term"]: r for r in rows}
+    out = []
+    for t in terms:
+        r = by_term.get(t)
+        if r is None:
+            continue
+        df = int(r["df"])
+        term_idf = float(bm25.idf(df, n_docs))
+        tfn_ub = float(
+            bm25.tf_norm(
+                np.array([r["max_tf"]], dtype=np.float64),
+                np.array([r["min_dl"]], dtype=np.int64),
+                avgdl,
+                params,
+            )[0]
+        )
+        out.append(
+            TermStats(t, df, term_idf, (params.k1 + 1.0) * term_idf * tfn_ub)
+        )
+    return out, n_docs, avgdl
+
+
+def _make_scorer(
+    term_stats: list[TermStats],
+    avgdl: float,
+    params: BM25Params,
+    k: int,
+    operator: str,
+    minimum_should_match: int,
+    prune: bool,
+):
+    """applyInPandas fn for one part_id group of posting blocks."""
+    # highest impact first; for AND, rarest (highest idf) first anyway
+    stats = sorted(term_stats, key=lambda s: -s.ub)
+    ubs = np.array([s.ub for s in stats], dtype=np.float64)
+    n_terms = len(stats)
+    msm = n_terms if operator == "and" else max(minimum_should_match, 1)
+    # theta-pruning is only SAFE when every accumulated doc is a valid
+    # final candidate; with msm>1 (or AND) some accumulated docs are later
+    # disqualified, so the k-th accumulated score is not a lower bound of
+    # the final k-th score.
+    use_theta = prune and operator == "or" and msm == 1
+    k1, b, quant = params.k1, params.b, params.quantize_norms
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = dict(tuple(pdf.groupby("term", sort=False)))
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        acc_counts = np.empty(0, dtype=np.int64)
+
+        for i, ts in enumerate(stats):
+            g = by_term.get(ts.term)
+            remaining_ub = float(ubs[i:].sum())
+            theta = None
+            if use_theta and acc_ids.size >= k:
+                # k-th best accumulated score is a LOWER bound on the
+                # final k-th score (scores only grow)
+                theta = float(np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k])
+            restrict = (
+                theta is not None and remaining_ub < theta
+            ) or (operator == "and" and i > 0)
+            if g is None:
+                if operator == "and":
+                    return pd.DataFrame(
+                        {"doc_id": [], "score": [], "matched": []}
+                    ).astype({"doc_id": "int64", "score": "float64", "matched": "int32"})
+                continue
+
+            ids_parts, tf_parts, dl_parts = [], [], []
+            for row in g.itertuples(index=False):
+                if restrict and acc_ids.size == 0:
+                    break
+                d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                if restrict:
+                    mask = np.isin(d, acc_ids)
+                    if not mask.any():
+                        continue  # block-skip: no accumulator members
+                    tfv = codec.vbyte_decode(row.tfs)[mask]
+                    dlv = codec.vbyte_decode(row.dls)[mask]
+                    d = d[mask]
+                else:
+                    tfv = codec.vbyte_decode(row.tfs)
+                    dlv = codec.vbyte_decode(row.dls)
+                ids_parts.append(d)
+                tf_parts.append(tfv)
+                dl_parts.append(dlv)
+            if not ids_parts:
+                continue
+            ids = np.concatenate(ids_parts)
+            tfs = np.concatenate(tf_parts).astype(np.float64)
+            dls = np.concatenate(dl_parts)
+            dl_eff = bm25.quantize_dl(dls).astype(np.float64) if quant else dls.astype(np.float64)
+            scores = (k1 + 1.0) * ts.idf * tfs / (
+                tfs + k1 * (1.0 - b + b * dl_eff / avgdl)
+            )
+            # merge into accumulator
+            all_ids = np.concatenate([acc_ids, ids])
+            all_scores = np.concatenate([acc_scores, scores])
+            all_counts = np.concatenate(
+                [acc_counts, np.ones(ids.size, dtype=np.int64)]
+            )
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            new_scores = np.zeros(uniq.size, dtype=np.float64)
+            new_counts = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(new_scores, inv, all_scores)
+            np.add.at(new_counts, inv, all_counts)
+            if operator == "and":
+                # docs must have matched every term so far
+                keep = new_counts == (i + 1)
+                uniq, new_scores, new_counts = (
+                    uniq[keep], new_scores[keep], new_counts[keep],
+                )
+            acc_ids, acc_scores, acc_counts = uniq, new_scores, new_counts
+
+        if acc_ids.size == 0:
+            return pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
+                {"doc_id": "int64", "score": "float64", "matched": "int32"}
+            )
+        keep = acc_counts >= msm
+        acc_ids, acc_scores, acc_counts = (
+            acc_ids[keep], acc_scores[keep], acc_counts[keep],
+        )
+        # local top-k with the global tie-break (score desc, doc_id asc)
+        if acc_ids.size > k:
+            order = np.lexsort((acc_ids, -acc_scores))[:k]
+        else:
+            order = np.lexsort((acc_ids, -acc_scores))
+        return pd.DataFrame(
+            {
+                "doc_id": acc_ids[order],
+                "score": acc_scores[order],
+                "matched": acc_counts[order].astype(np.int32),
+            }
+        )
+
+    return score_group
+
+
+def match_topk(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    params: BM25Params | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 for analyzed query ``terms``.
+
+    Returns DataFrame(doc_id long, score double, matched int), globally
+    ordered by (score desc, doc_id asc), limited to k.
+    """
+    params = params or BM25Params()
+    spark = index.spark
+    term_stats, n_docs, avgdl = _lookup_terms(index, field, terms, params)
+    if not term_stats or (operator == "and" and len(term_stats) < len(set(terms))):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qterms = [s.term for s in term_stats]
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(qterms)
+    ).select("part_id", "term", "doc_ids", "tfs", "dls")
+    scorer = _make_scorer(
+        term_stats, avgdl, params, k, operator, minimum_should_match, prune
+    )
+    local = blocks.groupBy("part_id").applyInPandas(scorer, schema=TOPK_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def decoded_postings(
+    index: InvertedIndex, field: str, terms: list[str] | None = None
+) -> DataFrame:
+    """Decode posting blocks back to rows (part_id, term, doc_id, tf, dl).
+
+    Debug/verification path and building block for non-top-k operators
+    (more_like_this term vectors, significant_text, …).
+    """
+    blocks = index.postings.filter(F.col("field") == field)
+    if terms is not None:
+        blocks = blocks.filter(F.col("term").isin(terms))
+    blocks = blocks.select("part_id", "term", "doc_ids", "tfs", "dls")
+
+    def decode(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "part_id": np.full(d.size, row.part_id, dtype=np.int32),
+                            "term": row.term,
+                            "doc_id": d,
+                            "tf": codec.vbyte_decode(row.tfs).astype(np.int32),
+                            "dl": codec.vbyte_decode(row.dls).astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return blocks.mapInPandas(
+        decode, schema="part_id int, term string, doc_id long, tf int, dl int"
+    )
+
+
+def fetch(topk: DataFrame, docs: DataFrame, on: str = "doc_id") -> DataFrame:
+    """Fetch phase: join winning doc ids back to the source table
+    (reference: search/fetch/FetchPhase.java:61,71). The top-k side is
+    tiny -> broadcast it."""
+    return docs.join(F.broadcast(topk), on=on, how="inner").orderBy(
+        F.desc("score"), F.asc(on)
+    )

@@ -1,0 +1,48 @@
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from elasticsearch_spark.search import bm25
+
+
+def test_smallfloat_exact_below_24():
+    v = np.arange(0, 24)
+    assert np.array_equal(bm25.quantize_dl(v), v)
+
+
+def test_smallfloat_lossy_monotonic():
+    v = np.arange(0, 100000)
+    enc = bm25.int_to_byte4(v)
+    dec = bm25.byte4_to_int(enc)
+    # decoded value never exceeds input, and is monotonic non-decreasing
+    assert (dec <= v).all()
+    assert (np.diff(dec) >= 0).all()
+    # codes are idempotent: encode(decode(b)) == b
+    codes = np.arange(0, 256)
+    rt = bm25.int_to_byte4(bm25.byte4_to_int(codes))
+    assert np.array_equal(rt, codes)
+
+
+@given(st.integers(min_value=0, max_value=2**30))
+@settings(max_examples=300, deadline=None)
+def test_smallfloat_quantize_fixpoint(x):
+    a = np.array([x])
+    q = bm25.quantize_dl(a)
+    assert np.array_equal(bm25.quantize_dl(q), q)  # quantization idempotent
+    assert q[0] <= x
+
+
+def test_idf_formula():
+    # idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    assert math.isclose(float(bm25.idf(1, 3)), math.log(1 + 2.5 / 1.5))
+
+
+def test_score_known_value():
+    p = bm25.BM25Params(quantize_norms=False)
+    s = bm25.score(
+        tf=np.array([2.0]), dl=np.array([10]), df=1, n_docs=3, avgdl=8.0, params=p
+    )
+    idf = math.log(1 + (3 - 1 + 0.5) / 1.5)
+    tfn = 2.0 / (2.0 + 1.2 * (1 - 0.75 + 0.75 * 10 / 8.0))
+    assert math.isclose(float(s[0]), 2.2 * idf * tfn, rel_tol=1e-12)

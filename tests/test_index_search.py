@@ -1,0 +1,192 @@
+"""End-to-end: corpus -> index build -> BM25 top-k == pure-Python oracle.
+
+Mirrors the reference's test strategy (SURVEY.md §5): golden rank-identity
+(rank-eval-style gate) + randomized property checks + resume test
+(qa/rolling-upgrade analogue) + parallelism invariance (ESIntegTestCase
+multi-node analogue).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.corpus import generate_corpus
+from elasticsearch_spark.index.builder import build_index, load_index
+from elasticsearch_spark.oracle import oracle_topk
+from elasticsearch_spark.search.bm25 import BM25Params
+from elasticsearch_spark.search.executor import decoded_postings, fetch, match_topk
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = generate_corpus(spark, N_DOCS, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(corpus):
+    """{doc_id: content} for the oracle."""
+    from elasticsearch_spark.index.builder import assign_doc_ids
+
+    rows = assign_doc_ids(corpus, ["repo", "path", "commit"]).select(
+        "doc_id", "content"
+    ).collect()
+    docs = {r["doc_id"]: r["content"] for r in rows}
+    assert len(docs) == N_DOCS  # no doc_id collisions at this scale
+    return docs
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    idx = build_index(
+        corpus,
+        out,
+        fields={"content": "code"},
+        num_partitions=4,
+        id_cols=["repo", "path", "commit"],
+        input_snapshot="test-corpus-v1",
+    )
+    return idx
+
+
+QUERIES = [
+    ("import", "or", 1),
+    ("return public static", "or", 1),
+    ("getFooBar", "or", 1),
+    ("read_buf_cfg", "or", 1),
+    ("def lambda yield", "or", 1),
+    ("index query score", "and", 1),
+    ("term doc score block", "or", 3),
+    ("zzznonexistent", "or", 1),
+    ("import zzznonexistent", "and", 1),
+]
+
+
+@pytest.mark.parametrize("query,op,msm", QUERIES)
+def test_rank_identical_vs_oracle(index, corpus_docs, query, op, msm):
+    from elasticsearch_spark.analysis import analyze
+
+    params = BM25Params(quantize_norms=True)
+    terms = [t for t, _ in analyze(query, "code")]
+    got = match_topk(
+        index, "content", terms, k=10, operator=op,
+        minimum_should_match=msm, params=params,
+    ).collect()
+    want = oracle_topk(
+        corpus_docs, query, k=10, analyzer="code", operator=op,
+        minimum_should_match=msm, params=params,
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_prune_equals_exhaustive(index):
+    from elasticsearch_spark.analysis import analyze
+
+    for query in ["import return def", "scanIndex buf_idx", "public class void static"]:
+        terms = [t for t, _ in analyze(query, "code")]
+        a = match_topk(index, "content", terms, k=10, prune=True).collect()
+        b = match_topk(index, "content", terms, k=10, prune=False).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ]
+
+
+def test_doc_stats_and_collection_stats(index, corpus_docs):
+    from elasticsearch_spark.analysis import ANALYZERS
+
+    coll = index.collection_stats()["content"]
+    assert coll["n_docs"] == N_DOCS
+    fn = ANALYZERS["code"]
+    ttf = sum(len(fn(t)[0]) for t in corpus_docs.values())
+    assert coll["sum_ttf"] == ttf
+    assert math.isclose(coll["avgdl"], ttf / N_DOCS)
+
+
+def test_decoded_postings_roundtrip(index, corpus_docs):
+    from elasticsearch_spark.analysis import ANALYZERS
+
+    fn = ANALYZERS["code"]
+    rows = decoded_postings(index, "content", ["import"]).collect()
+    got = {r["doc_id"]: r["tf"] for r in rows}
+    want = {}
+    for doc_id, text in corpus_docs.items():
+        tf = sum(1 for t in fn(text)[0] if t == "import")
+        if tf:
+            want[doc_id] = tf
+    assert got == want
+
+
+def test_fetch_phase(index, corpus, corpus_docs):
+    from elasticsearch_spark.index.builder import assign_doc_ids
+
+    topk = match_topk(index, "content", ["import"], k=5)
+    docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
+    hits = fetch(topk, docs).collect()
+    assert len(hits) == 5
+    assert all("content" in r.asDict() for r in hits)
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_resume_after_partial_build(spark, corpus, tmp_path_factory):
+    """Build parts {0,1}, 'crash', resume -> identical index to clean build."""
+    out_partial = str(tmp_path_factory.mktemp("idx_partial"))
+    out_clean = str(tmp_path_factory.mktemp("idx_clean"))
+    kwargs = dict(
+        fields={"content": "code"},
+        num_partitions=4,
+        id_cols=["repo", "path", "commit"],
+        input_snapshot="v1",
+    )
+    build_index(corpus, out_partial, _only_parts=[0, 1], **kwargs)
+    manifests = load_index(spark, out_partial).manifests()
+    assert sorted(m["partition_id"] for m in manifests) == [0, 1]
+
+    idx_resumed = build_index(corpus, out_partial, resume=True, **kwargs)
+    manifests = idx_resumed.manifests()
+    assert sorted(m["partition_id"] for m in manifests) == [0, 1, 2, 3]
+    assert all(m["status"] == "done" for m in manifests)
+
+    idx_clean = build_index(corpus, out_clean, **kwargs)
+
+    def canon(idx):
+        rows = idx.postings.select(
+            "part_id", "field", "term", "block_id", "n", "doc_ids", "tfs",
+            "dls", "positions",
+        ).collect()
+        return sorted(
+            (r["part_id"], r["field"], r["term"], r["block_id"], r["n"],
+             bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]),
+             bytes(r["positions"])) for r in rows
+        )
+
+    assert canon(idx_resumed) == canon(idx_clean)
+    td_a = sorted(map(tuple, idx_resumed.term_dict.collect()))
+    td_b = sorted(map(tuple, idx_clean.term_dict.collect()))
+    assert td_a == td_b
+
+
+def test_sha256_invariant(corpus):
+    import hashlib
+
+    rows = corpus.select("content", "sha256").limit(20).collect()
+    for r in rows:
+        assert hashlib.sha256(r["content"].encode()).hexdigest() == r["sha256"]
+
+
+def test_corpus_deterministic(spark):
+    a = generate_corpus(spark, 50, seed=42).select("repo", "path", "commit", "content")
+    b = generate_corpus(spark, 50, seed=42, partitions=3).select(
+        "repo", "path", "commit", "content"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
