@@ -1,0 +1,233 @@
+"""Top-level search API: ES-style query dict -> top-k hits DataFrame.
+
+Composes the two executors:
+  - scoring context -> inverted-index BM25 (executor.match_topk), one
+    (doc_id, score) DataFrame per scored clause, combined per the
+    reference's semantics (BoolQueryBuilder: score = sum of matching
+    scored clauses; DisMaxQueryBuilder: max + tie_breaker * rest;
+    MultiMatchQueryBuilder best_fields/most_fields;
+    FunctionScoreQueryBuilder arithmetic;
+    ConstantScoreQueryBuilder boost).
+  - filter context -> dsl.compile_filter native predicates applied to
+    the docs table and semi-joined against candidates BEFORE the top-k
+    cut (ES filter clauses run before collection).
+
+The global cut is orderBy(score desc, doc_id asc).limit(k) — Catalyst
+TakeOrderedAndProject == the coordinator's TopDocs.merge
+(action/search/SearchPhaseController.java:144-208).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from elasticsearch_spark.analysis import analyze
+from elasticsearch_spark.index.builder import InvertedIndex, index_meta
+from elasticsearch_spark.search import dsl
+from elasticsearch_spark.search.bm25 import BM25Params
+from elasticsearch_spark.search.executor import match_topk
+
+SCORED_KINDS = {
+    "match", "multi_match", "bool", "dis_max", "constant_score",
+    "function_score", "match_all", "term_scored",
+}
+
+
+def _match_terms(index: InvertedIndex, field: str, spec: Any) -> tuple[list[str], str, int]:
+    if isinstance(spec, str):
+        text, operator, msm = spec, "or", 1
+        analyzer = None
+    else:
+        text = spec["query"]
+        operator = spec.get("operator", "or")
+        msm = int(spec.get("minimum_should_match", 1))
+        analyzer = spec.get("analyzer")
+    if analyzer is None:
+        analyzer = index_meta(index.path)["fields"].get(field, "standard")
+    terms = [t for t, _ in analyze(text, analyzer)]
+    return terms, operator, msm
+
+
+def _scored_df(
+    index: InvertedIndex,
+    query: dict[str, Any],
+    params: BM25Params,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Evaluate a scoring-context clause -> DataFrame(doc_id, score),
+    ALL matching docs (k=None), scores already boosted."""
+    kind, body = next(iter(query.items()))
+    spark = index.spark
+
+    if kind == "match":
+        field, spec = next(iter(body.items()))
+        terms, operator, msm = _match_terms(index, field, spec)
+        b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        df = match_topk(
+            index, field, terms, k=None, operator=operator,
+            minimum_should_match=msm, params=params,
+        ).select("doc_id", "score")
+        return df.withColumn("score", F.col("score") * F.lit(boost * b))
+
+    if kind == "term_scored":
+        # term query on an indexed text field: single un-analyzed term
+        field, spec = next(iter(body.items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        df = match_topk(index, field, [value], k=None, params=params)
+        return df.select("doc_id", "score").withColumn(
+            "score", F.col("score") * F.lit(boost)
+        )
+
+    if kind == "multi_match":
+        text = body["query"]
+        fields = list(body["fields"])
+        mtype = body.get("type", "best_fields")
+        tie = float(body.get("tie_breaker", 0.0))
+        per_field = [
+            _scored_df(index, {"match": {f: {"query": text, **{k: v for k, v in body.items() if k in ("operator", "minimum_should_match")}}}}, params)
+            .withColumnRenamed("score", "s")
+            .withColumn("fidx", F.lit(i))
+            for i, f in enumerate(fields)
+        ]
+        u = per_field[0]
+        for d in per_field[1:]:
+            u = u.unionByName(d)
+        agg = u.groupBy("doc_id").agg(
+            F.max("s").alias("best"), F.sum("s").alias("total")
+        )
+        if mtype == "most_fields":
+            score = F.col("total")
+        else:  # best_fields with tie_breaker
+            score = F.col("best") + F.lit(tie) * (F.col("total") - F.col("best"))
+        return agg.select("doc_id", (score * F.lit(boost)).alias("score"))
+
+    if kind == "dis_max":
+        tie = float(body.get("tie_breaker", 0.0))
+        subs = [
+            _scored_df(index, q, params).withColumnRenamed("score", "s")
+            for q in body["queries"]
+        ]
+        u = subs[0]
+        for d in subs[1:]:
+            u = u.unionByName(d)
+        agg = u.groupBy("doc_id").agg(
+            F.max("s").alias("best"), F.sum("s").alias("total")
+        )
+        score = F.col("best") + F.lit(tie) * (F.col("total") - F.col("best"))
+        return agg.select("doc_id", (score * F.lit(boost)).alias("score"))
+
+    if kind == "bool":
+        must = [q for q in (body.get("must") or []) if next(iter(q)) in SCORED_KINDS]
+        should = [q for q in (body.get("should") or []) if next(iter(q)) in SCORED_KINDS]
+        msm = int(body.get("minimum_should_match", 0 if must else 1)) if should else 0
+        parts: list[DataFrame] = []
+        for i, q in enumerate(must):
+            parts.append(
+                _scored_df(index, q, params)
+                .withColumn("is_must", F.lit(1))
+                .withColumn("clause", F.lit(i))
+            )
+        for j, q in enumerate(should):
+            parts.append(
+                _scored_df(index, q, params)
+                .withColumn("is_must", F.lit(0))
+                .withColumn("clause", F.lit(1000 + j))
+            )
+        if not parts:
+            raise ValueError("scored bool needs at least one scored clause")
+        u = parts[0]
+        for d in parts[1:]:
+            u = u.unionByName(d)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("is_must").alias("n_must"),
+            F.sum(1 - F.col("is_must")).alias("n_should"),
+        )
+        cond = F.col("n_must") == F.lit(len(must))
+        if should and msm > 0:
+            cond = cond & (F.col("n_should") >= F.lit(msm))
+        return agg.filter(cond).select(
+            "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+        )
+
+    if kind == "constant_score":
+        b = float(body.get("boost", 1.0))
+        inner = body["filter"]
+        ik = next(iter(inner))
+        if ik in SCORED_KINDS:
+            df = _scored_df(index, inner, params)
+            return df.select("doc_id", F.lit(b * boost).alias("score"))
+        raise ValueError(
+            "constant_score over a pure filter needs the docs table; use search()"
+        )
+
+    if kind == "function_score":
+        base = _scored_df(index, body["query"], params)
+        weight = float(body.get("weight", 1.0))
+        return base.select(
+            "doc_id", (F.col("score") * F.lit(weight * boost)).alias("score")
+        )
+
+    raise ValueError(f"unsupported scoring query: {kind}")
+
+
+def search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: dict[str, Any],
+    k: int = 10,
+    params: BM25Params | None = None,
+    id_col: str = "doc_id",
+    min_score: float | None = None,
+) -> DataFrame:
+    """Run a full query (scored + filter clauses) and return the top-k
+    joined back to the docs table (fetch phase)."""
+    params = params or BM25Params()
+    kind = next(iter(query))
+
+    filter_pred = None
+    scored_query = query
+    if kind == "bool":
+        body = query["bool"]
+        fclauses = list(body.get("filter") or [])
+        fclauses += [q for q in (body.get("must") or []) if next(iter(q)) not in SCORED_KINDS]
+        must_not = list(body.get("must_not") or [])
+        if fclauses or must_not:
+            filter_pred = dsl.compile_filter(
+                {"bool": {"filter": fclauses, "must_not": must_not}}, id_col
+            )
+        scored_body = {
+            "must": [q for q in (body.get("must") or []) if next(iter(q)) in SCORED_KINDS],
+            "should": [q for q in (body.get("should") or []) if next(iter(q)) in SCORED_KINDS],
+        }
+        if "minimum_should_match" in body:
+            scored_body["minimum_should_match"] = body["minimum_should_match"]
+        has_scored = scored_body["must"] or scored_body["should"]
+        scored_query = {"bool": scored_body} if has_scored else None
+    elif kind not in SCORED_KINDS:
+        filter_pred = dsl.compile_filter(query, id_col)
+        scored_query = None
+
+    if scored_query is None:
+        # pure filter: constant score 1.0 (filter context), top-k by id
+        out = docs
+        if filter_pred is not None:
+            out = out.filter(filter_pred)
+        return (
+            out.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc(id_col))
+            .limit(k)
+        )
+
+    scores = _scored_df(index, scored_query, params)
+    if filter_pred is not None:
+        allowed = docs.filter(filter_pred).select(id_col)
+        scores = scores.join(allowed, on=id_col, how="left_semi")
+    if min_score is not None:
+        scores = scores.filter(F.col("score") >= F.lit(min_score))
+    topk = scores.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    return docs.join(F.broadcast(topk), on=id_col, how="inner").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )

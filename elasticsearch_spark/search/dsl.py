@@ -1,0 +1,148 @@
+"""ES-query-DSL -> Spark compiler.
+
+The reference's query registry (search/SearchModule.java:763-826, 48
+builders in index/query/) splits into:
+  - FILTER CONTEXT (non-scoring predicates) — compiled here to native
+    Catalyst ``Column`` expressions, so Parquet pushdown / partition
+    pruning / codegen all apply for free (SURVEY.md §2.3).
+  - SCORING CONTEXT (match/multi_match/bool-scored/dis_max/...) —
+    executed against the inverted index (executor.match_topk) and
+    combined arithmetically; see ``search()`` below.
+
+Queries are plain dicts in the reference's JSON shape, e.g.::
+
+    {"bool": {
+        "must":     [{"term": {"lang": "en"}}],
+        "filter":   [{"range": {"n_chars": {"gte": 100, "lt": 400}}}],
+        "must_not": [{"prefix": {"source": "src1"}}],
+        "should":   [{"terms": {"lang": ["en", "fr"]}}],
+        "minimum_should_match": 1}}
+
+Reference builders re-created: TermQueryBuilder.java, TermsQueryBuilder,
+TermsSetQueryBuilder, RangeQueryBuilder, ExistsQueryBuilder,
+PrefixQueryBuilder, WildcardQueryBuilder, RegexpQueryBuilder,
+FuzzyQueryBuilder, IdsQueryBuilder, BoolQueryBuilder,
+MatchAllQueryBuilder, MatchNoneQueryBuilder, ConstantScoreQueryBuilder.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    """ES wildcard (* any, ? one) -> anchored Java regex."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def compile_filter(query: dict[str, Any], id_col: str = "doc_id") -> Column:
+    """Compile a filter-context query dict to a boolean Column."""
+    if len(query) != 1:
+        raise ValueError(f"query object must have exactly one key: {query}")
+    kind, body = next(iter(query.items()))
+
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "match_none":
+        return F.lit(False)
+    if kind == "term":
+        field, spec = next(iter(body.items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field) == F.lit(value)
+    if kind == "terms":
+        field, values = next(iter(body.items()))
+        return F.col(field).isin(list(values))
+    if kind == "terms_set":
+        field, spec = next(iter(body.items()))
+        values = list(spec["terms"])
+        required = int(spec.get("minimum_should_match", len(values)))
+        # number of matching values (on an array column use array_intersect)
+        hits = sum(
+            (F.col(field) == F.lit(v)).cast("int") for v in values
+        ) if not spec.get("array") else F.size(
+            F.array_intersect(F.col(field), F.array(*[F.lit(v) for v in values]))
+        )
+        return hits >= F.lit(required)
+    if kind == "range":
+        field, spec = next(iter(body.items()))
+        c = F.col(field)
+        conds = []
+        if "gte" in spec:
+            conds.append(c >= F.lit(spec["gte"]))
+        if "gt" in spec:
+            conds.append(c > F.lit(spec["gt"]))
+        if "lte" in spec:
+            conds.append(c <= F.lit(spec["lte"]))
+        if "lt" in spec:
+            conds.append(c < F.lit(spec["lt"]))
+        if not conds:
+            return F.lit(True)
+        out = conds[0]
+        for x in conds[1:]:
+            out = out & x
+        return out
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "prefix":
+        field, spec = next(iter(body.items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).startswith(value)
+    if kind == "wildcard":
+        field, spec = next(iter(body.items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return F.col(field).rlike(_wildcard_to_regex(value))
+    if kind == "regexp":
+        field, spec = next(iter(body.items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        # ES regexp is anchored (matches the WHOLE term)
+        return F.col(field).rlike(f"^(?:{value})$")
+    if kind == "fuzzy":
+        field, spec = next(iter(body.items()))
+        value = spec["value"] if isinstance(spec, dict) else spec
+        fuzz = int(spec.get("fuzziness", 2)) if isinstance(spec, dict) else 2
+        return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(fuzz)
+    if kind == "ids":
+        return F.col(id_col).isin(list(body["values"]))
+    if kind == "constant_score":
+        return compile_filter(body["filter"], id_col)
+    if kind == "bool":
+        clauses: list[Column] = []
+        for q in body.get("must", []) or []:
+            clauses.append(compile_filter(q, id_col))
+        for q in body.get("filter", []) or []:
+            clauses.append(compile_filter(q, id_col))
+        for q in body.get("must_not", []) or []:
+            clauses.append(~compile_filter(q, id_col))
+        should = [compile_filter(q, id_col) for q in (body.get("should") or [])]
+        if should:
+            msm = body.get("minimum_should_match")
+            if msm is None:
+                # ES default: if there are must/filter clauses, should is
+                # optional (msm=0); otherwise msm=1
+                msm = 0 if clauses else 1
+            if msm > 0:
+                n_matched = sum(c.cast("int") for c in should)
+                clauses.append(n_matched >= F.lit(int(msm)))
+        if not clauses:
+            return F.lit(True)
+        out = clauses[0]
+        for c in clauses[1:]:
+            out = out & c
+        return out
+    raise ValueError(f"unsupported filter-context query: {kind}")
+
+
+def filter_query(df: DataFrame, query: dict[str, Any], id_col: str = "doc_id") -> DataFrame:
+    """Apply a filter-context query to a source table."""
+    return df.filter(compile_filter(query, id_col))

@@ -97,7 +97,7 @@ def _make_scorer(
     term_stats: list[TermStats],
     avgdl: float,
     params: BM25Params,
-    k: int,
+    k: int | None,
     operator: str,
     minimum_should_match: int,
     prune: bool,
@@ -112,7 +112,9 @@ def _make_scorer(
     # final candidate; with msm>1 (or AND) some accumulated docs are later
     # disqualified, so the k-th accumulated score is not a lower bound of
     # the final k-th score.
-    use_theta = prune and operator == "or" and msm == 1
+    # k=None -> emit every matching doc (no local top-k, no pruning);
+    # used when a post-filter runs before the global top-k cut.
+    use_theta = prune and k is not None and operator == "or" and msm == 1
     k1, b, quant = params.k1, params.b, params.quantize_norms
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -194,10 +196,9 @@ def _make_scorer(
             acc_ids[keep], acc_scores[keep], acc_counts[keep],
         )
         # local top-k with the global tie-break (score desc, doc_id asc)
-        if acc_ids.size > k:
-            order = np.lexsort((acc_ids, -acc_scores))[:k]
-        else:
-            order = np.lexsort((acc_ids, -acc_scores))
+        order = np.lexsort((acc_ids, -acc_scores))
+        if k is not None and acc_ids.size > k:
+            order = order[:k]
         return pd.DataFrame(
             {
                 "doc_id": acc_ids[order],
@@ -213,7 +214,7 @@ def match_topk(
     index: InvertedIndex,
     field: str,
     terms: list[str],
-    k: int = 10,
+    k: int | None = 10,
     operator: str = "or",
     minimum_should_match: int = 1,
     params: BM25Params | None = None,
@@ -237,6 +238,8 @@ def match_topk(
         term_stats, avgdl, params, k, operator, minimum_should_match, prune
     )
     local = blocks.groupBy("part_id").applyInPandas(scorer, schema=TOPK_SCHEMA)
+    if k is None:
+        return local
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
