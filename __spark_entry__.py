@@ -24,9 +24,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from elasticsearch_spark.aggs import aggregate, pipeline_agg
+from elasticsearch_spark.aggs.translate import top_hits
 from elasticsearch_spark.analysis import analyze
 from elasticsearch_spark.index.builder import InvertedIndex, build_index, load_index
-from elasticsearch_spark.oracle.sql_oracle import bm25_topk_sql
+from elasticsearch_spark.ops import dedup, similarity, text as text_ops
+from elasticsearch_spark.oracle.sql_oracle import bm25_topk_sql, phrase_topk_sql
 from elasticsearch_spark.search.api import search
 from elasticsearch_spark.search.bm25 import BM25Params
 from elasticsearch_spark.search.dsl import filter_query
@@ -50,13 +53,13 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v2")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
-            docs.select("doc_id", "text"),
+            docs.select("doc_id", "text", "source"),
             path,
-            fields={"text": "ascii_word"},
+            fields={"text": "ascii_word", "source": "ascii_word"},
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
         )
@@ -106,6 +109,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["match_zero_hits"] = lambda s, d: _bm25(s, d, "zzznoterm qqqmissing")
     q["match_k50"] = lambda s, d: _bm25(s, d, "stream batch", k=50)
 
+    def match_phrase(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import phrase_topk
+
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("key order", "ascii_word")]
+        out = phrase_topk(idx, "text", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_phrase"] = match_phrase
+
     # --- scored query + filter context combined (bool) ---
     def bool_match_filter(s: SparkSession, d: str) -> DataFrame:
         idx = _doc_index(s, d)
@@ -124,6 +137,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits.select("doc_id", "lang", F.round("score", 4).alias("score"))
 
     q["bool_match_filter"] = bool_match_filter
+
+    # --- query_string / multi_match / dis_max / extras ---
+    def query_string_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.query_string import parse_query_string
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        qdict = parse_query_string("table AND scan NOT lang:zh", default_field="text")
+        hits = search(idx, docs, qdict, k=10, params=_EXACT)
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["query_string"] = query_string_q
+
+    def multi_match_best(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"multi_match": {"query": "src5 table", "fields": ["text", "source"],
+                              "type": "best_fields"}},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["multi_match_best"] = multi_match_best
+
+    def dis_max_q(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"dis_max": {"tie_breaker": 0.3, "queries": [
+                {"match": {"text": "table"}},
+                {"match": {"source": "src5"}},
+            ]}},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["dis_max"] = dis_max_q
+
+    def mlt_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import more_like_this
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        out = more_like_this(idx, docs, like_id=0, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["more_like_this"] = mlt_q
+
+    def suggest_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import term_suggest
+
+        idx = _doc_index(s, d)
+        return term_suggest(idx, "text", "tabel", max_edits=2, size=5)
+
+    q["term_suggest"] = suggest_q
+
+    def collapse_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import collapse_topk
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        scored = match_topk(
+            idx, "text", ["table", "scan"], k=None, params=_EXACT
+        ).select("doc_id", "score")
+        out = collapse_topk(scored, docs, "lang", k=10)
+        return out.select("doc_id", "lang", F.round("score", 4).alias("score"))
+
+    q["collapse"] = collapse_q
+
+    def search_after_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import search_after
+
+        idx = _doc_index(s, d)
+        page1 = match_topk(idx, "text", ["table"], k=5, params=_EXACT).collect()
+        last = page1[-1]
+        out = search_after(
+            match_topk(idx, "text", ["table"], k=None, params=_EXACT),
+            last["score"], last["doc_id"], k=5,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["search_after"] = search_after_q
+
+    def rescore_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import rescore
+
+        idx = _doc_index(s, d)
+        base = match_topk(idx, "text", ["table"], k=None, params=_EXACT)
+        out = rescore(
+            idx, base, ["scan"], window_size=20,
+            rescore_query_weight=2.0, k=10, params=_EXACT,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["rescore"] = rescore_q
+
+    def significant_text_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import significant_text
+
+        docs = _t(s, d, "documents")
+        out = significant_text(
+            docs, F.col("lang") == "en", size=10, min_doc_count=3
+        )
+        return out.select(
+            "term", "fg_count", "bg_count", F.round("jlh", 6).alias("jlh")
+        )
+
+    q["significant_text"] = significant_text_q
 
     # --- filter-context queries (native Catalyst predicates) ---
     def _docs_filter(query: dict, cols: list[str]):
@@ -154,6 +278,196 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"fuzzy": {"lang": {"value": "eng", "fuzziness": 1}}}, ["doc_id", "lang"]
     )
     q["exists_filter"] = _docs_filter({"exists": {"field": "lang"}}, ["doc_id"])
+    # --- aggregations (SURVEY.md §2.4) over the TPC-H-ish tables ---
+    def agg_terms_metrics(s, d):
+        out = aggregate(
+            _t(s, d, "lineitem"),
+            {"by_flag": {
+                "terms": {"field": "l_returnflag", "order": {"_key": "asc"},
+                           "key_name": "l_returnflag"},
+                "aggs": {
+                    "sum_qty": {"sum": {"field": "l_quantity"}},
+                    "avg_price": {"avg": {"field": "l_extendedprice"}},
+                    "uniq_parts": {"cardinality": {"field": "l_partkey", "exact": True}},
+                },
+            }},
+        )
+        return out.select(
+            "l_returnflag", "doc_count",
+            F.round("sum_qty", 4).alias("sum_qty"),
+            F.round("avg_price", 4).alias("avg_price"),
+            "uniq_parts",
+        )
+
+    q["agg_terms_metrics"] = agg_terms_metrics
+
+    q["agg_terms_topn"] = lambda s, d: aggregate(
+        _t(s, d, "orders"),
+        {"p": {"terms": {"field": "o_orderpriority", "size": 3,
+                          "key_name": "o_orderpriority"}}},
+    )
+
+    q["agg_histogram"] = lambda s, d: aggregate(
+        _t(s, d, "orders"),
+        {"h": {"histogram": {"field": "o_totalprice", "interval": 50000}}},
+    ).select(F.col("key").cast("double").alias("key"), "doc_count")
+
+    q["agg_date_histogram"] = lambda s, d: aggregate(
+        _t(s, d, "orders"),
+        {"m": {"date_histogram": {"field": "o_orderdate",
+                                    "calendar_interval": "month"},
+                "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}},
+    ).select("key", "doc_count", F.round("rev", 4).alias("rev"))
+
+    q["agg_range_buckets"] = lambda s, d: aggregate(
+        _t(s, d, "customer"),
+        {"r": {"range": {"field": "c_acctbal", "ranges": [
+            {"key": "low", "to": 0},
+            {"key": "mid", "from": 0, "to": 5000},
+            {"key": "high", "from": 5000},
+        ]}}},
+    )
+
+    q["agg_filters"] = lambda s, d: aggregate(
+        _t(s, d, "events"),
+        {"f": {"filters": {"filters": {
+            "clicks": {"term": {"event_type": "click"}},
+            "big": {"range": {"value": {"gte": 50}}},
+        }}, "aggs": {"v": {"avg": {"field": "value"}}}}},
+    ).select("key", "doc_count", F.round("v", 6).alias("v"))
+
+    q["agg_composite_page"] = lambda s, d: aggregate(
+        _t(s, d, "lineitem"),
+        {"c": {"composite": {
+            "sources": [
+                {"flag": {"terms": {"field": "l_returnflag"}}},
+                {"status": {"terms": {"field": "l_linestatus"}}},
+            ],
+            "size": 3,
+            "after": {"flag": "A", "status": "F"},
+        }}},
+    )
+
+    def agg_stats_global(s, d):
+        out = aggregate(
+            _t(s, d, "lineitem"),
+            {"g": {"global": {}, "aggs": {
+                "s": {"stats": {"field": "l_quantity"}},
+                "e": {"extended_stats": {"field": "l_discount"}},
+                "w": {"weighted_avg": {"value": {"field": "l_extendedprice"},
+                                         "weight": {"field": "l_quantity"}}},
+                "p": {"percentiles": {"field": "l_extendedprice",
+                                        "percents": [50, 95], "exact": True}},
+            }}},
+        )
+        return out.select(
+            "doc_count", "s_count",
+            F.round("s_avg", 4).alias("s_avg"),
+            F.round("s_sum", 4).alias("s_sum"),
+            F.round("e_variance", 8).alias("e_variance"),
+            F.round("w", 4).alias("w"),
+            F.round("p_p50", 4).alias("p_p50"),
+            F.round("p_p95", 4).alias("p_p95"),
+        )
+
+    q["agg_stats_global"] = agg_stats_global
+
+    q["agg_top_hits"] = lambda s, d: top_hits(
+        _t(s, d, "orders"), "o_orderpriority", "o_totalprice", size=2,
+        tie_col="o_orderkey",
+    ).select("o_orderpriority", "o_orderkey", "hit_rank")
+
+    def agg_pipeline(s, d):
+        buckets = aggregate(
+            _t(s, d, "orders"),
+            {"m": {"date_histogram": {"field": "o_orderdate",
+                                        "calendar_interval": "month"},
+                    "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}},
+        )
+        out = pipeline_agg(
+            pipeline_agg(buckets, "cumulative_sum", "rev", out_name="cum"),
+            "derivative", "rev", out_name="deriv",
+        )
+        return out.select(
+            "key", "doc_count",
+            F.round("rev", 4).alias("rev"),
+            F.round("cum", 4).alias("cum"),
+            F.round("deriv", 4).alias("deriv"),
+        )
+
+    q["agg_pipeline_cum_deriv"] = agg_pipeline
+
+    q["agg_rare_terms"] = lambda s, d: aggregate(
+        _t(s, d, "lineitem"),
+        {"r": {"rare_terms": {"field": "l_orderkey", "max_doc_count": 1,
+                                "key_name": "l_orderkey"}}},
+    )
+
+    q["agg_missing"] = lambda s, d: aggregate(
+        _t(s, d, "orders").withColumn(
+            "maybe", F.when(F.col("o_orderstatus") != "F", F.col("o_orderstatus"))
+        ),
+        {"m": {"missing": {"field": "maybe"}}},
+    )
+
+    # --- training-data pipeline ops ---
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicate_groups(
+        _t(s, d, "documents")
+    ).select("digest", "n_dupes", "keep_id")
+
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _t(s, d, "documents"), k=2, threshold=0.5
+    )
+
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _t(s, d, "documents"), k=2, n_hashes=64, bands=32
+    )  # rows-only check (hash-permutation seeds not SQL-expressible)
+
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        _t(s, d, "documents"), max_hamming=8
+    )  # rows-only check
+
+    def ann_cosine(s, d):
+        emb = _t(s, d, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = similarity.cosine_topk(emb, list(qvec), k=10)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    q["ann_cosine_topk"] = ann_cosine
+
+    def ann_batch(s, d):
+        emb = _t(s, d, "embeddings")
+        qdf = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        out = similarity.cosine_topk_batch(emb, qdf, k=5)
+        return out.select(
+            "q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+
+    q["ann_cosine_batch"] = ann_batch
+
+    q["ann_lsh_self_join"] = lambda s, d: similarity.ann_self_join(
+        _t(s, d, "embeddings"), dim=64, k=3, n_planes=8
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank")
+    # rows-only check (random hyperplanes not SQL-expressible)
+
+    q["text_token_count"] = lambda s, d: text_ops.token_count(
+        _t(s, d, "documents")
+    ).select("doc_id", "n_tokens")
+
+    q["text_fingerprint"] = lambda s, d: text_ops.fingerprint(
+        _t(s, d, "documents")
+    ).select("doc_id", "fingerprint")
+
+    q["text_language_id"] = lambda s, d: text_ops.language_id(
+        _t(s, d, "documents")
+    ).select("doc_id", "lang_pred")
+
+    q["text_quality_score"] = lambda s, d: text_ops.quality_score(
+        _t(s, d, "documents")
+    ).select("doc_id", "quality")
+
     q["bool_filter"] = _docs_filter(
         {"bool": {
             "filter": [{"range": {"n_chars": {"gte": 100}}}],
@@ -175,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
     o["match_high_df"] = _bm25_oracle("table")
     o["match_zero_hits"] = _bm25_oracle("zzznoterm qqqmissing")
     o["match_k50"] = _bm25_oracle("stream batch", k=50)
+    o["match_phrase"] = phrase_topk_sql(["key", "order"], k=10)
 
     o["bool_match_filter"] = f"""
 WITH cand AS ({bm25_topk_sql([t for t, _ in analyze('query data', 'ascii_word')], k=1000000)})
@@ -182,6 +497,126 @@ SELECT d.doc_id, d.lang, c.score
 FROM cand c JOIN documents d ON c.doc_id = d.doc_id
 WHERE d.lang = 'en' AND d.n_chars >= 150
 ORDER BY c.score DESC, d.doc_id ASC
+LIMIT 10
+"""
+
+    from elasticsearch_spark.oracle.sql_oracle import bm25_ctes
+
+    o["query_string"] = f"""
+WITH {bm25_ctes(['table', 'scan'])}
+SELECT c.doc_id, round(c.score, 4) AS score
+FROM scored c JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.matched >= 2 AND NOT regexp_matches(lower(d.lang), '\\bzh\\b')
+ORDER BY c.score DESC, c.doc_id ASC LIMIT 10
+"""
+
+    o["multi_match_best"] = f"""
+WITH {bm25_ctes(['src5', 'table'], prefix='t_')},
+{bm25_ctes(['src5', 'table'], prefix='s_', text_col='source')}
+SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+       round(greatest(coalesce(t.score, 0), coalesce(s.score, 0)), 4) AS score
+FROM t_scored t FULL OUTER JOIN s_scored s ON t.doc_id = s.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["dis_max"] = f"""
+WITH {bm25_ctes(['table'], prefix='t_')},
+{bm25_ctes(['src5'], prefix='s_', text_col='source')},
+u AS (
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         coalesce(t.score, 0) AS st, coalesce(s.score, 0) AS ss
+  FROM t_scored t FULL OUTER JOIN s_scored s ON t.doc_id = s.doc_id)
+SELECT doc_id,
+       round(greatest(st, ss) + 0.3 * ((st + ss) - greatest(st, ss)), 4) AS score
+FROM u ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["more_like_this"] = f"""
+WITH seltok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+mltf AS (SELECT term, count(*) * 1.0 AS tf FROM seltok WHERE doc_id = 0 GROUP BY term),
+mldf AS (SELECT term, count(DISTINCT doc_id) * 1.0 AS df FROM seltok GROUP BY term),
+chosen AS (
+  SELECT f.term
+  FROM mltf f JOIN mldf d USING (term)
+  ORDER BY f.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (d.df + 1.0)) DESC,
+           f.term ASC
+  LIMIT 25),
+{bm25_ctes(None, terms_cte='chosen')}
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE doc_id != 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["term_suggest"] = """
+WITH td AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+    FROM documents)
+  GROUP BY term)
+SELECT term, df, levenshtein(term, 'tabel') AS distance
+FROM td
+WHERE substr(term, 1, 1) = 't'
+  AND abs(length(term) - 5) <= 2
+  AND levenshtein(term, 'tabel') BETWEEN 1 AND 2
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT 5
+"""
+
+    o["collapse"] = f"""
+WITH {bm25_ctes(['table', 'scan'])},
+j AS (
+  SELECT c.doc_id, c.score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY c.score DESC, c.doc_id ASC) AS rn
+  FROM scored c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT doc_id, lang, round(score, 4) AS score
+FROM j WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["search_after"] = f"""
+WITH {bm25_ctes(['table'])}
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 5 OFFSET 5
+"""
+
+    o["rescore"] = f"""
+WITH {bm25_ctes(['table'], prefix='b_')},
+{bm25_ctes(['scan'], prefix='r_')},
+win AS (
+  SELECT doc_id, score FROM b_scored
+  ORDER BY score DESC, doc_id ASC LIMIT 20)
+SELECT w.doc_id,
+       round(w.score + 2.0 * coalesce(r.score, 0), 4) AS score
+FROM win w LEFT JOIN r_scored r ON r.doc_id = w.doc_id
+ORDER BY score DESC, w.doc_id ASC LIMIT 10
+"""
+
+    o["significant_text"] = """
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS is_fg,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+  FROM documents),
+tot AS (
+  SELECT count(*) * 1.0 AS n_all,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 AS n_fg
+  FROM documents),
+c AS (
+  SELECT term,
+         sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS fg_count,
+         count(*) AS bg_count
+  FROM t GROUP BY term)
+SELECT term, fg_count, bg_count,
+       round((fg_count / tot.n_fg - bg_count / tot.n_all)
+             * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)), 6) AS jlh
+FROM c, tot
+WHERE fg_count >= 3
+  AND (fg_count / tot.n_fg - bg_count / tot.n_all)
+      * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)) > 0
+ORDER BY jlh DESC, term ASC
 LIMIT 10
 """
 
@@ -212,5 +647,186 @@ LIMIT 10
 SELECT doc_id, lang, n_chars FROM documents
 WHERE n_chars >= 100 AND NOT lang = 'zh'
   AND ((CASE WHEN lang='en' THEN 1 ELSE 0 END) + (CASE WHEN lang='fr' THEN 1 ELSE 0 END)) >= 1
+"""
+
+    # --- aggregations ---
+    o["agg_terms_metrics"] = """
+SELECT l_returnflag, count(*) AS doc_count,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(DISTINCT l_partkey) AS uniq_parts
+FROM lineitem GROUP BY 1
+"""
+    o["agg_terms_topn"] = """
+SELECT o_orderpriority, count(*) AS doc_count FROM orders
+GROUP BY 1 ORDER BY doc_count DESC, o_orderpriority ASC LIMIT 3
+"""
+    o["agg_histogram"] = """
+SELECT (floor(o_totalprice / 50000) * 50000)::DOUBLE AS key, count(*) AS doc_count
+FROM orders GROUP BY 1
+"""
+    o["agg_date_histogram"] = """
+SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS key,
+       count(*) AS doc_count, round(sum(o_totalprice), 4) AS rev
+FROM orders GROUP BY 1
+"""
+    o["agg_range_buckets"] = """
+SELECT 'low' AS key, count(*) AS doc_count FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT 'mid', count(*) FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 5000
+UNION ALL
+SELECT 'high', count(*) FROM customer WHERE c_acctbal >= 5000
+"""
+    o["agg_filters"] = """
+SELECT 'clicks' AS key, count(*) AS doc_count, round(avg(value), 6) AS v
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'big', count(*), round(avg(value), 6) FROM events WHERE value >= 50
+"""
+    o["agg_composite_page"] = """
+SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS doc_count
+FROM lineitem GROUP BY 1, 2
+HAVING (l_returnflag, l_linestatus) > ('A', 'F')
+ORDER BY 1, 2 LIMIT 3
+"""
+    o["agg_stats_global"] = """
+SELECT count(*) AS doc_count, count(l_quantity) AS s_count,
+       round(avg(l_quantity), 4) AS s_avg,
+       round(sum(l_quantity), 4) AS s_sum,
+       round(var_pop(l_discount), 8) AS e_variance,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p_p95
+FROM lineitem
+"""
+    o["agg_top_hits"] = """
+SELECT o_orderpriority, o_orderkey, hit_rank FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS hit_rank
+  FROM orders) WHERE hit_rank <= 2
+"""
+    o["agg_pipeline_cum_deriv"] = """
+WITH b AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS key,
+         count(*) AS doc_count, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1)
+SELECT key, doc_count, round(rev, 4) AS rev,
+       round(sum(rev) OVER (ORDER BY key), 4) AS cum,
+       round(rev - lag(rev) OVER (ORDER BY key), 4) AS deriv
+FROM b
+"""
+    o["agg_rare_terms"] = """
+SELECT l_orderkey, count(*) AS doc_count FROM lineitem
+GROUP BY 1 HAVING count(*) <= 1
+"""
+    o["agg_missing"] = """
+SELECT count(*) AS doc_count FROM orders WHERE o_orderstatus = 'F'
+"""
+
+    # --- training-data pipeline ops ---
+    o["dedup_exact_groups"] = """
+SELECT sha256(text) AS digest, count(*) AS n_dupes, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+    o["dedup_ngram_jaccard"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(ts) - 1),
+                   i -> array_to_string(ts[i:i+1], ' '))) AS shingle
+  FROM tok WHERE len(ts) >= 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+"""
+    o["ann_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings, q)
+SELECT vec_id, round(cosine, 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+    o["ann_cosine_batch"] = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings e, q),
+r AS (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s)
+SELECT q_id, vec_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5
+"""
+    o["text_token_count"] = text_ops.token_count_sql()
+    o["text_fingerprint"] = text_ops.fingerprint_sql()
+
+    def _ratio_sql(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS[lang])
+        return (
+            f"len(list_filter(ts, x -> list_contains([{words}], x))) * 1.0"
+            f" / greatest(len(ts), 1)"
+        )
+
+    o["text_language_id"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         {_ratio_sql('en')} AS r_en,
+         {_ratio_sql('fr')} AS r_fr,
+         {_ratio_sql('de')} AS r_de,
+         {_ratio_sql('es')} AS r_es
+  FROM t)
+SELECT doc_id, CASE
+  WHEN r_en > 0 AND r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
+  WHEN r_fr > 0 AND r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
+  WHEN r_de > 0 AND r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
+  WHEN r_es > 0 AND r_es = greatest(r_en, r_fr, r_de, r_es) THEN 'es'
+  ELSE 'unk' END AS lang_pred
+FROM r
+"""
+    en_words = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS["en"])
+    o["text_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         least(len(ts) / 200.0, 1.0) AS len_score,
+         coalesce(list_aggregate(list_transform(ts, x -> len(x)), 'sum'), 0)
+           * 1.0 / greatest(len(ts), 1) AS mean_wl,
+         len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+           / greatest(len(text), 1) AS alpha_ratio,
+         len(list_filter(ts, x -> list_contains([{en_words}], x))) * 1.0
+           / greatest(len(ts), 1) AS stop_en
+  FROM t)
+SELECT doc_id,
+       round(0.25 * len_score
+             + 0.25 * (CASE WHEN mean_wl >= 3 AND mean_wl <= 10
+                            THEN 1.0 ELSE 0.3 END)
+             + 0.3 * alpha_ratio
+             + 0.2 * least(stop_en * 5, 1.0), 6) AS quality
+FROM m
 """
     return o

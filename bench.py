@@ -1,0 +1,123 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Extras: index-build throughput (docs/sec) over the sf documents table
+and over a larger synthetic source-code corpus (the north_rule's input
+shape), plus query p50/p99 across repeats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "match_or",
+    "match_and",
+    "match_phrase",
+    "match_k50",
+    "bool_match_filter",
+    "agg_terms_metrics",
+    "agg_date_histogram",
+    "agg_histogram",
+    "agg_top_hits",
+    "dedup_minhash_lsh",
+    "ann_cosine_batch",
+    "text_fingerprint",
+]
+
+REPEATS = 3
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from elasticsearch_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("bench", cores=cpus)
+
+    # ---- index-build throughput over the sf documents table ----
+    from elasticsearch_spark.index.builder import build_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.time()
+    build_index(
+        docs.select("doc_id", "text"), idx_dir,
+        fields={"text": "ascii_word"},
+        num_partitions=int(cpus) if str(cpus).isdigit() else 8,
+        input_snapshot="bench",
+    )
+    build_sec = time.time() - t0
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- index-build throughput over the synthetic code corpus ----
+    from elasticsearch_spark.corpus import generate_corpus
+
+    n_code = int(os.environ.get("BENCH_CODE_DOCS", "20000"))
+    corpus = generate_corpus(spark, n_code, seed=42).cache()
+    corpus.count()  # materialize generation outside the timed window
+    code_dir = tempfile.mkdtemp(prefix="bench_code_idx_")
+    t0 = time.time()
+    build_index(
+        corpus, code_dir, fields={"content": "code"},
+        num_partitions=int(cpus) if str(cpus).isdigit() else 8,
+        id_cols=["repo", "path", "commit"], input_snapshot="bench",
+    )
+    code_build_sec = time.time() - t0
+    shutil.rmtree(code_dir, ignore_errors=True)
+    corpus.unpersist()
+
+    # ---- headline queries (entry-point cache reused across repeats) ----
+    qs = entry.queries()
+    per_query: dict[str, float] = {}
+    p50s: dict[str, float] = {}
+    p99s: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # warmup (also builds the cached index)
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            times.append(time.time() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+        p50s[name] = round(statistics.median(times), 4)
+        p99s[name] = round(max(times), 4)
+
+    out = {
+        "metric": "headline query seconds (sum of per-query medians) + index-build docs/sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": cpus,
+        "index_build": {
+            "documents_rows": n_docs,
+            "documents_build_sec": round(build_sec, 3),
+            "documents_docs_per_sec": round(n_docs / build_sec, 1),
+            "code_corpus_rows": n_code,
+            "code_corpus_build_sec": round(code_build_sec, 3),
+            "code_corpus_docs_per_sec": round(n_code / code_build_sec, 1),
+        },
+        "p99": p99s,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

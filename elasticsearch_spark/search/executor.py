@@ -243,6 +243,103 @@ def match_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def phrase_topk(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    k: int | None = 10,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """match_phrase: exact-adjacency phrase top-k.
+
+    Reference: MatchQueryParser.java:243 createPhraseQuery -> Lucene
+    PhraseQuery. Scoring follows Lucene's PhraseWeight: tf = number of
+    phrase occurrences, idf = SUM of the terms' idfs, same tf/dl
+    normalization as a term query.
+
+    Physical plan: same as match_topk (blocks of the phrase's terms,
+    one groupBy(part_id)), plus per-candidate position-list
+    intersection: cand = pos(t0); cand = (cand+1) ∩ pos(t1); ...
+    |cand| = phrase frequency. Candidates are docs containing ALL terms
+    (conjunction prunes before any position decode).
+    """
+    params = params or BM25Params()
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    term_stats, n_docs, avgdl = _lookup_terms(index, field, terms, params)
+    found = {s.term for s in term_stats}
+    if any(t not in found for t in terms):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_sum = float(sum(s.idf for s in term_stats))
+    k1, b, quant = params.k1, params.b, params.quantize_norms
+    ordered_terms = list(terms)  # keep phrase order (duplicates allowed)
+
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+    ).select("part_id", "term", "n", "doc_ids", "tfs", "dls", "positions")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
+            {"doc_id": "int64", "score": "float64", "matched": "int32"}
+        )
+        # decode per term: doc_id -> (positions, dl)
+        per_term: dict[str, dict[int, np.ndarray]] = {}
+        dl_map: dict[int, int] = {}
+        for term, g in pdf.groupby("term", sort=False):
+            docs: dict[int, np.ndarray] = {}
+            for row in g.itertuples(index=False):
+                d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                dls = codec.vbyte_decode(row.dls)
+                plists = codec.decode_positions(bytes(row.positions), int(row.n))
+                for doc, dl, pos in zip(d, dls, plists):
+                    docs[int(doc)] = pos
+                    dl_map[int(doc)] = int(dl)
+            per_term[term] = docs
+        if any(t not in per_term for t in ordered_terms):
+            return empty
+        # conjunction of doc sets
+        cand_docs = set(per_term[ordered_terms[0]])
+        for t in ordered_terms[1:]:
+            cand_docs &= set(per_term[t])
+        if not cand_docs:
+            return empty
+        out_ids, out_scores = [], []
+        for doc in cand_docs:
+            cand = per_term[ordered_terms[0]][doc]
+            for i, t in enumerate(ordered_terms[1:], start=1):
+                cand = np.intersect1d(cand + 1, per_term[t][doc], assume_unique=True)
+                if cand.size == 0:
+                    break
+            if cand.size == 0:
+                continue
+            tf = float(cand.size)
+            dl = dl_map[doc]
+            dl_eff = float(bm25.quantize_dl(np.array([dl]))[0]) if quant else float(dl)
+            tfn = tf / (tf + k1 * (1.0 - b + b * dl_eff / avgdl))
+            out_ids.append(doc)
+            out_scores.append((k1 + 1.0) * idf_sum * tfn)
+        if not out_ids:
+            return empty
+        ids = np.array(out_ids, dtype=np.int64)
+        scores = np.array(out_scores, dtype=np.float64)
+        order = np.lexsort((ids, -scores))
+        if k is not None and ids.size > k:
+            order = order[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[order],
+                "score": scores[order],
+                "matched": np.full(order.size, len(ordered_terms), dtype=np.int32),
+            }
+        )
+
+    local = blocks.groupBy("part_id").applyInPandas(score_group, schema=TOPK_SCHEMA)
+    if k is None:
+        return local
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def decoded_postings(
     index: InvertedIndex, field: str, terms: list[str] | None = None
 ) -> DataFrame:

@@ -1,0 +1,309 @@
+"""Secondary search operators: more_like_this, term suggester, field
+collapse, search_after, rescore, highlight, explain, significant terms.
+
+Each re-creates the corresponding reference operator with Spark
+primitives (SURVEY.md §2.3/§2.5-2.7):
+  - more_like_this: MoreLikeThisQueryBuilder.java (1154 LoC) — pick the
+    example doc's top tf-idf terms, feed the match pipeline.
+  - term suggester: search/suggest/term/ — edit-distance candidates
+    from term_dict ranked by (distance, df desc).
+  - collapse: search/collapse/CollapseBuilder.java — one hit per key.
+  - search_after: search/searchafter/SearchAfterBuilder.java — strict
+    (score, doc_id) cursor.
+  - rescore: search/rescore/QueryRescorer.java:26,153 — re-rank the top
+    window with a secondary query, weighted combine.
+  - highlight: fetch/subphase/highlight/ — fragment extraction around
+    matched terms (Arrow-batched pandas, never per-row Spark Python).
+  - explain: fetch/subphase/ExplainPhase.java — per-hit BM25 breakdown.
+  - significant_text: JLH heuristic (SearchModule.java:710-719).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from elasticsearch_spark.analysis import ANALYZERS
+from elasticsearch_spark.index.builder import InvertedIndex, index_meta
+from elasticsearch_spark.search.bm25 import BM25Params
+from elasticsearch_spark.search.executor import match_topk
+
+
+def more_like_this(
+    index: InvertedIndex,
+    docs: DataFrame,
+    like_id: int,
+    field: str = "text",
+    text_col: str | None = None,
+    id_col: str = "doc_id",
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    k: int = 10,
+    include_self: bool = False,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Select the example doc's top tf-idf terms, run a match query.
+
+    Term selection score = tf * ln((N+1)/(df+1)) (classic tf-idf like
+    the reference's MLT priority queue); ties -> term asc for
+    determinism. Defaults are relaxed vs ES (min_term_freq=2,
+    min_doc_freq=5) because test corpora are small.
+    """
+    text_col = text_col or field
+    row = docs.filter(F.col(id_col) == like_id).select(text_col).collect()
+    if not row:
+        return index.spark.createDataFrame([], "doc_id long, score double, matched int")
+    analyzer = index_meta(index.path)["fields"].get(field, "standard")
+    terms_list, _ = ANALYZERS[analyzer](row[0][0] or "")
+    tf: dict[str, int] = {}
+    for t in terms_list:
+        tf[t] = tf.get(t, 0) + 1
+    tf = {t: c for t, c in tf.items() if c >= min_term_freq}
+    if not tf:
+        return index.spark.createDataFrame([], "doc_id long, score double, matched int")
+    stats = index.collection_stats()[field]
+    n_docs = stats["n_docs"]
+    rows = (
+        index.term_dict.filter(
+            (F.col("field") == field) & F.col("term").isin(list(tf))
+        )
+        .select("term", "df")
+        .collect()
+    )
+    scored = []
+    for r in rows:
+        if int(r["df"]) < min_doc_freq:
+            continue
+        s = tf[r["term"]] * math.log((n_docs + 1.0) / (int(r["df"]) + 1.0))
+        scored.append((-s, r["term"]))
+    scored.sort()
+    chosen = [t for _, t in scored[:max_query_terms]]
+    out = match_topk(index, field, chosen, k=None, params=params)
+    if not include_self:
+        out = out.filter(F.col("doc_id") != like_id)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def term_suggest(
+    index: InvertedIndex,
+    field: str,
+    word: str,
+    max_edits: int = 2,
+    size: int = 5,
+) -> DataFrame:
+    """Spelling suggestions: term_dict candidates within edit distance,
+    same first letter (ES prefix_length=1 default), ranked by
+    (distance asc, df desc, term asc)."""
+    cand = index.term_dict.filter(
+        (F.col("field") == field)
+        & F.col("term").startswith(word[:1])
+        & (F.abs(F.length("term") - len(word)) <= max_edits)
+    ).withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)))
+    return (
+        cand.filter((F.col("distance") <= max_edits) & (F.col("distance") > 0))
+        .select("term", "df", "distance")
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(size)
+    )
+
+
+def collapse_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    collapse_field: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field collapse: best hit per collapse key, then global top-k."""
+    joined = scored.join(docs.select(id_col, collapse_field), id_col)
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def search_after(
+    scored: DataFrame,
+    after_score: float,
+    after_id: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cursor pagination: strictly after (score desc, doc_id asc)."""
+    cond = (F.col("score") < F.lit(after_score)) | (
+        (F.col("score") == F.lit(after_score)) & (F.col(id_col) > F.lit(after_id))
+    )
+    return scored.filter(cond).orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rescore(
+    index: InvertedIndex,
+    base_scored: DataFrame,
+    rescore_terms: list[str],
+    field: str = "text",
+    window_size: int = 10,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    k: int = 10,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Re-rank the top window with a secondary match query:
+    final = query_weight*orig + rescore_query_weight*secondary."""
+    window = base_scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(window_size)
+    sec = match_topk(index, field, rescore_terms, k=None, params=params).select(
+        "doc_id", F.col("score").alias("_rescore")
+    )
+    combined = (
+        window.join(sec, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.lit(query_weight) * F.col("score")
+            + F.lit(rescore_query_weight) * F.coalesce(F.col("_rescore"), F.lit(0.0)),
+        )
+        .drop("_rescore")
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def highlight(
+    hits: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    fragment_size: int = 60,
+    n_fragments: int = 2,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> DataFrame:
+    """Fragment extraction around matched terms (unified-highlighter
+    style), Arrow-batched."""
+    tset = [t.lower() for t in terms]
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in tset) + r")\b", re.IGNORECASE
+    )
+
+    def frag_batch(it):
+        for pdf in it:
+            frags = []
+            for text in pdf[text_col].fillna(""):
+                found = []
+                for m in pat.finditer(text):
+                    if len(found) >= n_fragments:
+                        break
+                    lo = max(0, m.start() - fragment_size // 2)
+                    hi = min(len(text), m.end() + fragment_size // 2)
+                    frag = text[lo:hi]
+                    frag = pat.sub(lambda mm: pre_tag + mm.group(0) + post_tag, frag)
+                    found.append(frag)
+                frags.append(found)
+            yield pdf.assign(highlights=frags)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hits.schema.fields
+    ) + ", highlights array<string>"
+    return hits.mapInPandas(frag_batch, schema=schema)
+
+
+def explain_scores(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    doc_ids: list[int],
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Per-(doc, term) BM25 component breakdown: tf, dl, df, idf,
+    tf_norm, contribution — the ExplainPhase analogue, invaluable for
+    score-parity debugging."""
+    import numpy as np
+
+    from elasticsearch_spark.search import bm25
+    from elasticsearch_spark.search.executor import decoded_postings
+
+    params = params or BM25Params()
+    stats = index.collection_stats()[field]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in index.term_dict.filter(
+            (F.col("field") == field) & F.col("term").isin(terms)
+        ).collect()
+    }
+    rows = decoded_postings(index, field, terms).filter(
+        F.col("doc_id").isin(doc_ids)
+    )
+
+    def explain_batch(it):
+        for pdf in it:
+            tfs = pdf["tf"].to_numpy(dtype=np.float64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            df_arr = np.array([dfs[t] for t in pdf["term"]], dtype=np.float64)
+            idf = np.log(1.0 + (n_docs - df_arr + 0.5) / (df_arr + 0.5))
+            dl_eff = (
+                bm25.quantize_dl(dls).astype(np.float64)
+                if params.quantize_norms
+                else dls.astype(np.float64)
+            )
+            tfn = tfs / (tfs + params.k1 * (1 - params.b + params.b * dl_eff / avgdl))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "term": pdf["term"],
+                    "tf": tfs,
+                    "dl": dls,
+                    "df": df_arr,
+                    "idf": idf,
+                    "tf_norm": tfn,
+                    "contribution": (params.k1 + 1.0) * idf * tfn,
+                }
+            )
+
+    return rows.mapInPandas(
+        explain_batch,
+        schema="doc_id long, term string, tf double, dl long, df double, "
+               "idf double, tf_norm double, contribution double",
+    )
+
+
+def significant_text(
+    docs: DataFrame,
+    fg_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """significant_text agg with the JLH heuristic:
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct), terms over-represented
+    in the foreground set vs the whole corpus."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    exploded = docs.select(
+        F.col(id_col), fg_filter.alias("is_fg"), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    totals = docs.select(
+        F.count("*").alias("n_all"),
+        F.sum(fg_filter.cast("long")).alias("n_fg"),
+    ).collect()[0]
+    n_all, n_fg = float(totals["n_all"]), float(totals["n_fg"])
+    counts = exploded.groupBy("term").agg(
+        F.sum(F.col("is_fg").cast("long")).alias("fg_count"),
+        F.count("*").alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.lit(n_fg)
+    bg_pct = F.col("bg_count") / F.lit(n_all)
+    return (
+        counts.filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(F.col("jlh") > 0)
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(size)
+    )

@@ -1,0 +1,316 @@
+"""Aggregation surface vs DuckDB ground truth on the sf0.001 tables."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.aggs import aggregate, pipeline_agg
+from elasticsearch_spark.aggs.translate import bucket_stats, top_hits
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "events", "customer"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        t: spark.read.parquet(os.path.join(SF, f"{t}.parquet"))
+        for t in ["lineitem", "orders", "events", "customer"]
+    }
+
+
+def rows_match(got, want, float_tol=1e-9):
+    assert len(got) == len(want), f"{len(got)} vs {len(want)}"
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            if isinstance(a, float) and isinstance(b, float):
+                assert math.isclose(a, b, rel_tol=float_tol, abs_tol=1e-9), (g, w)
+            else:
+                assert str(a) == str(b), (g, w)
+
+
+def test_terms_with_metrics(tables, duck):
+    out = aggregate(
+        tables["lineitem"],
+        {"by_flag": {
+            "terms": {"field": "l_returnflag", "order": {"_key": "asc"}},
+            "aggs": {
+                "sum_qty": {"sum": {"field": "l_quantity"}},
+                "avg_price": {"avg": {"field": "l_extendedprice"}},
+                "uniq_parts": {"cardinality": {"field": "l_partkey", "exact": True}},
+            },
+        }},
+    ).collect()
+    want = duck.execute("""
+        SELECT l_returnflag, count(*), sum(l_quantity), avg(l_extendedprice),
+               count(DISTINCT l_partkey)
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    rows_match([tuple(r) for r in out], want)
+
+
+def test_terms_top_n_order_count(tables, duck):
+    out = aggregate(
+        tables["orders"],
+        {"by_prio": {"terms": {"field": "o_orderpriority", "size": 3}}},
+    ).collect()
+    want = duck.execute("""
+        SELECT o_orderpriority, count(*) AS c FROM orders
+        GROUP BY 1 ORDER BY c DESC, o_orderpriority ASC LIMIT 3
+    """).fetchall()
+    rows_match([tuple(r) for r in out], want)
+
+
+def test_histogram(tables, duck):
+    out = aggregate(
+        tables["orders"],
+        {"h": {"histogram": {"field": "o_totalprice", "interval": 50000}}},
+    ).collect()
+    want = duck.execute("""
+        SELECT floor(o_totalprice / 50000) * 50000 AS key, count(*)
+        FROM orders GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    rows_match([tuple(r) for r in out], want)
+
+
+def test_date_histogram_month(tables, duck):
+    out = aggregate(
+        tables["orders"],
+        {"m": {
+            "date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+            "aggs": {"rev": {"sum": {"field": "o_totalprice"}}},
+        }},
+    ).collect()
+    want = duck.execute("""
+        SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS key,
+               count(*), sum(o_totalprice)
+        FROM orders GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    rows_match([tuple(r) for r in out], want, float_tol=1e-12)
+
+
+def test_date_histogram_fixed_interval(tables, duck):
+    out = aggregate(
+        tables["events"],
+        {"w": {"date_histogram": {"field": "ts", "fixed_interval": "12h"}}},
+    ).collect()
+    want = duck.execute("""
+        SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS key, count(*)
+        FROM events GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    got = [(str(r[0]), r[1]) for r in out]
+    exp = [(str(w[0]).replace("+00:00", ""), w[1]) for w in want]
+    assert got == exp
+
+
+def test_range_agg(tables, duck):
+    out = aggregate(
+        tables["customer"],
+        {"r": {"range": {
+            "field": "c_acctbal",
+            "ranges": [
+                {"key": "low", "to": 0},
+                {"key": "mid", "from": 0, "to": 5000},
+                {"key": "high", "from": 5000},
+            ],
+        }}},
+    ).collect()
+    want = {
+        "low": duck.execute("SELECT count(*) FROM customer WHERE c_acctbal < 0").fetchone()[0],
+        "mid": duck.execute("SELECT count(*) FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 5000").fetchone()[0],
+        "high": duck.execute("SELECT count(*) FROM customer WHERE c_acctbal >= 5000").fetchone()[0],
+    }
+    got = {r["key"]: r["doc_count"] for r in out}
+    assert got == want
+
+
+def test_filters_agg(tables, duck):
+    out = aggregate(
+        tables["events"],
+        {"f": {"filters": {"filters": {
+            "clicks": {"term": {"event_type": "click"}},
+            "big": {"range": {"value": {"gte": 50}}},
+        }}, "aggs": {"v": {"avg": {"field": "value"}}}}},
+    ).collect()
+    got = {r["key"]: (r["doc_count"], r["v"]) for r in out}
+    for key, sql in [
+        ("clicks", "event_type = 'click'"),
+        ("big", "value >= 50"),
+    ]:
+        want = duck.execute(
+            f"SELECT count(*), avg(value) FROM events WHERE {sql}"
+        ).fetchone()
+        assert got[key][0] == want[0]
+        assert math.isclose(got[key][1], want[1], rel_tol=1e-9)
+
+
+def test_missing_agg(tables, spark):
+    df = tables["customer"].withColumn(
+        "maybe", F.when(F.col("c_custkey") % 3 == 0, F.col("c_name"))
+    )
+    out = aggregate(df, {"m": {"missing": {"field": "maybe"}}}).collect()
+    want = df.filter(F.col("maybe").isNull()).count()
+    assert out[0]["doc_count"] == want
+
+
+def test_composite_paging(tables, duck):
+    spec = {"c": {"composite": {
+        "sources": [
+            {"flag": {"terms": {"field": "l_returnflag"}}},
+            {"status": {"terms": {"field": "l_linestatus"}}},
+        ],
+        "size": 2,
+    }}}
+    page1 = aggregate(tables["lineitem"], spec).collect()
+    after = {"flag": page1[-1]["flag"], "status": page1[-1]["status"]}
+    spec["c"]["composite"]["after"] = after
+    page2 = aggregate(tables["lineitem"], spec).collect()
+    want = duck.execute("""
+        SELECT l_returnflag, l_linestatus, count(*) FROM lineitem
+        GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 4
+    """).fetchall()
+    got = [(r["flag"], r["status"], r["doc_count"]) for r in page1 + page2]
+    rows_match(got, want)
+
+
+def test_stats_and_extended_stats(tables, duck):
+    out = aggregate(
+        tables["lineitem"],
+        {"g": {"global": {}, "aggs": {
+            "s": {"stats": {"field": "l_quantity"}},
+            "e": {"extended_stats": {"field": "l_discount"}},
+        }}},
+    ).collect()[0]
+    want = duck.execute("""
+        SELECT count(l_quantity), min(l_quantity), max(l_quantity),
+               avg(l_quantity), sum(l_quantity),
+               var_pop(l_discount), stddev_pop(l_discount)
+        FROM lineitem
+    """).fetchone()
+    assert out["s_count"] == want[0]
+    assert out["s_min"] == want[1] and out["s_max"] == want[2]
+    assert math.isclose(out["s_avg"], want[3], rel_tol=1e-12)
+    assert math.isclose(out["s_sum"], want[4], rel_tol=1e-12)
+    assert math.isclose(out["e_variance"], want[5], rel_tol=1e-9)
+    assert math.isclose(out["e_std_deviation"], want[6], rel_tol=1e-9)
+
+
+def test_weighted_avg_and_percentiles(tables, duck):
+    out = aggregate(
+        tables["lineitem"],
+        {"g": {"global": {}, "aggs": {
+            "w": {"weighted_avg": {
+                "value": {"field": "l_extendedprice"},
+                "weight": {"field": "l_quantity"},
+            }},
+            "p": {"percentiles": {"field": "l_extendedprice",
+                                   "percents": [50, 95], "exact": True}},
+        }}},
+    ).collect()[0]
+    want = duck.execute("""
+        SELECT sum(l_extendedprice * l_quantity) / sum(l_quantity),
+               quantile_cont(l_extendedprice, 0.5),
+               quantile_cont(l_extendedprice, 0.95)
+        FROM lineitem
+    """).fetchone()
+    assert math.isclose(out["w"], want[0], rel_tol=1e-12)
+    assert math.isclose(out["p_p50"], want[1], rel_tol=1e-9)
+    assert math.isclose(out["p_p95"], want[2], rel_tol=1e-9)
+
+
+def test_cardinality_approx_close():
+    # HLL++ semantics (reference HyperLogLogPlusPlus.java): approximate
+    from elasticsearch_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    df = spark.range(10000).withColumn("v", F.col("id") % 2500)
+    got = aggregate(df, {"g": {"global": {}, "aggs": {
+        "c": {"cardinality": {"field": "v"}}}}}).collect()[0]["c"]
+    assert abs(got - 2500) / 2500 < 0.1
+
+
+def test_top_hits_per_bucket(tables, duck):
+    out = top_hits(
+        tables["orders"], "o_orderpriority", "o_totalprice", size=2,
+        tie_col="o_orderkey",
+    ).select("o_orderpriority", "o_orderkey", "hit_rank").collect()
+    want = duck.execute("""
+        SELECT o_orderpriority, o_orderkey, rn FROM (
+          SELECT o_orderpriority, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn <= 2
+    """).fetchall()
+    got = sorted((r[0], r[1], r[2]) for r in out)
+    assert got == sorted(want)
+
+
+def test_pipeline_aggs(tables, duck):
+    buckets = aggregate(
+        tables["orders"],
+        {"m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+                "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}},
+    )
+    out = pipeline_agg(
+        pipeline_agg(buckets, "cumulative_sum", "rev", out_name="cum"),
+        "derivative", "rev", out_name="deriv",
+    ).orderBy("key").collect()
+    want = duck.execute("""
+        WITH b AS (
+          SELECT date_trunc('month', o_orderdate) AS key, sum(o_totalprice) AS rev
+          FROM orders GROUP BY 1)
+        SELECT key, rev,
+               sum(rev) OVER (ORDER BY key) AS cum,
+               rev - lag(rev) OVER (ORDER BY key) AS deriv
+        FROM b ORDER BY key
+    """).fetchall()
+    for g, w in zip(out, want):
+        assert math.isclose(g["cum"], w[2], rel_tol=1e-12)
+        if w[3] is None:
+            assert g["deriv"] is None
+        else:
+            assert math.isclose(g["deriv"], w[3], rel_tol=1e-9)
+
+
+def test_bucket_stats(tables, duck):
+    buckets = aggregate(
+        tables["lineitem"],
+        {"t": {"terms": {"field": "l_returnflag"},
+                "aggs": {"q": {"sum": {"field": "l_quantity"}}}}},
+    )
+    out = bucket_stats(buckets, "q").collect()[0]
+    want = duck.execute("""
+        WITH b AS (SELECT sum(l_quantity) AS q FROM lineitem GROUP BY l_returnflag)
+        SELECT count(q), min(q), max(q), avg(q), sum(q) FROM b
+    """).fetchone()
+    assert out["q_count"] == want[0]
+    assert math.isclose(out["q_min"], want[1])
+    assert math.isclose(out["q_sum"], want[4], rel_tol=1e-12)
+
+
+def test_nested_bucket(tables, duck):
+    out = aggregate(
+        tables["lineitem"],
+        {"t": {"terms": {"field": "l_returnflag"},
+                "aggs": {"status": {"terms": {"field": "l_linestatus"}}}}},
+    ).collect()
+    want = duck.execute("""
+        SELECT l_returnflag, l_linestatus, count(*) FROM lineitem
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    got = [(r["key"], r["status"], r["doc_count"]) for r in out]
+    rows_match(got, want)

@@ -1,0 +1,106 @@
+"""more_like_this / suggest / collapse / search_after / rescore /
+highlight / explain / significant_text over the sf0.001 documents index."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.search import extras
+from elasticsearch_spark.search.bm25 import BM25Params
+from elasticsearch_spark.search.executor import match_topk
+
+SF = "/root/testdata/sf0.001"
+EXACT = BM25Params(quantize_norms=False)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs):
+    import __spark_entry__ as e
+
+    return e._doc_index(spark, SF)
+
+
+def test_more_like_this(index, docs):
+    out = extras.more_like_this(index, docs, like_id=0, k=5, params=EXACT).collect()
+    assert 0 < len(out) <= 5
+    assert all(r["doc_id"] != 0 for r in out)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_term_suggest(index):
+    out = extras.term_suggest(index, "text", "tabel").collect()
+    assert out, "expected suggestions for misspelled 'tabel'"
+    assert out[0]["term"] == "table"
+    assert out[0]["distance"] <= 2
+
+
+def test_collapse(index, docs):
+    scored = match_topk(index, "text", ["table", "scan"], k=None, params=EXACT)
+    out = extras.collapse_topk(scored, docs, "lang", k=10).collect()
+    langs = [r["lang"] for r in out]
+    assert len(langs) == len(set(langs))  # one hit per key
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_search_after_pagination(index):
+    full = match_topk(index, "text", ["table"], k=20, params=EXACT).collect()
+    page1 = full[:5]
+    after = page1[-1]
+    page2 = extras.search_after(
+        match_topk(index, "text", ["table"], k=None, params=EXACT),
+        after["score"], after["doc_id"], k=5,
+    ).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in full[5:10]]
+
+
+def test_rescore(index):
+    base = match_topk(index, "text", ["table"], k=None, params=EXACT)
+    out = extras.rescore(
+        index, base, ["scan"], window_size=10, rescore_query_weight=2.0,
+        k=5, params=EXACT,
+    ).collect()
+    assert len(out) == 5
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_highlight(index, docs):
+    topk = match_topk(index, "text", ["table"], k=3, params=EXACT)
+    hits = docs.join(F.broadcast(topk), "doc_id")
+    out = extras.highlight(hits, ["table"], n_fragments=2).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["highlights"]
+        assert "<em>" in r["highlights"][0]
+
+
+def test_explain_matches_scores(index):
+    topk = match_topk(index, "text", ["table", "scan"], k=3, params=EXACT).collect()
+    ids = [r["doc_id"] for r in topk]
+    ex = extras.explain_scores(index, "text", ["table", "scan"], ids, params=EXACT)
+    by_doc = {}
+    for r in ex.collect():
+        by_doc.setdefault(r["doc_id"], 0.0)
+        by_doc[r["doc_id"]] += r["contribution"]
+    for r in topk:
+        assert math.isclose(by_doc[r["doc_id"]], r["score"], rel_tol=1e-9)
+
+
+def test_significant_text(docs):
+    out = extras.significant_text(
+        docs, F.col("lang") == "en", size=5, min_doc_count=2
+    ).collect()
+    assert out
+    assert all(r["jlh"] > 0 for r in out)
+    jlhs = [r["jlh"] for r in out]
+    assert jlhs == sorted(jlhs, reverse=True)

@@ -1,0 +1,117 @@
+"""Ingest pipeline processors + rank-eval metrics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from elasticsearch_spark.ops.ingest import apply_pipeline
+from elasticsearch_spark.search import rank_eval as re_
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        (1, "2024-01-02 03:04:05 INFO 10.0.0.1 GET /index size=42 q=spark",
+         " Hello <b>World</b> ", "a,b,c"),
+        (2, "2024-02-03 04:05:06 ERROR 10.0.0.2 POST /bulk size=7 q=data",
+         "x <i>y</i> z", "d,e,f"),
+    ]
+    return spark.createDataFrame(rows, "id int, line string, html string, csvf string")
+
+
+def test_pipeline_chain(logs):
+    out = apply_pipeline(
+        logs,
+        [
+            {"grok": {"field": "line", "patterns": [
+                "%{NOTSPACE:date} %{NOTSPACE:time} %{LOGLEVEL:level} %{IP:ip} "
+                "%{WORD:verb} %{NOTSPACE:path} size=%{INT:size} q=%{WORD:query}"
+            ]}},
+            {"convert": {"field": "size", "type": "integer"}},
+            {"lowercase": {"field": "verb"}},
+            {"set": {"field": "pipeline", "value": "v1"}},
+            {"html_strip": {"field": "html", "target_field": "clean"}},
+            {"trim": {"field": "clean"}},
+            {"split": {"field": "csvf", "separator": ",", "target_field": "arr"}},
+            {"join": {"field": "arr", "separator": "-", "target_field": "joined"}},
+            {"gsub": {"field": "path", "pattern": "^/", "replacement": ""}},
+            {"fingerprint": {"fields": ["ip", "verb"], "target_field": "fp"}},
+            {"script": {"target_field": "dt", "source": "concat(date, ' ', time)"}},
+            {"date": {"field": "dt", "formats": ["yyyy-MM-dd HH:mm:ss"],
+                       "target_field": "ts"}},
+            {"script": {"target_field": "size2", "source": "size * 2"}},
+        ],
+    ).orderBy("id").collect()
+    r = out[0]
+    assert r["level"] == "INFO" and r["ip"] == "10.0.0.1"
+    assert r["verb"] == "get" and r["path"] == "index"
+    assert r["size"] == 42 and r["size2"] == 84
+    assert r["pipeline"] == "v1"
+    assert r["clean"] == "Hello World"
+    assert r["joined"] == "a-b-c"
+    assert len(r["fp"]) == 64
+    assert str(r["ts"]).startswith("2024-01-02 03:04:05")
+
+
+def test_dissect_and_kv(spark):
+    df = spark.createDataFrame(
+        [("alice-42@example", "k1=v1 k2=v2")], "s string, kv string"
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"dissect": {"field": "s", "pattern": "%{user}-%{num}@%{domain}"}},
+            {"kv": {"field": "kv", "field_split": " ", "value_split": "=",
+                     "target_field": "m"}},
+        ],
+    ).collect()[0]
+    assert out["user"] == "alice" and out["num"] == "42" and out["domain"] == "example"
+    assert out["m"] == {"k1": "v1", "k2": "v2"}
+
+
+def test_csv_rename_remove_append(spark):
+    df = spark.createDataFrame([("1,foo,9.5", ["x"])], "row string, tags array<string>")
+    out = apply_pipeline(
+        df,
+        [
+            {"csv": {"field": "row", "target_fields": ["a", "b", "c"]}},
+            {"rename": {"field": "a", "target_field": "ident"}},
+            {"append": {"field": "tags", "values": ["y", "z"]}},
+            {"remove": {"field": "row"}},
+        ],
+    ).collect()[0]
+    assert out["ident"] == "1" and out["b"] == "foo"
+    assert out["tags"] == ["x", "y", "z"]
+    assert "row" not in out.asDict()
+
+
+# ---- rank eval ----
+
+def test_precision_recall_mrr():
+    ranked = [1, 2, 3, 4]
+    rel = {2, 4, 9}
+    assert re_.precision_at_k(ranked, rel, 4) == 0.5
+    assert math.isclose(re_.recall_at_k(ranked, rel, 4), 2 / 3)
+    assert re_.mean_reciprocal_rank(ranked, rel) == 0.5
+
+
+def test_ndcg_perfect_is_one():
+    gains = {1: 3.0, 2: 2.0, 3: 1.0}
+    assert math.isclose(re_.ndcg_at_k([1, 2, 3], gains), 1.0)
+    assert re_.ndcg_at_k([3, 2, 1], gains) < 1.0
+
+
+def test_err_orders():
+    gains = {1: 3.0, 2: 0.0}
+    assert re_.err_at_k([1, 2], gains) > re_.err_at_k([2, 1], gains)
+
+
+def test_evaluate_means():
+    results = {"q1": [1, 2], "q2": [3]}
+    judg = {"q1": {1: 1.0}, "q2": {9: 1.0}}
+    out = re_.evaluate(results, judg, k=10)
+    assert out["q1"]["precision"] == 0.5
+    assert out["q2"]["recall"] == 0.0
+    assert math.isclose(out["_mean"]["mrr"], 0.5)
