@@ -53,7 +53,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v2")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v3")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
@@ -248,6 +248,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["significant_text"] = significant_text_q
+
+    def function_score_fvf(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"function_score": {
+                "query": {"match": {"text": "table"}},
+                "field_value_factor": {"field": "n_chars", "factor": 0.001,
+                                         "modifier": "log1p", "missing": 1},
+                "boost_mode": "multiply",
+            }},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["function_score_fvf"] = function_score_fvf
+
+    def function_score_decay(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"function_score": {
+                "query": {"match": {"text": "table"}},
+                "functions": [
+                    {"gauss": {"n_chars": {"origin": 300, "scale": 100,
+                                             "decay": 0.5}}},
+                ],
+                "boost_mode": "multiply",
+            }},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["function_score_decay"] = function_score_decay
+
+    def boosting_q(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"boosting": {
+                "positive": {"match": {"text": "table"}},
+                "negative": {"term": {"lang": "zh"}},
+                "negative_boost": 0.4,
+            }},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["boosting"] = boosting_q
 
     # --- filter-context queries (native Catalyst predicates) ---
     def _docs_filter(query: dict, cols: list[str]):
@@ -617,6 +669,37 @@ WHERE fg_count >= 3
   AND (fg_count / tot.n_fg - bg_count / tot.n_all)
       * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)) > 0
 ORDER BY jlh DESC, term ASC
+LIMIT 10
+"""
+
+    o["function_score_fvf"] = f"""
+WITH {bm25_ctes(['table'])}
+SELECT c.doc_id,
+       round(c.score * log10(d.n_chars * 0.001 + 1), 4) AS score
+FROM scored c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.score * log10(d.n_chars * 0.001 + 1) DESC, c.doc_id ASC
+LIMIT 10
+"""
+    import math as _math
+
+    _sigma2 = -(100.0 * 100.0) / (2.0 * _math.log(0.5))
+    o["function_score_decay"] = f"""
+WITH {bm25_ctes(['table'])}
+SELECT c.doc_id,
+       round(c.score * exp(-pow(greatest(abs(d.n_chars - 300), 0), 2)
+                            / (2.0 * {_sigma2!r})), 4) AS score
+FROM scored c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.score * exp(-pow(greatest(abs(d.n_chars - 300), 0), 2)
+                        / (2.0 * {_sigma2!r})) DESC, c.doc_id ASC
+LIMIT 10
+"""
+    o["boosting"] = f"""
+WITH {bm25_ctes(['table'])}
+SELECT c.doc_id,
+       round(c.score * (CASE WHEN d.lang = 'zh' THEN 0.4 ELSE 1.0 END), 4) AS score
+FROM scored c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.score * (CASE WHEN d.lang = 'zh' THEN 0.4 ELSE 1.0 END) DESC,
+         c.doc_id ASC
 LIMIT 10
 """
 

@@ -99,6 +99,26 @@ def main() -> None:
         p50s[name] = round(statistics.median(times), 4)
         p99s[name] = round(max(times), 4)
 
+    # ---- pruning effectiveness: WAND/MaxScore on vs exhaustive ----
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.executor import match_topk
+
+    idx = entry._doc_index(spark, sf_dir)
+    exact = BM25Params(quantize_norms=False)
+    pq = [t for t, _ in analyze("table scan merge window", "ascii_word")]
+    match_topk(idx, "text", pq, k=10, params=exact, prune=True).collect()
+    prune_times = {}
+    for flag in (True, False):
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            match_topk(idx, "text", pq, k=10, params=exact, prune=flag).collect()
+            ts.append(time.time() - t0)
+        prune_times["prune_on" if flag else "prune_off"] = round(
+            statistics.median(ts), 4
+        )
+
     out = {
         "metric": "headline query seconds (sum of per-query medians) + index-build docs/sec",
         "value": round(sum(per_query.values()), 4),
@@ -115,6 +135,7 @@ def main() -> None:
             "code_corpus_docs_per_sec": round(n_code / code_build_sec, 1),
         },
         "p99": p99s,
+        "wand_pruning": prune_times,
     }
     print(json.dumps(out))
 

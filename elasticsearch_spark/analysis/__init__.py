@@ -3,3 +3,4 @@ from elasticsearch_spark.analysis.analyzers import (  # noqa: F401
     analyze,
     analyze_batch,
 )
+import elasticsearch_spark.analysis.filters  # noqa: F401,E402  (registers extras)

@@ -100,6 +100,34 @@ def _analyze_stop(text: str) -> tuple[list[str], list[int]]:
     return list(ts), list(ps)
 
 
+# token -> emitted (lowercased original + distinct sub-token) list.
+# Source-code vocabularies are Zipf-heavy, so the same identifiers recur
+# millions of times at corpus scale — memoizing the per-token split is a
+# large index-build win. Capped to bound worker memory.
+_CODE_SPLIT_CACHE: dict[str, list[str]] = {}
+_CODE_SPLIT_CACHE_MAX = 500_000
+
+
+def _code_split(chunk: str) -> list[str]:
+    hit = _CODE_SPLIT_CACHE.get(chunk)
+    if hit is not None:
+        return hit
+    low = chunk.lower()
+    out = [low]
+    subs = _CAMEL_RE.findall(chunk)
+    if len(subs) > 1:
+        seen = {low}
+        for s in subs:
+            sl = s.lower()
+            if sl not in seen:
+                seen.add(sl)
+                out.append(sl)
+    if len(_CODE_SPLIT_CACHE) >= _CODE_SPLIT_CACHE_MAX:
+        _CODE_SPLIT_CACHE.clear()
+    _CODE_SPLIT_CACHE[chunk] = out
+    return out
+
+
 def _analyze_code(text: str) -> tuple[list[str], list[int]]:
     """standard tokens (original case) + word_delimiter_graph sub-tokens.
 
@@ -112,18 +140,9 @@ def _analyze_code(text: str) -> tuple[list[str], list[int]]:
     pos = 0
     for raw in _WORD_RE.findall(text):
         for chunk in _chunk255(raw):
-            low = chunk.lower()
-            terms.append(low)
-            positions.append(pos)
-            subs = _CAMEL_RE.findall(chunk)
-            if len(subs) > 1:
-                seen = {low}
-                for s in subs:
-                    sl = s.lower()
-                    if sl not in seen:
-                        seen.add(sl)
-                        terms.append(sl)
-                        positions.append(pos)  # overlap: same position
+            emitted = _code_split(chunk)
+            terms.extend(emitted)
+            positions.extend([pos] * len(emitted))
             pos += 1
     return terms, positions
 

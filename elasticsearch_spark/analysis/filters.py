@@ -1,0 +1,151 @@
+"""Token filters + extra tokenizers (reference: analysis-common
+CommonAnalysisPlugin.java registrations — ngram, edge_ngram, shingle,
+asciifolding, pattern, path_hierarchy, trim/truncate/unique/length/
+reverse/elision).
+
+Filters are list->list functions composable after any ANALYZERS entry;
+``compose(analyzer, *filters)`` builds a new analyzer callable usable
+everywhere an analyzer name is (register via ANALYZERS[name] = ...).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable
+
+TokenStream = tuple[list[str], list[int]]
+
+
+def ngram_filter(min_gram: int = 1, max_gram: int = 2):
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            for n in range(min_gram, max_gram + 1):
+                for i in range(0, len(t) - n + 1):
+                    out_t.append(t[i : i + n])
+                    out_p.append(p)
+        return out_t, out_p
+    return fn
+
+
+def edge_ngram_filter(min_gram: int = 1, max_gram: int = 10):
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            for n in range(min_gram, min(max_gram, len(t)) + 1):
+                out_t.append(t[:n])
+                out_p.append(p)
+        return out_t, out_p
+    return fn
+
+
+def shingle_filter(min_size: int = 2, max_size: int = 2, sep: str = " "):
+    """Word shingles (the shingle token filter; also the unit for
+    MinHash dedup)."""
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for size in range(min_size, max_size + 1):
+            for i in range(0, len(terms) - size + 1):
+                out_t.append(sep.join(terms[i : i + size]))
+                out_p.append(positions[i])
+        return out_t, out_p
+    return fn
+
+
+def asciifolding(terms: list[str], positions: list[int]) -> TokenStream:
+    folded = [
+        unicodedata.normalize("NFKD", t).encode("ascii", "ignore").decode("ascii")
+        or t
+        for t in terms
+    ]
+    return folded, positions
+
+
+def trim_filter(terms: list[str], positions: list[int]) -> TokenStream:
+    return [t.strip() for t in terms], positions
+
+
+def truncate_filter(length: int = 10):
+    def fn(terms, positions):
+        return [t[:length] for t in terms], positions
+    return fn
+
+
+def unique_filter(terms: list[str], positions: list[int]) -> TokenStream:
+    seen: set[str] = set()
+    out_t, out_p = [], []
+    for t, p in zip(terms, positions):
+        if t not in seen:
+            seen.add(t)
+            out_t.append(t)
+            out_p.append(p)
+    return out_t, out_p
+
+
+def length_filter(min_len: int = 0, max_len: int = 255):
+    def fn(terms, positions):
+        keep = [(t, p) for t, p in zip(terms, positions) if min_len <= len(t) <= max_len]
+        if not keep:
+            return [], []
+        ts, ps = zip(*keep)
+        return list(ts), list(ps)
+    return fn
+
+
+def reverse_filter(terms: list[str], positions: list[int]) -> TokenStream:
+    return [t[::-1] for t in terms], positions
+
+
+def compose(base: Callable[[str], TokenStream], *filters) -> Callable[[str], TokenStream]:
+    def analyzer(text: str) -> TokenStream:
+        terms, positions = base(text)
+        for f in filters:
+            terms, positions = f(terms, positions)
+        return terms, positions
+    return analyzer
+
+
+# ---- extra tokenizers registered as analyzers ----
+
+def path_hierarchy(text: str) -> TokenStream:
+    """a/b/c -> [a, a/b, a/b/c]; Lucene PathHierarchyTokenizer emits the
+    prefixes at position 0 (increment 1 then 0s)."""
+    parts = [p for p in text.split("/") if p != ""]
+    lead = "/" if text.startswith("/") else ""
+    out: list[str] = []
+    for i in range(1, len(parts) + 1):
+        out.append(lead + "/".join(parts[:i]))
+    return out, [0] * len(out)
+
+
+_DEFAULT_PATTERN = re.compile(r"\W+", re.UNICODE)
+
+
+def pattern_analyzer(text: str) -> TokenStream:
+    """ES `pattern` analyzer defaults: split on \\W+, lowercase."""
+    terms = [t for t in _DEFAULT_PATTERN.split(text.lower()) if t]
+    return terms, list(range(len(terms)))
+
+
+def letter_tokenizer(text: str) -> TokenStream:
+    terms = re.findall(r"[^\W\d_]+", text, re.UNICODE)
+    return terms, list(range(len(terms)))
+
+
+def register_extras() -> None:
+    from elasticsearch_spark.analysis.analyzers import ANALYZERS
+
+    ANALYZERS.setdefault("path_hierarchy", path_hierarchy)
+    ANALYZERS.setdefault("pattern", pattern_analyzer)
+    ANALYZERS.setdefault("letter", letter_tokenizer)
+    base = ANALYZERS["standard"]
+    ANALYZERS.setdefault("standard_asciifolding", compose(base, asciifolding))
+    ANALYZERS.setdefault("edge_ngram", compose(base, edge_ngram_filter(1, 10)))
+    ANALYZERS.setdefault("trigram", compose(base, shingle_filter(3, 3)))
+
+
+register_extras()

@@ -1,4 +1,4 @@
-"""Distributed inverted-index build: docs -> postings/term_dict/doc_stats.
+"""Distributed inverted-index build: docs -> postings blocks + global stats.
 
 Architecture (Spark-first re-creation of the reference's index path,
 action/bulk/TransportBulkAction.java:88 -> index/shard/IndexShard.java:802
@@ -64,8 +64,34 @@ _STATS_MARKER = None
 
 TOKENIZED_SCHEMA = (
     "part_id int, doc_id long, field string, term string, tf int, "
-    "positions array<long>, dl int, ttf int"
+    "positions binary, dl int, ttf int"
 )
+
+
+def _posting_stream(plist) -> list[int]:
+    """positions array -> [len, first, deltas...] ints."""
+    plist = list(plist)
+    enc = [len(plist)]
+    if plist:
+        enc.append(int(plist[0]))
+        for i in range(1, len(plist)):
+            enc.append(int(plist[i]) - int(plist[i - 1]))
+    return enc
+
+
+def _vb_small(vals: list[int]) -> bytes:
+    """Pure-python VByte for tiny int lists (positions of one posting).
+
+    For 1-5 values this beats numpy-call overhead by ~10x, and VByte is
+    value-independent, so per-posting encodings concatenate into exactly
+    the stream codec.encode_positions/decode_positions use."""
+    out = bytearray()
+    for v in vals:
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
 
 BLOCKS_SCHEMA = (
     "part_id int, field string, term string, block_id int, n int, "
@@ -86,8 +112,10 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     @property
-    def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
+    def stats_rows(self) -> DataFrame:
+        """Per-(part, field) doc-roster aggregate rows (term IS NULL in
+        the postings table): n=n_docs, sum_tf=sum_ttf, first_doc=sum_dl."""
+        return self.postings.filter(F.col("term").isNull())
 
     @property
     def term_dict(self) -> DataFrame:
@@ -157,7 +185,9 @@ def _make_tokenizer(fields: dict[str, str]):
                         rows["field"].append(field)
                         rows["term"].append(t)
                         rows["tf"].append(len(plist))
-                        rows["positions"].append(plist)
+                        # pre-encode [len, first, deltas...] — the exact
+                        # per-doc slice of the block positions stream
+                        rows["positions"].append(_vb_small(_posting_stream(plist)))
                         rows["dl"].append(dl)
                         rows["ttf"].append(ttf)
                     # stats marker row (also covers zero-token docs)
@@ -166,7 +196,7 @@ def _make_tokenizer(fields: dict[str, str]):
                     rows["field"].append(field)
                     rows["term"].append(_STATS_MARKER)
                     rows["tf"].append(0)
-                    rows["positions"].append([])
+                    rows["positions"].append(b"")
                     rows["dl"].append(dl)
                     rows["ttf"].append(ttf)
             yield pd.DataFrame(rows)
@@ -176,20 +206,42 @@ def _make_tokenizer(fields: dict[str, str]):
 
 def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas fn for one (part_id, field) group: term-sort and
-    encode Lucene-style posting blocks (numpy-vectorized codec)."""
+    encode Lucene-style posting blocks (numpy-vectorized codec).
+
+    Marker rows (term IS NULL, one per doc, carrying dl/ttf — emitted by
+    the tokenizer so zero-token docs are counted) are folded into ONE
+    aggregate stats row per group: term=NULL, n=n_docs,
+    sum_tf=sum_ttf, first_doc=sum_dl. This keeps the whole build at one
+    shuffle + one write with no separate doc-stats pass."""
     part_id = int(pdf["part_id"].iloc[0])
     field = pdf["field"].iloc[0]
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     out: dict[str, list] = {k: [] for k in (
         "part_id", "field", "term", "block_id", "n", "doc_ids", "tfs",
         "dls", "positions", "max_tf", "min_dl", "sum_tf", "first_doc",
         "last_doc",
     )}
+    markers = pdf[pdf["term"].isna()]
+    if len(markers):
+        out["part_id"].append(part_id)
+        out["field"].append(field)
+        out["term"].append(None)
+        out["block_id"].append(-1)
+        out["n"].append(int(markers["doc_id"].nunique()))
+        out["doc_ids"].append(b"")
+        out["tfs"].append(b"")
+        out["dls"].append(b"")
+        out["positions"].append(b"")
+        out["max_tf"].append(0)
+        out["min_dl"].append(0)
+        out["sum_tf"].append(int(markers["ttf"].sum()))
+        out["first_doc"].append(int(markers["dl"].sum()))
+        out["last_doc"].append(0)
+    pdf = pdf[pdf["term"].notna()].sort_values(["term", "doc_id"], kind="mergesort")
     for term, g in pdf.groupby("term", sort=False):
         doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
         tfs = g["tf"].to_numpy(dtype=np.int64)
         dls = g["dl"].to_numpy(dtype=np.int64)
-        plists = g["positions"].tolist()
+        plists = g["positions"].tolist()  # pre-encoded per-posting VByte
         for bi, (lo, hi) in enumerate(codec.split_blocks(len(doc_ids))):
             d = doc_ids[lo:hi]
             t = tfs[lo:hi]
@@ -202,13 +254,54 @@ def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
             out["doc_ids"].append(codec.vbyte_encode(codec.delta_encode(d)))
             out["tfs"].append(codec.vbyte_encode(t))
             out["dls"].append(codec.vbyte_encode(l))
-            out["positions"].append(codec.encode_positions(plists[lo:hi]))
+            # positions arrive pre-encoded (build path: bytes) or as raw
+            # position arrays (compaction path re-encoding decoded rows)
+            out["positions"].append(
+                b"".join(
+                    bytes(p) if isinstance(p, (bytes, bytearray))
+                    else bytes(_vb_small(_posting_stream(p)))
+                    for p in plists[lo:hi]
+                )
+            )
             out["max_tf"].append(int(t.max()))
             out["min_dl"].append(int(l.min()))
             out["sum_tf"].append(int(t.sum()))
             out["first_doc"].append(int(d[0]))
             out["last_doc"].append(int(d[-1]))
     return pd.DataFrame(out)
+
+
+def rebuild_global_stats(idx: "InvertedIndex") -> None:
+    """Re-aggregate term_dict + coll_stats from block METADATA (the
+    DFS-phase global TermStatistics/CollectionStatistics) — cheap, no
+    raw-posting decode."""
+    out_dir = idx.path
+    (
+        idx.postings.filter(F.col("term").isNotNull())
+        .groupBy("field", "term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "term_dict"))
+    )
+    (
+        idx.stats_rows.groupBy("field")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("sum_tf").alias("sum_ttf"),
+            F.sum("first_doc").alias("sum_dl"),
+        )
+        # Lucene avgdl = sumTotalTermFreq / docCount (includes overlap
+        # tokens even though per-doc norms discount them)
+        .withColumn("avgdl", F.col("sum_ttf") / F.col("n_docs"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "coll_stats"))
+    )
+    idx._coll_cache = None
 
 
 def assign_doc_ids(df: DataFrame, id_cols: list[str]) -> DataFrame:
@@ -267,19 +360,11 @@ def build_index(
         tokenized = build_docs.select(*needed).mapInPandas(
             _make_tokenizer(fields), schema=TOKENIZED_SCHEMA
         )
-        # two consumers (postings + doc_stats) -> stage the tokenize
-        # pass once instead of re-analyzing the corpus per write
-        from pyspark import StorageLevel
-
-        tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
-        postings_rows = tokenized.filter(F.col("term").isNotNull())
-        stats_rows = tokenized.filter(F.col("term").isNull())
-
-        # segment "merge": one wide shuffle keyed (part_id, field)
-        blocks = (
-            postings_rows.drop("ttf")
-            .groupBy("part_id", "field")
-            .applyInPandas(_encode_blocks, schema=BLOCKS_SCHEMA)
+        # segment "merge": ONE wide shuffle keyed (part_id, field), one
+        # output pass. Doc-stat marker rows ride the same shuffle and
+        # come out as per-group aggregate stats rows (term IS NULL).
+        blocks = tokenized.groupBy("part_id", "field").applyInPandas(
+            _encode_blocks, schema=BLOCKS_SCHEMA
         )
         (
             blocks.repartition(max(len(todo_parts), 1), "part_id")
@@ -288,62 +373,35 @@ def build_index(
             .partitionBy("part_id")
             .parquet(os.path.join(out_dir, "postings"))
         )
-        (
-            stats_rows.select("part_id", "doc_id", "field", "dl", "ttf")
-            .repartition(max(len(todo_parts), 1), "part_id")
-            .write.mode("append")
-            .partitionBy("part_id")
-            .parquet(os.path.join(out_dir, "doc_stats"))
-        )
-        tokenized.unpersist()
 
     # global stats are rebuilt from ALL partitions' block metadata — the
     # DFS-phase global statistics, cheap (no raw-posting scan).
     idx = InvertedIndex(out_dir, spark)
-    term_dict = (
-        idx.postings.groupBy("field", "term")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sum("sum_tf").alias("cf"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
-        )
-    )
-    term_dict.write.mode("overwrite").parquet(os.path.join(out_dir, "term_dict"))
-    coll = (
-        idx.doc_stats.groupBy("field")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("ttf").alias("sum_ttf"),
-            F.sum("dl").alias("sum_dl"),
-        )
-        # Lucene avgdl = sumTotalTermFreq / docCount (includes overlap
-        # tokens even though per-doc norms discount them)
-        .withColumn("avgdl", F.col("sum_ttf") / F.col("n_docs"))
-    )
-    coll.write.mode("overwrite").parquet(os.path.join(out_dir, "coll_stats"))
+    rebuild_global_stats(idx)
 
     # per-partition checkpoint manifests (translog/LocalCheckpointTracker
     # analogue) — written after the job commits, atomically per part.
     if todo_parts:
-        metrics = {
-            int(r["part_id"]): r
-            for r in (
-                idx.postings.filter(F.col("part_id").isin(todo_parts))
-                .groupBy("part_id")
-                .agg(
-                    F.countDistinct("term").alias("num_terms"),
-                    F.sum("n").alias("num_postings"),
-                )
-                .collect()
+        rows = (
+            idx.postings.filter(F.col("part_id").isin(todo_parts))
+            .groupBy("part_id")
+            .agg(
+                F.countDistinct("term").alias("num_terms"),
+                F.sum(F.when(F.col("term").isNotNull(), F.col("n"))).alias("num_postings"),
             )
-        }
+            .collect()
+        )
+        metrics = {int(r["part_id"]): r for r in rows}
+        # docs per part: sum the stats rows per field (multi-segment
+        # safe), then any field's total (every doc carries every field)
         doc_counts = {
-            int(r["part_id"]): int(r["num_docs"])
+            int(r["part_id"]): int(r["num_docs"] or 0)
             for r in (
-                idx.doc_stats.filter(F.col("part_id").isin(todo_parts))
+                idx.stats_rows.filter(F.col("part_id").isin(todo_parts))
+                .groupBy("part_id", "field")
+                .agg(F.sum("n").alias("nd"))
                 .groupBy("part_id")
-                .agg(F.countDistinct("doc_id").alias("num_docs"))
+                .agg(F.max("nd").alias("num_docs"))
                 .collect()
             )
         }

@@ -32,7 +32,70 @@ from elasticsearch_spark.search.executor import match_topk, phrase_topk
 SCORED_KINDS = {
     "match", "match_phrase", "multi_match", "bool", "dis_max",
     "constant_score", "function_score", "match_all", "term_scored",
+    "boosting",
 }
+
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log": lambda c: F.log10(c),
+    "log1p": lambda c: F.log10(c + 1),
+    "log2p": lambda c: F.log10(c + 2),
+    "ln": lambda c: F.log(c),
+    "ln1p": lambda c: F.log(c + 1),
+    "ln2p": lambda c: F.log(c + 2),
+    "square": lambda c: c * c,
+    "sqrt": lambda c: F.sqrt(c),
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+
+def _function_value(fn_spec: dict[str, Any]):
+    """One function_score function -> (condition Column|None, value Column).
+
+    Reference: functionscore/FunctionScoreQueryBuilder.java (600 LoC) +
+    the function registry in SearchModule.java:657-679 (weight,
+    field_value_factor, script_score, gauss/exp/linear decay)."""
+    import math
+
+    from elasticsearch_spark.search import dsl
+
+    cond = None
+    if "filter" in fn_spec:
+        cond = dsl.compile_filter(fn_spec["filter"])
+    if "field_value_factor" in fn_spec:
+        s = fn_spec["field_value_factor"]
+        c = F.coalesce(
+            F.col(s["field"]).cast("double"), F.lit(float(s.get("missing", 1.0)))
+        ) * F.lit(float(s.get("factor", 1.0)))
+        val = _FVF_MODIFIERS[s.get("modifier", "none")](c)
+    elif "script_score" in fn_spec:
+        val = F.expr(fn_spec["script_score"]["source"])
+    elif any(k in fn_spec for k in ("gauss", "exp", "linear")):
+        kind = next(k for k in ("gauss", "exp", "linear") if k in fn_spec)
+        field, s = next(iter(fn_spec[kind].items()))
+        origin = float(s["origin"])
+        scale = float(s["scale"])
+        offset = float(s.get("offset", 0.0))
+        decay = float(s.get("decay", 0.5))
+        dist = F.greatest(
+            F.abs(F.col(field).cast("double") - F.lit(origin)) - F.lit(offset),
+            F.lit(0.0),
+        )
+        if kind == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+            val = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+        elif kind == "exp":
+            lam = math.log(decay) / scale
+            val = F.exp(F.lit(lam) * dist)
+        else:  # linear
+            s_prime = scale / (1.0 - decay)
+            val = F.greatest(
+                (F.lit(s_prime) - dist) / F.lit(s_prime), F.lit(0.0)
+            )
+    else:
+        val = F.lit(1.0)
+    weight = float(fn_spec.get("weight", 1.0))
+    return cond, val * F.lit(weight)
 
 
 def _match_terms(index: InvertedIndex, field: str, spec: Any) -> tuple[list[str], str, int]:
@@ -131,6 +194,13 @@ def _scored_df(
         return agg.select("doc_id", (score * F.lit(boost)).alias("score"))
 
     if kind == "bool":
+        if body.get("must_not") or body.get("filter") or any(
+            next(iter(q)) not in SCORED_KINDS for q in (body.get("must") or [])
+        ):
+            raise ValueError(
+                "bool with filter-context clauses must go through search() "
+                "(needs the docs table); _scored_df only combines scored clauses"
+            )
         must = [q for q in (body.get("must") or []) if next(iter(q)) in SCORED_KINDS]
         should = [q for q in (body.get("should") or []) if next(iter(q)) in SCORED_KINDS]
         msm = int(body.get("minimum_should_match", 0 if must else 1)) if should else 0
@@ -198,6 +268,86 @@ def search(
     joined back to the docs table (fetch phase)."""
     params = params or BM25Params()
     kind = next(iter(query))
+
+    if kind == "function_score":
+        body = query["function_score"]
+        base = _scored_df(index, body["query"], params)
+        joined = base.join(docs, id_col)
+        funcs = body.get("functions")
+        if not funcs:
+            shorthand = {
+                k: v for k, v in body.items()
+                if k in ("field_value_factor", "script_score", "gauss", "exp",
+                          "linear", "weight")
+            }
+            funcs = [shorthand] if shorthand else []
+        vals = []
+        for fs in funcs:
+            cond, val = _function_value(fs)
+            vals.append(F.when(cond, val) if cond is not None else val)
+        if vals:
+            arr = F.array(*vals)
+            active = F.filter(arr, lambda x: x.isNotNull())
+            mode = body.get("score_mode", "multiply")
+            if mode == "multiply":
+                fscore = F.aggregate(active, F.lit(1.0), lambda a, x: a * x)
+            elif mode == "sum":
+                fscore = F.aggregate(active, F.lit(0.0), lambda a, x: a + x)
+            elif mode == "avg":
+                fscore = F.aggregate(active, F.lit(0.0), lambda a, x: a + x) / F.size(active)
+            elif mode == "max":
+                fscore = F.array_max(active)
+            elif mode == "min":
+                fscore = F.array_min(active)
+            elif mode == "first":
+                fscore = F.element_at(active, 1)
+            else:
+                raise ValueError(f"unsupported score_mode {mode}")
+            fscore = F.when(F.size(active) > 0, fscore)  # null = no function matched
+            if "max_boost" in body:
+                fscore = F.least(fscore, F.lit(float(body["max_boost"])))
+            bmode = body.get("boost_mode", "multiply")
+            sc = F.col("score")
+            if bmode == "multiply":
+                new_score = sc * F.coalesce(fscore, F.lit(1.0))
+            elif bmode == "sum":
+                new_score = sc + F.coalesce(fscore, F.lit(0.0))
+            elif bmode == "replace":
+                new_score = F.coalesce(fscore, sc)
+            elif bmode == "avg":
+                new_score = F.when(fscore.isNull(), sc).otherwise((sc + fscore) / 2)
+            elif bmode == "max":
+                new_score = F.when(fscore.isNull(), sc).otherwise(F.greatest(sc, fscore))
+            elif bmode == "min":
+                new_score = F.when(fscore.isNull(), sc).otherwise(F.least(sc, fscore))
+            else:
+                raise ValueError(f"unsupported boost_mode {bmode}")
+            joined = joined.withColumn("score", new_score)
+        if min_score is not None:
+            joined = joined.filter(F.col("score") >= F.lit(min_score))
+        if "min_score" in body:
+            joined = joined.filter(F.col("score") >= F.lit(float(body["min_score"])))
+        return joined.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+    if kind == "boosting":
+        body = query["boosting"]
+        pos = _scored_df(index, body["positive"], params)
+        neg_q = body["negative"]
+        if next(iter(neg_q)) in SCORED_KINDS:
+            neg_ids = _scored_df(index, neg_q, params).select(id_col)
+        else:
+            neg_ids = docs.filter(dsl.compile_filter(neg_q, id_col)).select(id_col)
+        nb = float(body.get("negative_boost", 0.5))
+        scored = pos.join(
+            neg_ids.withColumn("_neg", F.lit(1)), id_col, "left"
+        ).withColumn(
+            "score",
+            F.col("score") * F.when(F.col("_neg") == 1, F.lit(nb)).otherwise(F.lit(1.0)),
+        ).drop("_neg")
+        topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        return docs.join(F.broadcast(topk), on=id_col, how="inner").orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
 
     filter_pred = None
     scored_query = query

@@ -341,40 +341,51 @@ def phrase_topk(
 
 
 def decoded_postings(
-    index: InvertedIndex, field: str, terms: list[str] | None = None
+    index: InvertedIndex,
+    field: str,
+    terms: list[str] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
-    """Decode posting blocks back to rows (part_id, term, doc_id, tf, dl).
+    """Decode posting blocks back to rows (part_id, term, doc_id, tf, dl
+    [, positions]).
 
     Debug/verification path and building block for non-top-k operators
-    (more_like_this term vectors, significant_text, …).
+    (more_like_this term vectors, significant_text, segment compaction).
     """
-    blocks = index.postings.filter(F.col("field") == field)
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isNotNull()
+    )
     if terms is not None:
         blocks = blocks.filter(F.col("term").isin(terms))
-    blocks = blocks.select("part_id", "term", "doc_ids", "tfs", "dls")
+    cols = ["part_id", "term", "n", "doc_ids", "tfs", "dls"]
+    if with_positions:
+        cols.append("positions")
+    blocks = blocks.select(*cols)
 
     def decode(batches):
         for pdf in batches:
             outs = []
             for row in pdf.itertuples(index=False):
                 d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "part_id": np.full(d.size, row.part_id, dtype=np.int32),
-                            "term": row.term,
-                            "doc_id": d,
-                            "tf": codec.vbyte_decode(row.tfs).astype(np.int32),
-                            "dl": codec.vbyte_decode(row.dls).astype(np.int32),
-                        }
+                data = {
+                    "part_id": np.full(d.size, row.part_id, dtype=np.int32),
+                    "term": row.term,
+                    "doc_id": d,
+                    "tf": codec.vbyte_decode(row.tfs).astype(np.int32),
+                    "dl": codec.vbyte_decode(row.dls).astype(np.int32),
+                }
+                if with_positions:
+                    data["positions"] = codec.decode_positions(
+                        bytes(row.positions), int(row.n)
                     )
-                )
+                outs.append(pd.DataFrame(data))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return blocks.mapInPandas(
-        decode, schema="part_id int, term string, doc_id long, tf int, dl int"
-    )
+    schema = "part_id int, term string, doc_id long, tf int, dl int"
+    if with_positions:
+        schema += ", positions array<long>"
+    return blocks.mapInPandas(decode, schema=schema)
 
 
 def fetch(topk: DataFrame, docs: DataFrame, on: str = "doc_id") -> DataFrame:

@@ -1,0 +1,155 @@
+"""Incremental index refresh via Structured Streaming.
+
+The reference makes writes searchable through periodic refresh (default
+1s) that turns the in-memory buffer into a new immutable SEGMENT, later
+background-merged (index/IndexSettings.java:171-173 refresh interval,
+index/engine/InternalEngine.java refresh -> new Lucene segment,
+EsTieredMergePolicy.java merging).
+
+Spark analogue, exploiting that our postings layout is already
+segment-shaped: each micro-batch appends new posting blocks (a
+"segment") into the same doc-hash part_id directories; the query scorer
+accumulates across ALL block rows of a term, so multiple segments per
+(part, term) are transparently unioned at read time — exactly Lucene's
+multi-segment search. Global term/collection stats are re-aggregated
+from block metadata after each batch (cheap).
+
+``refresh_stream`` wires readStream -> foreachBatch(ingest) with
+checkpointing, so exactly-once batch appends survive restarts (the
+translog analogue is Structured Streaming's WAL + our per-batch
+manifests). ``compact_index`` is the tiered-merge analogue: rewrite a
+partition's segments into one sorted segment set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_spark.index.builder import (
+    BLOCKS_SCHEMA,
+    _encode_blocks,
+    _make_tokenizer,
+    index_meta,
+)
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    fields: dict[str, str],
+    num_partitions: int,
+    batch_id: int = -1,
+) -> None:
+    """Append one micro-batch of docs as new segments + refresh stats."""
+    docs = batch_df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)).cast("int"),
+    )
+    needed = ["part_id", "doc_id"] + list(fields)
+    from elasticsearch_spark.index.builder import TOKENIZED_SCHEMA
+
+    tokenized = docs.select(*needed).mapInPandas(
+        _make_tokenizer(fields), schema=TOKENIZED_SCHEMA
+    )
+    (
+        tokenized.groupBy("part_id", "field")
+        .applyInPandas(_encode_blocks, schema=BLOCKS_SCHEMA)
+        .write.mode("append")
+        .partitionBy("part_id")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+    refresh_stats(batch_df.sparkSession, index_dir)
+    manifest = {
+        "batch_id": batch_id,
+        "status": "done",
+        "refreshed_at_unix": int(time.time()),
+    }
+    ckpt = os.path.join(index_dir, "checkpoints")
+    os.makedirs(ckpt, exist_ok=True)
+    with open(os.path.join(ckpt, f"batch-{batch_id}.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def refresh_stats(spark: SparkSession, index_dir: str) -> None:
+    """Re-aggregate term_dict / coll_stats from block metadata (the
+    DFS-phase globals) — the cheap part of a refresh."""
+    from elasticsearch_spark.index.builder import InvertedIndex, rebuild_global_stats
+
+    rebuild_global_stats(InvertedIndex(index_dir, spark))
+
+
+def refresh_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    fields: dict[str, str],
+    num_partitions: int = 8,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int = 1,
+):
+    """Wire a streaming docs source into continuous index refresh.
+
+    Returns the StreamingQuery; call .processAllAvailable()/.stop() in
+    tests, or let it run with the 1s-style trigger in production.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "index_meta.json"), "w") as f:
+        json.dump(
+            {"num_partitions": num_partitions, "fields": fields,
+             "input_snapshot": "stream"},
+            f,
+        )
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df, index_dir, fields, num_partitions, batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Tiered-merge analogue: rewrite accumulated segments so each
+    (part_id, term) has one contiguous sorted block run again."""
+    from elasticsearch_spark.search.executor import decoded_postings
+    from elasticsearch_spark.index.builder import InvertedIndex
+
+    idx = InvertedIndex(index_dir, spark)
+    meta = index_meta(index_dir)
+    rows = None
+    for field in meta["fields"]:
+        part = decoded_postings(idx, field, with_positions=True).withColumn(
+            "field", F.lit(field)
+        )
+        rows = part if rows is None else rows.unionByName(part)
+
+    tmp = os.path.join(index_dir, "postings_compacted")
+    new_blocks = (
+        rows.select("part_id", "doc_id", "field", "term", "tf", "positions", "dl")
+        .groupBy("part_id", "field")
+        .applyInPandas(_encode_blocks, schema=BLOCKS_SCHEMA)
+    )
+    # carry the per-(part, field) doc-roster stats rows through the merge
+    stats_rows = idx.stats_rows.select(*new_blocks.columns)
+    (
+        new_blocks.unionByName(stats_rows)
+        .repartition("part_id")
+        .sortWithinPartitions("field", "term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("part_id")
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "postings"))
+    os.rename(tmp, os.path.join(index_dir, "postings"))
+    refresh_stats(spark, index_dir)

@@ -1,0 +1,74 @@
+from elasticsearch_spark.analysis import ANALYZERS, analyze
+from elasticsearch_spark.analysis.filters import (
+    asciifolding,
+    compose,
+    edge_ngram_filter,
+    length_filter,
+    ngram_filter,
+    reverse_filter,
+    shingle_filter,
+    trim_filter,
+    truncate_filter,
+    unique_filter,
+)
+
+
+def test_ngram():
+    t, p = ngram_filter(2, 3)(["abcd"], [0])
+    assert t == ["ab", "bc", "cd", "abc", "bcd"]
+    assert p == [0] * 5
+
+
+def test_edge_ngram():
+    t, p = edge_ngram_filter(1, 3)(["spark"], [4])
+    assert t == ["s", "sp", "spa"]
+    assert p == [4, 4, 4]
+
+
+def test_shingle():
+    t, p = shingle_filter(2, 3)(["a", "b", "c"], [0, 1, 2])
+    assert t == ["a b", "b c", "a b c"]
+    assert p == [0, 1, 0]
+
+
+def test_asciifolding():
+    t, _ = asciifolding(["éclair", "naïve", "東京"], [0, 1, 2])
+    assert t == ["eclair", "naive", "東京"]  # unfoldable stays
+
+
+def test_misc_filters():
+    assert trim_filter([" x "], [0])[0] == ["x"]
+    assert truncate_filter(2)(["abcdef"], [0])[0] == ["ab"]
+    assert unique_filter(["a", "b", "a"], [0, 1, 2]) == (["a", "b"], [0, 1])
+    assert length_filter(2, 3)(["a", "ab", "abcd"], [0, 1, 2]) == (["ab"], [1])
+    assert reverse_filter(["abc"], [0])[0] == ["cba"]
+
+
+def test_path_hierarchy_analyzer():
+    out = analyze("/src/main/Foo.java", "path_hierarchy")
+    assert [t for t, _ in out] == [
+        "/src", "/src/main", "/src/main/Foo.java"
+    ]
+    assert all(p == 0 for _, p in out)
+
+
+def test_pattern_and_letter():
+    assert [t for t, _ in analyze("Foo-Bar_baz 42", "pattern")] == [
+        "foo", "bar_baz", "42"
+    ]
+    assert [t for t, _ in analyze("Foo42bar", "letter")] == ["Foo", "bar"]
+
+
+def test_registered_composites():
+    assert "edge_ngram" in ANALYZERS and "trigram" in ANALYZERS
+    t = [x for x, _ in analyze("Hello World", "trigram")]
+    assert t == []  # only 2 tokens, trigram shingles need 3
+    t2 = [x for x, _ in analyze("a b c d", "trigram")]
+    assert t2 == ["a b c", "b c d"]
+
+
+def test_compose_chain():
+    base = ANALYZERS["standard"]
+    an = compose(base, edge_ngram_filter(2, 3), unique_filter)
+    t, _ = an("spark spark")
+    assert t == ["sp", "spa"]

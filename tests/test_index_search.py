@@ -165,7 +165,7 @@ def test_resume_after_partial_build(spark, corpus, tmp_path_factory):
             "dls", "positions",
         ).collect()
         return sorted(
-            (r["part_id"], r["field"], r["term"], r["block_id"], r["n"],
+            (r["part_id"], r["field"], r["term"] or "", r["block_id"], r["n"],
              bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["dls"]),
              bytes(r["positions"])) for r in rows
         )

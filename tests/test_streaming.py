@@ -1,0 +1,107 @@
+"""Incremental index refresh: streamed batches == one-shot batch build."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.corpus import generate_corpus
+from elasticsearch_spark.index.builder import (
+    assign_doc_ids,
+    build_index,
+    load_index,
+)
+from elasticsearch_spark.search.bm25 import BM25Params
+from elasticsearch_spark.search.executor import match_topk
+from elasticsearch_spark.streaming.refresh import (
+    compact_index,
+    ingest_batch,
+    refresh_stream,
+)
+
+EXACT = BM25Params(quantize_norms=False)
+N = 240
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = assign_doc_ids(
+        generate_corpus(spark, N, seed=11), ["repo", "path", "commit"]
+    ).cache()
+    df.count()
+    return df
+
+
+def _topk(idx, terms, k=10):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in match_topk(idx, "content", terms, k=k, params=EXACT).collect()
+    ]
+
+
+def test_incremental_batches_equal_batch_build(spark, corpus, tmp_path):
+    batch_dir = str(tmp_path / "batch_idx")
+    build_index(corpus, batch_dir, fields={"content": "code"}, num_partitions=4,
+                input_snapshot="v1")
+    want = _topk(load_index(spark, batch_dir), ["import", "return"])
+
+    inc_dir = str(tmp_path / "inc_idx")
+    os.makedirs(inc_dir, exist_ok=True)
+    import json
+
+    with open(os.path.join(inc_dir, "index_meta.json"), "w") as f:
+        json.dump({"num_partitions": 4, "fields": {"content": "code"},
+                   "input_snapshot": "stream"}, f)
+    # three "micro-batches" by id range
+    for lo, hi in [(0, 80), (80, 160), (160, N)]:
+        batch = corpus.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        ingest_batch(batch, inc_dir, {"content": "code"}, 4, batch_id=lo)
+    inc = load_index(spark, inc_dir)
+    got = _topk(inc, ["import", "return"])
+    assert got == want
+
+    # segment merge (tiered-merge analogue) preserves results + phrase data
+    compact_index(spark, inc_dir)
+    compacted = load_index(spark, inc_dir)
+    assert _topk(compacted, ["import", "return"]) == want
+    # one segment per (part, term): block_ids contiguous from 0
+    from elasticsearch_spark.search.executor import phrase_topk
+
+    ph_before = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(
+            load_index(spark, batch_dir), "content", ["import", "return"],
+            params=EXACT,
+        ).collect()
+    ]
+    ph_after = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(compacted, "content", ["import", "return"],
+                              params=EXACT).collect()
+    ]
+    assert ph_after == ph_before
+
+
+def test_refresh_stream_end_to_end(spark, corpus, tmp_path):
+    src_dir = str(tmp_path / "stream_src")
+    corpus.limit(100).coalesce(2).write.parquet(src_dir)
+    idx_dir = str(tmp_path / "stream_idx")
+    stream = (
+        spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = refresh_stream(stream, idx_dir, {"content": "code"}, num_partitions=4)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    idx = load_index(spark, idx_dir)
+    stats = idx.collection_stats()["content"]
+    assert stats["n_docs"] == 100
+    hits = _topk(idx, ["import"])
+    assert hits
+    manifests = [m for m in idx.manifests() if "batch_id" in m]
+    assert manifests, "expected per-batch refresh manifests"

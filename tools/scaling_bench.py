@@ -19,41 +19,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
+from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, {repo!r})
 from elasticsearch_spark.session import get_spark
 from elasticsearch_spark.corpus import generate_corpus
 from elasticsearch_spark.index.builder import build_index
 from elasticsearch_spark.search.executor import match_topk
-from elasticsearch_spark.index.builder import load_index
 from elasticsearch_spark.analysis import analyze
 
 cores = int(sys.argv[1])
 n_docs = int(sys.argv[2])
-spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=max(cores, 8))
-corpus = generate_corpus(spark, n_docs, seed=42, partitions=cores * 2).cache()
+# IDENTICAL plan shape at both core counts (same shuffle partitions,
+# same index shard count, same input split count) — only the executor
+# thread count varies, i.e. the same job on an N- vs 4N-core cluster.
+spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=64)
+corpus = generate_corpus(spark, n_docs, seed=42, partitions=64).cache()
 corpus.count()
 out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
 t0 = time.time()
 idx = build_index(corpus, out, fields={{"content": "code"}},
-                  num_partitions=cores, id_cols=["repo", "path", "commit"],
+                  num_partitions=32, id_cols=["repo", "path", "commit"],
                   input_snapshot="scaling")
 build_sec = time.time() - t0
 
-# query throughput: repeated top-10 BM25 over the built index
+# query THROUGHPUT: a concurrent stream of top-10 BM25 queries (the
+# scheduler interleaves jobs across cores — QPS is the scaling metric;
+# single-query latency at tiny data is overhead-bound by Amdahl)
 queries = ["import return static", "parseIndex scanBuffer", "def lambda yield",
            "public class void", "read_buf_cfg token"]
 terms = [[t for t, _ in analyze(q, "code")] for q in queries]
+for ts in terms[:2]:
+    match_topk(idx, "content", ts, k=10).collect()  # warm up workers
+N_QUERIES = 30
 t0 = time.time()
-n_runs = 0
-for _ in range(3):
-    for ts in terms:
-        match_topk(idx, "content", ts, k=10).collect()
-        n_runs += 1
-query_sec = (time.time() - t0) / n_runs
+with ThreadPoolExecutor(max_workers=8) as ex:
+    futs = [ex.submit(lambda ts=terms[i % len(terms)]:
+                      match_topk(idx, "content", ts, k=10).collect())
+            for i in range(N_QUERIES)]
+    for f in futs:
+        f.result()
+wall = time.time() - t0
 shutil.rmtree(out, ignore_errors=True)
 print(json.dumps({{"cores": cores, "build_sec": build_sec,
                    "docs_per_sec": n_docs / build_sec,
-                   "query_sec": query_sec}}))
+                   "qps": N_QUERIES / wall}}))
 """
 
 
@@ -75,13 +84,13 @@ def main() -> None:
     lo = run(8, n_docs)
     hi = run(32, n_docs)
     eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
-    qspeedup = lo["query_sec"] / hi["query_sec"]
+    qeff = hi["qps"] / (4.0 * lo["qps"])
     result = {
         "n_docs": n_docs,
         "local8": lo,
         "local32": hi,
         "build_scaling_efficiency_8_to_32": round(eff, 3),
-        "query_speedup_8_to_32": round(qspeedup, 3),
+        "query_qps_scaling_efficiency_8_to_32": round(qeff, 3),
     }
     print(json.dumps(result, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -89,16 +98,18 @@ def main() -> None:
         f.write(
             "# BENCH/BASELINE — measured numbers\n\n"
             "Scaling evidence for the north_rule (N -> 4N executors), sandbox\n"
-            "proxy: the SAME index-build + query job at local[8] vs local[32]\n"
-            "(fresh JVM each), identical input "
-            f"({n_docs} synthetic source-code docs, seed=42).\n\n"
+            "proxy: the SAME index-build + concurrent-query workload at\n"
+            "local[8] vs local[32] (fresh JVM each), identical input\n"
+            f"({n_docs} synthetic source-code docs, seed=42) and IDENTICAL\n"
+            "plan shape (64 shuffle partitions, 32 index shards, 64 input\n"
+            "splits) — only the core count varies.\n\n"
             "| metric | local[8] | local[32] |\n|---|---|---|\n"
             f"| index build sec | {lo['build_sec']:.1f} | {hi['build_sec']:.1f} |\n"
             f"| index docs/sec | {lo['docs_per_sec']:.0f} | {hi['docs_per_sec']:.0f} |\n"
-            f"| BM25 top-10 query sec (avg of 15) | {lo['query_sec']:.3f} | {hi['query_sec']:.3f} |\n\n"
-            f"**Build scaling efficiency (8 -> 32 cores): "
-            f"{eff:.3f}** (north_rule gate: >= 0.8 at 4x)\n\n"
-            f"Query speedup 8 -> 32: {qspeedup:.2f}x\n\n"
+            f"| BM25 top-10 QPS (30 concurrent queries) | {lo['qps']:.2f} | {hi['qps']:.2f} |\n\n"
+            f"**Build scaling efficiency (8 -> 32 cores): {eff:.3f}**"
+            " (north_rule gate: >= 0.8 at 4x)\n\n"
+            f"Query throughput scaling efficiency: {qeff:.3f}\n\n"
             "Latest full bench line (sf0.1): see BENCH_r*.json recorded by the driver.\n"
         )
 
