@@ -53,7 +53,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v3")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v4")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
@@ -62,6 +62,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             fields={"text": "ascii_word", "source": "ascii_word"},
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
+            store_doc_lengths=True,
         )
     _INDEX_CACHE[key] = load_index(spark, path)
     return _INDEX_CACHE[key]
@@ -462,6 +463,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"m": {"missing": {"field": "maybe"}}},
     )
 
+    def combined_fields_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.combined import combined_fields_topk
+
+        idx = _doc_index(s, d)
+        out = combined_fields_topk(
+            idx, {"text": 1.0, "source": 2.0}, ["table", "src5"], k=10,
+            params=_EXACT,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["combined_fields"] = combined_fields_q
+
+    def eql_sequence_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.eql import sequence
+
+        ev = _t(s, d, "events")
+        return sequence(
+            ev, ["click", "purchase"], maxspan_seconds=86400
+        ).select("user_id", "id_0", "id_1")
+
+    q["eql_sequence"] = eql_sequence_q
+
+    def slice_scan_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import slice_scan
+
+        return slice_scan(_t(s, d, "documents"), 1, 4).select("doc_id")
+
+    q["slice_scan"] = slice_scan_q
+
+    def paginate_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import paginate
+
+        docs = _t(s, d, "documents").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        return paginate(docs, from_=20, size=10).select("doc_id", "n_chars")
+
+    q["from_size_page"] = paginate_q
+
+    def agg_adjacency_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import adjacency_matrix
+
+        return adjacency_matrix(
+            _t(s, d, "events"),
+            {"click": {"term": {"event_type": "click"}},
+             "big": {"range": {"value": {"gte": 50}}}},
+        )
+
+    q["agg_adjacency_matrix"] = agg_adjacency_q
+
+    def agg_mad_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import median_absolute_deviation
+
+        out = median_absolute_deviation(_t(s, d, "lineitem"), "l_extendedprice")
+        return out.select(F.round("mad", 4).alias("mad"))
+
+    q["agg_mad"] = agg_mad_q
+
+    def agg_matrix_stats_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import matrix_stats
+
+        out = matrix_stats(_t(s, d, "lineitem"), ["l_quantity", "l_extendedprice"])
+        return out.select(
+            F.round("cov_l_quantity_l_extendedprice", 4).alias("cov"),
+            F.round("corr_l_quantity_l_extendedprice", 8).alias("corr"),
+        )
+
+    q["agg_matrix_stats"] = agg_matrix_stats_q
+
+    def agg_auto_dh_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import auto_date_histogram
+
+        out = auto_date_histogram(_t(s, d, "orders"), "o_orderdate", 10)
+        return out.select("key", "doc_count")
+
+    q["agg_auto_date_histogram"] = agg_auto_dh_q
+
+    def agg_scripted_metric_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import scripted_metric
+        import pandas as _pd
+
+        def sum_sq(pdf):
+            return _pd.DataFrame({
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "ss": [float((pdf["l_quantity"] ** 2).sum())],
+            })
+
+        out = scripted_metric(
+            _t(s, d, "lineitem"), ["l_returnflag"], sum_sq,
+            "l_returnflag string, ss double",
+        )
+        return out.select("l_returnflag", F.round("ss", 4).alias("ss"))
+
+    q["agg_scripted_metric"] = agg_scripted_metric_q
+
     # --- training-data pipeline ops ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicate_groups(
         _t(s, d, "documents")
@@ -701,6 +797,82 @@ FROM scored c JOIN documents d ON d.doc_id = c.doc_id
 ORDER BY c.score * (CASE WHEN d.lang = 'zh' THEN 0.4 ELSE 1.0 END) DESC,
          c.doc_id ASC
 LIMIT 10
+"""
+
+    o["combined_fields"] = """
+WITH tokt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+  FROM documents),
+nn AS (SELECT count(*) * 1.0 AS n FROM documents),
+sumttf AS (
+  SELECT (SELECT count(*) FROM tokt) * 1.0
+       + 2.0 * (SELECT count(*) FROM toks) AS v),
+cdl AS (
+  SELECT d.doc_id,
+         (SELECT count(*) FROM tokt WHERE doc_id = d.doc_id) * 1.0
+       + 2.0 * (SELECT count(*) FROM toks WHERE doc_id = d.doc_id) AS dl
+  FROM documents d),
+ctf AS (
+  SELECT doc_id, term, sum(w) AS tf FROM (
+    SELECT doc_id, term, 1.0 AS w FROM tokt WHERE term IN ('table','src5')
+    UNION ALL
+    SELECT doc_id, term, 2.0 FROM toks WHERE term IN ('table','src5'))
+  GROUP BY doc_id, term),
+cdf AS (SELECT term, count(*) * 1.0 AS df FROM ctf GROUP BY term),
+cscored AS (
+  SELECT ctf.doc_id,
+         sum(2.2 * ln(1.0 + (nn.n - cdf.df + 0.5) / (cdf.df + 0.5)) * ctf.tf
+             / (ctf.tf + 1.2 * (0.25 + 0.75 * cdl.dl / (sumttf.v / nn.n)))) AS score
+  FROM ctf JOIN cdf USING (term) JOIN cdl USING (doc_id), nn, sumttf
+  GROUP BY ctf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM cscored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    o["eql_sequence"] = """
+WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.user_id, a.event_id AS id_0, b.event_id AS id_1,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY b.ts ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
+SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
+"""
+    o["slice_scan"] = "SELECT doc_id FROM documents WHERE doc_id % 4 = 1"
+    o["from_size_page"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20
+"""
+    o["agg_adjacency_matrix"] = """
+SELECT * FROM (
+  SELECT 'click' AS key, count(*) AS doc_count FROM events WHERE event_type='click'
+  UNION ALL
+  SELECT 'big', count(*) FROM events WHERE value >= 50
+  UNION ALL
+  SELECT 'click&big', count(*) FROM events WHERE event_type='click' AND value >= 50
+) WHERE doc_count > 0
+"""
+    o["agg_mad"] = """
+SELECT round(quantile_cont(abs(l_extendedprice -
+  (SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem)), 0.5), 4) AS mad
+FROM lineitem
+"""
+    o["agg_matrix_stats"] = """
+SELECT round(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+       round(corr(l_quantity, l_extendedprice), 8) AS corr
+FROM lineitem
+"""
+    o["agg_auto_date_histogram"] = """
+SELECT date_trunc('year', o_orderdate)::TIMESTAMP AS key, count(*) AS doc_count
+FROM orders GROUP BY 1
+"""
+    o["agg_scripted_metric"] = """
+SELECT l_returnflag, round(sum(l_quantity * l_quantity), 4) AS ss
+FROM lineitem GROUP BY 1
 """
 
     o["term_filter"] = "SELECT doc_id, lang FROM documents WHERE lang = 'fr'"

@@ -342,6 +342,105 @@ def pipeline_agg(
     return buckets.withColumn(out_name, expr)
 
 
+def adjacency_matrix(df: DataFrame, filters: dict[str, dict]) -> DataFrame:
+    """adjacency_matrix agg (SearchModule.java:377): doc counts for each
+    named filter and each pairwise intersection — ONE aggregation pass
+    over boolean predicate columns."""
+    from elasticsearch_spark.search.dsl import compile_filter
+
+    names = list(filters)
+    preds = {n: compile_filter(q).cast("long") for n, q in filters.items()}
+    aggs = [F.sum(preds[n]).alias(n) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(preds[a] * preds[b]).alias(f"{a}&{b}"))
+    wide = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    rows = [(k, int(wide[k])) for k in wide.asDict() if wide[k] and int(wide[k]) > 0]
+    return spark.createDataFrame(sorted(rows), "key string, doc_count long")
+
+
+def median_absolute_deviation(df: DataFrame, field: str, exact: bool = True) -> DataFrame:
+    """MAD (reference: TDigest-approximate; exact two-pass here, approx
+    via percentile_approx for the scale path)."""
+    pfun = F.percentile if exact else F.percentile_approx
+    med = df.agg(pfun(F.col(field), F.lit(0.5)).alias("m")).collect()[0]["m"]
+    return df.agg(
+        pfun(F.abs(F.col(field) - F.lit(med)), F.lit(0.5)).alias("mad")
+    )
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """aggs-matrix-stats module: pairwise covariance + Pearson
+    correlation, one agg pass."""
+    aggs = []
+    for i, a in enumerate(fields):
+        for b in fields[i + 1:]:
+            aggs.append(F.covar_samp(F.col(a), F.col(b)).alias(f"cov_{a}_{b}"))
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(f"corr_{a}_{b}"))
+    return df.agg(*aggs)
+
+
+def diversified_sampler(
+    df: DataFrame,
+    dedup_field: str,
+    sort_col: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """sampler/diversified_sampler (SearchModule.java:379-384): the
+    best-scoring subset with per-key de-duplication."""
+    order = [F.desc(sort_col)] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(dedup_field).orderBy(*order)
+    ranked = df.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= max_docs_per_value
+    ).drop("_rk")
+    return ranked.orderBy(*order).limit(shard_size)
+
+
+def scripted_metric(
+    df: DataFrame,
+    group_cols: list[str],
+    map_combine,
+    out_schema: str,
+):
+    """scripted_metric agg (SearchModule.java:463): user map/combine
+    logic as a grouped-map pandas function — the sanctioned UDAF path."""
+    return df.groupBy(*group_cols).applyInPandas(map_combine, schema=out_schema)
+
+
+def auto_date_histogram(
+    df: DataFrame, field: str, target_buckets: int = 10
+) -> DataFrame:
+    """auto_date_histogram (SearchModule.java:428): pick the coarsest
+    calendar interval yielding <= target buckets (coordinator-side
+    min/max probe, like the reference's rounding selection)."""
+    bounds = df.agg(
+        F.min(field).alias("lo"), F.max(field).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        return df.sparkSession.createDataFrame([], "key timestamp, doc_count long")
+    span_s = (hi - lo).total_seconds()
+    ladder = [
+        ("second", 1), ("minute", 60), ("hour", 3600), ("day", 86400),
+        ("week", 7 * 86400), ("month", 30 * 86400), ("quarter", 91 * 86400),
+        ("year", 365 * 86400),
+    ]
+    unit = ladder[-1][0]
+    for name, secs in ladder:
+        if span_s / secs <= target_buckets:
+            unit = name
+            break
+    return (
+        df.groupBy(F.date_trunc(unit, F.col(field)).alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn("interval", F.lit(unit))
+        .orderBy("key")
+    )
+
+
 def bucket_stats(buckets: DataFrame, metric: str) -> DataFrame:
     """stats_bucket / max_bucket / min_bucket / avg_bucket / sum_bucket:
     one global agg over the bucket frame."""

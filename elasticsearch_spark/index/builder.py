@@ -59,12 +59,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from elasticsearch_spark.analysis import ANALYZERS
 from elasticsearch_spark.index import codec
 
-# marker value for per-(doc,field) stats rows inside the tokenize pass
-_STATS_MARKER = None
-
+# ONE ROW PER (doc, field): terms + aligned VByte-encoded tf / positions
+# blobs. Exploding to posting-level rows happens INSIDE the encoder in
+# numpy — posting-level rows never cross the Arrow/shuffle boundary
+# (125 rows/doc of serialization overhead was the build bottleneck).
 TOKENIZED_SCHEMA = (
-    "part_id int, doc_id long, field string, term string, tf int, "
-    "positions binary, dl int, ttf int"
+    "part_id int, doc_id long, field string, dl int, ttf int, "
+    "terms array<string>, tfs binary, positions array<binary>"
 )
 
 
@@ -110,6 +111,14 @@ class InvertedIndex:
     @property
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
+
+    @property
+    def doc_lengths(self) -> DataFrame:
+        """Optional sidecar (build_index(store_doc_lengths=True)):
+        (part_id, doc_id, field, dl, ttf) — needed only by operators
+        that must know every field's length for arbitrary docs
+        (combined_fields/BM25F); plain BM25 reads dl from postings."""
+        return self.spark.read.parquet(os.path.join(self.path, "doc_lengths"))
 
     @property
     def stats_rows(self) -> DataFrame:
@@ -161,10 +170,9 @@ def _make_tokenizer(fields: dict[str, str]):
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_part: list[np.ndarray] = []
             rows: dict[str, list] = {
-                "part_id": [], "doc_id": [], "field": [], "term": [],
-                "tf": [], "positions": [], "dl": [], "ttf": [],
+                "part_id": [], "doc_id": [], "field": [], "dl": [],
+                "ttf": [], "terms": [], "tfs": [], "positions": [],
             }
             for field, analyzer_name in fields.items():
                 fn = ANALYZERS[analyzer_name]
@@ -173,101 +181,143 @@ def _make_tokenizer(fields: dict[str, str]):
                 doc_ids = pdf["doc_id"].tolist()
                 for part, doc, text in zip(part_ids, doc_ids, texts):
                     terms, positions = fn(text)
-                    # group into per-term tf + position lists
                     per_term: dict[str, list[int]] = {}
                     for t, p in zip(terms, positions):
                         per_term.setdefault(t, []).append(p)
                     dl = (positions[-1] + 1) if positions else 0  # overlap-discounted
-                    ttf = len(terms)
-                    for t, plist in per_term.items():
-                        rows["part_id"].append(part)
-                        rows["doc_id"].append(doc)
-                        rows["field"].append(field)
-                        rows["term"].append(t)
-                        rows["tf"].append(len(plist))
-                        # pre-encode [len, first, deltas...] — the exact
-                        # per-doc slice of the block positions stream
-                        rows["positions"].append(_vb_small(_posting_stream(plist)))
-                        rows["dl"].append(dl)
-                        rows["ttf"].append(ttf)
-                    # stats marker row (also covers zero-token docs)
                     rows["part_id"].append(part)
                     rows["doc_id"].append(doc)
                     rows["field"].append(field)
-                    rows["term"].append(_STATS_MARKER)
-                    rows["tf"].append(0)
-                    rows["positions"].append(b"")
                     rows["dl"].append(dl)
-                    rows["ttf"].append(ttf)
+                    rows["ttf"].append(len(terms))
+                    rows["terms"].append(list(per_term.keys()))
+                    rows["tfs"].append(
+                        _vb_small([len(p) for p in per_term.values()])
+                    )
+                    rows["positions"].append(
+                        [_vb_small(_posting_stream(p)) for p in per_term.values()]
+                    )
             yield pd.DataFrame(rows)
 
     return tokenize
 
 
-def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas fn for one (part_id, field) group: term-sort and
-    encode Lucene-style posting blocks (numpy-vectorized codec).
+def _emit_term_blocks(out, part_id, field, term, doc_ids, tfs, dls, plist):
+    """Append Lucene-style blocks for one term's (sorted) postings."""
+    for bi, (lo, hi) in enumerate(codec.split_blocks(len(doc_ids))):
+        d = doc_ids[lo:hi]
+        t = tfs[lo:hi]
+        l = dls[lo:hi]
+        out["part_id"].append(part_id)
+        out["field"].append(field)
+        out["term"].append(term)
+        out["block_id"].append(bi)
+        out["n"].append(hi - lo)
+        out["doc_ids"].append(codec.vbyte_encode(codec.delta_encode(d)))
+        out["tfs"].append(codec.vbyte_encode(t))
+        out["dls"].append(codec.vbyte_encode(l))
+        out["positions"].append(
+            b"".join(
+                bytes(p) if isinstance(p, (bytes, bytearray))
+                else bytes(_vb_small(_posting_stream(p)))
+                for p in plist[lo:hi]
+            )
+        )
+        out["max_tf"].append(int(t.max()))
+        out["min_dl"].append(int(l.min()))
+        out["sum_tf"].append(int(t.sum()))
+        out["first_doc"].append(int(d[0]))
+        out["last_doc"].append(int(d[-1]))
 
-    Marker rows (term IS NULL, one per doc, carrying dl/ttf — emitted by
-    the tokenizer so zero-token docs are counted) are folded into ONE
-    aggregate stats row per group: term=NULL, n=n_docs,
-    sum_tf=sum_ttf, first_doc=sum_dl. This keeps the whole build at one
-    shuffle + one write with no separate doc-stats pass."""
-    part_id = int(pdf["part_id"].iloc[0])
-    field = pdf["field"].iloc[0]
-    out: dict[str, list] = {k: [] for k in (
+
+def _blocks_out() -> dict[str, list]:
+    return {k: [] for k in (
         "part_id", "field", "term", "block_id", "n", "doc_ids", "tfs",
         "dls", "positions", "max_tf", "min_dl", "sum_tf", "first_doc",
         "last_doc",
     )}
-    markers = pdf[pdf["term"].isna()]
-    if len(markers):
-        out["part_id"].append(part_id)
-        out["field"].append(field)
-        out["term"].append(None)
-        out["block_id"].append(-1)
-        out["n"].append(int(markers["doc_id"].nunique()))
-        out["doc_ids"].append(b"")
-        out["tfs"].append(b"")
-        out["dls"].append(b"")
-        out["positions"].append(b"")
-        out["max_tf"].append(0)
-        out["min_dl"].append(0)
-        out["sum_tf"].append(int(markers["ttf"].sum()))
-        out["first_doc"].append(int(markers["dl"].sum()))
-        out["last_doc"].append(0)
-    pdf = pdf[pdf["term"].notna()].sort_values(["term", "doc_id"], kind="mergesort")
+
+
+def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas fn for one (part_id, field) group of DOC-level rows
+    (TOKENIZED_SCHEMA): numpy-explode to postings, term-sort, emit
+    Lucene-style blocks + ONE aggregate stats row (term=NULL, n=n_docs,
+    sum_tf=sum_ttf, first_doc=sum_dl). One shuffle + one write, no
+    posting-level rows across Arrow."""
+    part_id = int(pdf["part_id"].iloc[0])
+    field = pdf["field"].iloc[0]
+    out = _blocks_out()
+    # stats row: the group IS the doc roster (zero-token docs included)
+    out["part_id"].append(part_id)
+    out["field"].append(field)
+    out["term"].append(None)
+    out["block_id"].append(-1)
+    out["n"].append(int(pdf["doc_id"].nunique()))
+    out["doc_ids"].append(b"")
+    out["tfs"].append(b"")
+    out["dls"].append(b"")
+    out["positions"].append(b"")
+    out["max_tf"].append(0)
+    out["min_dl"].append(0)
+    out["sum_tf"].append(int(pdf["ttf"].sum()))
+    out["first_doc"].append(int(pdf["dl"].sum()))
+    out["last_doc"].append(0)
+
+    terms_lists = pdf["terms"].tolist()
+    if not terms_lists:
+        return pd.DataFrame(out)
+    lens = np.fromiter((len(t) for t in terms_lists), dtype=np.int64,
+                       count=len(terms_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return pd.DataFrame(out)
+    doc_rep = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+    dl_rep = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
+    tf_flat = codec.vbyte_decode(b"".join(pdf["tfs"].tolist()))
+    terms_flat = np.empty(total, dtype=object)
+    pos_flat = np.empty(total, dtype=object)
+    i = 0
+    for tl, pl in zip(terms_lists, pdf["positions"].tolist()):
+        n = len(tl)
+        terms_flat[i : i + n] = tl
+        pos_flat[i : i + n] = pl
+        i += n
+    # sorted unique terms + per-posting codes, then one global lexsort
+    codes, uniques = pd.factorize(terms_flat, sort=True)
+    order = np.lexsort((doc_rep, codes))
+    codes = codes[order]
+    doc_rep = doc_rep[order]
+    dl_rep = dl_rep[order]
+    tf_flat = tf_flat[order]
+    pos_flat = pos_flat[order]
+    bounds = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [codes.size]))
+    for s, e in zip(starts, ends):
+        _emit_term_blocks(
+            out, part_id, field, uniques[codes[s]],
+            doc_rep[s:e], tf_flat[s:e], dl_rep[s:e], pos_flat[s:e],
+        )
+    return pd.DataFrame(out)
+
+
+def _encode_blocks_rowwise(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Posting-level-row variant (columns: part_id, field, term, doc_id,
+    tf, dl, positions array) — used by segment compaction, which decodes
+    existing blocks back to rows. Emits NO stats row (compaction carries
+    the existing ones through)."""
+    part_id = int(pdf["part_id"].iloc[0])
+    field = pdf["field"].iloc[0]
+    out = _blocks_out()
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     for term, g in pdf.groupby("term", sort=False):
-        doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-        tfs = g["tf"].to_numpy(dtype=np.int64)
-        dls = g["dl"].to_numpy(dtype=np.int64)
-        plists = g["positions"].tolist()  # pre-encoded per-posting VByte
-        for bi, (lo, hi) in enumerate(codec.split_blocks(len(doc_ids))):
-            d = doc_ids[lo:hi]
-            t = tfs[lo:hi]
-            l = dls[lo:hi]
-            out["part_id"].append(part_id)
-            out["field"].append(field)
-            out["term"].append(term)
-            out["block_id"].append(bi)
-            out["n"].append(hi - lo)
-            out["doc_ids"].append(codec.vbyte_encode(codec.delta_encode(d)))
-            out["tfs"].append(codec.vbyte_encode(t))
-            out["dls"].append(codec.vbyte_encode(l))
-            # positions arrive pre-encoded (build path: bytes) or as raw
-            # position arrays (compaction path re-encoding decoded rows)
-            out["positions"].append(
-                b"".join(
-                    bytes(p) if isinstance(p, (bytes, bytearray))
-                    else bytes(_vb_small(_posting_stream(p)))
-                    for p in plists[lo:hi]
-                )
-            )
-            out["max_tf"].append(int(t.max()))
-            out["min_dl"].append(int(l.min()))
-            out["sum_tf"].append(int(t.sum()))
-            out["first_doc"].append(int(d[0]))
-            out["last_doc"].append(int(d[-1]))
+        _emit_term_blocks(
+            out, part_id, field, term,
+            g["doc_id"].to_numpy(dtype=np.int64),
+            g["tf"].to_numpy(dtype=np.int64),
+            g["dl"].to_numpy(dtype=np.int64),
+            g["positions"].tolist(),
+        )
     return pd.DataFrame(out)
 
 
@@ -320,6 +370,7 @@ def build_index(
     id_cols: list[str] | None = None,
     resume: bool = False,
     input_snapshot: str = "",
+    store_doc_lengths: bool = False,
     _only_parts: list[int] | None = None,
 ) -> InvertedIndex:
     """Build (or resume) the inverted index at ``out_dir``.
@@ -363,6 +414,10 @@ def build_index(
         # segment "merge": ONE wide shuffle keyed (part_id, field), one
         # output pass. Doc-stat marker rows ride the same shuffle and
         # come out as per-group aggregate stats rows (term IS NULL).
+        if store_doc_lengths:
+            from pyspark import StorageLevel
+
+            tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
         blocks = tokenized.groupBy("part_id", "field").applyInPandas(
             _encode_blocks, schema=BLOCKS_SCHEMA
         )
@@ -373,6 +428,15 @@ def build_index(
             .partitionBy("part_id")
             .parquet(os.path.join(out_dir, "postings"))
         )
+        if store_doc_lengths:
+            (
+                tokenized.select("part_id", "doc_id", "field", "dl", "ttf")
+                .repartition(max(len(todo_parts), 1), "part_id")
+                .write.mode("append")
+                .partitionBy("part_id")
+                .parquet(os.path.join(out_dir, "doc_lengths"))
+            )
+            tokenized.unpersist()
 
     # global stats are rebuilt from ALL partitions' block metadata — the
     # DFS-phase global statistics, cheap (no raw-posting scan).

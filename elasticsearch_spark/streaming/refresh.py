@@ -133,10 +133,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         rows = part if rows is None else rows.unionByName(part)
 
     tmp = os.path.join(index_dir, "postings_compacted")
+    from elasticsearch_spark.index.builder import _encode_blocks_rowwise
+
     new_blocks = (
         rows.select("part_id", "doc_id", "field", "term", "tf", "positions", "dl")
         .groupBy("part_id", "field")
-        .applyInPandas(_encode_blocks, schema=BLOCKS_SCHEMA)
+        .applyInPandas(_encode_blocks_rowwise, schema=BLOCKS_SCHEMA)
     )
     # carry the per-(part, field) doc-roster stats rows through the merge
     stats_rows = idx.stats_rows.select(*new_blocks.columns)

@@ -1,0 +1,252 @@
+"""combined_fields, EQL sequence, scan/pagination, remaining aggs."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.aggs.translate import (
+    adjacency_matrix,
+    auto_date_histogram,
+    diversified_sampler,
+    matrix_stats,
+    median_absolute_deviation,
+    scripted_metric,
+)
+from elasticsearch_spark.ops.eql import sequence
+from elasticsearch_spark.ops.scan import (
+    paginate,
+    reindex,
+    slice_scan,
+    terminate_after,
+    track_total_hits,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["events", "lineitem", "orders", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_eql_sequence_two_steps(events, duck):
+    types = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    a, b = sorted(types)[:2]
+    got = sequence(events, [a, b], maxspan_seconds=3600 * 24).select(
+        "user_id", "id_0", "id_1"
+    ).collect()
+    want = duck.execute(f"""
+        WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = '{a}'),
+        b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = '{b}'),
+        j AS (
+          SELECT a.user_id, a.event_id AS id_0, b.event_id AS id_1,
+                 row_number() OVER (PARTITION BY a.user_id, a.event_id
+                                    ORDER BY b.ts ASC, b.event_id ASC) AS rn
+          FROM a JOIN b ON a.user_id = b.user_id
+          WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
+        SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
+    """).fetchall()
+    assert sorted((r["user_id"], r["id_0"], r["id_1"]) for r in got) == sorted(want)
+    assert got, "expected at least one matched sequence"
+
+
+def test_eql_three_steps_ordered(events):
+    types = sorted(
+        r["event_type"] for r in events.select("event_type").distinct().collect()
+    )[:3]
+    out = sequence(events, types, maxspan_seconds=10**9).collect()
+    for r in out:
+        assert r["ts_0"] < r["ts_1"] < r["ts_2"]
+
+
+def test_slice_scan_partitions(docs):
+    total = docs.count()
+    parts = [slice_scan(docs, i, 4).count() for i in range(4)]
+    assert sum(parts) == total
+    ids0 = [r["doc_id"] for r in slice_scan(docs, 0, 4).collect()]
+    assert all(i % 4 == 0 for i in ids0)
+
+
+def test_paginate(docs):
+    ordered = docs.orderBy("doc_id")
+    p2 = paginate(ordered, from_=10, size=5).collect()
+    assert [r["doc_id"] for r in p2] == list(range(10, 15))
+
+
+def test_track_total_hits(docs):
+    assert track_total_hits(docs, threshold=10000) == {
+        "value": docs.count(), "relation": "eq",
+    }
+    capped = track_total_hits(docs, threshold=7)
+    assert capped == {"value": 7, "relation": "gte"}
+
+
+def test_terminate_after(docs):
+    out = terminate_after(docs, 3)
+    cnt = out.count()
+    nparts = docs.rdd.getNumPartitions()
+    assert cnt <= 3 * nparts
+    assert cnt >= 3  # at least one partition had >= 3 rows
+
+
+def test_reindex(docs, tmp_path, spark):
+    dest = str(tmp_path / "reindexed")
+    reindex(
+        docs, dest,
+        transform=lambda d: d.withColumn("text_len", F.length("text")),
+        query={"term": {"lang": "en"}},
+    )
+    out = spark.read.parquet(dest)
+    assert out.count() == docs.filter(F.col("lang") == "en").count()
+    assert "text_len" in out.columns
+
+
+def test_adjacency_matrix(events, duck):
+    out = adjacency_matrix(
+        events,
+        {"click": {"term": {"event_type": "click"}},
+         "big": {"range": {"value": {"gte": 50}}}},
+    ).collect()
+    got = {r["key"]: r["doc_count"] for r in out}
+    w_click = duck.execute("SELECT count(*) FROM events WHERE event_type='click'").fetchone()[0]
+    w_big = duck.execute("SELECT count(*) FROM events WHERE value >= 50").fetchone()[0]
+    w_both = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type='click' AND value >= 50"
+    ).fetchone()[0]
+    assert got["click"] == w_click and got["big"] == w_big
+    assert got.get("click&big", got.get("big&click")) == w_both
+
+
+def test_mad(spark, duck):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = median_absolute_deviation(li, "l_extendedprice").collect()[0]["mad"]
+    want = duck.execute("""
+        SELECT quantile_cont(abs(l_extendedprice -
+          (SELECT quantile_cont(l_extendedprice, 0.5) FROM lineitem)), 0.5)
+        FROM lineitem
+    """).fetchone()[0]
+    assert math.isclose(got, want, rel_tol=1e-9)
+
+
+def test_matrix_stats(spark, duck):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = matrix_stats(li, ["l_quantity", "l_extendedprice", "l_discount"]).collect()[0]
+    want = duck.execute("""
+        SELECT covar_samp(l_quantity, l_extendedprice),
+               corr(l_quantity, l_extendedprice),
+               corr(l_extendedprice, l_discount)
+        FROM lineitem
+    """).fetchone()
+    assert math.isclose(got["cov_l_quantity_l_extendedprice"], want[0], rel_tol=1e-9)
+    assert math.isclose(got["corr_l_quantity_l_extendedprice"], want[1], rel_tol=1e-9)
+    assert math.isclose(got["corr_l_extendedprice_l_discount"], want[2], rel_tol=1e-9)
+
+
+def test_diversified_sampler(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = diversified_sampler(
+        orders, "o_orderpriority", "o_totalprice",
+        max_docs_per_value=2, shard_size=6, tie_col="o_orderkey",
+    ).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key[r["o_orderpriority"]] = per_key.get(r["o_orderpriority"], 0) + 1
+    assert all(v <= 2 for v in per_key.values())
+    assert len(out) <= 6
+
+
+def test_scripted_metric(spark, duck):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    def sum_of_squares(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "ss": [(pdf["l_quantity"] ** 2).sum()],
+        })
+
+    got = {
+        r["l_returnflag"]: r["ss"]
+        for r in scripted_metric(
+            li, ["l_returnflag"], sum_of_squares, "l_returnflag string, ss double"
+        ).collect()
+    }
+    want = dict(duck.execute(
+        "SELECT l_returnflag, sum(l_quantity * l_quantity) FROM lineitem GROUP BY 1"
+    ).fetchall())
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12)
+
+
+def test_auto_date_histogram(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = auto_date_histogram(orders, "o_orderdate", target_buckets=10).collect()
+    assert 1 <= len(out) <= 12
+    assert out[0]["interval"] in ("month", "quarter", "year")
+    assert sum(r["doc_count"] for r in out) == orders.count()
+
+
+def test_combined_fields(spark, duck):
+    import __spark_entry__ as e
+    from elasticsearch_spark.search.combined import combined_fields_topk
+    from elasticsearch_spark.search.bm25 import BM25Params
+
+    idx = e._doc_index(spark, SF)
+    got = combined_fields_topk(
+        idx, {"text": 1.0, "source": 2.0}, ["table", "src5"], k=10,
+        params=BM25Params(quantize_norms=False),
+    ).collect()
+    want = duck.execute("""
+WITH tokt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+  FROM documents),
+n AS (SELECT count(*) * 1.0 AS n FROM documents),
+sumttf AS (
+  SELECT (SELECT count(*) FROM tokt) * 1.0
+       + 2.0 * (SELECT count(*) FROM toks) AS v),
+dl AS (
+  SELECT d.doc_id,
+         (SELECT count(*) FROM tokt WHERE doc_id = d.doc_id) * 1.0
+       + 2.0 * (SELECT count(*) FROM toks WHERE doc_id = d.doc_id) AS dl
+  FROM documents d),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tf FROM (
+    SELECT doc_id, term, 1.0 AS w FROM tokt WHERE term IN ('table','src5')
+    UNION ALL
+    SELECT doc_id, term, 2.0 FROM toks WHERE term IN ('table','src5'))
+  GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(2.2 * ln(1.0 + (n.n - dft.df + 0.5) / (dft.df + 0.5)) * tf.tf
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (sumttf.v / n.n)))) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, sumttf
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """).fetchall()
+    assert [r["doc_id"] for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert math.isclose(r["score"], w[1], rel_tol=1e-9)

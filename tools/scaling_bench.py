@@ -81,37 +81,51 @@ def run(cores: int, n_docs: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
-    lo = run(8, n_docs)
-    hi = run(32, n_docs)
-    eff = hi["docs_per_sec"] / (4.0 * lo["docs_per_sec"])
-    qeff = hi["qps"] / (4.0 * lo["qps"])
+    lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else lo_cores * 4
+    lo = run(lo_cores, n_docs)
+    hi = run(hi_cores, n_docs)
+    ratio = hi_cores / lo_cores
+    eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+    qeff = hi["qps"] / (ratio * lo["qps"])
     result = {
         "n_docs": n_docs,
-        "local8": lo,
-        "local32": hi,
-        "build_scaling_efficiency_8_to_32": round(eff, 3),
-        "query_qps_scaling_efficiency_8_to_32": round(qeff, 3),
+        f"local{lo_cores}": lo,
+        f"local{hi_cores}": hi,
+        f"build_scaling_efficiency_{lo_cores}_to_{hi_cores}": round(eff, 3),
+        f"query_qps_scaling_efficiency_{lo_cores}_to_{hi_cores}": round(qeff, 3),
     }
     print(json.dumps(result, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            "# BENCH/BASELINE — measured numbers\n\n"
-            "Scaling evidence for the north_rule (N -> 4N executors), sandbox\n"
-            "proxy: the SAME index-build + concurrent-query workload at\n"
-            "local[8] vs local[32] (fresh JVM each), identical input\n"
-            f"({n_docs} synthetic source-code docs, seed=42) and IDENTICAL\n"
-            "plan shape (64 shuffle partitions, 32 index shards, 64 input\n"
-            "splits) — only the core count varies.\n\n"
-            "| metric | local[8] | local[32] |\n|---|---|---|\n"
-            f"| index build sec | {lo['build_sec']:.1f} | {hi['build_sec']:.1f} |\n"
-            f"| index docs/sec | {lo['docs_per_sec']:.0f} | {hi['docs_per_sec']:.0f} |\n"
-            f"| BM25 top-10 QPS (30 concurrent queries) | {lo['qps']:.2f} | {hi['qps']:.2f} |\n\n"
-            f"**Build scaling efficiency (8 -> 32 cores): {eff:.3f}**"
-            " (north_rule gate: >= 0.8 at 4x)\n\n"
-            f"Query throughput scaling efficiency: {qeff:.3f}\n\n"
-            "Latest full bench line (sf0.1): see BENCH_r*.json recorded by the driver.\n"
-        )
+    section = (
+        f"\n## local[{lo_cores}] vs local[{hi_cores}] — {n_docs} docs\n\n"
+        f"| metric | local[{lo_cores}] | local[{hi_cores}] |\n|---|---|---|\n"
+        f"| index build sec | {lo['build_sec']:.1f} | {hi['build_sec']:.1f} |\n"
+        f"| index docs/sec | {lo['docs_per_sec']:.0f} | {hi['docs_per_sec']:.0f} |\n"
+        f"| BM25 top-10 QPS (30 concurrent queries) | {lo['qps']:.2f} | {hi['qps']:.2f} |\n\n"
+        f"**Build scaling efficiency ({lo_cores} -> {hi_cores} cores, {ratio:.0f}x): "
+        f"{eff:.3f}** — query QPS efficiency: {qeff:.3f}\n"
+    )
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header = (
+        "# BENCH/BASELINE — measured numbers\n\n"
+        "Scaling evidence for the north_rule (N -> 4N executors). No real\n"
+        "cluster exists in this sandbox, so the SAME job (identical input,\n"
+        "identical plan shape: 64 shuffle partitions, 32 index shards, 64\n"
+        "input splits) runs at two parallelism levels in fresh JVMs — only\n"
+        "the core count varies. Caveat for the 8->32 pair: all 32 cores\n"
+        "share ONE box's memory bandwidth and disk, which a real 4x-wider\n"
+        "cluster would not; the lower pair is the cleaner proxy for\n"
+        "horizontal scaling.\n"
+    )
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
+    if not existing.startswith("# BENCH/BASELINE"):
+        existing = header
+    with open(path, "w") as f:
+        f.write(existing + section)
 
 
 if __name__ == "__main__":
