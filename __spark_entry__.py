@@ -558,6 +558,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_scripted_metric"] = agg_scripted_metric_q
 
+    def nested_filter_q(s: SparkSession, d: str) -> DataFrame:
+        orders = _t(s, d, "orders")
+        items = (
+            _t(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.collect_list(
+                F.struct("l_quantity", "l_extendedprice")
+            ).alias("items"))
+        )
+        nested = orders.join(
+            items, orders.o_orderkey == items.l_orderkey, "left"
+        )
+        out = filter_query(
+            nested,
+            {"nested": {"path": "items", "query": {"bool": {"filter": [
+                {"range": {"items.l_quantity": {"gte": 49}}},
+                {"range": {"items.l_extendedprice": {"lt": 10000}}},
+            ]}}}},
+        )
+        return out.select("o_orderkey")
+
+    q["nested_filter"] = nested_filter_q
+
+    def nested_agg_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import nested_agg
+
+        orders = _t(s, d, "orders")
+        items = (
+            _t(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.collect_list(
+                F.struct("l_quantity", "l_returnflag")
+            ).alias("items"))
+        )
+        nested = orders.join(items, orders.o_orderkey == items.l_orderkey)
+        out = nested_agg(
+            nested, "items",
+            {"by_flag": {"terms": {"field": "l_returnflag", "order": {"_key": "asc"},
+                                     "key_name": "l_returnflag"},
+                          "aggs": {"q": {"sum": {"field": "l_quantity"}}}}},
+        )
+        return out.select(
+            "l_returnflag", "doc_count", F.round("q", 4).alias("q")
+        )
+
+    q["nested_agg"] = nested_agg_q
+
     # --- training-data pipeline ops ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicate_groups(
         _t(s, d, "documents")
@@ -873,6 +920,20 @@ FROM orders GROUP BY 1
     o["agg_scripted_metric"] = """
 SELECT l_returnflag, round(sum(l_quantity * l_quantity), 4) AS ss
 FROM lineitem GROUP BY 1
+"""
+
+    o["nested_filter"] = """
+SELECT o_orderkey FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_quantity >= 49 AND l.l_extendedprice < 10000)
+"""
+    o["nested_agg"] = """
+SELECT l_returnflag, count(*) AS doc_count,
+       round(sum(l_quantity), 4) AS q
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
 """
 
     o["term_filter"] = "SELECT doc_id, lang FROM documents WHERE lang = 'fr'"

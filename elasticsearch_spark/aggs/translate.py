@@ -342,6 +342,20 @@ def pipeline_agg(
     return buckets.withColumn(out_name, expr)
 
 
+def nested_agg(
+    df: DataFrame, path: str, spec: dict, parent_cols: list[str] | None = None
+) -> DataFrame:
+    """nested aggregation (SearchModule.java:449): step INTO the
+    sub-documents — explode the array-of-struct column, then run any
+    aggregation over the children (+ optional parent key columns for
+    reverse_nested-style grouping)."""
+    cols = list(parent_cols or [])
+    exploded = df.select(*cols, F.explode(F.col(path)).alias("_child")).select(
+        *cols, "_child.*"
+    )
+    return aggregate(exploded, spec)
+
+
 def adjacency_matrix(df: DataFrame, filters: dict[str, dict]) -> DataFrame:
     """adjacency_matrix agg (SearchModule.java:377): doc counts for each
     named filter and each pairwise intersection — ONE aggregation pass

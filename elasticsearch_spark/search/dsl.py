@@ -46,8 +46,19 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
-def compile_filter(query: dict[str, Any], id_col: str = "doc_id") -> Column:
-    """Compile a filter-context query dict to a boolean Column."""
+def compile_filter(
+    query: dict[str, Any], id_col: str = "doc_id", resolve=None
+) -> Column:
+    """Compile a filter-context query dict to a boolean Column.
+
+    ``resolve``: field-name -> Column mapper (default F.col). The
+    ``nested`` query rebinds it to the lambda variable of F.exists so
+    inner clauses evaluate per array element with field correlation
+    preserved (reference: NestedQueryBuilder.java — block-join over
+    sub-documents; here the sub-documents are the struct elements of an
+    ArrayType column)."""
+    if resolve is None:
+        resolve = F.col
     if len(query) != 1:
         raise ValueError(f"query object must have exactly one key: {query}")
     kind, body = next(iter(query.items()))
@@ -68,7 +79,7 @@ def compile_filter(query: dict[str, Any], id_col: str = "doc_id") -> Column:
         if not toks:
             return F.lit(False)
         conds = [
-            F.lower(F.col(field)).rlike(r"\b" + re.escape(t) + r"\b")
+            F.lower(resolve(field)).rlike(r"\b" + re.escape(t) + r"\b")
             for t in toks
         ]
         out = conds[0]
@@ -78,24 +89,24 @@ def compile_filter(query: dict[str, Any], id_col: str = "doc_id") -> Column:
     if kind == "term":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field) == F.lit(value)
+        return resolve(field) == F.lit(value)
     if kind == "terms":
         field, values = next(iter(body.items()))
-        return F.col(field).isin(list(values))
+        return resolve(field).isin(list(values))
     if kind == "terms_set":
         field, spec = next(iter(body.items()))
         values = list(spec["terms"])
         required = int(spec.get("minimum_should_match", len(values)))
         # number of matching values (on an array column use array_intersect)
         hits = sum(
-            (F.col(field) == F.lit(v)).cast("int") for v in values
+            (resolve(field) == F.lit(v)).cast("int") for v in values
         ) if not spec.get("array") else F.size(
-            F.array_intersect(F.col(field), F.array(*[F.lit(v) for v in values]))
+            F.array_intersect(resolve(field), F.array(*[F.lit(v) for v in values]))
         )
         return hits >= F.lit(required)
     if kind == "range":
         field, spec = next(iter(body.items()))
-        c = F.col(field)
+        c = resolve(field)
         conds = []
         if "gte" in spec:
             conds.append(c >= F.lit(spec["gte"]))
@@ -112,38 +123,56 @@ def compile_filter(query: dict[str, Any], id_col: str = "doc_id") -> Column:
             out = out & x
         return out
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return resolve(body["field"]).isNotNull()
     if kind == "prefix":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field).startswith(value)
+        return resolve(field).startswith(value)
     if kind == "wildcard":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
-        return F.col(field).rlike(_wildcard_to_regex(value))
+        return resolve(field).rlike(_wildcard_to_regex(value))
     if kind == "regexp":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
         # ES regexp is anchored (matches the WHOLE term)
-        return F.col(field).rlike(f"^(?:{value})$")
+        return resolve(field).rlike(f"^(?:{value})$")
     if kind == "fuzzy":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
         fuzz = int(spec.get("fuzziness", 2)) if isinstance(spec, dict) else 2
-        return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(fuzz)
+        return F.levenshtein(resolve(field), F.lit(value)) <= F.lit(fuzz)
     if kind == "ids":
         return F.col(id_col).isin(list(body["values"]))
     if kind == "constant_score":
-        return compile_filter(body["filter"], id_col)
+        return compile_filter(body["filter"], id_col, resolve)
+    if kind == "nested":
+        # sub-document query with field correlation: ANY array element
+        # satisfies the whole inner query (ESToParentBlockJoinQuery
+        # semantics in filter context)
+        path = body["path"]
+        inner = body["query"]
+
+        def make_resolver(x):
+            prefix = path + "."
+            def r(f: str):
+                return x[f[len(prefix):]] if f.startswith(prefix) else x[f]
+            return r
+
+        return F.exists(
+            resolve(path),
+            lambda x: compile_filter(inner, id_col, make_resolver(x)),
+        )
+
     if kind == "bool":
         clauses: list[Column] = []
         for q in body.get("must", []) or []:
-            clauses.append(compile_filter(q, id_col))
+            clauses.append(compile_filter(q, id_col, resolve))
         for q in body.get("filter", []) or []:
-            clauses.append(compile_filter(q, id_col))
+            clauses.append(compile_filter(q, id_col, resolve))
         for q in body.get("must_not", []) or []:
-            clauses.append(~compile_filter(q, id_col))
-        should = [compile_filter(q, id_col) for q in (body.get("should") or [])]
+            clauses.append(~compile_filter(q, id_col, resolve))
+        should = [compile_filter(q, id_col, resolve) for q in (body.get("should") or [])]
         if should:
             msm = body.get("minimum_should_match")
             if msm is None:
