@@ -558,6 +558,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_scripted_metric"] = agg_scripted_metric_q
 
+    def _multi_term(kind: str, pattern: str, **kw):
+        def fn(s: SparkSession, d: str) -> DataFrame:
+            from elasticsearch_spark.search.executor import multi_term_topk
+
+            idx = _doc_index(s, d)
+            out = multi_term_topk(idx, "text", kind, pattern, k=10, **kw)
+            return out.select("doc_id", "score")
+        return fn
+
+    q["prefix_match_indexed"] = _multi_term("prefix", "tab")
+    q["wildcard_match_indexed"] = _multi_term("wildcard", "s?an")
+    q["fuzzy_match_indexed"] = _multi_term("fuzzy", "tabel")
+
+    def intervals_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import intervals_match
+
+        idx = _doc_index(s, d)
+        out = intervals_match(
+            idx, "text", ["key", "order"], max_gaps=2, ordered=True, k=10
+        )
+        return out.select("doc_id", "score")
+
+    q["intervals_ordered"] = intervals_q
+
+    def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import (
+            feature_topk, rank_feature_score,
+        )
+
+        docs = _t(s, d, "documents")
+        out = feature_topk(
+            docs, rank_feature_score("n_chars", saturation_pivot=200.0), k=10
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["rank_feature"] = rank_feature_q
+
+    def distance_feature_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import (
+            distance_feature_score, feature_topk,
+        )
+
+        docs = _t(s, d, "documents")
+        out = feature_topk(
+            docs, distance_feature_score("n_chars", origin=300, pivot=50), k=10
+        )
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["distance_feature"] = distance_feature_q
+
+    def completion_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import completion_suggest
+
+        idx = _doc_index(s, d)
+        return completion_suggest(idx, "text", "s", size=5)
+
+    q["completion_suggest"] = completion_q
+
     def nested_filter_q(s: SparkSession, d: str) -> DataFrame:
         orders = _t(s, d, "orders")
         items = (
@@ -920,6 +978,61 @@ FROM orders GROUP BY 1
     o["agg_scripted_metric"] = """
 SELECT l_returnflag, round(sum(l_quantity * l_quantity), 4) AS ss
 FROM lineitem GROUP BY 1
+"""
+
+    def _multi_term_oracle(term_pred: str) -> str:
+        return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+cand AS (SELECT term FROM tdf WHERE {term_pred}
+         ORDER BY df DESC, term ASC LIMIT 50)
+SELECT DISTINCT doc_id, 1.0 AS score
+FROM tok JOIN cand USING (term)
+ORDER BY doc_id ASC LIMIT 10
+"""
+
+    o["prefix_match_indexed"] = _multi_term_oracle("term LIKE 'tab%'")
+    o["wildcard_match_indexed"] = _multi_term_oracle(
+        "regexp_matches(term, '^s.an$')"
+    )
+    o["fuzzy_match_indexed"] = _multi_term_oracle(
+        "substr(term,1,1) = 't' AND abs(length(term) - 5) <= 2 "
+        "AND levenshtein(term, 'tabel') <= 2"
+    )
+    o["intervals_ordered"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(ts)), i -> ts[i] = 'key') AS p1,
+         list_filter(generate_series(1, len(ts)), i -> ts[i] = 'order') AS p2
+  FROM tok)
+SELECT doc_id, 1.0 AS score FROM pos
+WHERE len(list_filter(p1,
+        a -> len(list_filter(p2, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+ORDER BY doc_id ASC LIMIT 10
+"""
+    o["rank_feature"] = """
+SELECT doc_id, round(n_chars * 1.0 / (n_chars + 200.0), 6) AS score
+FROM documents
+ORDER BY n_chars * 1.0 / (n_chars + 200.0) DESC, doc_id ASC LIMIT 10
+"""
+    o["distance_feature"] = """
+SELECT doc_id, round(50.0 / (50.0 + abs(n_chars - 300)), 6) AS score
+FROM documents
+ORDER BY 50.0 / (50.0 + abs(n_chars - 300)) DESC, doc_id ASC LIMIT 10
+"""
+    o["completion_suggest"] = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT term, count(*) AS df FROM tok
+WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
 """
 
     o["nested_filter"] = """

@@ -153,6 +153,36 @@ class InvertedIndex:
         }
         return self._coll_cache
 
+    _term_cache: dict | None = None
+    _term_cache_state: str = "unchecked"  # unchecked | cached | too_big
+
+    def term_stats(self, field: str, terms: list[str]) -> list:
+        """TermStatistics lookup for a query's terms. For term dicts
+        that fit the driver (<= ~2M entries) the whole dictionary is
+        collected ONCE per handle (the coordinator-side stats cache —
+        saves one Spark job per query); larger dictionaries fall back
+        to a pushed-down filter + collect."""
+        if self._term_cache_state == "unchecked":
+            if self.term_dict.count() <= 2_000_000:
+                self._term_cache = {
+                    (r["field"], r["term"]): r for r in self.term_dict.collect()
+                }
+                self._term_cache_state = "cached"
+            else:
+                self._term_cache_state = "too_big"
+        if self._term_cache_state == "cached":
+            rows = [
+                self._term_cache[(field, t)]
+                for t in terms
+                if (field, t) in self._term_cache
+            ]
+            return rows
+        return (
+            self.term_dict.filter(
+                (F.col("field") == field) & F.col("term").isin(terms)
+            ).collect()
+        )
+
     def manifests(self) -> list[dict]:
         ckpt_dir = os.path.join(self.path, "checkpoints")
         out = []

@@ -65,12 +65,7 @@ def _lookup_terms(
     n_docs, avgdl = coll["n_docs"], coll["avgdl"]
     seen: set[str] = set()
     terms = [t for t in terms if not (t in seen or seen.add(t))]
-    rows = (
-        index.term_dict.filter(
-            (F.col("field") == field) & F.col("term").isin(terms)
-        )
-        .collect()
-    )
+    rows = index.term_stats(field, terms)
     by_term = {r["term"]: r for r in rows}
     out = []
     for t in terms:
@@ -386,6 +381,199 @@ def decoded_postings(
     if with_positions:
         schema += ", positions array<long>"
     return blocks.mapInPandas(decode, schema=schema)
+
+
+def intervals_match(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    max_gaps: int = 0,
+    ordered: bool = True,
+    k: int | None = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """intervals query (IntervalQueryBuilder.java:155) in filter
+    context: docs where the terms occur as an interval — ordered (or
+    any order) with at most ``max_gaps`` non-matching positions inside
+    the span. Constant-score (boost), tie-break doc_id asc.
+
+    Greedy per-doc check over decoded position lists (numpy), same
+    partition-local plan as phrase_topk."""
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    uniq = list(dict.fromkeys(terms))
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(uniq)
+    ).select("part_id", "term", "n", "doc_ids", "positions")
+    m = len(terms)
+
+    def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
+            {"doc_id": "int64", "score": "float64", "matched": "int32"}
+        )
+        per_term: dict[str, dict[int, np.ndarray]] = {}
+        for term, g in pdf.groupby("term", sort=False):
+            docs: dict[int, np.ndarray] = {}
+            for row in g.itertuples(index=False):
+                d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                plists = codec.decode_positions(bytes(row.positions), int(row.n))
+                for doc, pos in zip(d, plists):
+                    docs[int(doc)] = pos
+            per_term[term] = docs
+        if any(t not in per_term for t in terms):
+            return empty
+        cand = set(per_term[terms[0]])
+        for t in terms[1:]:
+            cand &= set(per_term[t])
+        hits = []
+        for doc in cand:
+            pls = [per_term[t][doc] for t in terms]
+            if ordered:
+                # greedy: earliest admissible position per step
+                ok = False
+                for start in pls[0]:
+                    prev = start
+                    good = True
+                    for pl in pls[1:]:
+                        nxt = pl[pl > prev]
+                        if nxt.size == 0:
+                            good = False
+                            break
+                        prev = int(nxt[0])
+                    if good and (prev - start) - (m - 1) <= max_gaps:
+                        ok = True
+                        break
+                if ok:
+                    hits.append(doc)
+            else:
+                # any-order window: min span containing one of each.
+                # O(prod tf) — fine for few query terms; swap for the
+                # k-way sliding-window algorithm if m grows.
+                lo_span = None
+                import itertools
+
+                for combo in itertools.product(*[pl.tolist() for pl in pls]):
+                    span = max(combo) - min(combo)
+                    lo_span = span if lo_span is None else min(lo_span, span)
+                if lo_span is not None and lo_span - (m - 1) <= max_gaps:
+                    hits.append(doc)
+        if not hits:
+            return empty
+        ids = np.sort(np.array(hits, dtype=np.int64))
+        if k is not None and ids.size > k:
+            ids = ids[:k]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "score": np.full(ids.size, float(boost)),
+            "matched": np.full(ids.size, m, dtype=np.int32),
+        })
+
+    local = blocks.groupBy("part_id").applyInPandas(check_group, schema=TOPK_SCHEMA)
+    if k is None:
+        return local
+    return local.orderBy(F.asc("doc_id")).limit(k)
+
+
+def expand_terms(
+    index: InvertedIndex,
+    field: str,
+    kind: str,
+    pattern: str,
+    fuzziness: int = 2,
+    max_expansions: int = 50,
+) -> list[str]:
+    """Multi-term query rewrite: scan the term dictionary for matching
+    terms (reference: PrefixQueryBuilder/WildcardQueryBuilder/
+    RegexpQueryBuilder/FuzzyQueryBuilder -> Lucene automaton scans over
+    the terms dict). Returns up to max_expansions terms by df desc
+    (ES's top_terms rewrite ordering), term asc on ties."""
+    import re as _re
+
+    td = index.term_dict.filter(F.col("field") == field)
+    if kind == "prefix":
+        cond = F.col("term").startswith(pattern)
+    elif kind == "wildcard":
+        regex = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        ) + "$"
+        cond = F.col("term").rlike(regex)
+    elif kind == "regexp":
+        cond = F.col("term").rlike(f"^(?:{pattern})$")
+    elif kind == "fuzzy":
+        cond = (
+            F.col("term").startswith(pattern[:1])
+            & (F.abs(F.length("term") - len(pattern)) <= fuzziness)
+            & (F.levenshtein(F.col("term"), F.lit(pattern)) <= fuzziness)
+        )
+    else:
+        raise ValueError(kind)
+    rows = (
+        td.filter(cond)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def multi_term_topk(
+    index: InvertedIndex,
+    field: str,
+    kind: str,
+    pattern: str,
+    k: int | None = 10,
+    boost: float = 1.0,
+    fuzziness: int = 2,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """prefix/wildcard/regexp/fuzzy query over the INDEXED field with
+    the reference's default CONSTANT_SCORE rewrite: every doc containing
+    any expanded term scores ``boost`` (MultiTermQuery rewrite method;
+    tie-break doc_id asc)."""
+    spark = index.spark
+    terms = expand_terms(index, field, kind, pattern, fuzziness, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(terms)
+    ).select("part_id", "term", "n", "doc_ids", "tfs", "dls")
+
+    def collect_docs(batches):
+        for pdf in batches:
+            ids = [
+                codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                for row in pdf.itertuples(index=False)
+            ]
+            if ids:
+                yield pd.DataFrame({"doc_id": np.unique(np.concatenate(ids))})
+
+    docs = blocks.mapInPandas(collect_docs, schema="doc_id long").distinct()
+    out = docs.select(
+        "doc_id",
+        F.lit(float(boost)).alias("score"),
+        F.lit(1).alias("matched"),
+    )
+    if k is None:
+        return out
+    return out.orderBy(F.asc("doc_id")).limit(k)
+
+
+def completion_suggest(
+    index: InvertedIndex, field: str, prefix: str, size: int = 5
+) -> DataFrame:
+    """completion-suggester analogue (CompletionSuggester.java / FST
+    prefix autocomplete): most frequent terms with the given prefix —
+    the term-sorted dictionary plays the FST's role."""
+    return (
+        index.term_dict.filter(
+            (F.col("field") == field) & F.col("term").startswith(prefix)
+        )
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(size)
+    )
 
 
 def fetch(topk: DataFrame, docs: DataFrame, on: str = "doc_id") -> DataFrame:

@@ -274,6 +274,65 @@ def explain_scores(
     )
 
 
+def rank_feature_score(field: str, *, saturation_pivot: float | None = None,
+                        log_scaling_factor: float | None = None,
+                        sigmoid: tuple[float, float] | None = None,
+                        boost: float = 1.0):
+    """rank_feature query scoring column (mapper-extras rank_feature):
+    saturation x/(x+pivot) (default), log ln(scaling_factor + x), or
+    sigmoid x^exp/(x^exp + pivot^exp)."""
+    col = F.col(field).cast("double")
+    if log_scaling_factor is not None:
+        return F.lit(boost) * F.log(F.lit(log_scaling_factor) + col)
+    if sigmoid is not None:
+        pivot, exp = sigmoid
+        xe = F.pow(col, F.lit(exp))
+        return F.lit(boost) * xe / (xe + F.lit(pivot ** exp))
+    pivot = saturation_pivot if saturation_pivot is not None else 1.0
+    return F.lit(boost) * col / (col + F.lit(pivot))
+
+
+def distance_feature_score(field: str, origin: float, pivot: float,
+                            boost: float = 1.0):
+    """distance_feature query (DistanceFeatureQueryBuilder, reg.
+    SearchModule.java:820): boost * pivot / (pivot + |value - origin|)."""
+    dist = F.abs(F.col(field).cast("double") - F.lit(float(origin)))
+    return F.lit(boost) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+
+
+def feature_topk(docs: DataFrame, score_col, k: int = 10,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Top-k docs by a feature-scoring column (rank_feature /
+    distance_feature in isolation, or added to a bool's should sum)."""
+    return (
+        docs.withColumn("score", score_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def index_stats(index) -> dict:
+    """_stats/_segments-style index statistics from checkpoint manifests
+    + block metadata (no posting decode)."""
+    manifests = index.manifests()
+    parts = [m for m in manifests if "partition_id" in m]
+    seg_counts = (
+        index.postings.filter(F.col("term").isNull())
+        .groupBy("part_id")
+        .count()
+        .collect()
+    )
+    coll = index.collection_stats()
+    return {
+        "partitions": len(parts),
+        "docs": sum(m.get("num_docs", 0) for m in parts),
+        "terms": sum(m.get("num_terms", 0) for m in parts),
+        "postings": sum(m.get("num_postings", 0) for m in parts),
+        "segments_per_partition": {int(r["part_id"]): r["count"] for r in seg_counts},
+        "fields": coll,
+    }
+
+
 def significant_text(
     docs: DataFrame,
     fg_filter,
