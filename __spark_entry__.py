@@ -64,7 +64,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             input_snapshot=key,
             store_doc_lengths=True,
         )
-    _INDEX_CACHE[key] = load_index(spark, path)
+    _INDEX_CACHE[key] = load_index(spark, path).cache()
     return _INDEX_CACHE[key]
 
 
@@ -449,6 +449,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_pipeline_cum_deriv"] = agg_pipeline
+
+    def agg_bucket_pipeline_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import (
+            bucket_script, bucket_selector, bucket_sort,
+        )
+
+        buckets = aggregate(
+            _t(s, d, "lineitem"),
+            {"t": {"terms": {"field": "l_returnflag", "key_name": "l_returnflag"},
+                    "aggs": {"qty": {"sum": {"field": "l_quantity"}},
+                              "rev": {"sum": {"field": "l_extendedprice"}}}}},
+        )
+        out = bucket_sort(
+            bucket_selector(
+                bucket_script(buckets, "rev / qty", "price_per_unit"),
+                "doc_count > 100",
+            ),
+            [("price_per_unit", "desc"), ("l_returnflag", "asc")],
+        )
+        return out.select(
+            "l_returnflag", "doc_count",
+            F.round("price_per_unit", 6).alias("price_per_unit"),
+        )
+
+    q["agg_bucket_pipeline"] = agg_bucket_pipeline_q
+
+    def agg_percentile_ranks_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import percentile_ranks
+
+        out = percentile_ranks(
+            _t(s, d, "lineitem"), "l_extendedprice", [10000, 50000]
+        )
+        return out.select(
+            F.round("rank_10000", 6).alias("rank_10000"),
+            F.round("rank_50000", 6).alias("rank_50000"),
+        )
+
+    q["agg_percentile_ranks"] = agg_percentile_ranks_q
 
     q["agg_rare_terms"] = lambda s, d: aggregate(
         _t(s, d, "lineitem"),
@@ -1144,6 +1182,22 @@ SELECT key, doc_count, round(rev, 4) AS rev,
        round(sum(rev) OVER (ORDER BY key), 4) AS cum,
        round(rev - lag(rev) OVER (ORDER BY key), 4) AS deriv
 FROM b
+"""
+    o["agg_bucket_pipeline"] = """
+WITH b AS (
+  SELECT l_returnflag, count(*) AS doc_count,
+         sum(l_quantity) AS qty, sum(l_extendedprice) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, doc_count, round(rev / qty, 6) AS price_per_unit
+FROM b WHERE doc_count > 100
+ORDER BY rev / qty DESC, l_returnflag ASC
+"""
+    o["agg_percentile_ranks"] = """
+SELECT round(avg(CASE WHEN l_extendedprice <= 10000 THEN 1.0 ELSE 0.0 END) * 100, 6)
+         AS rank_10000,
+       round(avg(CASE WHEN l_extendedprice <= 50000 THEN 1.0 ELSE 0.0 END) * 100, 6)
+         AS rank_50000
+FROM lineitem
 """
     o["agg_rare_terms"] = """
 SELECT l_orderkey, count(*) AS doc_count FROM lineitem

@@ -455,6 +455,42 @@ def auto_date_histogram(
     )
 
 
+def bucket_script(buckets: DataFrame, expr: str, out_name: str) -> DataFrame:
+    """bucket_script pipeline agg: arithmetic over sibling metrics."""
+    return buckets.withColumn(out_name, F.expr(expr))
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """bucket_selector: drop buckets failing the predicate."""
+    return buckets.filter(F.expr(predicate))
+
+
+def bucket_sort(
+    buckets: DataFrame, sort: list[tuple[str, str]],
+    from_: int = 0, size: int | None = None,
+) -> DataFrame:
+    """bucket_sort: order/truncate the bucket list."""
+    cols = [F.desc(c) if d == "desc" else F.asc(c) for c, d in sort]
+    out = buckets.orderBy(*cols)
+    if from_ > 0:
+        out = out.offset(from_)
+    if size is not None:
+        out = out.limit(size)
+    return out
+
+
+def percentile_ranks(df: DataFrame, field: str, values: list[float]) -> DataFrame:
+    """percentile_ranks agg: for each value, the fraction of docs with
+    field <= value (as a percentage, like the reference)."""
+    aggs = [
+        (F.avg((F.col(field) <= F.lit(v)).cast("double")) * 100).alias(
+            f"rank_{str(v).replace('.', '_')}"
+        )
+        for v in values
+    ]
+    return df.agg(*aggs)
+
+
 def bucket_stats(buckets: DataFrame, metric: str) -> DataFrame:
     """stats_bucket / max_bucket / min_bucket / avg_bucket / sum_bucket:
     one global agg over the bucket frame."""

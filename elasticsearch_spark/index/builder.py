@@ -86,6 +86,12 @@ def _vb_small(vals: list[int]) -> bytes:
     For 1-5 values this beats numpy-call overhead by ~10x, and VByte is
     value-independent, so per-posting encodings concatenate into exactly
     the stream codec.encode_positions/decode_positions use."""
+    for v in vals:
+        if v >= 0x80:
+            break
+    else:
+        # all single-byte (the common case: tfs and position deltas)
+        return bytes(vals)
     out = bytearray()
     for v in vals:
         while v >= 0x80:
@@ -108,9 +114,24 @@ class InvertedIndex:
     path: str
     spark: SparkSession
 
+    _postings_df: DataFrame | None = None
+
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        # one DataFrame per handle: Catalyst caches the file listing in
+        # the plan, so repeated queries skip re-listing the partition
+        # directories (refresh by creating a new handle / load_index)
+        if self._postings_df is None:
+            self._postings_df = self.spark.read.parquet(
+                os.path.join(self.path, "postings")
+            )
+        return self._postings_df
+
+    def cache(self) -> "InvertedIndex":
+        """Pin the posting blocks in executor memory (the reference's
+        filesystem-cache-warm analogue for hot indexes)."""
+        self.postings.persist()
+        return self
 
     @property
     def doc_lengths(self) -> DataFrame:
@@ -320,14 +341,52 @@ def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
     dl_rep = dl_rep[order]
     tf_flat = tf_flat[order]
     pos_flat = pos_flat[order]
-    bounds = np.flatnonzero(np.diff(codes)) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [codes.size]))
-    for s, e in zip(starts, ends):
-        _emit_term_blocks(
-            out, part_id, field, uniques[codes[s]],
-            doc_rep[s:e], tf_flat[s:e], dl_rep[s:e], pos_flat[s:e],
-        )
+    n = codes.size
+    # term runs -> block boundaries (every BLOCK_SIZE within a run);
+    # a block's candidate "next start" at a run edge IS the next run's
+    # start, so block_ends never cross term boundaries
+    run_bounds = np.flatnonzero(np.diff(codes)) + 1
+    run_starts = np.concatenate(([0], run_bounds))
+    run_ends = np.concatenate((run_bounds, [n]))
+    run_lens = run_ends - run_starts
+    off_in_run = np.arange(n) - np.repeat(run_starts, run_lens)
+    block_starts = np.flatnonzero(off_in_run % codec.BLOCK_SIZE == 0)
+    block_ends = np.concatenate((block_starts[1:], [n]))
+    block_ids = off_in_run[block_starts] // codec.BLOCK_SIZE
+
+    # doc-id deltas with an ABSOLUTE value at every block start (each
+    # block decodes independently), then ONE VByte pass per stream
+    deltas = np.empty_like(doc_rep)
+    deltas[0] = doc_rep[0]
+    np.subtract(doc_rep[1:], doc_rep[:-1], out=deltas[1:])
+    deltas[block_starts] = doc_rep[block_starts]
+    enc_d, off_d = codec.vbyte_encode_with_offsets(deltas)
+    enc_t, off_t = codec.vbyte_encode_with_offsets(tf_flat)
+    enc_l, off_l = codec.vbyte_encode_with_offsets(dl_rep)
+
+    max_tf = np.maximum.reduceat(tf_flat, block_starts)
+    min_dl = np.minimum.reduceat(dl_rep, block_starts)
+    sum_tf = np.add.reduceat(tf_flat, block_starts)
+    pos_list = pos_flat.tolist()
+
+    block_terms = uniques[codes[block_starts]]
+    for i in range(block_starts.size):
+        lo = int(block_starts[i])
+        hi = int(block_ends[i])
+        out["part_id"].append(part_id)
+        out["field"].append(field)
+        out["term"].append(block_terms[i])
+        out["block_id"].append(int(block_ids[i]))
+        out["n"].append(hi - lo)
+        out["doc_ids"].append(enc_d[off_d[lo]:off_d[hi]])
+        out["tfs"].append(enc_t[off_t[lo]:off_t[hi]])
+        out["dls"].append(enc_l[off_l[lo]:off_l[hi]])
+        out["positions"].append(b"".join(pos_list[lo:hi]))
+        out["max_tf"].append(int(max_tf[i]))
+        out["min_dl"].append(int(min_dl[i]))
+        out["sum_tf"].append(int(sum_tf[i]))
+        out["first_doc"].append(int(doc_rep[lo]))
+        out["last_doc"].append(int(doc_rep[hi - 1]))
     return pd.DataFrame(out)
 
 

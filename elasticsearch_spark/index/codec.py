@@ -46,6 +46,35 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """VByte-encode an array and return (buffer, start_offsets) where
+    start_offsets has len(values)+1 entries; the encoding of value i is
+    buffer[start_offsets[i]:start_offsets[i+1]]. Because VByte is
+    per-value, any contiguous slice of values maps to a contiguous byte
+    slice — one encode pass serves every posting block of a group."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        bits[nz] += 1
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    nbytes = np.maximum(bits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    max_w = int(nbytes.max())
+    for j in range(max_w):
+        mask = nbytes > j
+        idx = offsets[:-1][mask] + j
+        group = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > j
+        out[idx] = group.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), offsets
+
+
 def vbyte_decode(buf: bytes) -> np.ndarray:
     """Decode a VByte buffer to an int64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)
