@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--snapshot", default="")
+    ap.add_argument("--verify-sha256", action="store_true",
+                    help="enforce the per-row invariant: a `sha256` "
+                         "column must equal sha2(<first field col>, 256) "
+                         "for EVERY row; the job aborts on any mismatch")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,6 +44,21 @@ def main() -> None:
 
     fields = dict(kv.split("=", 1) for kv in args.fields.split(","))
     docs = spark.read.parquet(args.input)
+    sha_checked = None
+    if args.verify_sha256:
+        from pyspark.sql import functions as F
+
+        content_col = next(iter(fields))
+        if "sha256" not in docs.columns:
+            raise SystemExit("--verify-sha256: input has no `sha256` column")
+        mismatches = docs.filter(
+            F.sha2(F.col(content_col), 256) != F.col("sha256")
+        ).count()
+        if mismatches:
+            raise SystemExit(
+                f"sha256 invariant violated on {mismatches} rows — aborting"
+            )
+        sha_checked = True
     t0 = time.time()
     idx = build_index(
         docs,
@@ -59,6 +78,7 @@ def main() -> None:
         "partitions": len(manifests),
         "docs": total_docs,
         "docs_per_sec": round(total_docs / wall, 1) if wall else None,
+        "sha256_verified": sha_checked,
     }))
     sys.stdout.flush()
 

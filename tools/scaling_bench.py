@@ -32,13 +32,17 @@ n_docs = int(sys.argv[2])
 # IDENTICAL plan shape at both core counts (same shuffle partitions,
 # same index shard count, same input split count) — only the executor
 # thread count varies, i.e. the same job on an N- vs 4N-core cluster.
-spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=64)
-corpus = generate_corpus(spark, n_docs, seed=42, partitions=64).cache()
+# Shard count follows the ES sizing rule (a shard's postings fit one
+# task comfortably): ~8k docs/shard keeps the encode stage's working
+# set bounded even when every core runs a group concurrently.
+shards = max(32, n_docs // 8000)
+spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=2 * shards)
+corpus = generate_corpus(spark, n_docs, seed=42, partitions=2 * shards).cache()
 corpus.count()
 out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
 t0 = time.time()
 idx = build_index(corpus, out, fields={{"content": "code"}},
-                  num_partitions=32, id_cols=["repo", "path", "commit"],
+                  num_partitions=shards, id_cols=["repo", "path", "commit"],
                   input_snapshot="scaling")
 build_sec = time.time() - t0
 
