@@ -174,6 +174,45 @@ def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             p.get("target_field", p["field"]),
             F.regexp_replace(F.col(p["field"]), "<[^>]*>", ""),
         )
+    if kind == "foreach":
+        # apply a simple sub-processor to every array element
+        sub_kind, sub = next(iter(p["processor"].items()))
+        fn = {
+            "lowercase": F.lower, "uppercase": F.upper, "trim": F.trim,
+        }[sub_kind]
+        return df.withColumn(
+            p["field"], F.transform(F.col(p["field"]), lambda x: fn(x))
+        )
+    if kind == "urldecode":
+        return df.withColumn(
+            p.get("target_field", p["field"]),
+            F.url_decode(F.col(p["field"])),
+        )
+    if kind == "bytes":
+        # "1kb"/"2mb"/"3gb"/plain -> bytes (ES bytes processor)
+        c = F.lower(F.trim(F.col(p["field"])))
+        num = F.regexp_extract(c, r"^([0-9.]+)", 1).cast("double")
+        unit = F.regexp_extract(c, r"([kmgt]?b)$", 1)
+        mult = (
+            F.when(unit == "kb", 1024.0)
+            .when(unit == "mb", 1024.0 ** 2)
+            .when(unit == "gb", 1024.0 ** 3)
+            .when(unit == "tb", 1024.0 ** 4)
+            .otherwise(1.0)
+        )
+        return df.withColumn(
+            p.get("target_field", p["field"]), (num * mult).cast("long")
+        )
+    if kind == "drop":
+        # drop documents matching the condition (a SQL expression)
+        return df.filter(~F.expr(p["if"]))
+    if kind == "dot_expander":
+        # promote a literal dotted column name into a struct
+        field = p["field"]
+        parent, _, child = field.partition(".")
+        return df.withColumn(
+            parent, F.struct(F.col(f"`{field}`").alias(child))
+        ).drop(field)
     raise ValueError(f"unsupported processor: {kind}")
 
 

@@ -115,3 +115,30 @@ def test_evaluate_means():
     assert out["q1"]["precision"] == 0.5
     assert out["q2"]["recall"] == 0.0
     assert math.isclose(out["_mean"]["mrr"], 0.5)
+
+
+def test_foreach_urldecode_bytes_drop(spark):
+    df = spark.createDataFrame(
+        [(["A", " b "], "a%20b%2Fc", "2kb", 1), (["C"], "x", "3mb", 2)],
+        "tags array<string>, url string, sz string, id int",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"foreach": {"field": "tags", "processor": {"lowercase": {}}}},
+            {"urldecode": {"field": "url", "target_field": "decoded"}},
+            {"bytes": {"field": "sz", "target_field": "nbytes"}},
+            {"drop": {"if": "id = 2"}},
+        ],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["tags"] == ["a", " b "]
+    assert r["decoded"] == "a b/c"
+    assert r["nbytes"] == 2048
+
+
+def test_dot_expander(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "a.b"])
+    out = apply_pipeline(df, [{"dot_expander": {"field": "a.b"}}]).collect()[0]
+    assert out["a"]["b"] == "x"
