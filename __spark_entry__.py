@@ -654,6 +654,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["completion_suggest"] = completion_q
 
+    def has_child_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.joins import has_child
+
+        out = has_child(
+            _t(s, d, "orders"), _t(s, d, "lineitem"),
+            "o_orderkey", "l_orderkey",
+            {"range": {"l_quantity": {"gte": 45}}},
+            score_mode="sum",
+            child_score=F.col("l_quantity"),
+            min_children=2,
+        )
+        return out.select(
+            "o_orderkey", F.round("score", 4).alias("score")
+        )
+
+    q["has_child"] = has_child_q
+
+    def has_parent_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.joins import has_parent
+
+        out = has_parent(
+            _t(s, d, "orders"), _t(s, d, "lineitem"),
+            "o_orderkey", "l_orderkey",
+            {"term": {"o_orderpriority": "1-URGENT"}},
+            score=True,
+            parent_score=F.col("o_totalprice"),
+        )
+        return out.select(
+            "l_orderkey", "l_linenumber", F.round("score", 4).alias("score")
+        )
+
+    q["has_parent"] = has_parent_q
+
+    def parent_id_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.joins import parent_id
+
+        return parent_id(_t(s, d, "lineitem"), "l_orderkey", 7).select(
+            "l_orderkey", "l_linenumber"
+        )
+
+    q["parent_id"] = parent_id_q
+
     def nested_filter_q(s: SparkSession, d: str) -> DataFrame:
         orders = _t(s, d, "orders")
         items = (
@@ -1071,6 +1113,22 @@ WITH tok AS (
 SELECT term, count(*) AS df FROM tok
 WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
+"""
+
+    o["has_child"] = """
+SELECT o.o_orderkey, round(c.score, 4) AS score
+FROM orders o JOIN (
+  SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS score
+  FROM lineitem WHERE l_quantity >= 45 GROUP BY 1 HAVING count(*) >= 2
+) c ON c.l_orderkey = o.o_orderkey
+"""
+    o["has_parent"] = """
+SELECT l.l_orderkey, l.l_linenumber, round(o.o_totalprice, 4) AS score
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+    o["parent_id"] = """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey = 7
 """
 
     o["nested_filter"] = """

@@ -250,3 +250,34 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
     assert [r["doc_id"] for r in got] == [w[0] for w in want]
     for r, w in zip(got, want):
         assert math.isclose(r["score"], w[1], rel_tol=1e-9)
+
+
+def test_parent_join_family(spark, duck):
+    from elasticsearch_spark.search.joins import has_child, has_parent, parent_id
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    hc = has_child(
+        orders, li, "o_orderkey", "l_orderkey",
+        {"range": {"l_quantity": {"gte": 45}}},
+        score_mode="max", child_score=F.col("l_quantity"), min_children=1,
+    )
+    got = {(r["o_orderkey"], r["score"]) for r in hc.select("o_orderkey", "score").collect()}
+    want = set(duck.execute("""
+        SELECT o_orderkey, max(l_quantity) FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l_quantity >= 45 GROUP BY 1
+    """).fetchall())
+    assert got == want
+
+    hp = has_parent(
+        orders, li, "o_orderkey", "l_orderkey",
+        {"term": {"o_orderstatus": "F"}},
+    )
+    assert hp.count() == duck.execute("""
+        SELECT count(*) FROM lineitem l JOIN orders o
+        ON o.o_orderkey = l.l_orderkey WHERE o.o_orderstatus = 'F'
+    """).fetchone()[0]
+    some_key = li.select("l_orderkey").first()[0]
+    pid = parent_id(li, "l_orderkey", some_key)
+    assert pid.count() == li.filter(F.col("l_orderkey") == some_key).count()
