@@ -65,14 +65,22 @@ def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Distinct word k-shingles per doc: (id_col, shingle). Tokenization
-    is the SQL-twin-able lower + [a-z0-9_]+ split (ascii_word)."""
-    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    is the SQL-twin-able lower + [a-z0-9_]+ split (ascii_word).
+
+    The token array is materialized in its own projection FIRST —
+    inlining it into the per-position lambda would re-run the regex
+    O(tokens) times per doc (no CSE inside higher-order functions)."""
+    toks_df = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias("_ts"),
+    )
+    ts = F.col("_ts")
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        F.sequence(F.lit(0), F.greatest(F.size(ts) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(ts, i + 1, k), " "),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        toks_df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 
