@@ -120,6 +120,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_phrase"] = match_phrase
 
+    def match_phrase_prefix(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import phrase_prefix_topk
+
+        idx = _doc_index(s, d)
+        out = phrase_prefix_topk(idx, "text", ["key", "ord"], k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_phrase_prefix"] = match_phrase_prefix
+
+    def significant_terms_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import significant_terms
+
+        docs = _t(s, d, "documents")
+        out = significant_terms(
+            docs, "lang", F.col("n_chars") >= 300, size=10, min_doc_count=3
+        )
+        return out.select(
+            "term", "fg_count", "bg_count", F.round("jlh", 6).alias("jlh")
+        )
+
+    q["significant_terms"] = significant_terms_q
+
     # --- scored query + filter context combined (bool) ---
     def bool_match_filter(s: SparkSession, d: str) -> DataFrame:
         idx = _doc_index(s, d)
@@ -823,6 +845,28 @@ def oracle_sql() -> dict[str, str]:
     o["match_zero_hits"] = _bm25_oracle("zzznoterm qqqmissing")
     o["match_k50"] = _bm25_oracle("stream batch", k=50)
     o["match_phrase"] = phrase_topk_sql(["key", "order"], k=10)
+    # 'ord' expands only to 'order' in this corpus, so the completed
+    # phrase oracle is exact (verified: SELECT DISTINCT term LIKE 'ord%')
+    o["match_phrase_prefix"] = phrase_topk_sql(["key", "order"], k=10)
+    o["significant_terms"] = """
+WITH tot AS (
+  SELECT count(*) * 1.0 AS n_all,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0 AS n_fg
+  FROM documents),
+c AS (
+  SELECT lang AS term,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS fg_count,
+         count(*) AS bg_count
+  FROM documents GROUP BY lang)
+SELECT term, fg_count, bg_count,
+       round((fg_count / tot.n_fg - bg_count / tot.n_all)
+             * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)), 6) AS jlh
+FROM c, tot
+WHERE fg_count >= 3
+  AND (fg_count / tot.n_fg - bg_count / tot.n_all)
+      * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)) > 0
+ORDER BY jlh DESC, term ASC LIMIT 10
+"""
 
     o["bool_match_filter"] = f"""
 WITH cand AS ({bm25_topk_sql([t for t, _ in analyze('query data', 'ascii_word')], k=1000000)})

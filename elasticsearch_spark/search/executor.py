@@ -383,6 +383,42 @@ def decoded_postings(
     return blocks.mapInPandas(decode, schema=schema)
 
 
+def phrase_prefix_topk(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    k: int | None = 10,
+    max_expansions: int = 50,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """match_phrase_prefix (MatchQueryParser.java:251): the LAST term is
+    a prefix, expanded against the term dictionary (like the reference's
+    MultiPhrasePrefixQuery, capped at max_expansions); a doc matches if
+    the phrase completes with ANY expansion, scored as the best-scoring
+    completed phrase."""
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    expansions = expand_terms(
+        index, field, "prefix", terms[-1], max_expansions=max_expansions
+    )
+    if not expansions:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    parts = [
+        phrase_topk(index, field, [*terms[:-1], e], k=None, params=params)
+        for e in expansions
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    best = u.groupBy("doc_id").agg(
+        F.max("score").alias("score"), F.max("matched").alias("matched")
+    )
+    if k is None:
+        return best
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def intervals_match(
     index: InvertedIndex,
     field: str,

@@ -333,6 +333,36 @@ def index_stats(index) -> dict:
     }
 
 
+def significant_terms(
+    df: DataFrame,
+    field: str,
+    fg_filter,
+    size: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """significant_terms over a keyword field (SearchModule.java:400):
+    values over-represented in the foreground vs the whole table, JLH
+    heuristic — the keyword sibling of significant_text."""
+    totals = df.select(
+        F.count("*").alias("n_all"),
+        F.sum(fg_filter.cast("long")).alias("n_fg"),
+    ).collect()[0]
+    n_all, n_fg = float(totals["n_all"]), float(totals["n_fg"])
+    counts = df.groupBy(F.col(field).alias("term")).agg(
+        F.sum(fg_filter.cast("long")).alias("fg_count"),
+        F.count("*").alias("bg_count"),
+    )
+    fg_pct = F.col("fg_count") / F.lit(n_fg)
+    bg_pct = F.col("bg_count") / F.lit(n_all)
+    return (
+        counts.filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .filter(F.col("jlh") > 0)
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def significant_text(
     docs: DataFrame,
     fg_filter,

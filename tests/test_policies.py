@@ -78,10 +78,16 @@ def test_term_filter_pushdown(spark, tmp_path):
     assert m and "positions" not in m.group(1), m.group(1)
 
 
-def test_filter_query_pushdown(spark):
+def test_filter_query_pushdown(spark, tmp_path):
+    import shutil
+
     from elasticsearch_spark.search.dsl import filter_query
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # read from a private copy: other tests .cache() the shared path and
+    # the CacheManager would substitute this scan with InMemoryRelation
+    path = str(tmp_path / "documents.parquet")
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", path)
+    docs = spark.read.parquet(path)
     df = filter_query(docs, {"bool": {"filter": [
         {"term": {"lang": "en"}},
         {"range": {"n_chars": {"gte": 100}}},
