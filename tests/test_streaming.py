@@ -105,3 +105,35 @@ def test_refresh_stream_end_to_end(spark, corpus, tmp_path):
     assert hits
     manifests = [m for m in idx.manifests() if "batch_id" in m]
     assert manifests, "expected per-batch refresh manifests"
+
+
+def test_refresh_stream_restart_exactly_once(spark, corpus, tmp_path):
+    """Restarting the stream from its checkpoint must not re-ingest
+    already-processed batches (WAL + idempotent batch ids — the
+    translog-replay analogue)."""
+    src_dir = str(tmp_path / "restart_src")
+    idx_dir = str(tmp_path / "restart_idx")
+    ckpt = str(tmp_path / "restart_ckpt")
+    corpus.limit(60).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir)
+        )
+        q = refresh_stream(stream, idx_dir, {"content": "code"},
+                            num_partitions=4, checkpoint_dir=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    n1 = load_index(spark, idx_dir).collection_stats()["content"]["n_docs"]
+    assert n1 == 60
+    # new data arrives while the stream is DOWN; restart picks up only it
+    corpus.filter((F.col("id") >= 60) & (F.col("id") < 100)).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    run_stream()
+    n2 = load_index(spark, idx_dir).collection_stats()["content"]["n_docs"]
+    assert n2 == 100, f"expected exactly-once total 100, got {n2}"
