@@ -676,6 +676,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["completion_suggest"] = completion_q
 
+    def terms_lookup_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.dsl import terms_lookup
+
+        urgent = filter_query(
+            _t(s, d, "orders"), {"term": {"o_orderpriority": "1-URGENT"}},
+            id_col="o_orderkey",
+        )
+        out = terms_lookup(_t(s, d, "lineitem"), "l_orderkey", urgent, "o_orderkey")
+        return out.select("l_orderkey", "l_linenumber")
+
+    q["terms_lookup"] = terms_lookup_q
+
+    def wrapper_q(s: SparkSession, d: str) -> DataFrame:
+        import base64
+        import json as _json
+
+        inner = {"bool": {"filter": [{"term": {"lang": "en"}},
+                                       {"range": {"n_chars": {"lt": 200}}}]}}
+        b64 = base64.b64encode(_json.dumps(inner).encode()).decode()
+        return filter_query(
+            _t(s, d, "documents"), {"wrapper": {"query": b64}}
+        ).select("doc_id", "lang", "n_chars")
+
+    q["wrapper_query"] = wrapper_q
+
     def has_child_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.joins import has_child
 
@@ -1159,6 +1184,15 @@ WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
 """
 
+    o["terms_lookup"] = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+"""
+    o["wrapper_query"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE lang = 'en' AND n_chars < 200
+"""
     o["has_child"] = """
 SELECT o.o_orderkey, round(c.score, 4) AS score
 FROM orders o JOIN (

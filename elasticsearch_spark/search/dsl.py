@@ -144,6 +144,14 @@ def compile_filter(
         return F.levenshtein(resolve(field), F.lit(value)) <= F.lit(fuzz)
     if kind == "ids":
         return F.col(id_col).isin(list(body["values"]))
+    if kind == "wrapper":
+        # base64-embedded query JSON (WrapperQueryBuilder,
+        # reg. SearchModule.java:801): decode and delegate
+        import base64
+        import json as _json
+
+        decoded = _json.loads(base64.b64decode(body["query"]))
+        return compile_filter(decoded, id_col, resolve)
     if kind == "constant_score":
         return compile_filter(body["filter"], id_col, resolve)
     if kind == "nested":
@@ -194,3 +202,17 @@ def compile_filter(
 def filter_query(df: DataFrame, query: dict[str, Any], id_col: str = "doc_id") -> DataFrame:
     """Apply a filter-context query to a source table."""
     return df.filter(compile_filter(query, id_col))
+
+
+def terms_lookup(
+    df: DataFrame,
+    field: str,
+    lookup: DataFrame,
+    lookup_field: str,
+) -> DataFrame:
+    """terms query with LOOKUP (TermsQueryBuilder.java terms-lookup):
+    keep rows whose ``field`` appears in another table's column — a
+    left-semi join (broadcast when the lookup side is small, Catalyst
+    decides)."""
+    keys = lookup.select(F.col(lookup_field).alias("_lk")).distinct()
+    return df.join(keys, df[field] == keys["_lk"], "left_semi")
