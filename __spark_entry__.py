@@ -676,6 +676,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["completion_suggest"] = completion_q
 
+    def runtime_field_q(s: SparkSession, d: str) -> DataFrame:
+        # runtime field (script-on-read, search/runtime/*): a computed
+        # column defined at query time, filterable and returnable
+        docs = _t(s, d, "documents").withColumn(
+            "tokens_per_char",
+            F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+            / F.col("n_chars"),
+        )
+        return (
+            docs.filter(F.col("tokens_per_char") > 0.18)
+            .select("doc_id", F.round("tokens_per_char", 6).alias("tokens_per_char"))
+        )
+
+    q["runtime_field"] = runtime_field_q
+
     def terms_lookup_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.dsl import terms_lookup
 
@@ -1184,6 +1199,13 @@ WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 5
 """
 
+    o["runtime_field"] = """
+SELECT doc_id,
+       round(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+             * 1.0 / n_chars, 6) AS tokens_per_char
+FROM documents
+WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) * 1.0 / n_chars > 0.18
+"""
     o["terms_lookup"] = """
 SELECT l_orderkey, l_linenumber FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
