@@ -68,7 +68,9 @@ def main() -> None:
     # ---- index-build throughput over the synthetic code corpus ----
     from elasticsearch_spark.corpus import generate_corpus
 
-    n_code = int(os.environ.get("BENCH_CODE_DOCS", "20000"))
+    # large enough that per-job fixed overhead doesn't dominate the
+    # measured docs/sec (the throughput-bound regime)
+    n_code = int(os.environ.get("BENCH_CODE_DOCS", "50000"))
     corpus = generate_corpus(spark, n_code, seed=42).cache()
     corpus.count()  # materialize generation outside the timed window
     code_dir = tempfile.mkdtemp(prefix="bench_code_idx_")
