@@ -120,11 +120,14 @@ class InvertedIndex:
     def postings(self) -> DataFrame:
         # one DataFrame per handle: Catalyst caches the file listing in
         # the plan, so repeated queries skip re-listing the partition
-        # directories (refresh by creating a new handle / load_index)
+        # directories (refresh by creating a new handle / load_index).
+        # Explicit schema: skips footer sampling AND makes an EMPTY
+        # index (0 docs, e.g. a resume filter matching nothing) read as
+        # an empty frame instead of failing schema inference.
         if self._postings_df is None:
-            self._postings_df = self.spark.read.parquet(
-                os.path.join(self.path, "postings")
-            )
+            self._postings_df = self.spark.read.schema(
+                BLOCKS_SCHEMA
+            ).parquet(os.path.join(self.path, "postings"))
         return self._postings_df
 
     def cache(self) -> "InvertedIndex":

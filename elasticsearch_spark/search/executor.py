@@ -61,7 +61,9 @@ def _lookup_terms(
     index: InvertedIndex, field: str, terms: list[str], params: BM25Params
 ) -> tuple[list[TermStats], float, float]:
     """DFS phase: global term + collection statistics (driver-side)."""
-    coll = index.collection_stats()[field]
+    coll = index.collection_stats().get(field)
+    if coll is None or not coll["n_docs"]:
+        return [], 0.0, 1.0  # unknown/empty field -> no matches
     n_docs, avgdl = coll["n_docs"], coll["avgdl"]
     seen: set[str] = set()
     terms = [t for t in terms if not (t in seen or seen.add(t))]

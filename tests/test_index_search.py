@@ -190,3 +190,16 @@ def test_corpus_deterministic(spark):
         "repo", "path", "commit", "content"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_empty_corpus_build_and_query(spark, tmp_path):
+    """Zero-doc builds (e.g. a resume filter matching nothing) must
+    produce a loadable, queryable-empty index, not a schema error."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = build_index(
+        empty, str(tmp_path / "empty_idx"), fields={"text": "ascii_word"},
+        num_partitions=2, input_snapshot="empty",
+    )
+    assert idx.collection_stats() == {}
+    assert match_topk(idx, "text", ["x"], k=5).count() == 0
+    assert match_topk(idx, "unknown_field", ["x"], k=5).count() == 0
