@@ -136,9 +136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = significant_terms(
             docs, "lang", F.col("n_chars") >= 300, size=10, min_doc_count=3
         )
-        return out.select(
-            "term", "fg_count", "bg_count", F.round("jlh", 6).alias("jlh")
-        )
+        # jlh is emitted UNROUNDED: the engine and the DuckDB oracle both
+        # compute it as the identical fixed sequence of IEEE-double ops
+        # (see extras._jlh), so the raw doubles are bit-identical —
+        # rounding (round-1 flake) is what made the hash engine-sensitive.
+        return out.select("term", "fg_count", "bg_count", "jlh")
 
     q["significant_terms"] = significant_terms_q
 
@@ -263,12 +265,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from elasticsearch_spark.search.extras import significant_text
 
         docs = _t(s, d, "documents")
+        # bg counts from the inverted index's term dictionary (df) —
+        # only the foreground slice is tokenized; bg is a metadata read.
         out = significant_text(
-            docs, F.col("lang") == "en", size=10, min_doc_count=3
+            docs, F.col("lang") == "en", size=10, min_doc_count=3,
+            index=_doc_index(s, d),
         )
-        return out.select(
-            "term", "fg_count", "bg_count", F.round("jlh", 6).alias("jlh")
-        )
+        return out.select("term", "fg_count", "bg_count", "jlh")
 
     q["significant_text"] = significant_text_q
 
@@ -899,12 +902,14 @@ c AS (
          count(*) AS bg_count
   FROM documents GROUP BY lang)
 SELECT term, fg_count, bg_count,
-       round((fg_count / tot.n_fg - bg_count / tot.n_all)
-             * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)), 6) AS jlh
+       -- rational JLH form, parenthesized EXACTLY like extras._jlh so
+       -- the IEEE-double result is bit-identical to the Spark side
+       (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
+         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
 FROM c, tot
 WHERE fg_count >= 3
-  AND (fg_count / tot.n_fg - bg_count / tot.n_all)
-      * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)) > 0
+  AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
+        / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
 ORDER BY jlh DESC, term ASC LIMIT 10
 """
 
@@ -1027,12 +1032,14 @@ c AS (
          count(*) AS bg_count
   FROM t GROUP BY term)
 SELECT term, fg_count, bg_count,
-       round((fg_count / tot.n_fg - bg_count / tot.n_all)
-             * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)), 6) AS jlh
+       -- rational JLH form, parenthesized EXACTLY like extras._jlh so
+       -- the IEEE-double result is bit-identical to the Spark side
+       (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
+         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
 FROM c, tot
 WHERE fg_count >= 3
-  AND (fg_count / tot.n_fg - bg_count / tot.n_all)
-      * ((fg_count / tot.n_fg) / (bg_count / tot.n_all)) > 0
+  AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
+        / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
 ORDER BY jlh DESC, term ASC
 LIMIT 10
 """

@@ -352,15 +352,33 @@ def significant_terms(
         F.sum(fg_filter.cast("long")).alias("fg_count"),
         F.count("*").alias("bg_count"),
     )
-    fg_pct = F.col("fg_count") / F.lit(n_fg)
-    bg_pct = F.col("bg_count") / F.lit(n_all)
     return (
         counts.filter(F.col("fg_count") >= min_doc_count)
-        .withColumn("jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .withColumn("jlh", _jlh(n_all, n_fg))
         .filter(F.col("jlh") > 0)
         .orderBy(F.desc("jlh"), F.asc("term"))
         .limit(size)
     )
+
+
+def _jlh(n_all: float, n_fg: float):
+    """JLH = (fg_pct - bg_pct) * (fg_pct / bg_pct), computed in the
+    algebraically-equivalent rational form
+
+        fg * (fg*n_all - bg*n_fg) / ((bg*n_fg) * n_fg)
+
+    so the whole value is a fixed sequence of IEEE-double products and
+    ONE division — bit-identical across engines (Spark vs the DuckDB
+    oracle) as long as the SQL twin uses the same parenthesization.
+    The (fg_pct - bg_pct)*(fg_pct/bg_pct) form takes 3 divisions whose
+    intermediate roundings are engine-evaluation-order sensitive, which
+    made round(jlh, 6) flip at 6th-decimal boundaries (driver-gate
+    hash flake in round 1)."""
+    fg = F.col("fg_count").cast("double")
+    bg = F.col("bg_count").cast("double")
+    num = fg * (fg * F.lit(n_all) - bg * F.lit(n_fg))
+    den = (bg * F.lit(n_fg)) * F.lit(n_fg)
+    return num / den
 
 
 def significant_text(
@@ -370,28 +388,48 @@ def significant_text(
     id_col: str = "doc_id",
     size: int = 10,
     min_doc_count: int = 3,
+    index=None,
+    field: str = "text",
 ) -> DataFrame:
     """significant_text agg with the JLH heuristic:
     score = (fg_pct - bg_pct) * (fg_pct / bg_pct), terms over-represented
-    in the foreground set vs the whole corpus."""
+    in the foreground set vs the whole corpus.
+
+    When ``index`` (an InvertedIndex whose ``field`` was built with the
+    same analyzer) is given, BACKGROUND doc counts come from the term
+    dictionary (df = number of docs containing the term, exactly the
+    distinct-token count) instead of re-tokenizing the whole corpus —
+    at 100 TB the bg side is then a metadata read, and only the
+    (usually small) foreground partition is tokenized. Same result."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
-    exploded = docs.select(
-        F.col(id_col), fg_filter.alias("is_fg"), F.explode(F.array_distinct(toks)).alias("term")
-    )
     totals = docs.select(
         F.count("*").alias("n_all"),
         F.sum(fg_filter.cast("long")).alias("n_fg"),
     ).collect()[0]
     n_all, n_fg = float(totals["n_all"]), float(totals["n_fg"])
-    counts = exploded.groupBy("term").agg(
-        F.sum(F.col("is_fg").cast("long")).alias("fg_count"),
-        F.count("*").alias("bg_count"),
-    )
-    fg_pct = F.col("fg_count") / F.lit(n_fg)
-    bg_pct = F.col("bg_count") / F.lit(n_all)
+    if index is not None:
+        fg_counts = (
+            docs.filter(fg_filter)
+            .select(F.explode(F.array_distinct(toks)).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+        )
+        bg = index.term_dict.filter(F.col("field") == field).select(
+            "term", F.col("df").alias("bg_count")
+        )
+        counts = fg_counts.join(bg, "term")  # fg terms ⊆ corpus terms
+    else:
+        exploded = docs.select(
+            F.col(id_col), fg_filter.alias("is_fg"),
+            F.explode(F.array_distinct(toks)).alias("term"),
+        )
+        counts = exploded.groupBy("term").agg(
+            F.sum(F.col("is_fg").cast("long")).alias("fg_count"),
+            F.count("*").alias("bg_count"),
+        )
     return (
         counts.filter(F.col("fg_count") >= min_doc_count)
-        .withColumn("jlh", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .withColumn("jlh", _jlh(n_all, n_fg))
         .filter(F.col("jlh") > 0)
         .orderBy(F.desc("jlh"), F.asc("term"))
         .limit(size)
