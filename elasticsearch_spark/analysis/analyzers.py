@@ -34,6 +34,7 @@ from __future__ import annotations
 import re
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 MAX_TOKEN_LENGTH = 255  # standard analyzer default (reference :25-28)
@@ -165,6 +166,271 @@ def analyze(text: str, analyzer: str = "standard") -> list[tuple[str, int]]:
     """
     terms, positions = ANALYZERS[analyzer](text or "")
     return list(zip(terms, positions))
+
+
+# ---------------------------------------------------------------------
+# Flat (batch-vectorized) analyzers: one C-level regex pass over a whole
+# Arrow batch instead of a Python loop per document. Returns
+# (doc_idx, terms, positions) as flat numpy arrays, doc-major with
+# positions ascending within each doc — the index builder's hot path
+# (the per-doc loop was the 100-TB build cost center).
+# ---------------------------------------------------------------------
+
+_FLAT_EMPTY = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=object),
+    np.empty(0, dtype=np.int64),
+)
+
+# codes representation: (doc_idx, codes, uniques, positions) — tokens as
+# int64 indices into a per-batch unique-string dictionary. All hot-path
+# work (sorting, grouping, stopword masks, sub-token expansion) happens
+# on ints; strings are touched once per UNIQUE token per batch.
+_CODES_EMPTY = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=object),
+    np.empty(0, dtype=np.int64),
+)
+
+# RE2 token-class complements matching the scalar Python regexes:
+# \w (unicode) == [\p{L}\p{N}_]; \S == NOT [\s \p{Z} \x1c-\x1f \x85]
+_NEG_WORD = r"[^\p{L}\p{N}_]+"
+_NEG_ASCII = r"[^a-z0-9_]+"
+_NEG_LETTER = r"[^\p{L}]+"
+_NEG_NONSPACE = r"[\s\p{Z}\x1c-\x1f\x85]+"
+
+
+def _split_codes(texts: pd.Series, neg_pattern: str, lower: bool):
+    """One Arrow C++ pass: split every doc on the COMPLEMENT of the
+    token class, dictionary-encode the fragments, drop empty fragments,
+    and derive (doc_idx, code, within-doc position) from the list
+    offsets. Equivalent to findall(token_pattern) per doc with zero
+    per-match Python. Returns (doc_idx, codes, uniques, ulens, pos)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = texts.reset_index(drop=True).fillna("")
+    arr = pa.Array.from_pandas(s.astype(str))
+    if lower:
+        arr = pc.utf8_lower(arr)
+    split = pc.split_pattern_regex(arr, pattern=neg_pattern)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    values = split.values
+    if len(values) == 0:
+        return _CODES_EMPTY + (np.empty(0, dtype=np.int64),)
+    offsets = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    dic = values.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = dic.dictionary.to_numpy(zero_copy_only=False)
+    ulens = np.fromiter(map(len, uniques), dtype=np.int64, count=len(uniques))
+    tokens_per_doc = np.diff(offsets)
+    doc_idx = np.repeat(
+        np.arange(tokens_per_doc.size, dtype=np.int64), tokens_per_doc
+    )
+    # empty fragments appear only at doc edges (leading/trailing
+    # separators); they are not tokens — drop by code, not by string
+    empty_ids = np.flatnonzero(ulens == 0)
+    if empty_ids.size:
+        keep = codes != empty_ids[0]
+        codes = codes[keep]
+        doc_idx = doc_idx[keep]
+    if codes.size == 0:
+        return _CODES_EMPTY + (np.empty(0, dtype=np.int64),)
+    cnt = np.bincount(doc_idx, minlength=tokens_per_doc.size)
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    pos = np.arange(doc_idx.size, dtype=np.int64) - np.repeat(starts, cnt)
+    return doc_idx, codes, uniques, ulens, pos
+
+
+def _refactorize(d, t, p):
+    codes, uniq = pd.factorize(t)
+    return d, codes.astype(np.int64), np.asarray(uniq, dtype=object), p
+
+
+def _long_token_fallback_codes(texts, codes_tuple, ulens, scalar_fn):
+    """Docs containing a >MAX_TOKEN_LENGTH token (rare) are re-analyzed
+    with the scalar analyzer so 255-chunking parity holds exactly."""
+    d, c, u, p = codes_tuple
+    bad_code = np.flatnonzero(ulens > MAX_TOKEN_LENGTH)
+    if bad_code.size == 0:
+        return codes_tuple
+    bad_lut = np.zeros(len(u), dtype=bool)
+    bad_lut[bad_code] = True
+    bad_docs = np.unique(d[bad_lut[c]])
+    keep = ~np.isin(d, bad_docs)
+    parts_d = [d[keep]]
+    parts_t = [u[c[keep]]]
+    parts_p = [p[keep]]
+    s = texts.reset_index(drop=True).fillna("")
+    for di in bad_docs:
+        tt, pp = scalar_fn(s.iloc[int(di)])
+        parts_d.append(np.full(len(tt), di, dtype=np.int64))
+        parts_t.append(np.array(tt, dtype=object))
+        parts_p.append(np.array(pp, dtype=np.int64))
+    dd = np.concatenate(parts_d)
+    tt = np.concatenate(parts_t)
+    pp = np.concatenate(parts_p)
+    order = np.lexsort((pp, dd))  # stable: overlaps keep relative order
+    return _refactorize(dd[order], tt[order], pp[order])
+
+
+def _codes_standard(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_WORD, lower=True)
+    if ul.size and int(ul.max()) > MAX_TOKEN_LENGTH:
+        return _long_token_fallback_codes(texts, (d, c, u, p), ul, _analyze_standard)
+    return d, c, u, p
+
+
+def _codes_ascii_word(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_ASCII, lower=True)
+    return d, c, u, p
+
+
+def _codes_simple(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_LETTER, lower=True)
+    return d, c, u, p
+
+
+def _codes_whitespace(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_NONSPACE, lower=False)
+    return d, c, u, p
+
+
+def _codes_keyword(texts: pd.Series):
+    import pyarrow as pa
+
+    s = texts.reset_index(drop=True).fillna("")
+    n = len(s)
+    dic = pa.Array.from_pandas(s.astype(str)).dictionary_encode()
+    return (
+        np.arange(n, dtype=np.int64),
+        dic.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        dic.dictionary.to_numpy(zero_copy_only=False),
+        np.zeros(n, dtype=np.int64),
+    )
+
+
+def _codes_stop(texts: pd.Series):
+    d, c, u, p = _codes_standard(texts)
+    if not c.size:
+        return d, c, u, p
+    stop_lut = np.fromiter(
+        (w in ENGLISH_STOPWORDS for w in u), dtype=bool, count=len(u)
+    )
+    keep = ~stop_lut[c]
+    # positions preserved (StopFilter keeps position increments)
+    return d[keep], c[keep], u, p[keep]
+
+
+def _codes_code(texts: pd.Series):
+    """Vectorized `code` analyzer: one regex pass for the raw tokens,
+    then the word_delimiter_graph split computed ONCE PER UNIQUE token
+    (memoized — code vocabularies are Zipf-heavy) and expanded back to
+    every occurrence with a vectorized int-gather. Docs containing a
+    >255-char raw token (rare) are re-analyzed whole with the scalar
+    analyzer AFTER expansion, so 255-chunking parity holds without
+    double-splitting their tokens."""
+    d, c, u, ul, p = _split_codes(texts, _NEG_WORD, lower=False)
+    bad_docs = np.empty(0, dtype=np.int64)
+    if ul.size and int(ul.max()) > MAX_TOKEN_LENGTH:
+        bad_lut = np.zeros(len(u), dtype=bool)
+        bad_lut[ul > MAX_TOKEN_LENGTH] = True
+        bad_docs = np.unique(d[bad_lut[c]])
+        keep = ~np.isin(d, bad_docs)
+        d, c, p = d[keep], c[keep], p[keep]
+    if not c.size and not bad_docs.size:
+        return d, c, u, p
+    # per-UNIQUE-raw-token split into emitted sub-token ids
+    vocab: dict[str, int] = {}
+    setd = vocab.setdefault
+    flat_ids: list[int] = []
+    exp_lens = np.empty(len(u), dtype=np.int64)
+    for i, tok in enumerate(u.tolist()):
+        sl = _code_split(tok)
+        flat_ids.extend(setd(w, len(vocab)) for w in sl)
+        exp_lens[i] = len(sl)
+    exp_ids = np.array(flat_ids, dtype=np.int64)
+    exp_offs = np.concatenate(([0], np.cumsum(exp_lens)))
+    tok_lens = exp_lens[c]
+    total = int(tok_lens.sum())
+    cum0 = np.cumsum(tok_lens) - tok_lens
+    gather = (
+        np.repeat(exp_offs[c], tok_lens)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(cum0, tok_lens)
+    )
+    new_u = np.empty(len(vocab), dtype=object)
+    for w, i in vocab.items():
+        new_u[i] = w
+    d2 = np.repeat(d, tok_lens)
+    c2 = exp_ids[gather]
+    p2 = np.repeat(p, tok_lens)
+    if bad_docs.size:
+        s = texts.reset_index(drop=True).fillna("")
+        parts_d = [d2]
+        parts_t = [new_u[c2]]
+        parts_p = [p2]
+        for di in bad_docs:
+            tt, pp = _analyze_code(s.iloc[int(di)])
+            parts_d.append(np.full(len(tt), di, dtype=np.int64))
+            parts_t.append(np.array(tt, dtype=object))
+            parts_p.append(np.array(pp, dtype=np.int64))
+        dd = np.concatenate(parts_d)
+        tt = np.concatenate(parts_t)
+        pp = np.concatenate(parts_p)
+        order = np.lexsort((pp, dd))  # stable: overlaps keep order
+        return _refactorize(dd[order], tt[order], pp[order])
+    return d2, c2, new_u, p2
+
+
+FLAT_ANALYZERS: dict[str, Callable] = {
+    "standard": _codes_standard,
+    "ascii_word": _codes_ascii_word,
+    "simple": _codes_simple,
+    "whitespace": _codes_whitespace,
+    "keyword": _codes_keyword,
+    "stop": _codes_stop,
+    "code": _codes_code,
+}
+
+
+def analyze_flat_codes(
+    texts: pd.Series, analyzer: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized batch analysis -> (doc_idx, codes, uniques, positions);
+    tokens stay integer codes into `uniques`. Falls back to the scalar
+    analyzer (then factorizes) for names without a flat variant."""
+    fn = FLAT_ANALYZERS.get(analyzer)
+    if fn is not None:
+        return fn(texts)
+    scalar = ANALYZERS[analyzer]
+    parts_d, parts_t, parts_p = [], [], []
+    for i, text in enumerate(texts.fillna("").tolist()):
+        t, p = scalar(text)
+        if t:
+            parts_d.append(np.full(len(t), i, dtype=np.int64))
+            parts_t.append(np.array(t, dtype=object))
+            parts_p.append(np.array(p, dtype=np.int64))
+    if not parts_d:
+        return _CODES_EMPTY
+    return _refactorize(
+        np.concatenate(parts_d),
+        np.concatenate(parts_t),
+        np.concatenate(parts_p),
+    )
+
+
+def analyze_flat(
+    texts: pd.Series, analyzer: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized batch analysis -> (doc_idx, terms, positions) with
+    materialized term strings (parity-test / generic-consumer API)."""
+    d, c, u, p = analyze_flat_codes(texts, analyzer)
+    if not c.size:
+        return _FLAT_EMPTY
+    return d, u[c], p
 
 
 def analyze_batch(

@@ -124,10 +124,33 @@ class InvertedIndex:
         # Explicit schema: skips footer sampling AND makes an EMPTY
         # index (0 docs, e.g. a resume filter matching nothing) read as
         # an empty frame instead of failing schema inference.
+        #
+        # Layout = base build (postings/) + zero or more streaming
+        # segments (segments/batch=<id>/), each part_id-partitioned.
+        # Streaming appends land in their OWN batch directory written
+        # with mode=overwrite, so a foreachBatch replay after a crash
+        # rewrites the same directory instead of duplicating postings
+        # (exactly-once by construction; see streaming/refresh.py).
         if self._postings_df is None:
-            self._postings_df = self.spark.read.schema(
-                BLOCKS_SCHEMA
-            ).parquet(os.path.join(self.path, "postings"))
+            reader = self.spark.read.schema(BLOCKS_SCHEMA)
+            paths = []
+            base = os.path.join(self.path, "postings")
+            if os.path.exists(base):
+                paths.append(base)
+            seg_root = os.path.join(self.path, "segments")
+            if os.path.isdir(seg_root):
+                paths += [
+                    os.path.join(seg_root, d)
+                    for d in sorted(os.listdir(seg_root))
+                    if d.startswith("batch=")
+                ]
+            if not paths:
+                self._postings_df = self.spark.createDataFrame([], BLOCKS_SCHEMA)
+            else:
+                df = reader.parquet(paths[0])
+                for p in paths[1:]:
+                    df = df.unionByName(self.spark.read.schema(BLOCKS_SCHEMA).parquet(p))
+                self._postings_df = df
         return self._postings_df
 
     def cache(self) -> "InvertedIndex":
@@ -218,9 +241,105 @@ class InvertedIndex:
         return out
 
 
-def _make_tokenizer(fields: dict[str, str]):
+def _tokenize_field_flat(pdf: pd.DataFrame, field: str, analyzer_name: str) -> pd.DataFrame:
+    """Vectorized tokenize+assemble for one field of one Arrow batch:
+    ONE C-level regex pass (analyze_flat), then numpy grouping kernels
+    (factorize + lexsort + reduceat-style boundary math) and ONE VByte
+    pass per stream — no per-document or per-token Python. This replaced
+    a per-doc loop that was the 100-TB index-build cost center."""
+    from elasticsearch_spark.analysis.analyzers import analyze_flat_codes
+
+    n_rows = len(pdf)
+    part_arr = pdf["part_id"].to_numpy()
+    docid_arr = pdf["doc_id"].to_numpy(dtype=np.int64)
+    doc_idx, codes, uniques, pos = analyze_flat_codes(pdf[field], analyzer_name)
+
+    terms_col: list = [[] for _ in range(n_rows)]
+    tfs_col: list = [b""] * n_rows
+    pos_col: list = [[] for _ in range(n_rows)]
+    if doc_idx.size == 0:
+        return pd.DataFrame({
+            "part_id": part_arr, "doc_id": docid_arr, "field": field,
+            "dl": np.zeros(n_rows, dtype=np.int64),
+            "ttf": np.zeros(n_rows, dtype=np.int64),
+            "terms": terms_col, "tfs": tfs_col, "positions": pos_col,
+        })
+
+    n = doc_idx.size
+    ttf = np.bincount(doc_idx, minlength=n_rows)
+    # dl = position-advancing tokens (discountOverlaps; stop-gaps ignored)
+    adv = np.empty(n, dtype=bool)
+    adv[0] = True
+    adv[1:] = (doc_idx[1:] != doc_idx[:-1]) | (pos[1:] > pos[:-1])
+    dl = np.bincount(doc_idx[adv], minlength=n_rows)
+
+    # group to (doc, term) postings. analyze_flat_codes output is already
+    # (doc, position)-ordered, so ONE stable sort on the fused
+    # (doc, term-code) key groups postings while keeping positions
+    # ascending per group — numpy's stable int sort is a radix sort,
+    # ~5x cheaper than a 3-key lexsort here.
+    key = doc_idx * np.int64(len(uniques)) + codes
+    order = np.argsort(key, kind="stable")
+    doc_s = doc_idx[order]
+    code_s = codes[order]
+    pos_s = pos[order]
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (doc_s[1:] != doc_s[:-1]) | (code_s[1:] != code_s[:-1])
+    g_starts = np.flatnonzero(new_group)
+    n_groups = g_starts.size
+    tf = np.diff(np.append(g_starts, n))
+
+    # per-posting [tf, first_pos, deltas...] interleaved into ONE stream,
+    # encoded with ONE VByte pass; per-posting blobs are byte slices
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = pos_s[1:] - pos_s[:-1]
+    deltas[g_starts] = pos_s[g_starts]
+    stream = np.empty(n + n_groups, dtype=np.int64)
+    tf_slots = g_starts + np.arange(n_groups)
+    grp_of_token = np.repeat(np.arange(n_groups), tf)
+    stream[tf_slots] = tf
+    stream[np.arange(n) + grp_of_token + 1] = deltas
+    enc, offs = codec.vbyte_encode_with_offsets(stream)
+    blob_start = offs[tf_slots]
+    blob_end = offs[np.append(tf_slots[1:], n + n_groups)]
+    blobs = [enc[a:b] for a, b in zip(blob_start.tolist(), blob_end.tolist())]
+
+    enc_tf, offs_tf = codec.vbyte_encode_with_offsets(tf)
+    g_terms = uniques[code_s[g_starts]]
+    g_docs = doc_s[g_starts]
+    new_doc = np.empty(n_groups, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = g_docs[1:] != g_docs[:-1]
+    d_starts = np.flatnonzero(new_doc)
+    d_ends = np.append(d_starts[1:], n_groups)
+    g_terms_list = g_terms.tolist()
+    for a, b, di in zip(d_starts.tolist(), d_ends.tolist(), g_docs[d_starts].tolist()):
+        terms_col[di] = g_terms_list[a:b]
+        tfs_col[di] = enc_tf[offs_tf[a]:offs_tf[b]]
+        pos_col[di] = blobs[a:b]
+
+    return pd.DataFrame({
+        "part_id": part_arr, "doc_id": docid_arr, "field": field,
+        "dl": dl.astype(np.int64), "ttf": ttf.astype(np.int64),
+        "terms": terms_col, "tfs": tfs_col, "positions": pos_col,
+    })
+
+
+def _make_tokenizer(fields: dict[str, str], vectorized: bool = True):
     """fields: {column_name: analyzer_name}. Returns a mapInPandas fn
-    emitting posting rows + one stats marker row per (doc, field)."""
+    emitting ONE row per (doc, field) with term lists + VByte blobs.
+    ``vectorized=False`` keeps the original per-doc reference path
+    (used by the parity test)."""
+
+    def tokenize_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            outs = [
+                _tokenize_field_flat(pdf, field, analyzer_name)
+                for field, analyzer_name in fields.items()
+            ]
+            yield outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -238,7 +357,12 @@ def _make_tokenizer(fields: dict[str, str]):
                     per_term: dict[str, list[int]] = {}
                     for t, p in zip(terms, positions):
                         per_term.setdefault(t, []).append(p)
-                    dl = (positions[-1] + 1) if positions else 0  # overlap-discounted
+                    # dl = number of position-ADVANCING tokens (Lucene
+                    # FieldInvertState length with discountOverlaps):
+                    # overlap tokens (posIncr 0) count once, and position
+                    # GAPS (e.g. stop-filter removals) do not count —
+                    # positions[-1]+1 would overcount removed stopwords.
+                    dl = len(set(positions))
                     rows["part_id"].append(part)
                     rows["doc_id"].append(doc)
                     rows["field"].append(field)
@@ -253,7 +377,7 @@ def _make_tokenizer(fields: dict[str, str]):
                     )
             yield pd.DataFrame(rows)
 
-    return tokenize
+    return tokenize_vec if vectorized else tokenize
 
 
 def _emit_term_blocks(out, part_id, field, term, doc_ids, tfs, dls, plist):
@@ -513,10 +637,16 @@ def build_index(
         blocks = tokenized.groupBy("part_id", "field").applyInPandas(
             _encode_blocks, schema=BLOCKS_SCHEMA
         )
+        # dynamic partition overwrite: ONLY the part_id directories this
+        # run produces are replaced. That closes the resume crash window
+        # (a previous attempt that appended files but died before its
+        # manifest committed leaves partial output in exactly the todo
+        # partitions, which this write now replaces instead of doubling).
         (
             blocks.repartition(max(len(todo_parts), 1), "part_id")
             .sortWithinPartitions("field", "term", "block_id")
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(os.path.join(out_dir, "postings"))
         )
@@ -524,7 +654,8 @@ def build_index(
             (
                 tokenized.select("part_id", "doc_id", "field", "dl", "ttf")
                 .repartition(max(len(todo_parts), 1), "part_id")
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("part_id")
                 .parquet(os.path.join(out_dir, "doc_lengths"))
             )

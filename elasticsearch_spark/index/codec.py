@@ -23,15 +23,10 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # byte length per value: ceil(bits/7), min 1
-    bits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        bits[nz] += 1
-        tmp >>= np.uint64(7)
-        nz = tmp > 0
-    nbytes = np.maximum(bits, 1)
+    # byte length per value in ONE searchsorted pass (7-bit groups)
+    nbytes = 1 + np.searchsorted(_VB_THRESHOLDS, v, side="right")
+    if nbytes.max() == 1:
+        return v.astype(np.uint8).tobytes()
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     total = int(offsets[-1])
     out = np.empty(total, dtype=np.uint8)
@@ -46,23 +41,29 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+# byte-width thresholds: value v needs 1 + (#thresholds <= v) bytes
+_VB_THRESHOLDS = np.array(
+    [1 << (7 * k) for k in range(1, 10)], dtype=np.uint64
+)
+
+
 def vbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """VByte-encode an array and return (buffer, start_offsets) where
     start_offsets has len(values)+1 entries; the encoding of value i is
     buffer[start_offsets[i]:start_offsets[i+1]]. Because VByte is
     per-value, any contiguous slice of values maps to a contiguous byte
-    slice — one encode pass serves every posting block of a group."""
+    slice — one encode pass serves every posting block of a group.
+
+    Fast paths: all-small arrays (tf/delta streams are overwhelmingly
+    single-byte) are a plain uint8 cast; the generic path computes byte
+    widths with ONE searchsorted pass instead of a shift loop."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
+    n = v.size
+    if n == 0:
         return b"", np.zeros(1, dtype=np.int64)
-    bits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        bits[nz] += 1
-        tmp >>= np.uint64(7)
-        nz = tmp > 0
-    nbytes = np.maximum(bits, 1)
+    nbytes = 1 + np.searchsorted(_VB_THRESHOLDS, v, side="right")
+    if nbytes.max() == 1:
+        return v.astype(np.uint8).tobytes(), np.arange(n + 1, dtype=np.int64)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.empty(int(offsets[-1]), dtype=np.uint8)
     max_w = int(nbytes.max())

@@ -130,36 +130,55 @@ def ann_self_join(
     id_col: str = "vec_id",
     seed: int = 42,
     n_tables: int = 8,
+    max_bucket: int = 2000,
+    chunk_rows: int = 1024,
 ) -> DataFrame:
     """Approximate all-pairs top-k neighbours: bucket by multi-table
     hyperplane LSH, exact cosine within each (table, bucket) via numpy
     matmul (applyInPandas), global per-id top-k merge. Recall grows
     with n_tables / fewer planes; this is the scale path for 10^9+
-    vectors (brute force is O(n^2))."""
+    vectors (brute force is O(n^2)).
+
+    Skew guards (real embedding corpora CLUSTER, so hyperplane buckets
+    can go degenerate):
+      - ``max_bucket``: a bucket larger than this is deterministically
+        truncated to its ``max_bucket`` smallest ids (same policy as
+        dedup.minhash_lsh_pairs) — its pairs usually collide again in
+        another table, so recall degrades gracefully instead of one
+        task going O(|bucket|^2).
+      - ``chunk_rows``: the similarity matrix is computed in row chunks,
+        bounding memory at O(chunk_rows * |bucket|) instead of
+        O(|bucket|^2)."""
     sig = hyperplane_signatures(
         df, dim, n_planes, vec_col, id_col, seed, n_tables=n_tables
     )
     joined = df.select(id_col, vec_col).join(sig, id_col)
 
     def bucket_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
+            return empty
+        if len(pdf) > max_bucket:
+            pdf = pdf.nsmallest(max_bucket, id_col)
         ids = pdf[id_col].to_numpy()
         m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
-        sims = (m @ m.T) / np.outer(norms, norms)
-        np.fill_diagonal(sims, -np.inf)
-        kk = min(k, len(pdf) - 1)
-        nbr = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_a, rows_b, cs = [], [], []
-        for i in range(len(pdf)):
-            for j in nbr[i]:
-                rows_a.append(ids[i])
-                rows_b.append(ids[j])
-                cs.append(sims[i, j])
-        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "cosine": cs})
+        n = len(pdf)
+        kk = min(k, n - 1)
+        parts = []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms)
+            sims[np.arange(lo, hi) - lo, np.arange(lo, hi)] = -np.inf
+            nbr = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            parts.append(pd.DataFrame({
+                "id_a": np.repeat(ids[lo:hi], kk),
+                "id_b": ids[nbr.ravel()],
+                "cosine": np.take_along_axis(sims, nbr, axis=1).ravel(),
+            }))
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     cand = joined.groupBy("table", "bucket").applyInPandas(
         bucket_knn, schema="id_a long, id_b long, cosine double"

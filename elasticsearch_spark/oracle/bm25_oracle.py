@@ -26,7 +26,9 @@ def build_oracle_index(docs: dict[int, str], analyzer: str = "standard"):
     sum_ttf = 0
     for doc_id, text in docs.items():
         terms, positions = fn(text or "")
-        dl[doc_id] = (positions[-1] + 1) if positions else 0
+        # number of position-advancing tokens (FieldInvertState length
+        # with discountOverlaps) — gaps from removed stopwords don't count
+        dl[doc_id] = len(set(positions))
         sum_ttf += len(terms)
         for t in terms:
             tf_index.setdefault(t, {})
@@ -49,15 +51,20 @@ def oracle_topk(
     params = params or BM25Params()
     tf_index, dl, avgdl, n_docs = build_oracle_index(docs, analyzer)
     qterms = [t for t, _ in analyze(query, analyzer)]
-    # de-dup, keep order (duplicate query terms score once in a bool-OR
-    # of term queries per MatchQueryParser disjunction construction)
+    # Lucene BooleanQuery KEEPS duplicate TermQuery clauses and sums
+    # them: a repeated query term contributes (and counts toward msm)
+    # once per occurrence — weight each unique term by its multiplicity.
+    from collections import Counter
+
+    mult = Counter(qterms)
     seen: set[str] = set()
     uniq = [t for t in qterms if not (t in seen or seen.add(t))]
-    msm = len(uniq) if operator == "and" else max(minimum_should_match, 1)
+    msm = len(qterms) if operator == "and" else max(minimum_should_match, 1)
 
     scores: dict[int, float] = {}
     counts: dict[int, int] = {}
     for t in uniq:
+        w = mult[t]
         postings = tf_index.get(t)
         if not postings:
             if operator == "and":
@@ -70,8 +77,8 @@ def oracle_topk(
             if params.quantize_norms:
                 d = int(quantize_dl(np.array([d]))[0])
             tfn = tf / (tf + params.k1 * (1.0 - params.b + params.b * d / avgdl))
-            scores[doc_id] = scores.get(doc_id, 0.0) + (params.k1 + 1.0) * idf * tfn
-            counts[doc_id] = counts.get(doc_id, 0) + 1
+            scores[doc_id] = scores.get(doc_id, 0.0) + w * (params.k1 + 1.0) * idf * tfn
+            counts[doc_id] = counts.get(doc_id, 0) + w
     hits = [
         (doc_id, s) for doc_id, s in scores.items() if counts[doc_id] >= msm
     ]

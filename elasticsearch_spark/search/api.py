@@ -35,6 +35,27 @@ SCORED_KINDS = {
     "boosting",
 }
 
+def _is_pure_filter(query: dict[str, Any]) -> bool:
+    """True when the query carries NO index-scored clause anywhere, i.e.
+    it can be compiled entirely by dsl.compile_filter against the docs
+    table. A ``bool`` is pure-filter when every must/should clause is
+    (filter/must_not always are); a ``constant_score`` when its inner
+    filter is. Reference: filter context in Query DSL — such clauses
+    skip scoring entirely."""
+    kind, body = next(iter(query.items()))
+    if kind == "bool":
+        return all(
+            _is_pure_filter(q)
+            for q in (body.get("must") or []) + (body.get("should") or [])
+        )
+    if kind == "constant_score":
+        return _is_pure_filter(body["filter"])
+    if kind in ("match_all", "match_none"):
+        # compile to TRUE/FALSE predicates; score handled by the caller
+        return True
+    return kind not in SCORED_KINDS
+
+
 _FVF_MODIFIERS = {
     "none": lambda c: c,
     "log": lambda c: F.log10(c),
@@ -349,26 +370,48 @@ def search(
             F.desc("score"), F.asc(id_col)
         )
 
+    if kind == "constant_score" and _is_pure_filter(query):
+        # canonical usage {"constant_score": {"filter": <filter query>}}:
+        # every matching doc scores the boost (ConstantScoreQueryBuilder)
+        body = query["constant_score"]
+        b = float(body.get("boost", 1.0))
+        out = docs.filter(dsl.compile_filter(body["filter"], id_col))
+        return (
+            out.withColumn("score", F.lit(b)).orderBy(F.asc(id_col)).limit(k)
+        )
+
     filter_pred = None
     scored_query = query
+    const_boost = 0.0  # pure-filter constant_score must-clauses still
+    #                    contribute their boost to every surviving doc
     if kind == "bool":
         body = query["bool"]
-        fclauses = list(body.get("filter") or [])
-        fclauses += [q for q in (body.get("must") or []) if next(iter(q)) not in SCORED_KINDS]
-        must_not = list(body.get("must_not") or [])
-        if fclauses or must_not:
-            filter_pred = dsl.compile_filter(
-                {"bool": {"filter": fclauses, "must_not": must_not}}, id_col
-            )
-        scored_body = {
-            "must": [q for q in (body.get("must") or []) if next(iter(q)) in SCORED_KINDS],
-            "should": [q for q in (body.get("should") or []) if next(iter(q)) in SCORED_KINDS],
-        }
-        if "minimum_should_match" in body:
-            scored_body["minimum_should_match"] = body["minimum_should_match"]
-        has_scored = scored_body["must"] or scored_body["should"]
-        scored_query = {"bool": scored_body} if has_scored else None
-    elif kind not in SCORED_KINDS:
+        if _is_pure_filter(query):
+            # fully filter-context bool (incl. should + msm set logic):
+            # compile as one predicate, constant score
+            filter_pred = dsl.compile_filter(query, id_col)
+            scored_query = None
+        else:
+            fclauses = list(body.get("filter") or [])
+            for q in body.get("must") or []:
+                if _is_pure_filter(q):
+                    fclauses.append(q)
+                    if next(iter(q)) == "constant_score":
+                        const_boost += float(q["constant_score"].get("boost", 1.0))
+            must_not = list(body.get("must_not") or [])
+            if fclauses or must_not:
+                filter_pred = dsl.compile_filter(
+                    {"bool": {"filter": fclauses, "must_not": must_not}}, id_col
+                )
+            scored_body = {
+                "must": [q for q in (body.get("must") or []) if not _is_pure_filter(q)],
+                "should": [q for q in (body.get("should") or []) if next(iter(q)) in SCORED_KINDS],
+            }
+            if "minimum_should_match" in body:
+                scored_body["minimum_should_match"] = body["minimum_should_match"]
+            has_scored = scored_body["must"] or scored_body["should"]
+            scored_query = {"bool": scored_body} if has_scored else None
+    elif _is_pure_filter(query):
         filter_pred = dsl.compile_filter(query, id_col)
         scored_query = None
 
@@ -387,6 +430,8 @@ def search(
     if filter_pred is not None:
         allowed = docs.filter(filter_pred).select(id_col)
         scores = scores.join(allowed, on=id_col, how="left_semi")
+    if const_boost:
+        scores = scores.withColumn("score", F.col("score") + F.lit(const_boost))
     if min_score is not None:
         scores = scores.filter(F.col("score") >= F.lit(min_score))
     topk = scores.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

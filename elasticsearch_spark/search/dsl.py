@@ -33,6 +33,15 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _not_null(pred: Column) -> Column:
+    """ES sets semantics, not SQL ternary logic: a predicate over a NULL
+    field means "does not match" (False), never NULL. Without this,
+    must_not(~pred) evaluates to NULL and DROPS docs with a missing
+    field (ES keeps them), and casting a NULL should-clause to int
+    poisons the whole minimum_should_match sum."""
+    return F.coalesce(pred, F.lit(False))
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     """ES wildcard (* any, ? one) -> anchored Java regex."""
     out = []
@@ -99,9 +108,12 @@ def compile_filter(
         required = int(spec.get("minimum_should_match", len(values)))
         # number of matching values (on an array column use array_intersect)
         hits = sum(
-            (resolve(field) == F.lit(v)).cast("int") for v in values
-        ) if not spec.get("array") else F.size(
-            F.array_intersect(resolve(field), F.array(*[F.lit(v) for v in values]))
+            _not_null(resolve(field) == F.lit(v)).cast("int") for v in values
+        ) if not spec.get("array") else F.coalesce(
+            F.size(
+                F.array_intersect(resolve(field), F.array(*[F.lit(v) for v in values]))
+            ),
+            F.lit(0),
         )
         return hits >= F.lit(required)
     if kind == "range":
@@ -179,7 +191,7 @@ def compile_filter(
         for q in body.get("filter", []) or []:
             clauses.append(compile_filter(q, id_col, resolve))
         for q in body.get("must_not", []) or []:
-            clauses.append(~compile_filter(q, id_col, resolve))
+            clauses.append(~_not_null(compile_filter(q, id_col, resolve)))
         should = [compile_filter(q, id_col, resolve) for q in (body.get("should") or [])]
         if should:
             msm = body.get("minimum_should_match")
@@ -188,7 +200,7 @@ def compile_filter(
                 # optional (msm=0); otherwise msm=1
                 msm = 0 if clauses else 1
             if msm > 0:
-                n_matched = sum(c.cast("int") for c in should)
+                n_matched = sum(_not_null(c).cast("int") for c in should)
                 clauses.append(n_matched >= F.lit(int(msm)))
         if not clauses:
             return F.lit(True)

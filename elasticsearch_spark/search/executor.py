@@ -54,7 +54,11 @@ class TermStats:
     term: str
     df: int
     idf: float
-    ub: float  # global max impact (score upper bound for one posting)
+    ub: float  # global max impact (score upper bound for one posting,
+    #            multiplicity included)
+    weight: int = 1  # multiplicity of the term in the query: Lucene
+    #                  BooleanQuery keeps duplicate TermQuery clauses and
+    #                  SUMS them, so a repeated term scores `weight` times
 
 
 def _lookup_terms(
@@ -65,6 +69,9 @@ def _lookup_terms(
     if coll is None or not coll["n_docs"]:
         return [], 0.0, 1.0  # unknown/empty field -> no matches
     n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+    from collections import Counter
+
+    mult = Counter(terms)
     seen: set[str] = set()
     terms = [t for t in terms if not (t in seen or seen.add(t))]
     rows = index.term_stats(field, terms)
@@ -84,8 +91,11 @@ def _lookup_terms(
                 params,
             )[0]
         )
+        w = int(mult[t])
         out.append(
-            TermStats(t, df, term_idf, (params.k1 + 1.0) * term_idf * tfn_ub)
+            TermStats(
+                t, df, term_idf, w * (params.k1 + 1.0) * term_idf * tfn_ub, w
+            )
         )
     return out, n_docs, avgdl
 
@@ -103,8 +113,11 @@ def _make_scorer(
     # highest impact first; for AND, rarest (highest idf) first anyway
     stats = sorted(term_stats, key=lambda s: -s.ub)
     ubs = np.array([s.ub for s in stats], dtype=np.float64)
-    n_terms = len(stats)
-    msm = n_terms if operator == "and" else max(minimum_should_match, 1)
+    # clause counts are weight-summed: a doc matching a term of weight w
+    # matches w (duplicate) clauses, exactly Lucene BooleanQuery
+    cumw = np.cumsum([s.weight for s in stats])
+    total_w = int(cumw[-1]) if stats else 0
+    msm = total_w if operator == "and" else max(minimum_should_match, 1)
     # theta-pruning is only SAFE when every accumulated doc is a valid
     # final candidate; with msm>1 (or AND) some accumulated docs are later
     # disqualified, so the k-th accumulated score is not a lower bound of
@@ -162,14 +175,14 @@ def _make_scorer(
             tfs = np.concatenate(tf_parts).astype(np.float64)
             dls = np.concatenate(dl_parts)
             dl_eff = bm25.quantize_dl(dls).astype(np.float64) if quant else dls.astype(np.float64)
-            scores = (k1 + 1.0) * ts.idf * tfs / (
+            scores = ts.weight * (k1 + 1.0) * ts.idf * tfs / (
                 tfs + k1 * (1.0 - b + b * dl_eff / avgdl)
             )
             # merge into accumulator
             all_ids = np.concatenate([acc_ids, ids])
             all_scores = np.concatenate([acc_scores, scores])
             all_counts = np.concatenate(
-                [acc_counts, np.ones(ids.size, dtype=np.int64)]
+                [acc_counts, np.full(ids.size, ts.weight, dtype=np.int64)]
             )
             uniq, inv = np.unique(all_ids, return_inverse=True)
             new_scores = np.zeros(uniq.size, dtype=np.float64)
@@ -177,8 +190,8 @@ def _make_scorer(
             np.add.at(new_scores, inv, all_scores)
             np.add.at(new_counts, inv, all_counts)
             if operator == "and":
-                # docs must have matched every term so far
-                keep = new_counts == (i + 1)
+                # docs must have matched every clause (weight) so far
+                keep = new_counts == cumw[i]
                 uniq, new_scores, new_counts = (
                     uniq[keep], new_scores[keep], new_counts[keep],
                 )
@@ -265,10 +278,12 @@ def phrase_topk(
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     term_stats, n_docs, avgdl = _lookup_terms(index, field, terms, params)
-    found = {s.term for s in term_stats}
-    if any(t not in found for t in terms):
+    idf_by_term = {s.term: s.idf for s in term_stats}
+    if any(t not in idf_by_term for t in terms):
         return spark.createDataFrame([], TOPK_SCHEMA)
-    idf_sum = float(sum(s.idf for s in term_stats))
+    # Lucene PhraseWeight sums idf over ALL phrase positions, counting
+    # a repeated term once per position
+    idf_sum = float(sum(idf_by_term[t] for t in terms))
     k1, b, quant = params.k1, params.b, params.quantize_norms
     ordered_terms = list(terms)  # keep phrase order (duplicates allowed)
 
@@ -397,7 +412,14 @@ def phrase_prefix_topk(
     a prefix, expanded against the term dictionary (like the reference's
     MultiPhrasePrefixQuery, capped at max_expansions); a doc matches if
     the phrase completes with ANY expansion, scored as the best-scoring
-    completed phrase."""
+    completed phrase.
+
+    SINGLE-PASS plan: the posting blocks of the prefix terms AND every
+    expansion are loaded once, and the position intersection runs
+    against the expansion SET inside one applyInPandas — one scan, one
+    part_id exchange (round 1 unioned up to max_expansions separate
+    phrase plans: 50x scan + 50x shuffle of the same prefix blocks)."""
+    params = params or BM25Params()
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -406,19 +428,109 @@ def phrase_prefix_topk(
     )
     if not expansions:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    parts = [
-        phrase_topk(index, field, [*terms[:-1], e], k=None, params=params)
-        for e in expansions
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    best = u.groupBy("doc_id").agg(
-        F.max("score").alias("score"), F.max("matched").alias("matched")
-    )
+    prefix_terms = list(terms[:-1])
+    all_terms = list(dict.fromkeys(prefix_terms + expansions))
+    term_stats, n_docs, avgdl = _lookup_terms(index, field, all_terms, params)
+    idf_by = {s.term: s.idf for s in term_stats}
+    if any(t not in idf_by for t in prefix_terms):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf_prefix = float(sum(idf_by[t] for t in prefix_terms))
+    exp_set = [e for e in expansions if e in idf_by]
+    if not exp_set:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    k1, b, quant = params.k1, params.b, params.quantize_norms
+    m = len(terms)
+
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(all_terms)
+    ).select("part_id", "term", "n", "doc_ids", "tfs", "dls", "positions")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
+            {"doc_id": "int64", "score": "float64", "matched": "int32"}
+        )
+        per_term: dict[str, dict[int, np.ndarray]] = {}
+        dl_map: dict[int, int] = {}
+        for term, g in pdf.groupby("term", sort=False):
+            docs: dict[int, np.ndarray] = {}
+            for row in g.itertuples(index=False):
+                d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                dls = codec.vbyte_decode(row.dls)
+                plists = codec.decode_positions(bytes(row.positions), int(row.n))
+                for doc, dl, pos in zip(d, dls, plists):
+                    docs[int(doc)] = pos
+                    dl_map[int(doc)] = int(dl)
+            per_term[term] = docs
+        if any(t not in per_term for t in prefix_terms):
+            return empty
+        present_exp = [e for e in exp_set if e in per_term]
+        if not present_exp:
+            return empty
+        # candidate docs: contain ALL prefix terms and >=1 expansion
+        if prefix_terms:
+            cand_docs = set(per_term[prefix_terms[0]])
+            for t in prefix_terms[1:]:
+                cand_docs &= set(per_term[t])
+        else:
+            cand_docs = set()
+            for e in present_exp:
+                cand_docs |= set(per_term[e])
+        out_ids, out_scores = [], []
+        for doc in cand_docs:
+            if prefix_terms:
+                cand = per_term[prefix_terms[0]][doc]
+                for t in prefix_terms[1:]:
+                    cand = np.intersect1d(
+                        cand + 1, per_term[t][doc], assume_unique=True
+                    )
+                    if cand.size == 0:
+                        break
+                if cand.size == 0:
+                    continue
+                end_next = cand + 1
+            else:
+                end_next = None
+            best = None
+            for e in present_exp:
+                pos_e = per_term[e].get(doc)
+                if pos_e is None:
+                    continue
+                if end_next is None:
+                    tf = float(pos_e.size)
+                else:
+                    tf = float(
+                        np.intersect1d(end_next, pos_e, assume_unique=True).size
+                    )
+                if tf == 0.0:
+                    continue
+                dl = dl_map[doc]
+                dl_eff = (
+                    float(bm25.quantize_dl(np.array([dl]))[0]) if quant else float(dl)
+                )
+                tfn = tf / (tf + k1 * (1.0 - b + b * dl_eff / avgdl))
+                score = (k1 + 1.0) * (idf_prefix + idf_by[e]) * tfn
+                if best is None or score > best:
+                    best = score
+            if best is not None:
+                out_ids.append(doc)
+                out_scores.append(best)
+        if not out_ids:
+            return empty
+        ids = np.array(out_ids, dtype=np.int64)
+        scores = np.array(out_scores, dtype=np.float64)
+        order = np.lexsort((ids, -scores))
+        if k is not None and ids.size > k:
+            order = order[:k]
+        return pd.DataFrame({
+            "doc_id": ids[order],
+            "score": scores[order],
+            "matched": np.full(order.size, m, dtype=np.int32),
+        })
+
+    local = blocks.groupBy("part_id").applyInPandas(score_group, schema=TOPK_SCHEMA)
     if k is None:
-        return best
-    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return local
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def intervals_match(

@@ -7,11 +7,11 @@ index/engine/InternalEngine.java refresh -> new Lucene segment,
 EsTieredMergePolicy.java merging).
 
 Spark analogue, exploiting that our postings layout is already
-segment-shaped: each micro-batch appends new posting blocks (a
-"segment") into the same doc-hash part_id directories; the query scorer
-accumulates across ALL block rows of a term, so multiple segments per
-(part, term) are transparently unioned at read time — exactly Lucene's
-multi-segment search. Global term/collection stats are re-aggregated
+segment-shaped: each micro-batch writes its posting blocks (a
+"segment") into its own ``segments/batch=<id>`` directory (part_id-
+partitioned inside); the query scorer accumulates across ALL block rows
+of a term, so multiple segments per (part, term) are transparently
+unioned at read time — exactly Lucene's multi-segment search. Global term/collection stats are re-aggregated
 from block metadata after each batch (cheap).
 
 ``refresh_stream`` wires readStream -> foreachBatch(ingest) with
@@ -44,7 +44,14 @@ def ingest_batch(
     num_partitions: int,
     batch_id: int = -1,
 ) -> None:
-    """Append one micro-batch of docs as new segments + refresh stats."""
+    """Ingest one micro-batch of docs as a new segment + refresh stats.
+
+    Idempotent by construction: each batch writes its blocks to its OWN
+    directory ``segments/batch=<id>`` with mode=overwrite, so a
+    foreachBatch REPLAY after a crash (anywhere between the write and
+    the streaming checkpoint commit) rewrites that directory instead of
+    appending a duplicate segment — df/tf/n_docs can never inflate.
+    The batch manifest is observability only, not a correctness gate."""
     docs = batch_df.withColumn(
         "part_id",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)).cast("int"),
@@ -58,9 +65,9 @@ def ingest_batch(
     (
         tokenized.groupBy("part_id", "field")
         .applyInPandas(_encode_blocks, schema=BLOCKS_SCHEMA)
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("part_id")
-        .parquet(os.path.join(index_dir, "postings"))
+        .parquet(os.path.join(index_dir, "segments", f"batch={batch_id}"))
     )
     refresh_stats(batch_df.sparkSession, index_dir)
     manifest = {
@@ -152,6 +159,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     )
     import shutil
 
-    shutil.rmtree(os.path.join(index_dir, "postings"))
+    if os.path.isdir(os.path.join(index_dir, "postings")):
+        shutil.rmtree(os.path.join(index_dir, "postings"))
     os.rename(tmp, os.path.join(index_dir, "postings"))
+    # streaming segments are now folded into the base postings
+    seg_root = os.path.join(index_dir, "segments")
+    if os.path.isdir(seg_root):
+        shutil.rmtree(seg_root)
     refresh_stats(spark, index_dir)

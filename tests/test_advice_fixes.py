@@ -1,0 +1,201 @@
+"""Regression tests for ES-vs-SQL semantic gaps and exactly-once fixes.
+
+Covers: NULL-field set semantics in filter context (ES keeps docs whose
+field is missing under must_not; one NULL should-clause must not poison
+minimum_should_match), constant_score-over-filter routing through
+search(), duplicate-query-term multiplicity (Lucene BooleanQuery sums
+duplicate TermQuery clauses), stop-analyzer field length (emitted tokens,
+not position gaps), streaming replay idempotency, and the build-resume
+crash window (partial partition output is replaced, not doubled).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.corpus import generate_corpus
+from elasticsearch_spark.index.builder import (
+    assign_doc_ids,
+    build_index,
+    load_index,
+)
+from elasticsearch_spark.search import dsl
+from elasticsearch_spark.search.api import search
+from elasticsearch_spark.search.bm25 import BM25Params
+from elasticsearch_spark.search.executor import match_topk, phrase_topk
+
+EXACT = BM25Params(quantize_norms=False)
+
+
+@pytest.fixture(scope="module")
+def nullable_df(spark):
+    return spark.createDataFrame(
+        [(1, "en", 10), (2, None, 20), (3, "fr", None)],
+        "doc_id long, lang string, n int",
+    )
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_must_not_keeps_null_field_docs(nullable_df):
+    # ES: must_not(term lang=en) keeps every doc where the inner query
+    # does NOT match — including docs with no lang at all (doc 2)
+    q = {"bool": {"must_not": [{"term": {"lang": "en"}}]}}
+    assert _ids(nullable_df.filter(dsl.compile_filter(q))) == [2, 3]
+
+
+def test_should_msm_with_null_clause(nullable_df):
+    # doc 2: lang clause is NULL, range clause matches -> msm=1 satisfied;
+    # SQL ternary logic would make the clause sum NULL and drop it
+    q = {"bool": {"should": [
+        {"term": {"lang": "en"}},
+        {"range": {"n": {"gte": 15}}},
+    ], "minimum_should_match": 1}}
+    assert _ids(nullable_df.filter(dsl.compile_filter(q))) == [1, 2]
+
+
+def test_terms_set_null_field(nullable_df):
+    q = {"terms_set": {"lang": {"terms": ["en", "fr"],
+                                 "minimum_should_match": 1}}}
+    assert _ids(nullable_df.filter(dsl.compile_filter(q))) == [1, 3]
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    df = assign_doc_ids(
+        generate_corpus(spark, 80, seed=3), ["repo", "path", "commit"]
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("advice_idx"))
+    return build_index(
+        small_corpus, out, fields={"content": "code"}, num_partitions=2,
+        input_snapshot="advice-v1",
+    )
+
+
+def test_search_constant_score_over_filter(small_index, small_corpus):
+    # the canonical constant_score usage must not raise inside search()
+    hits = search(
+        small_index, small_corpus,
+        {"constant_score": {"filter": {"prefix": {"path": "src/"}},
+                            "boost": 2.5}},
+        k=5, params=EXACT,
+    ).collect()
+    assert hits and all(r["score"] == 2.5 for r in hits)
+
+
+def test_search_pure_filter_bool_inside_scored_must(small_index, small_corpus):
+    inner = {"bool": {"filter": [{"exists": {"field": "path"}}]}}
+    hits = search(
+        small_index, small_corpus,
+        {"bool": {"must": [{"match": {"content": "import"}}, inner]}},
+        k=5, params=EXACT,
+    ).collect()
+    want = search(
+        small_index, small_corpus,
+        {"match": {"content": "import"}}, k=5, params=EXACT,
+    ).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in hits] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_search_constant_score_must_adds_boost(small_index, small_corpus):
+    base = search(
+        small_index, small_corpus, {"match": {"content": "import"}},
+        k=5, params=EXACT,
+    ).collect()
+    boosted = search(
+        small_index, small_corpus,
+        {"bool": {"must": [
+            {"match": {"content": "import"}},
+            {"constant_score": {"filter": {"exists": {"field": "path"}},
+                                "boost": 3.0}},
+        ]}},
+        k=5, params=EXACT,
+    ).collect()
+    assert [r["doc_id"] for r in boosted] == [r["doc_id"] for r in base]
+    for b, a in zip(boosted, base):
+        assert math.isclose(b["score"], a["score"] + 3.0, rel_tol=1e-9)
+
+
+def test_duplicate_query_term_scores_per_occurrence(small_index):
+    # Lucene BooleanQuery sums duplicate TermQuery clauses
+    single = match_topk(small_index, "content", ["import"], k=5,
+                        params=EXACT).collect()
+    double = match_topk(small_index, "content", ["import", "import"], k=5,
+                        params=EXACT).collect()
+    assert [r["doc_id"] for r in double] == [r["doc_id"] for r in single]
+    for d, s in zip(double, single):
+        assert math.isclose(d["score"], 2.0 * s["score"], rel_tol=1e-9)
+
+
+def test_duplicate_term_rank_identical_vs_oracle(small_index, small_corpus):
+    from elasticsearch_spark.oracle import oracle_topk
+
+    docs = {r["doc_id"]: r["content"]
+            for r in small_corpus.select("doc_id", "content").collect()}
+    params = BM25Params(quantize_norms=True)
+    got = match_topk(small_index, "content", ["import", "import", "return"],
+                     k=10, params=params).collect()
+    want = oracle_topk(docs, "import import return", k=10, analyzer="code",
+                       params=params)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_stop_analyzer_dl_counts_emitted_tokens(spark, tmp_path):
+    # "the quick fox of doom" -> stop removes "the"/"of": 3 emitted tokens
+    docs = spark.createDataFrame(
+        [(1, "the quick fox of doom"), (2, "quick quick fox")],
+        "doc_id long, body string",
+    )
+    idx = build_index(docs, str(tmp_path / "stopidx"),
+                      fields={"body": "stop"}, num_partitions=1,
+                      input_snapshot="v1", store_doc_lengths=True)
+    dls = {r["doc_id"]: r["dl"] for r in idx.doc_lengths.collect()}
+    assert dls == {1: 3, 2: 3}
+
+
+def test_ingest_batch_replay_is_idempotent(spark, small_corpus, tmp_path):
+    import json
+
+    from elasticsearch_spark.streaming.refresh import ingest_batch
+
+    idx_dir = str(tmp_path / "replay_idx")
+    os.makedirs(idx_dir, exist_ok=True)
+    with open(os.path.join(idx_dir, "index_meta.json"), "w") as f:
+        json.dump({"num_partitions": 2, "fields": {"content": "code"},
+                   "input_snapshot": "stream"}, f)
+    batch = small_corpus.limit(40)
+    ingest_batch(batch, idx_dir, {"content": "code"}, 2, batch_id=0)
+    n1 = load_index(spark, idx_dir).collection_stats()["content"]["n_docs"]
+    # crash-replay: foreachBatch re-delivers the SAME batch id
+    ingest_batch(batch, idx_dir, {"content": "code"}, 2, batch_id=0)
+    n2 = load_index(spark, idx_dir).collection_stats()["content"]["n_docs"]
+    assert (n1, n2) == (40, 40)
+
+
+def test_resume_replaces_partial_partition_output(spark, small_corpus, tmp_path):
+    # simulate a crash AFTER partition 0's parquet commit but BEFORE its
+    # manifest: the resume run must replace partition 0's output, not
+    # append a second copy
+    out = str(tmp_path / "crash_idx")
+    build_index(small_corpus, out, fields={"content": "code"},
+                num_partitions=2, input_snapshot="v1", _only_parts=[0])
+    os.remove(os.path.join(out, "checkpoints", "part-0.json"))
+    idx = build_index(small_corpus, out, fields={"content": "code"},
+                      num_partitions=2, input_snapshot="v1", resume=True)
+    assert idx.collection_stats()["content"]["n_docs"] == 80

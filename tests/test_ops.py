@@ -157,6 +157,30 @@ def test_ann_self_join_recall(emb):
     assert recall > 0.4  # 8 tables x 6 planes multi-table LSH
 
 
+def test_ann_degenerate_bucket_is_capped(spark):
+    """All-identical vectors land in ONE bucket in every table; the
+    max_bucket cap + chunked matmul must keep that O(cap^2 / chunks),
+    not O(n^2), and still return k neighbours per retained id."""
+    import numpy as np
+
+    n = 3000
+    vec = [float(x) for x in np.arange(8)]
+    rows = [(i, vec) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ann_self_join(
+        emb, dim=8, k=2, n_planes=4, n_tables=2, max_bucket=200,
+        chunk_rows=64,
+    ).collect()
+    ids_a = {r["id_a"] for r in out}
+    # only the cap's smallest ids emit pairs; each has exactly k
+    assert ids_a == set(range(200))
+    per = {}
+    for r in out:
+        per.setdefault(r["id_a"], []).append(r)
+        assert math.isclose(r["cosine"], 1.0, rel_tol=1e-9)
+    assert all(len(v) == 2 for v in per.values())
+
+
 def test_token_count_and_fingerprint_vs_duckdb(docs, duck):
     got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).select("doc_id", "n_tokens").collect()}
     want = dict(duck.execute(text.token_count_sql()).fetchall())

@@ -78,6 +78,26 @@ def test_term_filter_pushdown(spark, tmp_path):
     assert m and "positions" not in m.group(1), m.group(1)
 
 
+def test_phrase_prefix_single_pass(spark, tmp_path):
+    """phrase_prefix must be ONE scan + ONE part_id exchange — round 1
+    unioned up to 50 per-expansion phrase plans (50x scan + shuffle)."""
+    from elasticsearch_spark.index.builder import build_index
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.executor import phrase_prefix_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fresh = build_index(
+        docs.select("doc_id", "text"), str(tmp_path / "ppidx"),
+        fields={"text": "ascii_word"}, num_partitions=4,
+        input_snapshot="pp",
+    )
+    df = phrase_prefix_topk(fresh, "text", ["key", "ord"], k=10,
+                            params=BM25Params(quantize_norms=False))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(part_id") == 1, plan[:2000]
+    assert plan.count("Scan parquet") == 1
+
+
 def test_filter_query_pushdown(spark, tmp_path):
     import shutil
 
