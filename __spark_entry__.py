@@ -53,13 +53,19 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v4")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v5")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
-            docs.select("doc_id", "text", "source"),
+            docs.select("doc_id", "text", "source")
+            .withColumn("text_en", F.col("text")),
             path,
-            fields={"text": "ascii_word", "source": "ascii_word"},
+            fields={
+                "text": "ascii_word",
+                "source": "ascii_word",
+                # stop-filtered + S-stemmed English field (exact SQL twin)
+                "text_en": "english_light",
+            },
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
             store_doc_lengths=True,
@@ -129,6 +135,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_phrase_prefix"] = match_phrase_prefix
 
+    def match_stemmed(s: SparkSession, d: str) -> DataFrame:
+        # english_light field: stop removal + S-stemmer, so "tables
+        # scanned" matches docs saying "table scan"
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("tables scanned", "english_light")]
+        out = match_topk(idx, "text_en", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_stemmed"] = match_stemmed
+
+    def match_synonym(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import synonym_match_topk
+
+        idx = _doc_index(s, d)
+        out = synonym_match_topk(
+            idx, "text",
+            [["table", "data"], ["scan", "filter"]],
+            k=10, params=_EXACT,
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_synonym"] = match_synonym
+
     def significant_terms_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import significant_terms
 
@@ -187,6 +216,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits.select("doc_id", F.round("score", 4).alias("score"))
 
     q["multi_match_best"] = multi_match_best
+
+    def multi_match_cross(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"multi_match": {"query": "src5 table scan",
+                              "fields": ["text", "source"],
+                              "type": "cross_fields"}},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["multi_match_cross"] = multi_match_cross
 
     def dis_max_q(s: SparkSession, d: str) -> DataFrame:
         idx = _doc_index(s, d)
@@ -645,6 +688,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["intervals_ordered"] = intervals_q
 
+    def span_near_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.spans import span_match
+
+        idx = _doc_index(s, d)
+        out = span_match(
+            idx, "text",
+            {"span_near": {"clauses": [
+                {"span_term": {"text": "key"}},
+                {"span_term": {"text": "order"}},
+            ], "slop": 2, "in_order": True}},
+            k=50,
+        )
+        return out.select("doc_id", "score", "matched")
+
+    q["span_near"] = span_near_q
+
+    def span_first_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.spans import span_match
+
+        idx = _doc_index(s, d)
+        out = span_match(
+            idx, "text",
+            {"span_first": {"match": {"span_term": {"text": "table"}},
+                             "end": 5}},
+            k=50,
+        )
+        return out.select("doc_id", "score", "matched")
+
+    q["span_first"] = span_first_q
+
+    def span_not_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.spans import span_match
+
+        idx = _doc_index(s, d)
+        out = span_match(
+            idx, "text",
+            {"span_not": {
+                "include": {"span_term": {"text": "key"}},
+                "exclude": {"span_near": {"clauses": [
+                    {"span_term": {"text": "key"}},
+                    {"span_term": {"text": "order"}},
+                ], "slop": 0, "in_order": True}},
+            }},
+            k=50,
+        )
+        return out.select("doc_id", "score", "matched")
+
+    q["span_not"] = span_not_q
+
+    def intervals_any_of_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.spans import intervals_to_span, span_match
+
+        idx = _doc_index(s, d)
+        tree = intervals_to_span({"all_of": {"intervals": [
+            {"match": {"query": "window"}},
+            {"any_of": {"intervals": [
+                {"match": {"query": "filter"}},
+                {"match": {"query": "merge"}},
+            ]}},
+        ], "max_gaps": 3, "ordered": True}})
+        out = span_match(idx, "text", tree, k=50)
+        return out.select("doc_id", "score", "matched")
+
+    q["intervals_any_of"] = intervals_any_of_q
+
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
             feature_topk, rank_feature_score,
@@ -808,6 +916,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nested_agg"] = nested_agg_q
 
+    def inner_hits_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import nested_inner_hits
+
+        orders = _t(s, d, "orders")
+        items = (
+            _t(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            ).alias("items"))
+        )
+        nested = orders.join(items, orders.o_orderkey == items.l_orderkey)
+        out = nested_inner_hits(
+            nested, "items",
+            {"range": {"items.l_quantity": {"gte": 49}}},
+            size=2, id_col="o_orderkey",
+            sort_by=[("items.l_extendedprice", False),
+                     ("items.l_linenumber", True)],
+        )
+        return out.select(
+            "o_orderkey", "rank", "l_linenumber", "l_quantity",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+
+    q["inner_hits"] = inner_hits_q
+
+    def reverse_nested_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import reverse_nested_agg
+
+        orders = _t(s, d, "orders")
+        items = (
+            _t(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.collect_list(
+                F.struct("l_quantity", "l_returnflag")
+            ).alias("items"))
+        )
+        nested = orders.join(items, orders.o_orderkey == items.l_orderkey)
+        out = reverse_nested_agg(
+            nested, "items", "l_returnflag",
+            {"avg_total": ("avg", "o_totalprice")},
+            id_col="o_orderkey",
+        )
+        return out.select(
+            "l_returnflag", "doc_count", F.round("avg_total", 4).alias("avg_total")
+        ).orderBy("l_returnflag")
+
+    q["agg_reverse_nested"] = reverse_nested_q
+
     # --- training-data pipeline ops ---
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicate_groups(
         _t(s, d, "documents")
@@ -891,6 +1048,18 @@ def oracle_sql() -> dict[str, str]:
     # 'ord' expands only to 'order' in this corpus, so the completed
     # phrase oracle is exact (verified: SELECT DISTINCT term LIKE 'ord%')
     o["match_phrase_prefix"] = phrase_topk_sql(["key", "order"], k=10)
+    from elasticsearch_spark.oracle.sql_oracle import (
+        english_light_list_sql,
+        synonym_topk_sql,
+    )
+
+    o["match_stemmed"] = bm25_topk_sql(
+        [t for t, _ in analyze("tables scanned", "english_light")],
+        k=10, tok_list_expr=english_light_list_sql("text"),
+    )
+    o["match_synonym"] = synonym_topk_sql(
+        [["table", "data"], ["scan", "filter"]], k=10
+    )
     o["significant_terms"] = """
 WITH tot AS (
   SELECT count(*) * 1.0 AS n_all,
@@ -938,6 +1107,51 @@ WITH {bm25_ctes(['src5', 'table'], prefix='t_')},
 SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
        round(greatest(coalesce(t.score, 0), coalesce(s.score, 0)), 4) AS score
 FROM t_scored t FULL OUTER JOIN s_scored s ON t.doc_id = s.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # cross_fields: BLENDED df = max(df_text, df_source) per term; per
+    # (doc, term) dismax across fields (tie_breaker 0); terms sum
+    o["multi_match_cross"] = """
+WITH tokA AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+tokB AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+  FROM documents),
+nn AS (SELECT count(*) * 1.0 AS n FROM documents),
+avgA AS (SELECT (SELECT count(*) FROM tokA) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+avgB AS (SELECT (SELECT count(*) FROM tokB) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+dlA AS (SELECT doc_id, count(*) * 1.0 AS dl FROM tokA GROUP BY doc_id),
+dlB AS (SELECT doc_id, count(*) * 1.0 AS dl FROM tokB GROUP BY doc_id),
+tfA AS (SELECT doc_id, term, count(*) * 1.0 AS tf FROM tokA
+        WHERE term IN ('src5', 'table', 'scan') GROUP BY doc_id, term),
+tfB AS (SELECT doc_id, term, count(*) * 1.0 AS tf FROM tokB
+        WHERE term IN ('src5', 'table', 'scan') GROUP BY doc_id, term),
+dfA AS (SELECT term, count(*) * 1.0 AS df FROM tfA GROUP BY term),
+dfB AS (SELECT term, count(*) * 1.0 AS df FROM tfB GROUP BY term),
+dfx AS (
+  SELECT coalesce(a.term, b.term) AS term,
+         greatest(coalesce(a.df, 0), coalesce(b.df, 0)) AS df
+  FROM dfA a FULL OUTER JOIN dfB b ON a.term = b.term),
+sA AS (
+  SELECT t.doc_id, t.term,
+         2.2 * ln(1.0 + (nn.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dlA.dl / avgA.avgdl)) AS s
+  FROM tfA t JOIN dfx d ON d.term = t.term
+  JOIN dlA ON dlA.doc_id = t.doc_id CROSS JOIN nn CROSS JOIN avgA),
+sB AS (
+  SELECT t.doc_id, t.term,
+         2.2 * ln(1.0 + (nn.n - d.df + 0.5) / (d.df + 0.5))
+           * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * dlB.dl / avgB.avgdl)) AS s
+  FROM tfB t JOIN dfx d ON d.term = t.term
+  JOIN dlB ON dlB.doc_id = t.doc_id CROSS JOIN nn CROSS JOIN avgB),
+pt AS (
+  SELECT doc_id, term, max(s) AS best
+  FROM (SELECT * FROM sA UNION ALL SELECT * FROM sB)
+  GROUP BY doc_id, term)
+SELECT doc_id, round(sum(best), 4) AS score
+FROM pt GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
@@ -1186,6 +1400,53 @@ WHERE len(list_filter(p1,
         a -> len(list_filter(p2, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
 ORDER BY doc_id ASC LIMIT 10
 """
+    # span family: 0-based engine positions == 1-based SQL `pos` shifted,
+    # offsets cancel inside width/gap arithmetic
+    _tokpos = """
+t0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS pos
+  FROM t0)"""
+
+    o["span_near"] = f"""
+WITH {_tokpos}
+SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+WHERE a.term = 'key' AND b.term = 'order' AND b.pos > a.pos
+  AND (b.pos - a.pos + 1) - 2 <= 2
+GROUP BY a.doc_id
+ORDER BY a.doc_id ASC LIMIT 50
+"""
+
+    o["span_first"] = f"""
+WITH {_tokpos}
+SELECT doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM tok WHERE term = 'table' AND pos <= 5
+GROUP BY doc_id ORDER BY doc_id ASC LIMIT 50
+"""
+
+    o["span_not"] = f"""
+WITH {_tokpos}
+SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM tok a
+WHERE a.term = 'key' AND NOT EXISTS (
+  SELECT 1 FROM tok b
+  WHERE b.doc_id = a.doc_id AND b.term = 'order' AND b.pos = a.pos + 1)
+GROUP BY a.doc_id ORDER BY a.doc_id ASC LIMIT 50
+"""
+
+    o["intervals_any_of"] = f"""
+WITH {_tokpos}
+SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+WHERE a.term = 'window' AND b.term IN ('filter', 'merge') AND b.pos > a.pos
+  AND (b.pos - a.pos + 1) - 2 <= 3
+GROUP BY a.doc_id
+ORDER BY a.doc_id ASC LIMIT 50
+"""
+
     o["rank_feature"] = """
 SELECT doc_id, round(n_chars * 1.0 / (n_chars + 200.0), 6) AS score
 FROM documents
@@ -1250,6 +1511,28 @@ SELECT l_returnflag, count(*) AS doc_count,
        round(sum(l_quantity), 4) AS q
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
+"""
+
+    o["inner_hits"] = """
+WITH m AS (
+  SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey
+           ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC
+         ) AS rank
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 49)
+SELECT o_orderkey, rank, l_linenumber, l_quantity,
+       round(l_extendedprice, 2) AS l_extendedprice
+FROM m WHERE rank <= 2
+"""
+
+    o["agg_reverse_nested"] = """
+SELECT l_returnflag, count(*) AS doc_count,
+       round(avg(o_totalprice), 4) AS avg_total
+FROM (SELECT DISTINCT l.l_returnflag, o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
     o["term_filter"] = "SELECT doc_id, lang FROM documents WHERE lang = 'fr'"

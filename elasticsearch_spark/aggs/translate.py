@@ -356,6 +356,36 @@ def nested_agg(
     return aggregate(exploded, spec)
 
 
+def reverse_nested_agg(
+    df: DataFrame,
+    path: str,
+    child_key: str,
+    parent_metrics: dict[str, tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    key_name: str | None = None,
+) -> DataFrame:
+    """reverse_nested (reg. SearchModule.java:451): bucket by a CHILD
+    field, then step back OUT to parent scope — doc_count is the number
+    of distinct PARENT docs with >=1 child in the bucket, and metrics
+    aggregate over each parent once (not once per child).
+
+    ``parent_metrics``: {out_name: (op, parent_field)} with op in
+    avg/sum/min/max. Plan: explode -> per-(bucket, parent) dropDuplicates
+    (partial map-side) -> one hash agg."""
+    metrics = parent_metrics or {}
+    key = key_name or child_key.split(".")[-1]
+    needed = [id_col] + sorted({f for _, f in metrics.values()})
+    exploded = df.select(
+        *needed, F.col(path + "." + child_key.split(".")[-1]).alias("_ks")
+    ).select(*needed, F.explode("_ks").alias(key))
+    per_parent = exploded.dropDuplicates([key, id_col])
+    aggs = [F.count("*").alias("doc_count")]
+    ops = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+    for out, (op, fieldname) in metrics.items():
+        aggs.append(ops[op](F.col(fieldname)).alias(out))
+    return per_parent.groupBy(key).agg(*aggs)
+
+
 def adjacency_matrix(df: DataFrame, filters: dict[str, dict]) -> DataFrame:
     """adjacency_matrix agg (SearchModule.java:377): doc counts for each
     named filter and each pairwise intersection — ONE aggregation pass

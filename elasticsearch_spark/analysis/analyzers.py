@@ -148,6 +148,63 @@ def _analyze_code(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+# per-token stem caches (Zipf vocabularies: memoization is the main win)
+_PORTER_CACHE: dict[str, str] = {}
+_SSTEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_MAX = 500_000
+
+
+def _porter_cached(tok: str) -> str:
+    from elasticsearch_spark.analysis.stem import porter_stem
+
+    hit = _PORTER_CACHE.get(tok)
+    if hit is None:
+        if len(_PORTER_CACHE) >= _STEM_CACHE_MAX:
+            _PORTER_CACHE.clear()
+        hit = _PORTER_CACHE[tok] = porter_stem(tok)
+    return hit
+
+
+def _s_stem_cached(tok: str) -> str:
+    from elasticsearch_spark.analysis.stem import s_stem
+
+    hit = _SSTEM_CACHE.get(tok)
+    if hit is None:
+        if len(_SSTEM_CACHE) >= _STEM_CACHE_MAX:
+            _SSTEM_CACHE.clear()
+        hit = _SSTEM_CACHE[tok] = s_stem(tok)
+    return hit
+
+
+def _analyze_english(text: str) -> tuple[list[str], list[int]]:
+    """english analyzer: standard tokens -> english stop removal ->
+    Porter stemming (reference: AnalysisModule language analyzers +
+    CommonAnalysisPlugin.java:217 stemmer registration). Positions keep
+    stop-filter gaps (Lucene StopFilter preserves increments)."""
+    terms, positions = _analyze_standard(text)
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for t, p in zip(terms, positions):
+        if t not in ENGLISH_STOPWORDS:
+            out_t.append(_porter_cached(t))
+            out_p.append(p)
+    return out_t, out_p
+
+
+def _analyze_english_light(text: str) -> tuple[list[str], list[int]]:
+    """english_light: ascii_word tokens -> stop removal -> S-stemmer.
+    Chosen so the WHOLE chain has an exact ANSI-SQL twin
+    (list_filter + nested regexp_replace) for the DuckDB oracle."""
+    terms = _ASCII_WORD_RE.findall(text.lower())
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for p, t in enumerate(terms):
+        if t not in ENGLISH_STOPWORDS:
+            out_t.append(_s_stem_cached(t))
+            out_p.append(p)
+    return out_t, out_p
+
+
 ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "standard": _analyze_standard,
     "code": _analyze_code,
@@ -156,6 +213,8 @@ ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "keyword": _analyze_keyword,
     "stop": _analyze_stop,
     "ascii_word": _analyze_ascii_word,
+    "english": _analyze_english,
+    "english_light": _analyze_english_light,
 }
 
 
@@ -312,8 +371,7 @@ def _codes_keyword(texts: pd.Series):
     )
 
 
-def _codes_stop(texts: pd.Series):
-    d, c, u, p = _codes_standard(texts)
+def _drop_stopwords_codes(d, c, u, p):
     if not c.size:
         return d, c, u, p
     stop_lut = np.fromiter(
@@ -322,6 +380,34 @@ def _codes_stop(texts: pd.Series):
     keep = ~stop_lut[c]
     # positions preserved (StopFilter keeps position increments)
     return d[keep], c[keep], u, p[keep]
+
+
+def _codes_stop(texts: pd.Series):
+    return _drop_stopwords_codes(*_codes_standard(texts))
+
+
+def _transform_uniques_codes(d, c, u, p, word_fn):
+    """Apply a token->token transform once per UNIQUE token, then
+    re-factorize so colliding outputs (different raws -> same stem)
+    share ONE code — the builder requires one code per distinct term."""
+    if not c.size:
+        return d, c, u, p
+    new_words = np.empty(len(u), dtype=object)
+    for i, w in enumerate(u.tolist()):
+        new_words[i] = word_fn(w)
+    codes2, uniq2 = pd.factorize(new_words)
+    return d, codes2.astype(np.int64)[c], np.asarray(uniq2, dtype=object), p
+
+
+def _codes_english(texts: pd.Series):
+    return _transform_uniques_codes(*_codes_stop(texts), _porter_cached)
+
+
+def _codes_english_light(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_ASCII, lower=True)
+    return _transform_uniques_codes(
+        *_drop_stopwords_codes(d, c, u, p), _s_stem_cached
+    )
 
 
 def _codes_code(texts: pd.Series):
@@ -393,6 +479,8 @@ FLAT_ANALYZERS: dict[str, Callable] = {
     "keyword": _codes_keyword,
     "stop": _codes_stop,
     "code": _codes_code,
+    "english": _codes_english,
+    "english_light": _codes_english_light,
 }
 
 

@@ -1,0 +1,211 @@
+"""Stemmers for the English analysis chain.
+
+Two stemmers, mirroring the reference's registration of `stemmer`
+(porter) and lighter variants in
+modules/analysis-common/.../CommonAnalysisPlugin.java:217 and the
+StemmerTokenFilterFactory language table:
+
+  - ``porter_stem``: the full Porter (1980) algorithm, implemented from
+    the published rules (public domain). Used by the ``english``
+    analyzer; golden-tested against the paper's example vectors.
+  - ``s_stem``: a Harman-style "S stemmer" — a short SEQUENTIAL cascade
+    of suffix rules, chosen because the identical cascade is expressible
+    as nested ANSI-SQL regexp_replace calls (``s_stem_sql``), giving the
+    ``english_light`` analyzer an exact DuckDB oracle twin.
+
+Both are plain token->token functions; the analyzers vectorize them by
+applying them once per UNIQUE token per batch (memoized — Zipf).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------
+# S stemmer (Harman 1991 "How effective is suffixing?" style): rules are
+# applied IN ORDER, each unconditionally (a sequential cascade, exactly
+# like nested regexp_replace in SQL). Anchored patterns -> at most one
+# replacement per rule, so Python re.sub == DuckDB regexp_replace.
+# ---------------------------------------------------------------------
+S_STEM_RULES: list[tuple[str, str]] = [
+    (r"sses$", "ss"),             # caresses -> caress
+    (r"([a-z])ies$", r"\1y"),     # ponies -> pony, queries -> query
+    (r"([sx])es$", r"\1"),        # boxes -> box, buses -> bus
+    (r"([cs]h)es$", r"\1"),       # churches -> church, crashes -> crash
+    (r"([a-z][^aeiosux])es$", r"\1e"),  # files -> file, sizes -> size
+    (r"([a-z][^aeious])s$", r"\1"),  # cats -> cat (keeps -ss/-us/vowel+s)
+]
+
+_S_COMPILED = [(re.compile(p), r) for p, r in S_STEM_RULES]
+
+
+def s_stem(word: str) -> str:
+    for pat, rep in _S_COMPILED:
+        word = pat.sub(rep, word)
+    return word
+
+
+def s_stem_sql(expr: str) -> str:
+    """Nested regexp_replace SQL applying the same cascade to ``expr``."""
+    out = expr
+    for pat, rep in S_STEM_RULES:
+        sql_rep = rep.replace("\\1", "\\1")  # RE2 replacement syntax
+        out = f"regexp_replace({out}, '{pat}', '{sql_rep}')"
+    return out
+
+
+# ---------------------------------------------------------------------
+# Porter stemmer (Porter 1980, "An algorithm for suffix stripping")
+# ---------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences ([C](VC)^m[V])."""
+    m = 0
+    prev_c = None
+    for i in range(len(stem)):
+        c = _is_cons(stem, i)
+        if prev_c is True and c is False:
+            pass
+        if prev_c is False and c is True:
+            m += 1
+        prev_c = c
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    if (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return word[-1] not in "wxy"
+    return False
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2 or not word.isascii() or not word.isalpha():
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # step 4 ("ion" handled separately: requires the stem to end s/t)
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion"):
+            stem = w[:-3]
+            if _measure(stem) > 1 and stem.endswith(("s", "t")):
+                w = stem
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w

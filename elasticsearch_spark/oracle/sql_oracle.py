@@ -24,6 +24,20 @@ def _dedup(terms: list[str]) -> list[str]:
     return list(dict.fromkeys(terms))
 
 
+def english_light_list_sql(text_col: str = "text") -> str:
+    """Token-list SQL for the ``english_light`` analyzer: ascii_word
+    tokens -> english stopword removal -> S-stemmer cascade — the exact
+    twin of analyzers._analyze_english_light."""
+    from elasticsearch_spark.analysis.analyzers import ENGLISH_STOPWORDS
+    from elasticsearch_spark.analysis.stem import s_stem_sql
+
+    stops = _sql_str_list(sorted(ENGLISH_STOPWORDS))
+    return (
+        f"list_transform(list_filter(regexp_extract_all(lower({text_col}),"
+        f" '[a-z0-9_]+'), t -> t NOT IN {stops}), t -> {s_stem_sql('t')})"
+    )
+
+
 def bm25_ctes(
     terms: list[str] | None,
     prefix: str = "",
@@ -31,6 +45,7 @@ def bm25_ctes(
     id_col: str = "doc_id",
     text_col: str = "text",
     terms_cte: str | None = None,
+    tok_list_expr: str | None = None,
 ) -> str:
     """CTE block computing ``{prefix}scored(doc_id, score, matched)``.
 
@@ -38,6 +53,8 @@ def bm25_ctes(
     ``terms_cte``, the name of a CTE with a ``term`` column (used by the
     more_like_this oracle). All intermediate CTE names carry ``prefix``
     so several blocks can coexist in one WITH clause.
+    ``tok_list_expr`` overrides the analyzer's token-list SQL (default
+    ascii_word; pass english_light_list_sql(...) for the stemmed field).
     """
     p = prefix
     if terms_cte is not None:
@@ -46,10 +63,13 @@ def bm25_ctes(
     else:
         tf_filter = ""
         where = f"WHERE x.term IN {_sql_str_list(_dedup(terms))}"
+    tok_list = tok_list_expr or (
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+')"
+    )
     return f"""
 {p}tok AS (
   SELECT {id_col} AS doc_id,
-         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9_]+')) AS term
+         unnest({tok_list}) AS term
   FROM {table}
 ),
 {p}stats AS (
@@ -89,14 +109,72 @@ def bm25_topk_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tok_list_expr: str | None = None,
 ) -> str:
     terms = _dedup(terms)
     msm = len(terms) if operator == "and" else max(minimum_should_match, 1)
     return f"""
-WITH {bm25_ctes(terms, table=table, id_col=id_col, text_col=text_col)}
+WITH {bm25_ctes(terms, table=table, id_col=id_col, text_col=text_col,
+                tok_list_expr=tok_list_expr)}
 SELECT doc_id, round(score, 4) AS score
 FROM scored
 WHERE matched >= {msm}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def synonym_topk_sql(
+    groups: list[list[str]],
+    k: int = 10,
+    minimum_should_match: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """SQL twin of executor.synonym_match_topk (Lucene SynonymQuery):
+    per group, df = MAX of members' doc freqs, tf = SUM of members' tfs;
+    groups sum like bool-OR clauses."""
+    group_ctes = []
+    score_selects = []
+    for i, g in enumerate(groups):
+        members = _sql_str_list(_dedup(g))
+        dfs = ", ".join(
+            f"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = '"
+            + t.replace("'", "''") + "')"
+            for t in _dedup(g)
+        )
+        group_ctes.append(f"""
+g{i} AS (
+  SELECT doc_id, count(*) * 1.0 AS tf
+  FROM tok WHERE term IN {members} GROUP BY doc_id
+),
+g{i}df AS (SELECT greatest({dfs}) * 1.0 AS df)""")
+        score_selects.append(f"""
+  SELECT g.doc_id,
+         ({K1} + 1.0)
+           * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * g.tf / (g.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM g{i} g JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN g{i}df d CROSS JOIN stats s""")
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9_]+')) AS term
+  FROM {table}
+),
+stats AS (
+  SELECT (SELECT count(*) FROM tok) * 1.0
+           / (SELECT count(*) FROM {table}) AS avgdl,
+         (SELECT count(*) FROM {table}) * 1.0 AS n
+),
+dl AS (SELECT doc_id, count(*) * 1.0 AS dl FROM tok GROUP BY doc_id),
+{','.join(group_ctes)},
+allscores AS ({' UNION ALL '.join(score_selects)})
+SELECT doc_id, round(sum(score), 4) AS score
+FROM allscores
+GROUP BY doc_id
+HAVING count(*) >= {max(minimum_should_match, 1)}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """

@@ -181,6 +181,17 @@ def _scored_df(
         fields = list(body["fields"])
         mtype = body.get("type", "best_fields")
         tie = float(body.get("tie_breaker", 0.0))
+        if mtype == "cross_fields":
+            from elasticsearch_spark.search.combined import cross_fields_topk
+
+            analyzer = index_meta(index.path)["fields"].get(fields[0], "standard")
+            terms = [t for t, _ in analyze(text, analyzer)]
+            df = cross_fields_topk(
+                index, fields, terms, k=None, tie_breaker=tie, params=params
+            )
+            return df.select(
+                "doc_id", (F.col("score") * F.lit(boost)).alias("score")
+            )
         per_field = [
             _scored_df(index, {"match": {f: {"query": text, **{k: v for k, v in body.items() if k in ("operator", "minimum_should_match")}}}}, params)
             .withColumnRenamed("score", "s")

@@ -352,6 +352,120 @@ def phrase_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def synonym_match_topk(
+    index: InvertedIndex,
+    field: str,
+    groups: list[list[str]],
+    k: int | None = 10,
+    minimum_should_match: int = 1,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """match with query-time synonym expansion. Each group (the analyzed
+    token plus its synonyms) scores as ONE Lucene SynonymQuery
+    (org.apache.lucene.search.SynonymQuery, built by
+    MatchQueryParser/SynonymGraphFilter chains registered in
+    CommonAnalysisPlugin.java:320): docFreq = MAX of the members' dfs,
+    tf = SUM of the members' tfs in the doc, one BM25 contribution per
+    group; groups sum like bool-OR clauses.
+
+    Same physical plan as match_topk: one pushed-down block scan of all
+    member terms, one part_id exchange, local top-k + global merge."""
+    params = params or BM25Params()
+    spark = index.spark
+    coll = index.collection_stats().get(field)
+    if coll is None or not coll["n_docs"]:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+    all_terms = list(dict.fromkeys(t for g in groups for t in g))
+    rows = index.term_stats(field, all_terms)
+    by_term = {r["term"]: r for r in rows}
+    group_idf: list[float] = []
+    live_groups: list[list[str]] = []
+    for g in groups:
+        dfs = [int(by_term[t]["df"]) for t in g if t in by_term]
+        if not dfs:
+            continue
+        live_groups.append([t for t in g if t in by_term])
+        group_idf.append(float(bm25.idf(max(dfs), n_docs)))
+    if not live_groups:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    term_to_group = {t: i for i, g in enumerate(live_groups) for t in g}
+    msm = max(minimum_should_match, 1)
+    k1, b, quant = params.k1, params.b, params.quantize_norms
+    qterms = list(term_to_group)
+
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(qterms)
+    ).select("part_id", "term", "doc_ids", "tfs", "dls")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
+            {"doc_id": "int64", "score": "float64", "matched": "int32"}
+        )
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        acc_counts = np.empty(0, dtype=np.int64)
+        by = dict(tuple(pdf.groupby("term", sort=False)))
+        for gi, g in enumerate(live_groups):
+            ids_p, tf_p, dl_p = [], [], []
+            for t in g:
+                sub = by.get(t)
+                if sub is None:
+                    continue
+                for row in sub.itertuples(index=False):
+                    ids_p.append(codec.delta_decode(codec.vbyte_decode(row.doc_ids)))
+                    tf_p.append(codec.vbyte_decode(row.tfs))
+                    dl_p.append(codec.vbyte_decode(row.dls))
+            if not ids_p:
+                continue
+            ids = np.concatenate(ids_p)
+            tfs = np.concatenate(tf_p).astype(np.float64)
+            dls = np.concatenate(dl_p)
+            # SynonymQuery: per-doc tf = sum over member terms
+            uniq, inv = np.unique(ids, return_inverse=True)
+            tf_sum = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(tf_sum, inv, tfs)
+            dl_first = np.zeros(uniq.size, dtype=np.int64)
+            dl_first[inv[::-1]] = dls[::-1]  # any member's dl (same doc-field)
+            dl_eff = (
+                bm25.quantize_dl(dl_first).astype(np.float64)
+                if quant else dl_first.astype(np.float64)
+            )
+            scores = (k1 + 1.0) * group_idf[gi] * tf_sum / (
+                tf_sum + k1 * (1.0 - b + b * dl_eff / avgdl)
+            )
+            all_ids = np.concatenate([acc_ids, uniq])
+            all_scores = np.concatenate([acc_scores, scores])
+            all_counts = np.concatenate(
+                [acc_counts, np.ones(uniq.size, dtype=np.int64)]
+            )
+            u2, inv2 = np.unique(all_ids, return_inverse=True)
+            ns = np.zeros(u2.size, dtype=np.float64)
+            nc = np.zeros(u2.size, dtype=np.int64)
+            np.add.at(ns, inv2, all_scores)
+            np.add.at(nc, inv2, all_counts)
+            acc_ids, acc_scores, acc_counts = u2, ns, nc
+        if acc_ids.size == 0:
+            return empty
+        keep = acc_counts >= msm
+        acc_ids, acc_scores, acc_counts = (
+            acc_ids[keep], acc_scores[keep], acc_counts[keep],
+        )
+        order = np.lexsort((acc_ids, -acc_scores))
+        if k is not None and acc_ids.size > k:
+            order = order[:k]
+        return pd.DataFrame({
+            "doc_id": acc_ids[order],
+            "score": acc_scores[order],
+            "matched": acc_counts[order].astype(np.int32),
+        })
+
+    local = blocks.groupBy("part_id").applyInPandas(score_group, schema=TOPK_SCHEMA)
+    if k is None:
+        return local
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def decoded_postings(
     index: InvertedIndex,
     field: str,

@@ -333,6 +333,56 @@ def index_stats(index) -> dict:
     }
 
 
+def nested_inner_hits(
+    df: DataFrame,
+    path: str,
+    query: dict,
+    size: int = 3,
+    id_col: str = "doc_id",
+    sort_by: list[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """inner_hits for a nested query (search/fetch/subphase/
+    InnerHitsPhase.java, reg. SearchModule.java): for every parent doc
+    that matches the nested query, return its top-``size`` matching
+    CHILD sub-documents.
+
+    Plan: posexplode the array column, apply the inner predicate with
+    the field-correlated resolver (same compiler as the nested query),
+    window rank per parent — no shuffle beyond the window's
+    partitionBy(parent), and Catalyst prunes non-selected child fields.
+    Default child order is array offset (index order, the reference's
+    default when the inner hits are unscored); pass ``sort_by`` as
+    [(child_field, ascending), ...] to rank by child fields instead."""
+    from pyspark.sql import Window
+
+    from elasticsearch_spark.search import dsl
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(path)).alias("_offset", "_child")
+    )
+
+    prefix = path + "."
+
+    def resolve(f: str):
+        name = f[len(prefix):] if f.startswith(prefix) else f
+        return F.col("_child")[name]
+
+    pred = dsl.compile_filter(query, id_col, resolve)
+    matched = exploded.filter(pred)
+    if sort_by:
+        order = [
+            (resolve(f).asc() if asc else resolve(f).desc()) for f, asc in sort_by
+        ] + [F.asc("_offset")]
+    else:
+        order = [F.asc("_offset")]
+    w = Window.partitionBy(id_col).orderBy(*order)
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select(id_col, F.col("_offset").alias("offset"), "rank", "_child.*")
+    )
+
+
 def significant_terms(
     df: DataFrame,
     field: str,

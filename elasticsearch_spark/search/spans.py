@@ -1,0 +1,253 @@
+"""Span query family + intervals source algebra over position lists.
+
+Reference: the span query registrations in SearchModule.java:788-798
+(span_term, span_near, span_or, span_not, span_first, span_within /
+span_containing, field_masking_span) and the intervals sources
+(match / any_of / all_of combinators) of IntervalQueryBuilder.java:155.
+
+A span query evaluates, per document, to a list of (start, end)
+position spans; combinators compose those lists:
+
+  {"span_term": {"field": t}}                         -> [(p, p) ...]
+  {"span_near": {"clauses": [...], "slop": n,
+                 "in_order": true}}                   -> joined spans
+  {"span_or":   {"clauses": [...]}}                   -> union
+  {"span_not":  {"include": q, "exclude": q}}         -> non-overlapping
+  {"span_first": {"match": q, "end": n}}              -> spans ending < n
+  {"span_within"/"span_containing": {"little": q, "big": q}}
+
+Intervals sources reuse the same evaluator: ``match`` == span_near with
+max_gaps, ``any_of`` == span_or, ``all_of`` == span_near(ordered?).
+
+Docs match when >=1 span survives; like the engine's intervals query
+this executes in FILTER context (constant score = boost, tie-break
+doc_id asc). Physical plan: same one-scan one-exchange shape as
+phrase_topk — blocks of the tree's terms, groupBy(part_id),
+applyInPandas position evaluation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from elasticsearch_spark.index import codec
+from elasticsearch_spark.index.builder import InvertedIndex
+
+TOPK_SCHEMA = "doc_id long, score double, matched int"
+
+
+def span_terms(tree: dict) -> list[str]:
+    """All span_term terms referenced by a span tree."""
+    kind, body = next(iter(tree.items()))
+    if kind == "span_term":
+        return [next(iter(body.values()))]
+    if kind in ("span_near", "span_or"):
+        out: list[str] = []
+        for c in body["clauses"]:
+            out += span_terms(c)
+        return out
+    if kind == "span_not":
+        return span_terms(body["include"]) + span_terms(body["exclude"])
+    if kind == "span_first":
+        return span_terms(body["match"])
+    if kind in ("span_within", "span_containing"):
+        return span_terms(body["little"]) + span_terms(body["big"])
+    raise ValueError(f"unsupported span query: {kind}")
+
+
+# spans are (start, end, content_len) triples: content_len = positions
+# OCCUPIED by matched terms (1 per span_term; a composed span occupies
+# its whole width when nested further). Slop consumed by a span_near
+# combination = (end - start + 1) - sum(child content_len).
+
+
+def _near(
+    span_lists: list[list[tuple[int, int, int]]], slop: int, in_order: bool
+) -> list[tuple[int, int, int]]:
+    """Join sub-span lists into composite spans where the positions NOT
+    covered by the sub-spans number at most ``slop`` (Lucene
+    SpanNearQuery slop semantics); sub-spans must not overlap, and must
+    appear in clause order when ``in_order``."""
+    if any(not sl for sl in span_lists):
+        return []
+    out: set[tuple[int, int, int]] = set()
+    if in_order:
+        def rec(i: int, prev_end: int, start: int, clen: int):
+            for (s, e, c) in span_lists[i]:
+                if s > prev_end:
+                    if i == len(span_lists) - 1:
+                        width = e - start + 1
+                        if width - (clen + c) <= slop:
+                            out.add((start, e, width))
+                    else:
+                        rec(i + 1, e, start, clen + c)
+
+        if len(span_lists) == 1:
+            out.update(span_lists[0])
+        else:
+            for (s0, e0, c0) in span_lists[0]:
+                rec(1, e0, s0, c0)
+    else:
+        import itertools
+
+        for combo in itertools.product(*span_lists):
+            order = sorted(range(len(combo)), key=lambda i: combo[i][0])
+            ok = all(
+                combo[order[i + 1]][0] > combo[order[i]][1]
+                for i in range(len(order) - 1)
+            )
+            if not ok:
+                continue
+            s = min(c[0] for c in combo)
+            e = max(c[1] for c in combo)
+            clen = sum(c[2] for c in combo)
+            width = e - s + 1
+            if width - clen <= slop:
+                out.add((s, e, width))
+    return sorted(out)
+
+
+def eval_span(
+    tree: dict, pos_by_term: dict[str, np.ndarray]
+) -> list[tuple[int, int, int]]:
+    kind, body = next(iter(tree.items()))
+    if kind == "span_term":
+        t = next(iter(body.values()))
+        pos = pos_by_term.get(t)
+        if pos is None:
+            return []
+        return [(int(p), int(p), 1) for p in pos]
+    if kind == "span_or":
+        out: set[tuple[int, int, int]] = set()
+        for c in body["clauses"]:
+            out.update(eval_span(c, pos_by_term))
+        return sorted(out)
+    if kind == "span_near":
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", True))
+        sub = [eval_span(c, pos_by_term) for c in body["clauses"]]
+        return _near(sub, slop, in_order)
+    if kind == "span_not":
+        inc = eval_span(body["include"], pos_by_term)
+        exc = eval_span(body["exclude"], pos_by_term)
+        return [
+            (s, e, c) for (s, e, c) in inc
+            if not any(xs <= e and xe >= s for (xs, xe, _xc) in exc)
+        ]
+    if kind == "span_first":
+        end = int(body["end"])
+        return [
+            (s, e, c) for (s, e, c) in eval_span(body["match"], pos_by_term)
+            if e < end
+        ]
+    if kind == "span_within":
+        little = eval_span(body["little"], pos_by_term)
+        big = eval_span(body["big"], pos_by_term)
+        return [
+            (s, e, c) for (s, e, c) in little
+            if any(bs <= s and e <= be for (bs, be, _bc) in big)
+        ]
+    if kind == "span_containing":
+        little = eval_span(body["little"], pos_by_term)
+        big = eval_span(body["big"], pos_by_term)
+        return [
+            (s, e, c) for (s, e, c) in big
+            if any(s <= ls and le <= e for (ls, le, _lc) in little)
+        ]
+    raise ValueError(f"unsupported span query: {kind}")
+
+
+def span_match(
+    index: InvertedIndex,
+    field: str,
+    tree: dict,
+    k: int | None = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Docs with >=1 surviving span (constant score = boost, doc_id asc).
+    One pushed-down block scan of the tree's terms, one part_id exchange."""
+    spark = index.spark
+    terms = list(dict.fromkeys(span_terms(tree)))
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(terms)
+    ).select("part_id", "term", "n", "doc_ids", "positions")
+
+    def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
+            {"doc_id": "int64", "score": "float64", "matched": "int32"}
+        )
+        per_term: dict[str, dict[int, np.ndarray]] = {}
+        all_docs: set[int] = set()
+        for term, g in pdf.groupby("term", sort=False):
+            docs: dict[int, np.ndarray] = {}
+            for row in g.itertuples(index=False):
+                d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                plists = codec.decode_positions(bytes(row.positions), int(row.n))
+                for doc, pos in zip(d, plists):
+                    docs[int(doc)] = pos
+            per_term[term] = docs
+            all_docs.update(docs)
+        hits = []
+        for doc in all_docs:
+            pos_by_term = {
+                t: per_term[t][doc] for t in terms
+                if t in per_term and doc in per_term[t]
+            }
+            spans = eval_span(tree, pos_by_term)
+            if spans:
+                hits.append((doc, len(spans)))
+        if not hits:
+            return empty
+        hits.sort()
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        nm = np.array([h[1] for h in hits], dtype=np.int32)
+        if k is not None and ids.size > k:
+            ids, nm = ids[:k], nm[:k]
+        return pd.DataFrame({
+            "doc_id": ids,
+            "score": np.full(ids.size, float(boost)),
+            "matched": nm,
+        })
+
+    local = blocks.groupBy("part_id").applyInPandas(check_group, schema=TOPK_SCHEMA)
+    if k is None:
+        return local
+    return local.orderBy(F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------
+# intervals source algebra -> span tree (IntervalQueryBuilder sources)
+# ---------------------------------------------------------------------
+
+def intervals_to_span(source: dict, analyzer: str = "ascii_word") -> dict:
+    """Compile an intervals SOURCE dict to the span algebra above.
+
+    match    -> span_near(span_terms, slop=max_gaps, in_order=ordered)
+    any_of   -> span_or(compiled sub-sources)
+    all_of   -> span_near(compiled sub-sources, slop=max_gaps, ordered)
+    """
+    from elasticsearch_spark.analysis import analyze
+
+    kind, body = next(iter(source.items()))
+    if kind == "match":
+        terms = [t for t, _ in analyze(body["query"], analyzer)]
+        clauses = [{"span_term": {"_f": t}} for t in terms]
+        if len(clauses) == 1:
+            return clauses[0]
+        return {"span_near": {"clauses": clauses,
+                               "slop": int(body.get("max_gaps", 0)),
+                               "in_order": bool(body.get("ordered", True))}}
+    if kind == "any_of":
+        return {"span_or": {"clauses": [
+            intervals_to_span(s, analyzer) for s in body["intervals"]
+        ]}}
+    if kind == "all_of":
+        return {"span_near": {"clauses": [
+            intervals_to_span(s, analyzer) for s in body["intervals"]
+        ], "slop": int(body.get("max_gaps", 0)),
+            "in_order": bool(body.get("ordered", True))}}
+    raise ValueError(f"unsupported intervals source: {kind}")

@@ -1,0 +1,149 @@
+"""Stemming + synonym analysis chain (CommonAnalysisPlugin.java:217,320).
+
+Porter is golden-tested against the 1980 paper's example vectors; the
+S-stemmer is tested both in Python and against its generated SQL twin
+(the property the english_light oracle relies on); synonym_match_topk
+is checked against a hand-computed SynonymQuery score.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from elasticsearch_spark.analysis import analyze
+from elasticsearch_spark.analysis.stem import (
+    porter_stem,
+    s_stem,
+    s_stem_sql,
+)
+
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "motoring": "motor", "hopping": "hop", "sized": "size",
+    "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration", "digitizer": "digit",
+    "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+    "hopefulness": "hope", "formaliti": "formal", "formative": "form",
+    "formalize": "formal", "electriciti": "electr", "electrical": "electr",
+    "hopeful": "hope", "goodness": "good", "revival": "reviv",
+    "allowance": "allow", "inference": "infer", "adjustable": "adjust",
+    "defensible": "defens", "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "communism": "commun",
+    "activate": "activ", "effective": "effect", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+    "running": "run", "generalization": "gener", "oscillators": "oscil",
+}
+
+
+def test_porter_vectors():
+    bad = {
+        w: (porter_stem(w), want)
+        for w, want in PORTER_VECTORS.items()
+        if porter_stem(w) != want
+    }
+    assert not bad, bad
+
+
+S_VECTORS = {
+    "caresses": "caress", "ponies": "pony", "boxes": "box",
+    "churches": "church", "cats": "cat", "glass": "glass", "bus": "bus",
+    "crashes": "crash", "files": "file", "tables": "table",
+    "queries": "query", "gas": "gas", "sizes": "size", "buses": "bus",
+    "makes": "make", "breathes": "breathe", "taxes": "tax",
+    "classes": "class", "scanned": "scanned",
+}
+
+
+def test_s_stem_vectors():
+    bad = {w: (s_stem(w), want) for w, want in S_VECTORS.items()
+           if s_stem(w) != want}
+    assert not bad, bad
+
+
+def test_s_stem_sql_twin_parity():
+    words = list(S_VECTORS) + [
+        "running", "stopped", "xs", "ss", "a", "es", "ses",
+        "indexes", "caches", "entries", "windows", "merges",
+    ]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {s_stem_sql('t')} AS s FROM (SELECT unnest(?) AS t)",
+        [words],
+    ).fetchall()
+    mism = [(w, got, s_stem(w)) for w, got in rows if got != s_stem(w)]
+    assert not mism, mism
+
+
+def test_english_analyzers():
+    # stop removal keeps position gaps; stemming applies per token
+    toks = analyze("the tables are scanned by the filters", "english_light")
+    assert toks == [("table", 1), ("scanned", 3), ("filter", 6)]
+    toks = analyze("the tables were scanned", "english")
+    assert toks == [("tabl", 1), ("were", 2), ("scan", 3)]
+
+
+def test_english_index_roundtrip(spark, tmp_path):
+    from elasticsearch_spark.index.builder import build_index
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.executor import match_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the server indexes documents quickly"),
+            (2, "an index of the document"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, body string",
+    )
+    idx = build_index(docs, str(tmp_path / "enidx"),
+                      fields={"body": "english"}, num_partitions=1,
+                      input_snapshot="v1")
+    terms = [t for t, _ in analyze("indexed documents", "english")]
+    hits = match_topk(idx, "body", terms, k=3,
+                      params=BM25Params(quantize_norms=False)).collect()
+    # both docs match on both stems (index/indexes, document/documents);
+    # doc 2 is shorter so it wins on dl normalization
+    assert sorted(r["doc_id"] for r in hits) == [1, 2]
+    assert all(r["matched"] == 2 for r in hits)
+
+
+def test_synonym_query_scores(spark, tmp_path):
+    import numpy as np
+
+    from elasticsearch_spark.index.builder import build_index
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.executor import synonym_match_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast car"),
+            (2, "quick car"),
+            (3, "fast quick car"),
+            (4, "slow boat"),
+        ],
+        "doc_id long, body string",
+    )
+    idx = build_index(docs, str(tmp_path / "synidx"),
+                      fields={"body": "ascii_word"}, num_partitions=1,
+                      input_snapshot="v1")
+    out = synonym_match_topk(
+        idx, "body", [["fast", "quick"]], k=4,
+        params=BM25Params(quantize_norms=False),
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == {1, 2, 3}
+    # SynonymQuery: df = max(df_fast, df_quick) = 2; doc3 tf = 2
+    n, df = 4.0, 2.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    avgdl = (2 + 2 + 3 + 2) / 4.0
+
+    def bm25(tf, dl):
+        return 2.2 * idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    assert math.isclose(got[1], bm25(1, 2), rel_tol=1e-9)
+    assert math.isclose(got[3], bm25(2, 3), rel_tol=1e-9)
+    assert got[3] > got[1] > 0
