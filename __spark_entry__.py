@@ -264,6 +264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_suggest"] = suggest_q
 
+    def phrase_suggest_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import phrase_suggest
+
+        docs = _t(s, d, "documents")
+        return phrase_suggest(docs, "dat san", size=3)
+
+    q["phrase_suggest"] = phrase_suggest_q
+
     def collapse_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import collapse_topk
 
@@ -618,6 +626,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_adjacency_matrix"] = agg_adjacency_q
+
+    # --- x-pack analytics aggs (x-pack/plugin/analytics/) ---
+    def agg_boxplot_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import boxplot
+
+        out = boxplot(_t(s, d, "lineitem"), "l_extendedprice")
+        return out.select(
+            F.round("min", 4).alias("min"), F.round("q1", 4).alias("q1"),
+            F.round("q2", 4).alias("q2"), F.round("q3", 4).alias("q3"),
+            F.round("max", 4).alias("max"),
+        )
+
+    q["agg_boxplot"] = agg_boxplot_q
+
+    def agg_string_stats_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import string_stats
+
+        out = string_stats(_t(s, d, "documents"), "text")
+        return out.select(
+            "count", "min_length", "max_length",
+            F.round("avg_length", 4).alias("avg_length"),
+            (F.floor(F.col("entropy") * 1e6 + F.lit(0.5)) / 1e6).alias("entropy"),
+        )
+
+    q["agg_string_stats"] = agg_string_stats_q
+
+    def agg_top_metrics_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import top_metrics
+
+        out = top_metrics(
+            _t(s, d, "lineitem"), ["l_quantity", "l_discount"],
+            sort_field="l_extendedprice", size=3, tie_breaker="l_orderkey",
+        )
+        return out.select(
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+            "l_quantity", "l_discount", "l_orderkey",
+        )
+
+    q["agg_top_metrics"] = agg_top_metrics_q
+
+    def agg_t_test_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import t_test
+
+        out = t_test(
+            _t(s, d, "lineitem"), "l_extendedprice",
+            F.col("l_returnflag") == "R", F.col("l_returnflag") == "A",
+        )
+        return out.select(F.round("t_stat", 4).alias("t_stat"), "na", "nb")
+
+    q["agg_t_test"] = agg_t_test_q
+
+    def agg_rate_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import rate_agg
+
+        out = rate_agg(_t(s, d, "events"), "ts", "value",
+                       calendar="month", unit="day")
+        return out.select(
+            F.date_format("bucket", "yyyy-MM").alias("bucket"),
+            F.round("total", 4).alias("total"),
+            F.round("rate", 4).alias("rate"),
+        )
+
+    q["agg_rate"] = agg_rate_q
+
+    def agg_multi_terms_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import multi_terms
+
+        return multi_terms(
+            _t(s, d, "lineitem"), ["l_returnflag", "l_linestatus"], size=10
+        )
+
+    q["agg_multi_terms"] = agg_multi_terms_q
+
+    def agg_moving_percentiles_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import moving_percentiles
+
+        out = moving_percentiles(
+            _t(s, d, "events"), "ts", "value", percent=0.5, window=3,
+            calendar="month",
+        )
+        return out.select(
+            F.date_format("bucket", "yyyy-MM").alias("bucket"),
+            F.round("p", 4).alias("p"),
+        )
+
+    q["agg_moving_percentiles"] = agg_moving_percentiles_q
+
+    def agg_vwh_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import variable_width_histogram
+
+        out = variable_width_histogram(_t(s, d, "documents"), "n_chars", buckets=4)
+        return out.select(
+            "bucket_id", "min", "max", "doc_count",
+            F.round("centroid", 4).alias("centroid"),
+        )
+
+    q["agg_variable_width_histogram"] = agg_vwh_q
+
+    def agg_date_range_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import date_range_agg
+
+        return date_range_agg(
+            _t(s, d, "orders"), "o_orderdate",
+            [(None, "2024-06-01"), ("2024-06-01", "2025-01-01"),
+             ("2025-01-01", None)],
+        )
+
+    q["agg_date_range"] = agg_date_range_q
+
+    def agg_ip_range_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import ip_range_agg
+
+        # deterministic synthetic IPs from user_id (testdata has no ip col)
+        events = _t(s, d, "events").withColumn(
+            "ip",
+            F.concat_ws(
+                ".", F.lit(10), F.pmod(F.col("user_id"), F.lit(256)),
+                F.pmod(F.floor(F.col("user_id") / 256).cast("long"), F.lit(256)),
+                F.pmod(F.col("event_id"), F.lit(256)),
+            ),
+        )
+        return ip_range_agg(
+            events, "ip",
+            [(None, "10.64.0.0"), ("10.64.0.0", "10.192.0.0"),
+             ("10.192.0.0", None)],
+        )
+
+    q["agg_ip_range"] = agg_ip_range_q
 
     def agg_mad_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.translate import median_absolute_deviation
@@ -1185,6 +1321,38 @@ WHERE doc_id != 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+    # bigram-LM stupid-backoff phrase suggester; float op order matches
+    # extras.phrase_suggest exactly (score emitted unrounded)
+    o["phrase_suggest"] = """
+WITH t0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS pos
+  FROM t0),
+uni AS (SELECT term, count(*) * 1.0 AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS total FROM uni),
+c0 AS (SELECT term, c FROM uni WHERE levenshtein(term, 'dat') <= 2
+       ORDER BY levenshtein(term, 'dat') ASC, c DESC, term ASC LIMIT 3),
+c1 AS (SELECT term, c FROM uni WHERE levenshtein(term, 'san') <= 2
+       ORDER BY levenshtein(term, 'san') ASC, c DESC, term ASC LIMIT 3),
+big AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) * 1.0 AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN (SELECT term FROM c0) AND b.term IN (SELECT term FROM c1)
+  GROUP BY 1, 2),
+combos AS (
+  SELECT c0.term AS t0, c0.c AS cc0, c1.term AS t1, c1.c AS cc1, big.c AS bc
+  FROM c0 CROSS JOIN c1
+  LEFT JOIN big ON big.w1 = c0.term AND big.w2 = c1.term),
+scored AS (
+  SELECT t0 || ' ' || t1 AS text,
+         (cc0 / tot.total) * (CASE WHEN bc IS NOT NULL AND bc > 0
+             THEN (bc / cc0) ELSE (0.4 * (cc1 / tot.total)) END) AS score
+  FROM combos, tot)
+SELECT text, score FROM scored ORDER BY score DESC, text ASC LIMIT 3
+"""
+
     o["term_suggest"] = """
 WITH td AS (
   SELECT term, count(*) AS df FROM (
@@ -1192,11 +1360,11 @@ WITH td AS (
            unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
     FROM documents)
   GROUP BY term)
-SELECT term, df, levenshtein(term, 'tabel') AS distance
+SELECT term, df, levenshtein(term, 'dat') AS distance
 FROM td
 WHERE substr(term, 1, 1) = 't'
   AND abs(length(term) - 5) <= 2
-  AND levenshtein(term, 'tabel') BETWEEN 1 AND 2
+  AND levenshtein(term, 'dat') BETWEEN 1 AND 2
 ORDER BY distance ASC, df DESC, term ASC
 LIMIT 5
 """
@@ -1337,6 +1505,135 @@ SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20
 """
+    o["agg_boxplot"] = """
+SELECT round(min(l_extendedprice), 4) AS min,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS q2,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS q3,
+       round(max(l_extendedprice), 4) AS max
+FROM lineitem
+"""
+
+    o["agg_string_stats"] = """
+WITH l AS (SELECT length(text) AS len FROM documents),
+ch AS (
+  SELECT unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, i, 1))) AS c
+  FROM documents),
+hist AS (SELECT c, count(*) * 1.0 AS n FROM ch GROUP BY c),
+tot AS (SELECT sum(n) AS total FROM hist),
+ent AS (
+  SELECT list_reduce(
+           list(-(n / tot.total) * log2(n / tot.total) ORDER BY c),
+           (a, b) -> a + b) AS e
+  FROM hist, tot GROUP BY tot.total)
+SELECT (SELECT count(*) FROM l) AS count,
+       (SELECT min(len) FROM l) AS min_length,
+       (SELECT max(len) FROM l) AS max_length,
+       (SELECT round(avg(len), 4) FROM l) AS avg_length,
+       floor(e * 1e6 + 0.5) / 1e6 AS entropy
+FROM ent
+"""
+
+    o["agg_top_metrics"] = """
+SELECT round(l_extendedprice, 2) AS l_extendedprice,
+       l_quantity, l_discount, l_orderkey
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC LIMIT 3
+"""
+
+    o["agg_t_test"] = """
+WITH s AS (
+  SELECT avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS ma,
+         avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mb,
+         var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS va,
+         var_samp(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS vb,
+         count(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS na,
+         count(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS nb
+  FROM lineitem)
+SELECT round((ma - mb) / sqrt(va / na + vb / nb), 4) AS t_stat, na, nb
+FROM s
+"""
+
+    o["agg_rate"] = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS bucket,
+       round(sum(value), 4) AS total,
+       round(sum(value) / extract(day FROM last_day(date_trunc('month', ts))), 4) AS rate
+FROM events
+GROUP BY date_trunc('month', ts)
+ORDER BY bucket
+"""
+
+    o["agg_multi_terms"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS doc_count
+FROM lineitem GROUP BY 1, 2
+ORDER BY doc_count DESC, l_returnflag ASC, l_linestatus ASC LIMIT 10
+"""
+
+    o["agg_moving_percentiles"] = """
+WITH b AS (
+  SELECT date_trunc('month', ts) AS bucket, list(value) AS vals
+  FROM events GROUP BY 1),
+w AS (
+  SELECT bucket,
+         list_sort(flatten(list(vals) OVER (
+           ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))) AS wv
+  FROM b)
+SELECT strftime(bucket, '%Y-%m') AS bucket,
+       round(wv[1 + CAST(floor((len(wv) - 1) * 0.5) AS INT)]
+             + ((len(wv) - 1) * 0.5 - floor((len(wv) - 1) * 0.5))
+               * (wv[least(2 + CAST(floor((len(wv) - 1) * 0.5) AS INT), len(wv))]
+                  - wv[1 + CAST(floor((len(wv) - 1) * 0.5) AS INT)]), 4) AS p
+FROM w ORDER BY bucket
+"""
+
+    o["agg_variable_width_histogram"] = """
+WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+d AS (SELECT DISTINCT v FROM v),
+g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM d),
+cuts AS (SELECT v AS cut FROM g WHERE gap IS NOT NULL
+         ORDER BY gap DESC, v ASC LIMIT 3),
+bk AS (SELECT v.v, (SELECT count(*) FROM cuts WHERE cuts.cut <= v.v) AS bucket_id
+       FROM v)
+SELECT bucket_id, min(v) AS min, max(v) AS max, count(*) AS doc_count,
+       round(avg(v), 4) AS centroid
+FROM bk GROUP BY bucket_id ORDER BY bucket_id
+"""
+
+    o["agg_date_range"] = """
+SELECT key, doc_count FROM (
+  SELECT '*..2024-06-01' AS key,
+         sum(CASE WHEN o_orderdate < '2024-06-01' THEN 1 ELSE 0 END) AS doc_count
+  FROM orders
+  UNION ALL
+  SELECT '2024-06-01..2025-01-01',
+         sum(CASE WHEN o_orderdate >= '2024-06-01'
+                   AND o_orderdate < '2025-01-01' THEN 1 ELSE 0 END)
+  FROM orders
+  UNION ALL
+  SELECT '2025-01-01..*',
+         sum(CASE WHEN o_orderdate >= '2025-01-01' THEN 1 ELSE 0 END)
+  FROM orders)
+"""
+
+    o["agg_ip_range"] = """
+WITH e AS (
+  SELECT (10 * 16777216
+          + (user_id % 256) * 65536
+          + (CAST(floor(user_id / 256) AS BIGINT) % 256) * 256
+          + (event_id % 256)) AS ipnum
+  FROM events)
+SELECT key, doc_count FROM (
+  SELECT '*..10.64.0.0' AS key,
+         sum(CASE WHEN ipnum < 171966464 THEN 1 ELSE 0 END) AS doc_count FROM e
+  UNION ALL
+  SELECT '10.64.0.0..10.192.0.0',
+         sum(CASE WHEN ipnum >= 171966464 AND ipnum < 180355072 THEN 1 ELSE 0 END) FROM e
+  UNION ALL
+  SELECT '10.192.0.0..*',
+         sum(CASE WHEN ipnum >= 180355072 THEN 1 ELSE 0 END) FROM e)
+"""
+
     o["agg_adjacency_matrix"] = """
 SELECT * FROM (
   SELECT 'click' AS key, count(*) AS doc_count FROM events WHERE event_type='click'
@@ -1384,7 +1681,7 @@ ORDER BY doc_id ASC LIMIT 10
     )
     o["fuzzy_match_indexed"] = _multi_term_oracle(
         "substr(term,1,1) = 't' AND abs(length(term) - 5) <= 2 "
-        "AND levenshtein(term, 'tabel') <= 2"
+        "AND levenshtein(term, 'dat') <= 2"
     )
     o["intervals_ordered"] = """
 WITH tok AS (

@@ -1,0 +1,284 @@
+"""x-pack analytics aggregations re-expressed as Spark built-ins.
+
+Reference: x-pack/plugin/analytics/src/main/java/org/elasticsearch/
+xpack/analytics/ — boxplot, string_stats, top_metrics, t_test, rate,
+multi_terms, moving_percentiles — plus the core-registered
+variable_width_histogram (SearchModule.java:432) and the date_range /
+ip_range bucket variants (SearchModule.java:408-419).
+
+Every function returns a small DataFrame and compiles to one or two
+built-in hash aggregations / window passes — nothing here needs a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def boxplot(df: DataFrame, field: str) -> DataFrame:
+    """boxplot agg (BoxplotAggregationBuilder): min/q1/q2/q3/max.
+    Exact interpolated percentiles (the reference uses TDigest; exact is
+    the oracle-checkable mode, percentile_approx the scale path)."""
+    c = F.col(field)
+    return df.agg(
+        F.min(c).alias("min"),
+        F.percentile(c, F.lit(0.25)).alias("q1"),
+        F.percentile(c, F.lit(0.5)).alias("q2"),
+        F.percentile(c, F.lit(0.75)).alias("q3"),
+        F.max(c).alias("max"),
+    )
+
+
+def string_stats(df: DataFrame, field: str) -> DataFrame:
+    """string_stats agg (StringStatsAggregationBuilder): count,
+    min/max/avg length, Shannon entropy (base 2) over the CHARACTER
+    distribution of all values. The char histogram is a distributed agg;
+    the <=few-hundred-entry histogram is summed driver-side in sorted
+    char order so the float sum is deterministic across engines."""
+    import math
+
+    lengths = df.select(F.length(F.col(field)).alias("len")).agg(
+        F.count("*").alias("count"),
+        F.min("len").alias("min_length"),
+        F.max("len").alias("max_length"),
+        F.avg("len").alias("avg_length"),
+    )
+    chars = (
+        df.select(F.explode(F.split(F.col(field), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch").agg(F.count("*").alias("c"))
+        .collect()
+    )
+    total = float(sum(r["c"] for r in chars))
+    ent = 0.0
+    for r in sorted(chars, key=lambda r: r["ch"]):
+        p = r["c"] / total
+        ent = ent - p * math.log2(p)
+    return lengths.withColumn("entropy", F.lit(ent))
+
+
+def top_metrics(
+    df: DataFrame,
+    metrics: list[str],
+    sort_field: str,
+    ascending: bool = False,
+    size: int = 1,
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """top_metrics agg (TopMetricsAggregationBuilder): metric values of
+    the top-``size`` docs by ``sort_field`` — a TakeOrderedAndProject.
+    ``tie_breaker`` (asc) makes equal sort keys deterministic."""
+    order = [F.col(sort_field).asc() if ascending else F.col(sort_field).desc()]
+    cols = [sort_field, *metrics]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+        if tie_breaker not in cols:
+            cols.append(tie_breaker)
+    return df.select(*cols).orderBy(*order).limit(size)
+
+
+def t_test(
+    df: DataFrame,
+    field: str,
+    filter_a,
+    filter_b,
+    test_type: str = "heteroscedastic",
+) -> DataFrame:
+    """t_test agg (TTestAggregationBuilder): Welch's t statistic between
+    two filtered populations (heteroscedastic, the reference default),
+    or Student's (homoscedastic). One agg pass with conditional
+    aggregates — no second scan."""
+    x = F.col(field)
+    a, b = filter_a, filter_b
+    agg = df.agg(
+        F.avg(F.when(a, x)).alias("ma"),
+        F.avg(F.when(b, x)).alias("mb"),
+        F.var_samp(F.when(a, x)).alias("va"),
+        F.var_samp(F.when(b, x)).alias("vb"),
+        F.count(F.when(a, x)).alias("na"),
+        F.count(F.when(b, x)).alias("nb"),
+    )
+    if test_type == "heteroscedastic":
+        t = (F.col("ma") - F.col("mb")) / F.sqrt(
+            F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+        )
+    elif test_type == "homoscedastic":
+        sp2 = (
+            (F.col("na") - 1) * F.col("va") + (F.col("nb") - 1) * F.col("vb")
+        ) / (F.col("na") + F.col("nb") - 2)
+        t = (F.col("ma") - F.col("mb")) / F.sqrt(
+            sp2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        )
+    else:
+        raise ValueError(test_type)
+    return agg.select(t.alias("t_stat"), "na", "nb")
+
+
+def rate_agg(
+    df: DataFrame,
+    ts_field: str,
+    value_field: str | None = None,
+    calendar: str = "month",
+    unit: str = "day",
+) -> DataFrame:
+    """rate agg inside a calendar date_histogram
+    (RateAggregationBuilder): per bucket, sum(value) (or doc count)
+    divided by the number of ``unit``s the bucket spans."""
+    bucket = F.date_trunc(calendar, F.col(ts_field)).alias("bucket")
+    val = F.sum(F.col(value_field)) if value_field else F.count("*")
+    grouped = df.groupBy(bucket).agg(val.alias("total"))
+    if calendar == "month" and unit == "day":
+        days = F.dayofmonth(F.last_day(F.col("bucket")))
+    elif calendar == unit:
+        days = F.lit(1)
+    else:
+        raise ValueError(f"unsupported rate {calendar}/{unit}")
+    return grouped.select(
+        "bucket", "total", (F.col("total") / days).alias("rate")
+    ).orderBy("bucket")
+
+
+def multi_terms(
+    df: DataFrame, fields: list[str], size: int = 10
+) -> DataFrame:
+    """multi_terms agg (MultiTermsAggregationBuilder): buckets keyed by
+    a field TUPLE, ordered doc_count desc then keys asc."""
+    return (
+        df.groupBy(*fields).agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(f) for f in fields])
+        .limit(size)
+    )
+
+
+def moving_percentiles(
+    df: DataFrame,
+    ts_field: str,
+    value_field: str,
+    percent: float = 0.5,
+    window: int = 3,
+    calendar: str = "month",
+) -> DataFrame:
+    """moving_percentiles pipeline agg: per calendar bucket, the exact
+    percentile of the values in the trailing ``window`` buckets
+    (inclusive). Implemented as percentile over a row-window on the
+    bucketed frame — one shuffle for the histogram, one window pass."""
+    bucket = F.date_trunc(calendar, F.col(ts_field)).alias("bucket")
+    per_bucket = df.groupBy(bucket).agg(
+        F.collect_list(value_field).alias("vals")
+    )
+    w = Window.orderBy("bucket").rowsBetween(-(window - 1), 0)
+    merged = per_bucket.withColumn(
+        "wv", F.sort_array(F.flatten(F.collect_list("vals").over(w)))
+    )
+    # interpolated quantile over the sorted window values (quantile_cont
+    # rule: h = (n-1)p, linear interpolation between floor/ceil ranks) —
+    # written explicitly so the DuckDB twin uses the identical formula
+    n = F.size("wv")
+    h = (n - 1) * F.lit(float(percent))
+    lo = F.floor(h).cast("int")
+    frac = h - F.floor(h)
+    val = F.element_at("wv", lo + 1) + frac * (
+        F.element_at("wv", F.least(lo + 2, n)) - F.element_at("wv", lo + 1)
+    )
+    return merged.select("bucket", val.alias("p")).orderBy("bucket")
+
+
+def variable_width_histogram(
+    df: DataFrame, field: str, buckets: int = 5
+) -> DataFrame:
+    """variable_width_histogram (reg. SearchModule.java:432): data-driven
+    bucket boundaries. The reference streams a 1-D clustering; this
+    engine uses the DETERMINISTIC largest-gaps rule — sort the distinct
+    values, cut at the (buckets-1) largest gaps (ties: leftmost) — which
+    is reproducible and SQL-expressible (the reference's collector is
+    order-dependent and cannot be oracle-checked). Emits per bucket:
+    min, max, doc_count, centroid (avg)."""
+    vals = df.select(F.col(field).alias("v")).filter(F.col("v").isNotNull())
+    distinct = vals.distinct()
+    w = Window.orderBy("v")
+    gaps = distinct.withColumn("prev", F.lag("v").over(w)).withColumn(
+        "gap", F.col("v") - F.col("prev")
+    )
+    cuts = (
+        gaps.filter(F.col("prev").isNotNull())
+        .orderBy(F.desc("gap"), F.asc("v"))
+        .limit(buckets - 1)
+        .select(F.col("v").alias("cut"))
+    )
+    # bucket id = number of cuts <= value, computed on DISTINCT values
+    # (tiny cut list -> broadcast), then joined back to the raw rows
+    bucketed = (
+        distinct.join(F.broadcast(cuts), F.col("v") >= F.col("cut"), "left")
+        .groupBy("v")
+        .agg(F.count(F.col("cut")).alias("bucket_id"))
+    )
+    out = (
+        vals.join(bucketed, "v")
+        .groupBy("bucket_id")
+        .agg(
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.count("*").alias("doc_count"),
+            F.avg("v").alias("centroid"),
+        )
+        .orderBy("bucket_id")
+    )
+    return out
+
+
+def date_range_agg(
+    df: DataFrame, ts_field: str, ranges: list[tuple[str | None, str | None]]
+) -> DataFrame:
+    """date_range buckets (from inclusive, to exclusive), ISO strings."""
+    rows = []
+    c = F.col(ts_field)
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi).cast("timestamp"))
+        key = f"{lo or '*'}..{hi or '*'}"
+        rows.append(F.sum(cond.cast("long")).alias(key))
+    wide = df.agg(*rows)
+    spark = df.sparkSession
+    r = wide.collect()[0]
+    return spark.createDataFrame(
+        [(k, int(r[k])) for k in r.asDict()], "key string, doc_count long"
+    )
+
+
+def ip_to_long(col):
+    """dotted-quad string -> numeric (for ip_range bucketing)."""
+    parts = F.split(col, r"\.")
+    return (
+        parts[0].cast("long") * 16777216
+        + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256
+        + parts[3].cast("long")
+    )
+
+
+def ip_range_agg(
+    df: DataFrame, ip_col: str, ranges: list[tuple[str | None, str | None]]
+) -> DataFrame:
+    """ip_range buckets (from inclusive, to exclusive) on dotted-quad
+    strings, compared numerically (IpRangeAggregationBuilder)."""
+    import ipaddress
+
+    v = ip_to_long(F.col(ip_col))
+    aggs = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= int(ipaddress.IPv4Address(lo)))
+        if hi is not None:
+            cond = cond & (v < int(ipaddress.IPv4Address(hi)))
+        key = f"{lo or '*'}..{hi or '*'}"
+        aggs.append(F.sum(cond.cast("long")).alias(key))
+    wide = df.agg(*aggs)
+    spark = df.sparkSession
+    r = wide.collect()[0]
+    return spark.createDataFrame(
+        [(k, int(r[k])) for k in r.asDict()], "key string, doc_count long"
+    )

@@ -333,6 +333,105 @@ def index_stats(index) -> dict:
     }
 
 
+def phrase_suggest(
+    docs: DataFrame,
+    text: str,
+    text_col: str = "text",
+    size: int = 3,
+    max_edits: int = 2,
+    candidates_per_term: int = 3,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """phrase suggester ("did-you-mean",
+    search/suggest/phrase/PhraseSuggester.java + the StupidBackoff
+    smoothing model reg. SearchModule.java:615-619): per input term,
+    generate spelling candidates from the corpus vocabulary (edit
+    distance <= max_edits, ranked distance asc / frequency desc), then
+    score every candidate phrase with a bigram language model under
+    stupid backoff:
+
+        P(w0) = c(w0)/N;  P(wi|wi-1) = c(wi-1,wi)/c(wi-1)
+                          or backoff * c(wi)/N when the bigram is unseen
+
+    Distributed parts: corpus tokenization, unigram/bigram counting and
+    candidate ranking; only the tiny candidate grid (<=
+    candidates_per_term^n_terms) is scored driver-side."""
+    import re as _re
+    from itertools import product
+
+    spark = docs.sparkSession
+    words = _re.findall(r"[a-z0-9_]+", text.lower())
+    if not words:
+        return spark.createDataFrame([], "text string, score double")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+        ).alias("pos", "term"),
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("c")).cache()
+    total = float(uni.agg(F.sum("c")).collect()[0][0])
+
+    cands: list[list[str]] = []
+    for w in words:
+        rows = (
+            uni.filter(F.levenshtein(F.col("term"), F.lit(w)) <= max_edits)
+            .orderBy(
+                F.levenshtein(F.col("term"), F.lit(w)).asc(),
+                F.desc("c"), F.asc("term"),
+            )
+            .limit(candidates_per_term)
+            .collect()
+        )
+        if not rows:
+            return spark.createDataFrame([], "text string, score double")
+        cands.append([r["term"] for r in rows])
+
+    cand_terms = sorted({t for cl in cands for t in cl})
+    uni_c = {
+        r["term"]: float(r["c"])
+        for r in uni.filter(F.col("term").isin(cand_terms)).collect()
+    }
+    pair_keys = {
+        (a, b)
+        for i in range(len(cands) - 1)
+        for a in cands[i]
+        for b in cands[i + 1]
+    }
+    if pair_keys:
+        w2 = toks.select(
+            F.col("doc_id"), F.col("pos"), F.col("term").alias("w1")
+        )
+        nxt = toks.select(
+            F.col("doc_id"), (F.col("pos") - 1).alias("pos"),
+            F.col("term").alias("w2"),
+        )
+        big = (
+            w2.join(nxt, ["doc_id", "pos"])
+            .filter(F.col("w1").isin([a for a, _ in pair_keys]))
+            .filter(F.col("w2").isin([b for _, b in pair_keys]))
+            .groupBy("w1", "w2").agg(F.count("*").alias("c"))
+            .collect()
+        )
+        big_c = {(r["w1"], r["w2"]): float(r["c"]) for r in big}
+    else:
+        big_c = {}
+    uni.unpersist()
+
+    results = []
+    for combo in product(*cands):
+        score = uni_c[combo[0]] / total
+        for a, b in zip(combo, combo[1:]):
+            bc = big_c.get((a, b))
+            if bc is not None and bc > 0:
+                score = score * (bc / uni_c[a])
+            else:
+                score = score * (backoff * (uni_c[b] / total))
+        results.append((" ".join(combo), score))
+    results.sort(key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(results[:size], "text string, score double")
+
+
 def nested_inner_hits(
     df: DataFrame,
     path: str,

@@ -1,0 +1,89 @@
+"""x-pack analytics aggs — sanity vs hand-computed values (the strong
+check is the DuckDB oracle gate; these pin the semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.aggs import analytics as A
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    return spark.createDataFrame(
+        [(i, float(v), "a" if i % 2 else "b")
+         for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])],
+        "id long, v double, g string",
+    )
+
+
+def test_boxplot(nums):
+    r = A.boxplot(nums, "v").collect()[0]
+    assert (r["min"], r["q2"], r["max"]) == (1.0, 5.5, 100.0)
+    assert math.isclose(r["q1"], 3.25) and math.isclose(r["q3"], 7.75)
+
+
+def test_string_stats(spark):
+    df = spark.createDataFrame([("aab",), ("b",)], "s string")
+    r = A.string_stats(df, "s").collect()[0]
+    assert (r["count"], r["min_length"], r["max_length"]) == (2, 1, 3)
+    # chars: a:2 b:2 -> entropy = 1 bit
+    assert math.isclose(r["entropy"], 1.0, rel_tol=1e-12)
+
+
+def test_top_metrics_and_multi_terms(nums):
+    top = A.top_metrics(nums, ["g"], "v", size=2, tie_breaker="id").collect()
+    assert [r["v"] for r in top] == [100.0, 9.0]
+    mt = A.multi_terms(nums, ["g"], size=2).collect()
+    assert {(r["g"], r["doc_count"]) for r in mt} == {("a", 5), ("b", 5)}
+
+
+def test_t_test_welch(nums):
+    r = A.t_test(nums, "v", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    # hand-computed Welch t for a=[2,4,6,8,100], b=[1,3,5,7,9]
+    ma, mb = 24.0, 5.0
+    va = sum((x - ma) ** 2 for x in [2, 4, 6, 8, 100]) / 4
+    vb = sum((x - mb) ** 2 for x in [1, 3, 5, 7, 9]) / 4
+    want = (ma - mb) / math.sqrt(va / 5 + vb / 5)
+    assert math.isclose(r["t_stat"], want, rel_tol=1e-12)
+    assert (r["na"], r["nb"]) == (5, 5)
+
+
+def test_variable_width_histogram(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 2, 3, 50, 51, 200, 201, 202]], "x long"
+    )
+    out = A.variable_width_histogram(df, "x", buckets=3).collect()
+    assert [(r["bucket_id"], r["min"], r["max"], r["doc_count"]) for r in out] == [
+        (0, 1, 3, 4), (1, 50, 51, 2), (2, 200, 202, 3)
+    ]
+
+
+def test_moving_percentiles(spark):
+    rows = []
+    for m, vals in [(1, [1.0, 3.0]), (2, [5.0]), (3, [7.0, 9.0])]:
+        for v in vals:
+            rows.append((f"2024-0{m}-15 00:00:00", v))
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = A.moving_percentiles(df, "ts", "value", percent=0.5, window=2).collect()
+    # window medians: [1,3]->2; [1,3,5]->3; [5,7,9]->7
+    assert [r["p"] for r in out] == [2.0, 3.0, 7.0]
+
+
+def test_date_and_ip_range(spark):
+    df = spark.createDataFrame(
+        [("2024-01-05", "10.0.0.1"), ("2024-07-01", "10.100.0.1"),
+         ("2025-02-01", "10.200.0.1")],
+        "d string, ip string",
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    dr = {r["key"]: r["doc_count"] for r in A.date_range_agg(
+        df, "d", [(None, "2024-06-01"), ("2024-06-01", None)]).collect()}
+    assert dr == {"*..2024-06-01": 1, "2024-06-01..*": 2}
+    ir = {r["key"]: r["doc_count"] for r in A.ip_range_agg(
+        df, "ip", [(None, "10.64.0.0"), ("10.64.0.0", None)]).collect()}
+    assert ir == {"*..10.64.0.0": 1, "10.64.0.0..*": 2}
