@@ -145,6 +145,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_stemmed"] = match_stemmed
 
+    def match_bool_prefix_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import match_bool_prefix_topk
+
+        idx = _doc_index(s, d)
+        out = match_bool_prefix_topk(
+            idx, "text", ["window", "ord"], k=10, params=_EXACT
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_bool_prefix"] = match_bool_prefix_q
+
+    def match_fuzzy_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import fuzzy_match_topk
+
+        idx = _doc_index(s, d)
+        out = fuzzy_match_topk(
+            idx, "text", ["tabel", "scna"], fuzziness=2, k=10, params=_EXACT
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_fuzzy"] = match_fuzzy_q
+
     def match_synonym(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import synonym_match_topk
 
@@ -1196,6 +1218,62 @@ def oracle_sql() -> dict[str, str]:
     o["match_synonym"] = synonym_topk_sql(
         [["table", "data"], ["scan", "filter"]], k=10
     )
+
+    from elasticsearch_spark.oracle.sql_oracle import bm25_ctes as _bc
+
+    o["match_bool_prefix"] = f"""
+WITH {_bc(['window'])},
+pref AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'ord%')
+SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+       round(coalesce(s.score, 0)
+             + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 4) AS score
+FROM scored s FULL OUTER JOIN pref p ON p.doc_id = s.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # match with fuzziness: expansion rule == executor.expand_terms
+    # (shared first letter, |len diff| <= 2, lev <= 2, top-50 by df);
+    # each term's expansion set scores as one blended group
+    o["match_fuzzy"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+stats AS (
+  SELECT (SELECT count(*) FROM tok) * 1.0
+           / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT count(*) FROM documents) * 1.0 AS n),
+dl AS (SELECT doc_id, count(*) * 1.0 AS dl FROM tok GROUP BY doc_id),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+c0 AS (SELECT term FROM dfq
+       WHERE substr(term, 1, 1) = 't' AND abs(length(term) - 5) <= 2
+         AND levenshtein(term, 'tabel') <= 2
+       ORDER BY df DESC, term ASC LIMIT 50),
+c1 AS (SELECT term FROM dfq
+       WHERE substr(term, 1, 1) = 's' AND abs(length(term) - 4) <= 2
+         AND levenshtein(term, 'scna') <= 2
+       ORDER BY df DESC, term ASC LIMIT 50),
+g0 AS (SELECT doc_id, count(*) * 1.0 AS tf FROM tok
+       WHERE term IN (SELECT term FROM c0) GROUP BY doc_id),
+g1 AS (SELECT doc_id, count(*) * 1.0 AS tf FROM tok
+       WHERE term IN (SELECT term FROM c1) GROUP BY doc_id),
+g0df AS (SELECT max(df) * 1.0 AS df FROM dfq WHERE term IN (SELECT term FROM c0)),
+g1df AS (SELECT max(df) * 1.0 AS df FROM dfq WHERE term IN (SELECT term FROM c1)),
+allscores AS (
+  SELECT g.doc_id,
+         2.2 * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * g.tf / (g.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM g0 g JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN g0df d CROSS JOIN stats s
+  UNION ALL
+  SELECT g.doc_id,
+         2.2 * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * g.tf / (g.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM g1 g JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN g1df d CROSS JOIN stats s)
+SELECT doc_id, round(sum(score), 4) AS score
+FROM allscores GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     o["significant_terms"] = """
 WITH tot AS (
   SELECT count(*) * 1.0 AS n_all,
@@ -1360,11 +1438,11 @@ WITH td AS (
            unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
     FROM documents)
   GROUP BY term)
-SELECT term, df, levenshtein(term, 'dat') AS distance
+SELECT term, df, levenshtein(term, 'tabel') AS distance
 FROM td
 WHERE substr(term, 1, 1) = 't'
   AND abs(length(term) - 5) <= 2
-  AND levenshtein(term, 'dat') BETWEEN 1 AND 2
+  AND levenshtein(term, 'tabel') BETWEEN 1 AND 2
 ORDER BY distance ASC, df DESC, term ASC
 LIMIT 5
 """
@@ -1681,7 +1759,7 @@ ORDER BY doc_id ASC LIMIT 10
     )
     o["fuzzy_match_indexed"] = _multi_term_oracle(
         "substr(term,1,1) = 't' AND abs(length(term) - 5) <= 2 "
-        "AND levenshtein(term, 'dat') <= 2"
+        "AND levenshtein(term, 'tabel') <= 2"
     )
     o["intervals_ordered"] = """
 WITH tok AS (

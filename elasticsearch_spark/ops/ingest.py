@@ -213,6 +213,84 @@ def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         return df.withColumn(
             parent, F.struct(F.col(f"`{field}`").alias(child))
         ).drop(field)
+    if kind == "sort":
+        order = p.get("order", "asc")
+        c = F.sort_array(F.col(p["field"]), asc=(order == "asc"))
+        return df.withColumn(p.get("target_field", p["field"]), c)
+    if kind == "dedupe":
+        # ES "remove duplicates from array" (the `unique`-style processor)
+        return df.withColumn(
+            p.get("target_field", p["field"]),
+            F.array_distinct(F.col(p["field"])),
+        )
+    if kind == "uri_parts":
+        # URIPartsProcessor.java: scheme/domain/port/path/query/fragment
+        c = F.col(p["field"])
+        tgt = p.get("target_field", "url")
+        return df.withColumn(
+            tgt,
+            F.struct(
+                F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+                F.parse_url(c, F.lit("HOST")).alias("domain"),
+                F.parse_url(c, F.lit("PATH")).alias("path"),
+                F.parse_url(c, F.lit("QUERY")).alias("query"),
+                F.parse_url(c, F.lit("REF")).alias("fragment"),
+            ),
+        )
+    if kind == "registered_domain":
+        # RegisteredDomainProcessor.java without the public-suffix list
+        # (not shipped here): registered domain = last two labels, a
+        # documented approximation correct for gTLDs
+        c = F.col(p["field"])
+        parts = F.split(c, r"\.")
+        n = F.size(parts)
+        reg = F.when(
+            n >= 2,
+            F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+        ).otherwise(c)
+        return df.withColumn(p.get("target_field", "registered_domain"), reg)
+    if kind == "community_id":
+        # CommunityIdProcessor.java (community-id-spec v1):
+        # "1:" + base64(sha1(seed_be16 . src_ip . dst_ip . proto . 0 .
+        # src_port_be16 . dst_port_be16)) with the flow tuple ordered so
+        # the smaller (ip, port) endpoint comes first. Built entirely
+        # from hex-string assembly -> unhex -> sha1 -> base64 (JVM-side).
+        seed = int(p.get("seed", 0))
+        src_ip, dst_ip = F.col(p["source_ip"]), F.col(p["destination_ip"])
+        src_pt = F.col(p["source_port"]).cast("int")
+        dst_pt = F.col(p["destination_port"]).cast("int")
+        proto = F.lit(int(p.get("iana_number", 6)))
+
+        def ip_hex(c):
+            o = F.split(c, r"\.")
+            return F.concat(*[
+                F.lpad(F.hex(o[i].cast("int")), 2, "0") for i in range(4)
+            ])
+
+        def ip_num(c):
+            o = F.split(c, r"\.")
+            return (
+                o[0].cast("long") * 16777216 + o[1].cast("long") * 65536
+                + o[2].cast("long") * 256 + o[3].cast("long")
+            )
+
+        flip = (ip_num(src_ip) > ip_num(dst_ip)) | (
+            (ip_num(src_ip) == ip_num(dst_ip)) & (src_pt > dst_pt)
+        )
+        ip1 = F.when(flip, dst_ip).otherwise(src_ip)
+        ip2 = F.when(flip, src_ip).otherwise(dst_ip)
+        pt1 = F.when(flip, dst_pt).otherwise(src_pt)
+        pt2 = F.when(flip, src_pt).otherwise(dst_pt)
+        hexstr = F.concat(
+            F.lit(f"{seed:04x}"),
+            ip_hex(ip1), ip_hex(ip2),
+            F.lpad(F.hex(proto), 2, "0"), F.lit("00"),
+            F.lpad(F.hex(pt1), 4, "0"), F.lpad(F.hex(pt2), 4, "0"),
+        )
+        digest = F.base64(F.unhex(F.sha1(F.unhex(F.lower(hexstr)))))
+        return df.withColumn(
+            p.get("target_field", "community_id"), F.concat(F.lit("1:"), digest)
+        )
     raise ValueError(f"unsupported processor: {kind}")
 
 

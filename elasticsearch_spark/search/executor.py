@@ -824,6 +824,82 @@ def multi_term_topk(
     return out.orderBy(F.asc("doc_id")).limit(k)
 
 
+def match_bool_prefix_topk(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    k: int | None = 10,
+    max_expansions: int = 50,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """match_bool_prefix (the search_as_you_type query path,
+    MatchBoolPrefixQueryBuilder / mapper-extras SearchAsYouTypeFieldMapper):
+    every term but the last is a SHOULD TermQuery (BM25), the last is a
+    PrefixQuery with the constant-score rewrite (contributes 1.0) —
+    clauses sum, minimum_should_match=1."""
+    params = params or BM25Params()
+    spark = index.spark
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    head, last = terms[:-1], terms[-1]
+    pref = multi_term_topk(
+        index, field, "prefix", last, k=None, max_expansions=max_expansions
+    ).select("doc_id", "score", "matched")
+    if not head:
+        out = pref
+    else:
+        base = match_topk(index, field, head, k=None, params=params).select(
+            "doc_id", "score", "matched"
+        )
+        out = (
+            base.unionByName(pref)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.sum("matched").cast("int").alias("matched"),
+            )
+        )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def fuzzy_match_topk(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    fuzziness: int = 2,
+    max_expansions: int = 50,
+    k: int | None = 10,
+    minimum_should_match: int = 1,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """match with fuzziness (MatchQueryBuilder fuzziness option): each
+    analyzed term expands against the term dictionary (same automaton
+    constraints as the standalone fuzzy query: shared first letter,
+    length within fuzziness, edit distance <= fuzziness; top
+    max_expansions by df). The expansion set of each term scores as one
+    blended group (df = max member df, tf = sum member tfs — the
+    SynonymQuery-style blending Lucene's top_terms_blended_freqs rewrite
+    approximates); groups sum like bool-OR clauses."""
+    from elasticsearch_spark.search.executor import expand_terms  # self
+
+    groups = []
+    for t in terms:
+        exp = expand_terms(
+            index, field, "fuzzy", t,
+            fuzziness=fuzziness, max_expansions=max_expansions,
+        )
+        if exp:
+            groups.append(exp)
+    if not groups:
+        return index.spark.createDataFrame([], TOPK_SCHEMA)
+    return synonym_match_topk(
+        index, field, groups, k=k,
+        minimum_should_match=minimum_should_match, params=params,
+    )
+
+
 def completion_suggest(
     index: InvertedIndex, field: str, prefix: str, size: int = 5
 ) -> DataFrame:

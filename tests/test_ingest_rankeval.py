@@ -142,3 +142,68 @@ def test_dot_expander(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "a.b"])
     out = apply_pipeline(df, [{"dot_expander": {"field": "a.b"}}]).collect()[0]
     assert out["a"]["b"] == "x"
+
+
+def test_sort_dedupe_uri_registered_domain(spark):
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2, 1], "https://sub.example.com:8080/a/b?x=1#frag")],
+        ["id", "arr", "url"],
+    )
+    out = apply_pipeline(df, [
+        {"dedupe": {"field": "arr"}},
+        {"sort": {"field": "arr", "order": "asc"}},
+        {"uri_parts": {"field": "url", "target_field": "u"}},
+        {"registered_domain": {"field": "host",
+                                "target_field": "reg"}},
+    ][:3]).collect()[0]
+    assert out["arr"] == [1, 2, 3]
+    assert out["u"]["scheme"] == "https"
+    assert out["u"]["domain"] == "sub.example.com"
+    assert out["u"]["path"] == "/a/b"
+    assert out["u"]["query"] == "x=1"
+    assert out["u"]["fragment"] == "frag"
+    df2 = spark.createDataFrame([(1, "sub.example.co",), (2, "example.com",),
+                                  (3, "localhost",)], ["id", "host"])
+    regs = {
+        r["id"]: r["reg"]
+        for r in apply_pipeline(
+            df2, [{"registered_domain": {"field": "host", "target_field": "reg"}}]
+        ).collect()
+    }
+    assert regs == {1: "example.co", 2: "example.com", 3: "localhost"}
+
+
+def test_community_id_matches_reference_impl(spark):
+    """Spark community_id == a direct Python implementation of the
+    community-id v1 spec (seeded sha1 over the ordered flow tuple)."""
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    def ref_cid(seed, sip, dip, proto, sp, dp):
+        a = (socket.inet_aton(sip), sp)
+        b = (socket.inet_aton(dip), dp)
+        if a > b:
+            a, b = b, a
+        data = (
+            struct.pack("!H", seed) + a[0] + b[0]
+            + struct.pack("BB", proto, 0)
+            + struct.pack("!HH", a[1], b[1])
+        )
+        return "1:" + base64.b64encode(hashlib.sha1(data).digest()).decode()
+
+    rows = [
+        (1, "1.2.3.4", "5.6.7.8", 1122, 3344),
+        (2, "10.0.0.2", "10.0.0.1", 80, 1024),
+        (3, "192.168.1.1", "192.168.1.1", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, ["id", "sip", "dip", "sp", "dp"])
+    out = apply_pipeline(df, [{"community_id": {
+        "source_ip": "sip", "destination_ip": "dip",
+        "source_port": "sp", "destination_port": "dp",
+        "iana_number": 6, "seed": 0,
+    }}]).collect()
+    for r in out:
+        row = next(x for x in rows if x[0] == r["id"])
+        assert r["community_id"] == ref_cid(0, row[1], row[2], 6, row[3], row[4])

@@ -157,6 +157,14 @@ def test_ann_self_join_recall(emb):
     assert recall > 0.4  # 8 tables x 6 planes multi-table LSH
 
 
+def test_minhash_array_variant_identical(spark, docs):
+    a = dedup.minhash_signatures(docs, k=2, n_hashes=16, use_arrays=False)
+    b = dedup.minhash_signatures(docs, k=2, n_hashes=16, use_arrays=True)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+
+
 def test_ann_degenerate_bucket_is_capped(spark):
     """All-identical vectors land in ONE bucket in every table; the
     max_bucket cap + chunked matmul must keep that O(cap^2 / chunks),
