@@ -1132,6 +1132,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), k=2, threshold=0.5
     )
 
+    def decontaminate_q(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        return dedup.ngram_containment(
+            docs, docs.filter(F.col("lang") == "zh"), k=2, threshold=0.2
+        )
+
+    q["decontaminate_ngram"] = decontaminate_q
+
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _t(s, d, "documents"), k=2, n_hashes=64, bands=32
     )  # rows-only check (hash-permutation seeds not SQL-expressible)
@@ -2055,6 +2063,29 @@ FROM pairs JOIN sizes sa ON sa.doc_id = id_a
            JOIN sizes sb ON sb.doc_id = id_b
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """
+    o["decontaminate_ngram"] = """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang, unnest(
+    list_filter(
+      list_transform(generate_series(1, greatest(len(ts) - 1, 1)),
+                     i -> array_to_string(ts[i:i+1], ' ')),
+      x -> length(x) > 0)) AS shingle
+  FROM tok),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE lang = 'zh'),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+hit AS (
+  SELECT sh.doc_id, count(*) AS n_hits
+  FROM sh JOIN bench ON bench.shingle = sh.shingle
+  GROUP BY sh.doc_id)
+SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / t.n_shingles AS containment
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+WHERE coalesce(h.n_hits, 0) / t.n_shingles >= 0.2
+"""
+
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (

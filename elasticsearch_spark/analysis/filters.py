@@ -109,6 +109,46 @@ def compose(base: Callable[[str], TokenStream], *filters) -> Callable[[str], Tok
     return analyzer
 
 
+# ---- char filters (run BEFORE the tokenizer, like the reference's
+# analysis chain: char_filter -> tokenizer -> token filters) ----
+
+def mapping_char_filter(mappings: dict[str, str]):
+    """MappingCharFilterFactory: literal replacements applied to the raw
+    text (e.g. {"+": "_plus_"} so `c++` tokenizes as one term)."""
+    def cf(text: str) -> str:
+        for k, v in mappings.items():
+            text = text.replace(k, v)
+        return text
+    return cf
+
+
+def pattern_replace_char_filter(pattern: str, replacement: str = ""):
+    """PatternReplaceCharFilterFactory: regex replacement pre-tokenize."""
+    rx = re.compile(pattern)
+
+    def cf(text: str) -> str:
+        return rx.sub(replacement, text)
+    return cf
+
+
+def html_strip_char_filter():
+    """HtmlStripCharFilterFactory: drop tags, keep text."""
+    rx = re.compile(r"<[^>]*>")
+
+    def cf(text: str) -> str:
+        return rx.sub(" ", text)
+    return cf
+
+
+def with_char_filters(base: Callable[[str], TokenStream], *char_filters):
+    """Prepend char filters to an analyzer (reference chain order)."""
+    def analyzer(text: str) -> TokenStream:
+        for cf in char_filters:
+            text = cf(text)
+        return base(text)
+    return analyzer
+
+
 # ---- extra tokenizers registered as analyzers ----
 
 def path_hierarchy(text: str) -> TokenStream:

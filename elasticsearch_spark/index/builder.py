@@ -642,15 +642,26 @@ def build_index(
         # (a previous attempt that appended files but died before its
         # manifest committed leaves partial output in exactly the todo
         # partitions, which this write now replaces instead of doubling).
+        #
+        # NO second shuffle before the write: the encode stage's output
+        # is already exchanged on (part_id, field), and partitionBy
+        # routes rows to their part_id directory regardless of task
+        # placement — re-partitioning by part_id would move the entire
+        # encoded index through one more exchange just to reduce the
+        # files-per-directory count. Rows stay (field, term, block)-
+        # sorted per task, and the writer preserves that relative order
+        # inside each part_id file, so Parquet row-group min/max skipping
+        # on `term` is unaffected.
         (
-            blocks.repartition(max(len(todo_parts), 1), "part_id")
-            .sortWithinPartitions("field", "term", "block_id")
+            blocks.sortWithinPartitions("part_id", "field", "term", "block_id")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_id")
             .parquet(os.path.join(out_dir, "postings"))
         )
         if store_doc_lengths:
+            # (unlike blocks, tokenized is scan-partitioned — without the
+            # repartition every task would open a writer per part_id dir)
             (
                 tokenized.select("part_id", "doc_id", "field", "dl", "ttf")
                 .repartition(max(len(todo_parts), 1), "part_id")

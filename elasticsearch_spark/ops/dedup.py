@@ -69,7 +69,15 @@ def word_shingles(
 
     The token array is materialized in its own projection FIRST —
     inlining it into the per-position lambda would re-run the regex
-    O(tokens) times per doc (no CSE inside higher-order functions)."""
+    O(tokens) times per doc (no CSE inside higher-order functions).
+
+    Small inputs (one parquet split) are re-spread across the cluster
+    first: the explode + downstream agg otherwise inherit ONE partition
+    and run the whole shingle pass on a single core. At real scale the
+    input has >= defaultParallelism splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, id_col)
     toks_df = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias("_ts"),
@@ -252,6 +260,47 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Training-data DECONTAMINATION: per document, the fraction of its
+    distinct word k-shingles that appear anywhere in the benchmark set
+    (containment = |doc_shingles ∩ bench_shingles| / |doc_shingles|).
+    Docs above ``threshold`` are contamination suspects.
+
+    Scale shape: the benchmark side is distinct shingles only (small —
+    eval sets are tiny next to the corpus), so Catalyst broadcasts it;
+    the corpus side is one scan + one left-semi probe + one count agg —
+    no corpus self-join, no skew (counts are per-doc)."""
+    doc_sh = word_shingles(docs, text_col, id_col, k)
+    bench_sh = word_shingles(
+        benchmark.select(F.col(bench_text_col)).withColumn("_bid", F.lit(0)),
+        bench_text_col, "_bid", k,
+    ).select("shingle").distinct()
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn(
+            "containment", F.col("n_hits") / F.col("n_shingles")
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("containment") >= threshold)
+    return out.select(id_col, "n_shingles", "n_hits", "containment")
 
 
 def simhash(

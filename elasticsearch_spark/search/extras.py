@@ -333,6 +333,22 @@ def index_stats(index) -> dict:
     }
 
 
+def profile(df: DataFrame) -> dict:
+    """_search profile analogue (search/profile/Profilers.java): the
+    reference returns a per-query execution tree with timings; the Spark
+    engine's equivalent artifact is the Catalyst plan trio — what was
+    asked (logical), what the optimizer decided (optimized: pushdowns,
+    prunes, join strategies) and what ran (physical: exchanges,
+    codegen). Stage/task timings live in the Spark UI / history server
+    event log, which is the runtime half of the profile."""
+    qe = df._jdf.queryExecution()
+    return {
+        "logical": str(qe.analyzed()),
+        "optimized": str(qe.optimizedPlan()),
+        "physical": str(qe.executedPlan()),
+    }
+
+
 def phrase_suggest(
     docs: DataFrame,
     text: str,

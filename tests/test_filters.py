@@ -72,3 +72,22 @@ def test_compose_chain():
     an = compose(base, edge_ngram_filter(2, 3), unique_filter)
     t, _ = an("spark spark")
     assert t == ["sp", "spa"]
+
+
+def test_char_filters():
+    from elasticsearch_spark.analysis.filters import (
+        html_strip_char_filter,
+        mapping_char_filter,
+        pattern_replace_char_filter,
+        with_char_filters,
+    )
+
+    base = ANALYZERS["standard"]
+    an = with_char_filters(base, mapping_char_filter({"c++": "cplusplus"}))
+    assert [t for t, _ in zip(*an("I like c++ a lot"))] == [
+        "i", "like", "cplusplus", "a", "lot"
+    ]
+    an2 = with_char_filters(base, pattern_replace_char_filter(r"\d+", "N"))
+    assert [t for t, _ in zip(*an2("x9 y42"))] == ["xn", "yn"]
+    an3 = with_char_filters(base, html_strip_char_filter())
+    assert [t for t, _ in zip(*an3("<b>bold</b> text"))] == ["bold", "text"]
