@@ -307,6 +307,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["collapse"] = collapse_q
 
+    def collapse_inner_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import collapse_inner_hits
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        scored = match_topk(
+            idx, "text", ["table", "scan"], k=None, params=_EXACT
+        ).select("doc_id", "score")
+        out = collapse_inner_hits(scored, docs, "lang", k=3, inner_size=2)
+        return out.select(
+            "lang", "inner_rank", "doc_id", F.round("score", 4).alias("score")
+        )
+
+    q["collapse_inner_hits"] = collapse_inner_q
+
     def search_after_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import search_after
 
@@ -1465,6 +1480,21 @@ j AS (
 SELECT doc_id, lang, round(score, 4) AS score
 FROM j WHERE rn = 1
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["collapse_inner_hits"] = f"""
+WITH {bm25_ctes(['table', 'scan'])},
+j AS (SELECT s.doc_id, s.score, d.lang
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+r AS (SELECT doc_id, score, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) AS inner_rank
+      FROM j),
+win AS (SELECT lang FROM r WHERE inner_rank = 1
+        ORDER BY score DESC, doc_id ASC LIMIT 3)
+SELECT r.lang, r.inner_rank, r.doc_id, round(r.score, 4) AS score
+FROM r JOIN win ON win.lang = r.lang
+WHERE r.inner_rank <= 2
 """
 
     o["search_after"] = f"""

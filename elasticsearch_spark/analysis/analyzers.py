@@ -484,6 +484,72 @@ FLAT_ANALYZERS: dict[str, Callable] = {
 }
 
 
+# Small public stopword lists for the light language analyzers
+FRENCH_STOPWORDS = frozenset(
+    """le la les de des du un une et en est dans pour que qui au aux ce
+    cette sur ne pas plus par il elle avec son sa ses ou mais nous vous
+    ils elles se sont""".split()
+)
+GERMAN_STOPWORDS = frozenset(
+    """der die das den dem des ein eine einer eines einem und ist in im
+    fur mit auf nicht von zu dass sich auch es an als bei nach wie aus
+    wird sind oder für""".split()
+)
+
+
+def _register_light_language(name: str, stopwords: frozenset, stem_fn) -> None:
+    """Register a light language analyzer (standard tokens -> stopword
+    removal -> suffix-cascade stem), scalar + vectorized codes variants
+    — the pattern the reference's 30+ language analyzers follow
+    (AnalysisModule language registrations; *_light stemmers in
+    StemmerTokenFilterFactory)."""
+    cache: dict[str, str] = {}
+
+    def word_fn(tok: str) -> str:
+        hit = cache.get(tok)
+        if hit is None:
+            if len(cache) >= _STEM_CACHE_MAX:
+                cache.clear()
+            hit = cache[tok] = stem_fn(tok)
+        return hit
+
+    def scalar(text: str) -> tuple[list[str], list[int]]:
+        terms, positions = _analyze_standard(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            if t not in stopwords:
+                out_t.append(word_fn(t))
+                out_p.append(p)
+        return out_t, out_p
+
+    def codes(texts: pd.Series):
+        d, c, u, p = _codes_standard(texts)
+        if c.size:
+            lut = np.fromiter(
+                (w in stopwords for w in u), dtype=bool, count=len(u)
+            )
+            keep = ~lut[c]
+            d, c, p = d[keep], c[keep], p[keep]
+        return _transform_uniques_codes(d, c, u, p, word_fn)
+
+    ANALYZERS[name] = scalar
+    FLAT_ANALYZERS[name] = codes
+
+
+def _register_default_languages() -> None:
+    from elasticsearch_spark.analysis.stem import (
+        french_light_stem,
+        german_light_stem,
+    )
+
+    _register_light_language("french_light", FRENCH_STOPWORDS, french_light_stem)
+    _register_light_language("german_light", GERMAN_STOPWORDS, german_light_stem)
+
+
+_register_default_languages()
+
+
 def analyze_flat_codes(
     texts: pd.Series, analyzer: str
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

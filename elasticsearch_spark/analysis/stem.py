@@ -54,6 +54,60 @@ def s_stem_sql(expr: str) -> str:
     return out
 
 
+def make_cascade_stemmer(rules: list[tuple[str, str]]):
+    """Build a sequential regex-cascade stemmer (python fn) from rules.
+    Every cascade built this way has an exact SQL twin via
+    ``cascade_sql(rules, expr)`` — the same mechanism as the English
+    S-stemmer, which is what makes these oracle-checkable."""
+    compiled = [(re.compile(p), r) for p, r in rules]
+
+    def stem(word: str) -> str:
+        for pat, rep in compiled:
+            word = pat.sub(rep, word)
+        return word
+
+    return stem
+
+
+def cascade_sql(rules: list[tuple[str, str]], expr: str) -> str:
+    out = expr
+    for pat, rep in rules:
+        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+    return out
+
+
+# Light stemmers for French / German in the style of Savoy's light
+# stemming papers (and the reference's *_light stemmer registrations in
+# StemmerTokenFilterFactory): short suffix cascades that normalize
+# plural/feminine/case endings. These are documented approximations —
+# they stem consistently (query and index side share the rules), which
+# is the retrieval-relevant property; they do not claim Lucene
+# rule-for-rule parity.
+FRENCH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(..)eaux$", r"\1eau"),      # chevaux-style plurals: -eaux -> -eau
+    (r"(...)aux$", r"\1al"),       # journaux -> journal
+    (r"(....)ements?$", r"\1"),    # adverb/noun -ement(s)
+    (r"(...)issements?$", r"\1"),  # -issement(s)
+    (r"(..[^s])s$", r"\1"),        # plural -s (not after s)
+    (r"(...)x$", r"\1"),           # plural -x
+    (r"(...[^e])e$", r"\1"),       # feminine -e (not -ee)
+]
+
+GERMAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ä", "a"), (r"ö", "o"), (r"ü", "u"), (r"ß", "ss"),
+    (r"(...)nen$", r"\1n"),        # -innen/-nen plurals
+    (r"(...)en$", r"\1"),          # -en (plural / infinitive)
+    (r"(...)er$", r"\1"),          # -er
+    (r"(...)es$", r"\1"),          # -es
+    (r"(...)e$", r"\1"),           # -e
+    (r"(...)s$", r"\1"),           # genitive/plural -s
+    (r"(...)n$", r"\1"),           # -n
+]
+
+french_light_stem = make_cascade_stemmer(FRENCH_LIGHT_RULES)
+german_light_stem = make_cascade_stemmer(GERMAN_LIGHT_RULES)
+
+
 # ---------------------------------------------------------------------
 # Porter stemmer (Porter 1980, "An algorithm for suffix stripping")
 # ---------------------------------------------------------------------

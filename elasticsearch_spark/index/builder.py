@@ -332,14 +332,23 @@ def _make_tokenizer(fields: dict[str, str], vectorized: bool = True):
     ``vectorized=False`` keeps the original per-doc reference path
     (used by the parity test)."""
 
+    # Sub-batch cap: an Arrow batch is up to 10k docs (~5M tokens for
+    # code), and the flat kernels materialize ~10 token-sized arrays —
+    # at 32 concurrent tasks that working set saturates one box's
+    # memory bandwidth. 2k-doc chunks keep each task's arrays ~L3-ish
+    # while preserving the vectorization win.
+    CHUNK = 2048
+
     def tokenize_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.reset_index(drop=True)
-            outs = [
-                _tokenize_field_flat(pdf, field, analyzer_name)
-                for field, analyzer_name in fields.items()
-            ]
-            yield outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
+            for lo in range(0, len(pdf), CHUNK):
+                chunk = pdf.iloc[lo:lo + CHUNK].reset_index(drop=True)
+                outs = [
+                    _tokenize_field_flat(chunk, field, analyzer_name)
+                    for field, analyzer_name in fields.items()
+                ]
+                yield outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -680,38 +689,31 @@ def build_index(
     # per-partition checkpoint manifests (translog/LocalCheckpointTracker
     # analogue) — written after the job commits, atomically per part.
     if todo_parts:
+        # ONE metadata aggregation for every per-partition metric: term
+        # count, posting count, and docs (the stats-marker rows sum to
+        # n_docs x n_fields per partition, since every doc carries every
+        # field) — this job reads block METADATA columns only
+        n_fields = max(len(fields), 1)
         rows = (
             idx.postings.filter(F.col("part_id").isin(todo_parts))
             .groupBy("part_id")
             .agg(
                 F.countDistinct("term").alias("num_terms"),
                 F.sum(F.when(F.col("term").isNotNull(), F.col("n"))).alias("num_postings"),
+                F.sum(F.when(F.col("term").isNull(), F.col("n"))).alias("docs_x_fields"),
             )
             .collect()
         )
         metrics = {int(r["part_id"]): r for r in rows}
-        # docs per part: sum the stats rows per field (multi-segment
-        # safe), then any field's total (every doc carries every field)
-        doc_counts = {
-            int(r["part_id"]): int(r["num_docs"] or 0)
-            for r in (
-                idx.stats_rows.filter(F.col("part_id").isin(todo_parts))
-                .groupBy("part_id", "field")
-                .agg(F.sum("n").alias("nd"))
-                .groupBy("part_id")
-                .agg(F.max("nd").alias("num_docs"))
-                .collect()
-            )
-        }
         wall_ms = int((time.time() - t0) * 1000)
         for p in todo_parts:
             m = metrics.get(p)
             manifest = {
                 "partition_id": p,
                 "status": "done",
-                "num_docs": doc_counts.get(p, 0),
+                "num_docs": int(m["docs_x_fields"] or 0) // n_fields if m else 0,
                 "num_terms": int(m["num_terms"]) if m else 0,
-                "num_postings": int(m["num_postings"]) if m else 0,
+                "num_postings": int(m["num_postings"] or 0) if m else 0,
                 "input_snapshot": input_snapshot,
                 "wall_ms": wall_ms,
             }

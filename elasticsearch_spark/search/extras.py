@@ -133,6 +133,44 @@ def collapse_topk(
     )
 
 
+def collapse_inner_hits(
+    scored: DataFrame,
+    docs: DataFrame,
+    collapse_field: str,
+    k: int = 10,
+    inner_size: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field collapse WITH inner_hits (CollapseBuilder.setInnerHits /
+    ExpandSearchPhase.java): the top-k collapse groups (ranked by their
+    best hit) plus each group's top-``inner_size`` hits. One window for
+    the per-group rank, one broadcast semi-join for the winning groups —
+    the expand phase never rescans the corpus."""
+    joined = scored.join(docs.select(id_col, collapse_field), id_col)
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    ranked = joined.withColumn("inner_rank", F.row_number().over(w))
+    winners = (
+        ranked.filter(F.col("inner_rank") == 1)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(
+            F.col(collapse_field),
+            F.col("score").alias("group_score"),
+        )
+    )
+    return (
+        ranked.filter(F.col("inner_rank") <= inner_size)
+        .join(F.broadcast(winners), collapse_field)
+        .orderBy(
+            F.desc("group_score"), F.asc(collapse_field),
+            F.asc("inner_rank"),
+        )
+        .select(collapse_field, "inner_rank", id_col, "score")
+    )
+
+
 def search_after(
     scored: DataFrame,
     after_score: float,

@@ -147,3 +147,37 @@ def test_synonym_query_scores(spark, tmp_path):
     assert math.isclose(got[1], bm25(1, 2), rel_tol=1e-9)
     assert math.isclose(got[3], bm25(2, 3), rel_tol=1e-9)
     assert got[3] > got[1] > 0
+
+
+def test_light_language_analyzers():
+    # aggressive sequential cascades (light stemmers over-strip by
+    # design); the retrieval-relevant property is CONSISTENCY: the same
+    # rules apply at index and query time
+    fr = analyze("les chevaux mangent des pommes vertes", "french_light")
+    assert [t for t, _ in fr] == ["cheval", "mangent", "pomm", "vert"]
+    assert analyze("pomme", "french_light") == analyze("pommes", "french_light")
+    de = analyze("die Häuser der Straßen schön", "german_light")
+    assert [t for t, _ in de] == ["hau", "stras", "scho"]
+    assert analyze("haus", "german_light")[0][0] == \
+        analyze("häuser", "german_light")[0][0]
+
+
+def test_light_language_sql_twin():
+    import duckdb
+
+    from elasticsearch_spark.analysis.stem import (
+        FRENCH_LIGHT_RULES,
+        cascade_sql,
+        french_light_stem,
+    )
+
+    words = ["chevaux", "pommes", "vertes", "eaux", "journaux",
+             "rapidement", "chats", "table", "paris"]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {cascade_sql(FRENCH_LIGHT_RULES, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, french_light_stem(w)) for w, got in rows
+            if got != french_light_stem(w)]
+    assert not mism, mism
