@@ -195,6 +195,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["significant_terms"] = significant_terms_q
 
+    def significant_terms_bg_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import significant_terms
+
+        docs = _t(s, d, "documents")
+        out = significant_terms(
+            docs, "lang", F.col("n_chars") >= 300, size=10, min_doc_count=3,
+            background_filter=F.col("n_chars") >= 100,
+        )
+        return out.select("term", "fg_count", "bg_count", "jlh")
+
+    q["significant_terms_bg"] = significant_terms_bg_q
+
     # --- scored query + filter context combined (bool) ---
     def bool_match_filter(s: SparkSession, d: str) -> DataFrame:
         idx = _doc_index(s, d)
@@ -1017,6 +1029,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["has_child"] = has_child_q
 
+    def has_child_inner_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.joins import has_child_inner_hits
+
+        out = has_child_inner_hits(
+            _t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+            _t(s, d, "lineitem"),
+            "o_orderkey", "l_orderkey",
+            {"range": {"l_quantity": {"gte": 49}}},
+            size=2,
+            sort_by=[("l_extendedprice", False), ("l_linenumber", True)],
+        )
+        return out.select(
+            "o_orderkey", "rank", "l_linenumber", "l_quantity",
+            F.round("l_extendedprice", 2).alias("l_extendedprice"),
+        )
+
+    q["has_child_inner_hits"] = has_child_inner_q
+
     def has_parent_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.joins import has_parent
 
@@ -1314,6 +1344,26 @@ SELECT term, fg_count, bg_count,
          / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
 FROM c, tot
 WHERE fg_count >= 3
+  AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
+        / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
+ORDER BY jlh DESC, term ASC LIMIT 10
+"""
+
+    o["significant_terms_bg"] = """
+WITH tot AS (
+  SELECT sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) * 1.0 AS n_all,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0 AS n_fg
+  FROM documents),
+c AS (
+  SELECT lang AS term,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS fg_count,
+         sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS bg_count
+  FROM documents GROUP BY lang)
+SELECT term, fg_count, bg_count,
+       (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
+         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
+FROM c, tot
+WHERE fg_count >= 3 AND bg_count > 0
   AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
 ORDER BY jlh DESC, term ASC LIMIT 10
@@ -1896,6 +1946,21 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 SELECT doc_id, lang, n_chars FROM documents
 WHERE lang = 'en' AND n_chars < 200
 """
+    o["has_child_inner_hits"] = """
+WITH m AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l.l_orderkey
+           ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC
+         ) AS rank
+  FROM lineitem l
+  WHERE l.l_quantity >= 49)
+SELECT o.o_orderkey, m.rank, m.l_linenumber, m.l_quantity,
+       round(m.l_extendedprice, 2) AS l_extendedprice
+FROM m JOIN orders o ON o.o_orderkey = m.l_orderkey
+WHERE m.rank <= 2
+"""
+
     o["has_child"] = """
 SELECT o.o_orderkey, round(c.score, 4) AS score
 FROM orders o JOIN (

@@ -542,21 +542,27 @@ def significant_terms(
     fg_filter,
     size: int = 10,
     min_doc_count: int = 3,
+    background_filter=None,
 ) -> DataFrame:
     """significant_terms over a keyword field (SearchModule.java:400):
-    values over-represented in the foreground vs the whole table, JLH
-    heuristic — the keyword sibling of significant_text."""
+    values over-represented in the foreground vs the background, JLH
+    heuristic — the keyword sibling of significant_text.
+    ``background_filter`` narrows the background set (the reference's
+    background_filter option); default is the whole table."""
+    bg = F.lit(True) if background_filter is None else background_filter
     totals = df.select(
-        F.count("*").alias("n_all"),
+        F.sum(bg.cast("long")).alias("n_all"),
         F.sum(fg_filter.cast("long")).alias("n_fg"),
     ).collect()[0]
     n_all, n_fg = float(totals["n_all"]), float(totals["n_fg"])
     counts = df.groupBy(F.col(field).alias("term")).agg(
         F.sum(fg_filter.cast("long")).alias("fg_count"),
-        F.count("*").alias("bg_count"),
+        F.sum(bg.cast("long")).alias("bg_count"),
     )
     return (
-        counts.filter(F.col("fg_count") >= min_doc_count)
+        counts.filter(
+            (F.col("fg_count") >= min_doc_count) & (F.col("bg_count") > 0)
+        )
         .withColumn("jlh", _jlh(n_all, n_fg))
         .filter(F.col("jlh") > 0)
         .orderBy(F.desc("jlh"), F.asc("term"))

@@ -63,6 +63,39 @@ def has_child(
     return out
 
 
+def has_child_inner_hits(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    query: dict[str, Any],
+    size: int = 3,
+    sort_by: list[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """has_child WITH inner_hits (HasChildQueryBuilder.innerHit +
+    InnerHitsPhase.java): for each parent that has matching children,
+    the top-``size`` matching child rows. One window rank per parent +
+    a left-semi filter of the parents — the child table is scanned
+    once."""
+    from pyspark.sql import Window
+
+    matched = children.filter(dsl.compile_filter(query, id_col=child_key))
+    order = [
+        (F.col(f).asc() if asc else F.col(f).desc()) for f, asc in (sort_by or [])
+    ] or [F.asc(child_key)]
+    w = Window.partitionBy(child_key).orderBy(*order)
+    top = matched.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= size
+    )
+    live_parents = parents.join(
+        top.select(F.col(child_key).alias("_pk")).distinct(),
+        parents[parent_key] == F.col("_pk"), "left_semi",
+    )
+    return live_parents.join(
+        top, live_parents[parent_key] == top[child_key], "inner"
+    )
+
+
 def has_parent(
     parents: DataFrame,
     children: DataFrame,
