@@ -648,6 +648,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eql_sequence"] = eql_sequence_q
 
+    def eql_until_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.eql import sequence
+
+        ev = _t(s, d, "events")
+        return sequence(
+            ev, ["click", "purchase"], maxspan_seconds=86400, until="error",
+        ).select("user_id", "id_0", "id_1")
+
+    q["eql_sequence_until"] = eql_until_q
+
     def slice_scan_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.scan import slice_scan
 
@@ -937,6 +947,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "score", "matched")
 
     q["intervals_any_of"] = intervals_any_of_q
+
+    def intervals_prefix_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import expand_terms
+        from elasticsearch_spark.search.spans import intervals_to_span, span_match
+
+        idx = _doc_index(s, d)
+        tree = intervals_to_span(
+            {"all_of": {"intervals": [
+                {"match": {"query": "key"}},
+                {"prefix": {"prefix": "ord"}},
+            ], "max_gaps": 1, "ordered": True}},
+            expand=lambda kind, pat: expand_terms(idx, "text", kind, pat),
+        )
+        out = span_match(idx, "text", tree, k=50)
+        return out.select("doc_id", "score", "matched")
+
+    q["intervals_prefix"] = intervals_prefix_q
 
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
@@ -1666,6 +1693,22 @@ j AS (
   WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
 SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
 """
+    o["eql_sequence_until"] = """
+WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.user_id, a.ts AS ts_0, b.ts AS ts_1,
+         a.event_id AS id_0, b.event_id AS id_1,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY b.ts ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
+SELECT user_id, id_0, id_1 FROM j
+WHERE rn = 1 AND NOT EXISTS (
+  SELECT 1 FROM events u
+  WHERE u.event_type = 'error' AND u.user_id = j.user_id
+    AND u.ts > j.ts_0 AND u.ts < j.ts_1)
+"""
     o["slice_scan"] = "SELECT doc_id FROM documents WHERE doc_id % 4 = 1"
     o["from_size_page"] = """
 SELECT doc_id, n_chars FROM documents
@@ -1906,6 +1949,16 @@ SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
 FROM tok a JOIN tok b ON b.doc_id = a.doc_id
 WHERE a.term = 'window' AND b.term IN ('filter', 'merge') AND b.pos > a.pos
   AND (b.pos - a.pos + 1) - 2 <= 3
+GROUP BY a.doc_id
+ORDER BY a.doc_id ASC LIMIT 50
+"""
+
+    o["intervals_prefix"] = f"""
+WITH {_tokpos}
+SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+WHERE a.term = 'key' AND b.term LIKE 'ord%' AND b.pos > a.pos
+  AND (b.pos - a.pos + 1) - 2 <= 1
 GROUP BY a.doc_id
 ORDER BY a.doc_id ASC LIMIT 50
 """

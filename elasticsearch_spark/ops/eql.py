@@ -21,6 +21,7 @@ def sequence(
     id_col: str = "event_id",
     type_col: str = "event_type",
     maxspan_seconds: int | None = None,
+    until: object | None = None,
 ) -> DataFrame:
     """Match ordered event sequences per key.
 
@@ -28,6 +29,12 @@ def sequence(
     row per matched sequence: (by, ts_0..ts_{n-1}, id_0..id_{n-1}),
     where each step event is the earliest qualifying continuation
     (ties by event id).
+
+    ``until`` (an event_type value or filter Column — EQL's `until`
+    clause, SequenceMatcher's expiration events): a sequence is
+    discarded when an until-event for the same key occurs strictly
+    between its first and last step events (the pending state would
+    have been expired before completing). One extra left-anti join.
     """
     def step_df(i, step):
         pred = (F.col(type_col) == F.lit(step)) if isinstance(step, str) else step
@@ -55,5 +62,20 @@ def sequence(
             joined.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+    if until is not None:
+        last = len(steps) - 1
+        upred = (
+            (F.col(type_col) == F.lit(until)) if isinstance(until, str) else until
+        )
+        u = events.filter(upred).select(
+            F.col(by).alias("_uk"), F.col(ts_col).alias("_uts")
+        )
+        cur = cur.join(
+            u,
+            (F.col("k") == F.col("_uk"))
+            & (F.col("_uts") > F.col("ts_0"))
+            & (F.col("_uts") < F.col(f"ts_{last}")),
+            "left_anti",
         )
     return cur.withColumnRenamed("k", by)

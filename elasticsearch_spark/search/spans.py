@@ -223,12 +223,18 @@ def span_match(
 # intervals source algebra -> span tree (IntervalQueryBuilder sources)
 # ---------------------------------------------------------------------
 
-def intervals_to_span(source: dict, analyzer: str = "ascii_word") -> dict:
+def intervals_to_span(
+    source: dict, analyzer: str = "ascii_word", expand=None
+) -> dict:
     """Compile an intervals SOURCE dict to the span algebra above.
 
     match    -> span_near(span_terms, slop=max_gaps, in_order=ordered)
     any_of   -> span_or(compiled sub-sources)
     all_of   -> span_near(compiled sub-sources, slop=max_gaps, ordered)
+    prefix / wildcard / fuzzy -> span_or over the dictionary expansion
+    (``expand(kind, pattern) -> [terms]``; wire executor.expand_terms
+    for an index-backed expansion — the reference's multi-term interval
+    sources do the same automaton walk over the terms dict).
     """
     from elasticsearch_spark.analysis import analyze
 
@@ -241,13 +247,23 @@ def intervals_to_span(source: dict, analyzer: str = "ascii_word") -> dict:
         return {"span_near": {"clauses": clauses,
                                "slop": int(body.get("max_gaps", 0)),
                                "in_order": bool(body.get("ordered", True))}}
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        if expand is None:
+            raise ValueError(f"intervals `{kind}` needs an expander")
+        pattern = body.get("prefix") or body.get("pattern") or body.get("term")
+        terms = expand(kind, pattern)
+        if not terms:
+            return {"span_or": {"clauses": []}}
+        return {"span_or": {"clauses": [
+            {"span_term": {"_f": t}} for t in terms
+        ]}}
     if kind == "any_of":
         return {"span_or": {"clauses": [
-            intervals_to_span(s, analyzer) for s in body["intervals"]
+            intervals_to_span(s, analyzer, expand) for s in body["intervals"]
         ]}}
     if kind == "all_of":
         return {"span_near": {"clauses": [
-            intervals_to_span(s, analyzer) for s in body["intervals"]
+            intervals_to_span(s, analyzer, expand) for s in body["intervals"]
         ], "slop": int(body.get("max_gaps", 0)),
             "in_order": bool(body.get("ordered", True))}}
     raise ValueError(f"unsupported intervals source: {kind}")
