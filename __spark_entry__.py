@@ -965,6 +965,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["intervals_prefix"] = intervals_prefix_q
 
+    def geo_distance_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.geo import geo_distance
+
+        # deterministic synthetic coordinates (testdata has no geo cols)
+        docs = _t(s, d, "documents").withColumn(
+            "lat", (F.pmod(F.col("doc_id"), F.lit(171)) - 85).cast("double")
+        ).withColumn(
+            "lon", (F.pmod(F.col("doc_id") * 7, F.lit(360)) - 180).cast("double")
+        )
+        out = geo_distance(docs, origin=(10.0, 20.0), distance_km=3000.0,
+                           sort=False)
+        return (
+            out.select("doc_id", F.round("distance_km", 4).alias("distance_km"))
+            .orderBy(F.asc("distance_km"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["geo_distance_sort"] = geo_distance_q
+
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
             feature_topk, rank_feature_score,
@@ -1961,6 +1980,22 @@ WHERE a.term = 'key' AND b.term LIKE 'ord%' AND b.pos > a.pos
   AND (b.pos - a.pos + 1) - 2 <= 1
 GROUP BY a.doc_id
 ORDER BY a.doc_id ASC LIMIT 50
+"""
+
+    from elasticsearch_spark.search.geo import haversine_km_sql as _hav
+
+    o["geo_distance_sort"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST((doc_id % 171 + 171) % 171 - 85 AS DOUBLE) AS lat,
+         CAST((doc_id * 7 % 360 + 360) % 360 - 180 AS DOUBLE) AS lon
+  FROM documents),
+dd AS (
+  SELECT doc_id, {_hav('lat', 'lon', '10.0', '20.0')} AS distance_km
+  FROM g)
+SELECT doc_id, round(distance_km, 4) AS distance_km
+FROM dd WHERE distance_km <= 3000.0
+ORDER BY distance_km ASC, doc_id ASC LIMIT 20
 """
 
     o["rank_feature"] = """

@@ -104,3 +104,23 @@ def test_significant_text(docs):
     assert all(r["jlh"] > 0 for r in out)
     jlhs = [r["jlh"] for r in out]
     assert jlhs == sorted(jlhs, reverse=True)
+
+
+def test_geo_distance(spark):
+    import math
+
+    from elasticsearch_spark.search.geo import geo_distance
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 1.0), (3, 52.52, 13.405), (4, 48.8566, 2.3522)],
+        "doc_id long, lat double, lon double",
+    )
+    out = {r["doc_id"]: r["distance_km"]
+           for r in geo_distance(df, origin=(0.0, 0.0), sort=False).collect()}
+    assert out[1] == 0.0
+    # one degree of longitude at the equator ~= 111.19 km
+    assert math.isclose(out[2], 111.19, rel_tol=1e-3)
+    # Berlin->origin vs Paris->origin sanity: Paris is closer to (0,0)
+    assert out[4] < out[3]
+    near = geo_distance(df, origin=(0.0, 0.0), distance_km=200.0, k=10).collect()
+    assert [r["doc_id"] for r in near] == [1, 2]
