@@ -686,6 +686,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_adjacency_matrix"] = agg_adjacency_q
 
+    def agg_terms_order_metric_q(s: SparkSession, d: str) -> DataFrame:
+        # terms buckets ORDERED BY a sub-aggregation value (order:
+        # {"avg_price": "desc"} — TermsAggregationBuilder order paths)
+        out = aggregate(
+            _t(s, d, "lineitem"),
+            {"flags": {"terms": {"field": "l_returnflag", "size": 3,
+                                   "order": {"avg_price": "desc"},
+                                   "key_name": "l_returnflag"},
+                        "aggs": {"avg_price": {"avg": {"field": "l_extendedprice"}}}}},
+        )
+        return out.select(
+            "l_returnflag", "doc_count", F.round("avg_price", 4).alias("avg_price")
+        )
+
+    q["agg_terms_order_metric"] = agg_terms_order_metric_q
+
     # --- x-pack analytics aggs (x-pack/plugin/analytics/) ---
     def agg_boxplot_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.analytics import boxplot
@@ -1733,6 +1749,13 @@ WHERE rn = 1 AND NOT EXISTS (
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20
 """
+    o["agg_terms_order_metric"] = """
+SELECT l_returnflag, count(*) AS doc_count,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+ORDER BY avg(l_extendedprice) DESC, l_returnflag ASC LIMIT 3
+"""
+
     o["agg_boxplot"] = """
 SELECT round(min(l_extendedprice), 4) AS min,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
