@@ -187,11 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = significant_terms(
             docs, "lang", F.col("n_chars") >= 300, size=10, min_doc_count=3
         )
-        # jlh is emitted UNROUNDED: the engine and the DuckDB oracle both
-        # compute it as the identical fixed sequence of IEEE-double ops
-        # (see extras._jlh), so the raw doubles are bit-identical —
-        # rounding (round-1 flake) is what made the hash engine-sensitive.
-        return out.select("term", "fg_count", "bg_count", "jlh")
+        # INTEGER-EXACT output: jlh_num/jlh_den are the exact BIGINT
+        # numerator/denominator of the JLH rational — no floats cross
+        # the oracle hash (raw doubles flaked at the driver two rounds
+        # running despite identical-op-order canonicalization).
+        return out.select("term", "fg_count", "bg_count", "jlh_num", "jlh_den")
 
     q["significant_terms"] = significant_terms_q
 
@@ -203,7 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "lang", F.col("n_chars") >= 300, size=10, min_doc_count=3,
             background_filter=F.col("n_chars") >= 100,
         )
-        return out.select("term", "fg_count", "bg_count", "jlh")
+        return out.select("term", "fg_count", "bg_count", "jlh_num", "jlh_den")
 
     q["significant_terms_bg"] = significant_terms_bg_q
 
@@ -371,7 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, F.col("lang") == "en", size=10, min_doc_count=3,
             index=_doc_index(s, d),
         )
-        return out.select("term", "fg_count", "bg_count", "jlh")
+        return out.select("term", "fg_count", "bg_count", "jlh_num", "jlh_den")
 
     q["significant_text"] = significant_text_q
 
@@ -1391,44 +1391,50 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     o["significant_terms"] = """
 WITH tot AS (
-  SELECT count(*) * 1.0 AS n_all,
-         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0 AS n_fg
+  SELECT count(*)::BIGINT AS n_all,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_fg
   FROM documents),
 c AS (
   SELECT lang AS term,
-         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS fg_count,
-         count(*) AS bg_count
-  FROM documents GROUP BY lang)
-SELECT term, fg_count, bg_count,
-       -- rational JLH form, parenthesized EXACTLY like extras._jlh so
-       -- the IEEE-double result is bit-identical to the Spark side
-       (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
-         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
-FROM c, tot
-WHERE fg_count >= 3
-  AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
-        / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
-ORDER BY jlh DESC, term ASC LIMIT 10
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM documents GROUP BY lang),
+j AS (
+  -- exact BIGINT numerator/denominator of the JLH rational — the
+  -- hash-compared columns carry NO floats (driver flake r1+r2);
+  -- the single num/den division used only for ORDER BY is one
+  -- correctly-rounded IEEE op on exact longs, engine-independent
+  SELECT term, fg_count, bg_count,
+         (fg_count * (fg_count * tot.n_all - bg_count * tot.n_fg))::BIGINT AS jlh_num,
+         ((bg_count * tot.n_fg) * tot.n_fg)::BIGINT AS jlh_den
+  FROM c, tot
+  WHERE fg_count >= 3 AND bg_count > 0)
+SELECT term, fg_count, bg_count, jlh_num, jlh_den
+FROM j
+WHERE jlh_num > 0
+ORDER BY jlh_num::DOUBLE / jlh_den::DOUBLE DESC, term ASC LIMIT 10
 """
 
     o["significant_terms_bg"] = """
 WITH tot AS (
-  SELECT sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) * 1.0 AS n_all,
-         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) * 1.0 AS n_fg
+  SELECT sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)::BIGINT AS n_all,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_fg
   FROM documents),
 c AS (
   SELECT lang AS term,
-         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS fg_count,
-         sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS bg_count
-  FROM documents GROUP BY lang)
-SELECT term, fg_count, bg_count,
-       (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
-         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
-FROM c, tot
-WHERE fg_count >= 3 AND bg_count > 0
-  AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
-        / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
-ORDER BY jlh DESC, term ASC LIMIT 10
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)::BIGINT AS bg_count
+  FROM documents GROUP BY lang),
+j AS (
+  SELECT term, fg_count, bg_count,
+         (fg_count * (fg_count * tot.n_all - bg_count * tot.n_fg))::BIGINT AS jlh_num,
+         ((bg_count * tot.n_fg) * tot.n_fg)::BIGINT AS jlh_den
+  FROM c, tot
+  WHERE fg_count >= 3 AND bg_count > 0)
+SELECT term, fg_count, bg_count, jlh_num, jlh_den
+FROM j
+WHERE jlh_num > 0
+ORDER BY jlh_num::DOUBLE / jlh_den::DOUBLE DESC, term ASC LIMIT 10
 """
 
     o["bool_match_filter"] = f"""
@@ -1633,24 +1639,26 @@ WITH t AS (
          unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
   FROM documents),
 tot AS (
-  SELECT count(*) * 1.0 AS n_all,
-         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1.0 AS n_fg
+  SELECT count(*)::BIGINT AS n_all,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_fg
   FROM documents),
 c AS (
   SELECT term,
-         sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS fg_count,
-         count(*) AS bg_count
-  FROM t GROUP BY term)
-SELECT term, fg_count, bg_count,
-       -- rational JLH form, parenthesized EXACTLY like extras._jlh so
-       -- the IEEE-double result is bit-identical to the Spark side
-       (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
-         / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) AS jlh
-FROM c, tot
-WHERE fg_count >= 3
-  AND (fg_count::DOUBLE * (fg_count::DOUBLE * tot.n_all - bg_count::DOUBLE * tot.n_fg))
-        / ((bg_count::DOUBLE * tot.n_fg) * tot.n_fg) > 0
-ORDER BY jlh DESC, term ASC
+         sum(CASE WHEN is_fg THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM t GROUP BY term),
+j AS (
+  -- exact BIGINT numerator/denominator of the JLH rational — the
+  -- hash-compared columns carry NO floats (driver flake r1+r2)
+  SELECT term, fg_count, bg_count,
+         (fg_count * (fg_count * tot.n_all - bg_count * tot.n_fg))::BIGINT AS jlh_num,
+         ((bg_count * tot.n_fg) * tot.n_fg)::BIGINT AS jlh_den
+  FROM c, tot
+  WHERE fg_count >= 3 AND bg_count > 0)
+SELECT term, fg_count, bg_count, jlh_num, jlh_den
+FROM j
+WHERE jlh_num > 0
+ORDER BY jlh_num::DOUBLE / jlh_den::DOUBLE DESC, term ASC
 LIMIT 10
 """
 

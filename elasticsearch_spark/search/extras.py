@@ -554,40 +554,50 @@ def significant_terms(
         F.sum(bg.cast("long")).alias("n_all"),
         F.sum(fg_filter.cast("long")).alias("n_fg"),
     ).collect()[0]
-    n_all, n_fg = float(totals["n_all"]), float(totals["n_fg"])
+    n_all, n_fg = int(totals["n_all"]), int(totals["n_fg"])
     counts = df.groupBy(F.col(field).alias("term")).agg(
         F.sum(fg_filter.cast("long")).alias("fg_count"),
         F.sum(bg.cast("long")).alias("bg_count"),
     )
+    return _rank_jlh(counts, n_all, n_fg, min_doc_count, size)
+
+
+def _rank_jlh(counts: DataFrame, n_all: int, n_fg: int,
+              min_doc_count: int, size: int) -> DataFrame:
+    """Attach the JLH significance score and take the top ``size`` terms.
+
+    JLH = (fg_pct - bg_pct) * (fg_pct / bg_pct).  With integer counts it
+    is the exact rational
+
+        num / den = fg*(fg*n_all - bg*n_fg) / (bg*n_fg*n_fg)
+
+    ``jlh_num`` / ``jlh_den`` are computed entirely in 64-bit INTEGER
+    arithmetic — exact in any engine (counts are < 2^31, so num/den stay
+    far below 2^63).  The float ``jlh`` column exists for callers/ordering
+    only; oracle-hash-checked outputs should select the integer pair, not
+    the float (driver-gate hash flaked two rounds running on raw doubles
+    whose last-bit rounding differed between Spark and the checker's
+    DuckDB build).  Ordering by num/den as ONE division of exactly-
+    representable longs (< 2^53) is correctly rounded and therefore
+    engine-independent, so the top-``size`` cut is deterministic too."""
+    fg = F.col("fg_count").cast("long")
+    bg = F.col("bg_count").cast("long")
+    num = fg * (fg * F.lit(n_all) - bg * F.lit(n_fg))
+    den = (bg * F.lit(n_fg)) * F.lit(n_fg)
     return (
         counts.filter(
             (F.col("fg_count") >= min_doc_count) & (F.col("bg_count") > 0)
         )
-        .withColumn("jlh", _jlh(n_all, n_fg))
-        .filter(F.col("jlh") > 0)
+        .withColumn("jlh_num", num)
+        .withColumn("jlh_den", den)
+        .filter(F.col("jlh_num") > 0)
+        .withColumn(
+            "jlh",
+            F.col("jlh_num").cast("double") / F.col("jlh_den").cast("double"),
+        )
         .orderBy(F.desc("jlh"), F.asc("term"))
         .limit(size)
     )
-
-
-def _jlh(n_all: float, n_fg: float):
-    """JLH = (fg_pct - bg_pct) * (fg_pct / bg_pct), computed in the
-    algebraically-equivalent rational form
-
-        fg * (fg*n_all - bg*n_fg) / ((bg*n_fg) * n_fg)
-
-    so the whole value is a fixed sequence of IEEE-double products and
-    ONE division — bit-identical across engines (Spark vs the DuckDB
-    oracle) as long as the SQL twin uses the same parenthesization.
-    The (fg_pct - bg_pct)*(fg_pct/bg_pct) form takes 3 divisions whose
-    intermediate roundings are engine-evaluation-order sensitive, which
-    made round(jlh, 6) flip at 6th-decimal boundaries (driver-gate
-    hash flake in round 1)."""
-    fg = F.col("fg_count").cast("double")
-    bg = F.col("bg_count").cast("double")
-    num = fg * (fg * F.lit(n_all) - bg * F.lit(n_fg))
-    den = (bg * F.lit(n_fg)) * F.lit(n_fg)
-    return num / den
 
 
 def significant_text(
@@ -615,7 +625,7 @@ def significant_text(
         F.count("*").alias("n_all"),
         F.sum(fg_filter.cast("long")).alias("n_fg"),
     ).collect()[0]
-    n_all, n_fg = float(totals["n_all"]), float(totals["n_fg"])
+    n_all, n_fg = int(totals["n_all"]), int(totals["n_fg"])
     if index is not None:
         fg_counts = (
             docs.filter(fg_filter)
@@ -636,10 +646,4 @@ def significant_text(
             F.sum(F.col("is_fg").cast("long")).alias("fg_count"),
             F.count("*").alias("bg_count"),
         )
-    return (
-        counts.filter(F.col("fg_count") >= min_doc_count)
-        .withColumn("jlh", _jlh(n_all, n_fg))
-        .filter(F.col("jlh") > 0)
-        .orderBy(F.desc("jlh"), F.asc("term"))
-        .limit(size)
-    )
+    return _rank_jlh(counts, n_all, n_fg, min_doc_count, size)
