@@ -239,7 +239,9 @@ def date_range_agg(
         if hi is not None:
             cond = cond & (c < F.lit(hi).cast("timestamp"))
         key = f"{lo or '*'}..{hi or '*'}"
-        rows.append(F.sum(cond.cast("long")).alias(key))
+        # coalesce: F.sum over ZERO rows is NULL — empty input must
+        # yield zero-count buckets, not a TypeError at int(None)
+        rows.append(F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(key))
     wide = df.agg(*rows)
     spark = df.sparkSession
     r = wide.collect()[0]
@@ -275,7 +277,7 @@ def ip_range_agg(
         if hi is not None:
             cond = cond & (v < int(ipaddress.IPv4Address(hi)))
         key = f"{lo or '*'}..{hi or '*'}"
-        aggs.append(F.sum(cond.cast("long")).alias(key))
+        aggs.append(F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(key))
     wide = df.agg(*aggs)
     spark = df.sparkSession
     r = wide.collect()[0]

@@ -70,9 +70,13 @@ def make_cascade_stemmer(rules: list[tuple[str, str]]):
 
 
 def cascade_sql(rules: list[tuple[str, str]], expr: str) -> str:
+    # 'g' is required: DuckDB's regexp_replace replaces only the FIRST
+    # match by default, while Python re.sub (the engine side) replaces
+    # all — unanchored rules like the German umlaut maps diverge
+    # without it ('überflüssig' has two umlauts).
     out = expr
     for pat, rep in rules:
-        out = f"regexp_replace({out}, '{pat}', '{rep}')"
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
 
 

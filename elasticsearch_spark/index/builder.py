@@ -133,8 +133,21 @@ class InvertedIndex:
         # (exactly-once by construction; see streaming/refresh.py).
         if self._postings_df is None:
             reader = self.spark.read.schema(BLOCKS_SCHEMA)
+            # index_meta.json is the COMMIT POINT for compaction: it
+            # names the live base-postings generation dir and lists the
+            # segment batch ids already folded into it.  Both fields
+            # flip in one atomic os.replace (streaming/refresh.py
+            # compact_index), so a crash mid-compaction can never make
+            # a folded segment visible twice (df/tf would inflate) nor
+            # hide one that was not yet folded.
+            meta: dict = {}
+            try:
+                meta = index_meta(self.path)
+            except (OSError, ValueError):
+                pass  # partially-built index: fall back to the layout
+            folded = {str(b) for b in meta.get("folded_batches", [])}
             paths = []
-            base = os.path.join(self.path, "postings")
+            base = os.path.join(self.path, meta.get("postings_dir", "postings"))
             if os.path.exists(base):
                 paths.append(base)
             seg_root = os.path.join(self.path, "segments")
@@ -143,6 +156,7 @@ class InvertedIndex:
                     os.path.join(seg_root, d)
                     for d in sorted(os.listdir(seg_root))
                     if d.startswith("batch=")
+                    and d.split("=", 1)[1] not in folded
                 ]
             if not paths:
                 self._postings_df = self.spark.createDataFrame([], BLOCKS_SCHEMA)

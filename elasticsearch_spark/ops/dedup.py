@@ -74,10 +74,13 @@ def word_shingles(
     Small inputs (one parquet split) are re-spread across the cluster
     first: the explode + downstream agg otherwise inherit ONE partition
     and run the whole shingle pass on a single core. At real scale the
-    input has >= defaultParallelism splits and this is a no-op."""
+    input has >= defaultParallelism splits and this is a no-op.
+    Round-robin (no key): callers like ngram_containment pass a
+    CONSTANT id for one side, which a hash re-spread would concentrate
+    onto a single partition — the opposite of the intent."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, id_col)
+        df = df.repartition(sc.defaultParallelism)
     toks_df = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias("_ts"),

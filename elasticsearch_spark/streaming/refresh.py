@@ -103,12 +103,21 @@ def refresh_stream(
     tests, or let it run with the 1s-style trigger in production.
     """
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "index_meta.json"), "w") as f:
-        json.dump(
-            {"num_partitions": num_partitions, "fields": fields,
-             "input_snapshot": "stream"},
-            f,
-        )
+    # preserve compaction state (postings_dir/folded_batches) across
+    # stream restarts — only the identity fields are (re)written
+    prev: dict = {}
+    try:
+        prev = index_meta(index_dir)
+    except (OSError, ValueError):
+        pass
+    prev.update(
+        {"num_partitions": num_partitions, "fields": fields,
+         "input_snapshot": "stream"}
+    )
+    tmp_meta = os.path.join(index_dir, ".index_meta.json.tmp")
+    with open(tmp_meta, "w") as f:
+        json.dump(prev, f)
+    os.replace(tmp_meta, os.path.join(index_dir, "index_meta.json"))
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -126,7 +135,20 @@ def refresh_stream(
 
 def compact_index(spark: SparkSession, index_dir: str) -> None:
     """Tiered-merge analogue: rewrite accumulated segments so each
-    (part_id, term) has one contiguous sorted block run again."""
+    (part_id, term) has one contiguous sorted block run again.
+
+    Crash-safe publish: the new base is written to its own GENERATION
+    directory (``postings_gen_<n>``) and becomes visible through ONE
+    atomic ``os.replace`` of index_meta.json that simultaneously (a)
+    points ``postings_dir`` at the new generation and (b) appends the
+    folded batch ids to ``folded_batches`` (which the reader skips —
+    index/builder.py InvertedIndex.postings). A crash before the meta
+    swap leaves the old base + segments fully live (the half-written
+    generation dir is invisible); a crash after it leaves folded
+    segments invisible even though their dirs still exist. df/tf can
+    therefore never double-count across a crash — the garbage-collect
+    of the old generation and folded segment dirs below is pure
+    cleanup, not a correctness step."""
     from elasticsearch_spark.search.executor import decoded_postings
     from elasticsearch_spark.index.builder import InvertedIndex
 
@@ -139,7 +161,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         )
         rows = part if rows is None else rows.unionByName(part)
 
-    tmp = os.path.join(index_dir, "postings_compacted")
+    gen = int(meta.get("postings_gen", 0)) + 1
+    old_base = meta.get("postings_dir", "postings")
+    new_base = f"postings_gen_{gen}"
+    tmp = os.path.join(index_dir, new_base)
     from elasticsearch_spark.index.builder import _encode_blocks_rowwise
 
     new_blocks = (
@@ -159,11 +184,39 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     )
     import shutil
 
-    if os.path.isdir(os.path.join(index_dir, "postings")):
-        shutil.rmtree(os.path.join(index_dir, "postings"))
-    os.rename(tmp, os.path.join(index_dir, "postings"))
-    # streaming segments are now folded into the base postings
     seg_root = os.path.join(index_dir, "segments")
-    if os.path.isdir(seg_root):
-        shutil.rmtree(seg_root)
+    folding = [
+        d.split("=", 1)[1]
+        for d in (sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else [])
+        if d.startswith("batch=")
+    ]
+    new_meta = dict(meta)
+    new_meta["postings_gen"] = gen
+    new_meta["postings_dir"] = new_base
+    new_meta["folded_batches"] = sorted(
+        {str(b) for b in meta.get("folded_batches", [])} | set(folding)
+    )
+    meta_tmp = os.path.join(index_dir, ".index_meta.json.tmp")
+    with open(meta_tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(meta_tmp, os.path.join(index_dir, "index_meta.json"))  # COMMIT
+
+    # garbage-collect the superseded generation and folded segment dirs
+    old_dir = os.path.join(index_dir, old_base)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir, ignore_errors=True)
+    for b in folding:
+        shutil.rmtree(os.path.join(seg_root, f"batch={b}"), ignore_errors=True)
+
+    # prune folded ids whose dirs are actually gone (keeps the list
+    # bounded; an id whose rmtree failed stays listed = stays skipped)
+    still = {
+        b for b in new_meta["folded_batches"]
+        if os.path.isdir(os.path.join(seg_root, f"batch={b}"))
+    }
+    if still != set(new_meta["folded_batches"]):
+        new_meta["folded_batches"] = sorted(still)
+        with open(meta_tmp, "w") as f:
+            json.dump(new_meta, f)
+        os.replace(meta_tmp, os.path.join(index_dir, "index_meta.json"))
     refresh_stats(spark, index_dir)

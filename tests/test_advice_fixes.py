@@ -199,3 +199,31 @@ def test_resume_replaces_partial_partition_output(spark, small_corpus, tmp_path)
     idx = build_index(small_corpus, out, fields={"content": "code"},
                       num_partitions=2, input_snapshot="v1", resume=True)
     assert idx.collection_stats()["content"]["n_docs"] == 80
+
+
+def test_date_ip_range_agg_empty_input(spark):
+    """F.sum over zero rows is NULL — empty input must yield zero-count
+    buckets, not a TypeError."""
+    from elasticsearch_spark.aggs.analytics import date_range_agg, ip_range_agg
+
+    empty_ts = spark.createDataFrame([], "ts timestamp")
+    out = date_range_agg(empty_ts, "ts", [("2020-01-01", "2021-01-01"), (None, "2020-01-01")])
+    assert [r["doc_count"] for r in out.collect()] == [0, 0]
+
+    empty_ip = spark.createDataFrame([], "ip string")
+    out = ip_range_agg(empty_ip, "ip", [("10.0.0.0", "10.255.255.255")])
+    assert [r["doc_count"] for r in out.collect()] == [0]
+
+
+def test_word_shingles_respread_is_round_robin(spark):
+    """A constant-id side (ngram_containment's benchmark frame) must not
+    collapse onto one partition when the small-input re-spread kicks in."""
+    from elasticsearch_spark.ops.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(0, f"alpha beta gamma delta token{i}") for i in range(64)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    sh = word_shingles(df, "text", "doc_id", k=3)
+    sizes = sh.rdd.glom().map(len).collect()
+    assert sum(1 for s in sizes if s > 0) > 1, sizes

@@ -181,3 +181,27 @@ def test_light_language_sql_twin():
     mism = [(w, got, french_light_stem(w)) for w, got in rows
             if got != french_light_stem(w)]
     assert not mism, mism
+
+
+def test_light_language_sql_twin_german():
+    """German's umlaut maps are UNANCHORED — without the 'g' regexp
+    option DuckDB replaces only the first occurrence per rule while
+    Python re.sub replaces all, so multi-umlaut words diverge."""
+    import duckdb
+
+    from elasticsearch_spark.analysis.stem import (
+        GERMAN_LIGHT_RULES,
+        cascade_sql,
+        german_light_stem,
+    )
+
+    words = ["überflüssig", "häuser", "straße", "größenänderung",
+             "bücherregale", "möglichkeiten", "grün", "schönen"]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {cascade_sql(GERMAN_LIGHT_RULES, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, german_light_stem(w)) for w, got in rows
+            if got != german_light_stem(w)]
+    assert not mism, mism

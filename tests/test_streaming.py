@@ -85,6 +85,48 @@ def test_incremental_batches_equal_batch_build(spark, corpus, tmp_path):
     assert ph_after == ph_before
 
 
+def test_compact_crash_window_does_not_inflate_df(spark, corpus, tmp_path):
+    """A crash between the meta commit and the segment GC leaves folded
+    segment dirs on disk; the reader must skip them (df/tf must not
+    double-count)."""
+    import json
+    import shutil
+
+    inc_dir = str(tmp_path / "crash_idx")
+    os.makedirs(inc_dir, exist_ok=True)
+    with open(os.path.join(inc_dir, "index_meta.json"), "w") as f:
+        json.dump({"num_partitions": 4, "fields": {"content": "code"},
+                   "input_snapshot": "stream"}, f)
+    for lo, hi in [(0, 120), (120, N)]:
+        batch = corpus.filter((F.col("id") >= lo) & (F.col("id") < hi))
+        ingest_batch(batch, inc_dir, {"content": "code"}, 4, batch_id=lo)
+    want = _topk(load_index(spark, inc_dir), ["import", "return"])
+
+    seg_root = os.path.join(inc_dir, "segments")
+    seg_copy = str(tmp_path / "seg_copy")
+    shutil.copytree(seg_root, seg_copy)
+
+    compact_index(spark, inc_dir)
+
+    # reconstruct the crash window: folded segment dirs back on disk,
+    # meta still listing them as folded (GC + prune never happened)
+    shutil.rmtree(seg_root, ignore_errors=True)
+    shutil.copytree(seg_copy, seg_root)
+    with open(os.path.join(inc_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    meta["folded_batches"] = ["0", "120"]
+    with open(os.path.join(inc_dir, "index_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    got = _topk(load_index(spark, inc_dir), ["import", "return"])
+    assert got == want  # folded segments invisible -> no df inflation
+
+    # a second compaction over the crash-window state is also clean
+    compact_index(spark, inc_dir)
+    assert _topk(load_index(spark, inc_dir), ["import", "return"]) == want
+    assert not os.path.isdir(seg_root) or not os.listdir(seg_root)
+
+
 def test_refresh_stream_end_to_end(spark, corpus, tmp_path):
     src_dir = str(tmp_path / "stream_src")
     corpus.limit(100).coalesce(2).write.parquet(src_dir)
