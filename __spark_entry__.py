@@ -105,6 +105,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries / oracles (SURVEY.md §2 inventory)
 # ---------------------------------------------------------------------
 
+GEO_PENTAGON = [(0.0, -60.0), (45.0, -20.0), (30.0, 40.0),
+                (-25.0, 55.0), (-45.0, -15.0)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -999,6 +1003,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["geo_distance_sort"] = geo_distance_q
+
+    def _geo_docs(s: SparkSession, d: str) -> DataFrame:
+        # deterministic synthetic coordinates (testdata has no geo cols)
+        return _t(s, d, "documents").withColumn(
+            "lat", (F.pmod(F.col("doc_id"), F.lit(171)) - 85).cast("double")
+        ).withColumn(
+            "lon", (F.pmod(F.col("doc_id") * 7, F.lit(360)) - 180).cast("double")
+        )
+
+    def geo_bbox_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.geo import geo_bounding_box
+
+        # left lon (150) > right lon (-120): crosses the antimeridian,
+        # exercising the date-line split into two range legs
+        out = geo_bounding_box(
+            _geo_docs(s, d), top_left=(60.0, 150.0), bottom_right=(-20.0, -120.0)
+        )
+        return (
+            out.select("doc_id", "lat", "lon")
+            .orderBy(F.asc("doc_id")).limit(50)
+        )
+
+    q["geo_bbox"] = geo_bbox_q
+
+    def geo_polygon_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.geo import geo_polygon
+
+        out = geo_polygon(_geo_docs(s, d), GEO_PENTAGON)
+        return (
+            out.select("doc_id", "lat", "lon")
+            .orderBy(F.asc("doc_id")).limit(50)
+        )
+
+    q["geo_polygon"] = geo_polygon_q
+
+    def agg_geohash_grid_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import geohash_grid_agg
+
+        return geohash_grid_agg(_geo_docs(s, d), "lat", "lon",
+                                precision=2, size=15)
+
+    q["agg_geohash_grid"] = agg_geohash_grid_q
+
+    def agg_geotile_grid_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import geotile_grid_agg
+
+        return geotile_grid_agg(_geo_docs(s, d), "lat", "lon",
+                                zoom=4, size=15)
+
+    q["agg_geotile_grid"] = agg_geotile_grid_q
+
+    def agg_geo_bounds_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import (
+            geo_bounds_agg, geo_centroid_agg,
+        )
+
+        g = _geo_docs(s, d).filter(F.col("lang") == "en")
+        b = geo_bounds_agg(g, "lat", "lon")
+        c = geo_centroid_agg(g, "lat", "lon").select(
+            F.round("lat", 6).alias("c_lat"), F.round("lon", 6).alias("c_lon"),
+            "count",
+        )
+        return b.crossJoin(c)  # two 1-row aggs -> one 1-row frame
+
+    q["agg_geo_bounds"] = agg_geo_bounds_q
 
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
@@ -2027,6 +2096,57 @@ dd AS (
 SELECT doc_id, round(distance_km, 4) AS distance_km
 FROM dd WHERE distance_km <= 3000.0
 ORDER BY distance_km ASC, doc_id ASC LIMIT 20
+"""
+
+    _GEO_CTE = """g AS (
+  SELECT doc_id,
+         CAST((doc_id % 171 + 171) % 171 - 85 AS DOUBLE) AS lat,
+         CAST((doc_id * 7 % 360 + 360) % 360 - 180 AS DOUBLE) AS lon
+  FROM documents)"""
+
+    o["geo_bbox"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, lat, lon FROM g
+WHERE lat >= -20.0 AND lat <= 60.0
+  AND (lon >= 150.0 OR lon <= -120.0)
+ORDER BY doc_id ASC LIMIT 50
+"""
+
+    from elasticsearch_spark.search.geo import (
+        geo_polygon_sql as _poly_sql,
+        geohash_sql as _gh_sql,
+        geotile_sql as _gt_sql,
+    )
+
+    o["geo_polygon"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, lat, lon FROM g
+WHERE {_poly_sql(GEO_PENTAGON, 'lat', 'lon')}
+ORDER BY doc_id ASC LIMIT 50
+"""
+
+    o["agg_geohash_grid"] = f"""
+WITH {_GEO_CTE}
+SELECT {_gh_sql('lat', 'lon', 2)} AS key, count(*) AS doc_count
+FROM g GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 15
+"""
+
+    o["agg_geotile_grid"] = f"""
+WITH {_GEO_CTE}
+SELECT {_gt_sql('lat', 'lon', 4)} AS key, count(*) AS doc_count
+FROM g GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 15
+"""
+
+    o["agg_geo_bounds"] = f"""
+WITH {_GEO_CTE}
+SELECT max(g.lat) AS top, min(g.lat) AS bottom,
+       min(g.lon) AS "left", max(g.lon) AS "right",
+       round(avg(g.lat), 6) AS c_lat, round(avg(g.lon), 6) AS c_lon,
+       count(*) AS count
+FROM g JOIN documents d ON d.doc_id = g.doc_id
+WHERE d.lang = 'en'
 """
 
     o["rank_feature"] = """

@@ -284,3 +284,57 @@ def ip_range_agg(
     return spark.createDataFrame(
         [(k, int(r[k])) for k in r.asDict()], "key string, doc_count long"
     )
+
+
+def geohash_grid_agg(
+    df: DataFrame, lat_col: str, lon_col: str,
+    precision: int = 4, size: int = 10000,
+) -> DataFrame:
+    """geohash_grid bucket agg (GeoHashGridAggregationBuilder.java):
+    count docs per geohash cell, largest first. The cell id is pure
+    Catalyst arithmetic (search/geo.py geohash) — the groupBy shuffles
+    only (cell, partial count) rows, standard map-side combine."""
+    from elasticsearch_spark.search.geo import geohash
+
+    return (
+        df.groupBy(geohash(lat_col, lon_col, precision).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def geotile_grid_agg(
+    df: DataFrame, lat_col: str, lon_col: str,
+    zoom: int = 7, size: int = 10000,
+) -> DataFrame:
+    """geotile_grid bucket agg (GeoTileGridAggregationBuilder.java)."""
+    from elasticsearch_spark.search.geo import geotile
+
+    return (
+        df.groupBy(geotile(lat_col, lon_col, zoom).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def geo_bounds_agg(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """geo_bounds agg (GeoBoundsAggregationBuilder, reg.
+    SearchModule.java:455): smallest lat/lon box covering the points."""
+    return df.agg(
+        F.max(lat_col).alias("top"),
+        F.min(lat_col).alias("bottom"),
+        F.min(lon_col).alias("left"),
+        F.max(lon_col).alias("right"),
+    )
+
+
+def geo_centroid_agg(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
+    """geo_centroid agg (GeoCentroidAggregationBuilder, reg. :462):
+    arithmetic mean point + count (the reference's planar centroid)."""
+    return df.agg(
+        F.avg(lat_col).alias("lat"),
+        F.avg(lon_col).alias("lon"),
+        F.count("*").alias("count"),
+    )

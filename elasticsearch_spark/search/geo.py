@@ -1,9 +1,12 @@
-"""geo_distance query + geo-distance sort.
+"""geo_point query surface: distance, bounding box, polygon, grid cells.
 
 Reference: index/query/GeoDistanceQueryBuilder.java (arc distance via
-Lucene's haversin) and sort/GeoDistanceSortBuilder.java. This covers
-the distance slice of the geo surface — shapes/polygons (geo_shape,
-BKD-backed) stay out of scope.
+Lucene's haversin), sort/GeoDistanceSortBuilder.java,
+GeoBoundingBoxQueryBuilder.java / GeoPolygonQueryBuilder.java
+(registered in SearchModule.java:810-826), and the geohash_grid /
+geotile_grid bucket sources (SearchModule.java:437-448,
+bucket/geogrid/GeoHashGridAggregationBuilder.java). geo_shape
+(BKD-backed arbitrary geometries) stays out of scope.
 
 The haversine great-circle distance is written as ONE fixed sequence of
 double ops so the DuckDB oracle can reproduce it bit-for-bit-ish
@@ -69,3 +72,194 @@ def geo_distance(
     if k is not None:
         out = out.limit(k)
     return out
+
+def geo_bounding_box(
+    df: DataFrame,
+    top_left: tuple[float, float],
+    bottom_right: tuple[float, float],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """geo_bounding_box filter (GeoBoundingBoxQueryBuilder.java).
+
+    Corners are (lat, lon). A box whose left longitude is GREATER than
+    its right longitude crosses the antimeridian and matches the union
+    of the two hemispheric strips (the reference's date-line split) —
+    expressed as an OR of two range predicates, so Parquet min/max
+    pruning on the lon column still applies to each leg."""
+    top, left = float(top_left[0]), float(top_left[1])
+    bottom, right = float(bottom_right[0]), float(bottom_right[1])
+    lat = F.col(lat_col)
+    lon = F.col(lon_col)
+    lat_ok = (lat >= F.lit(bottom)) & (lat <= F.lit(top))
+    if left <= right:
+        lon_ok = (lon >= F.lit(left)) & (lon <= F.lit(right))
+    else:  # crosses the 180 meridian
+        lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
+    return df.filter(lat_ok & lon_ok)
+
+
+def geo_polygon(
+    df: DataFrame,
+    points: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """geo_polygon filter (GeoPolygonQueryBuilder.java): point-in-polygon
+    by even-odd ray casting. ``points`` are (lat, lon) vertices.
+
+    The polygon is a query-time constant, so the crossing test unrolls
+    into a static Catalyst expression (one CASE per edge, summed, parity
+    checked) — pure JVM whole-stage-codegen arithmetic, no UDF. The SQL
+    twin (``geo_polygon_sql``) emits the identical per-edge expressions
+    in the identical order."""
+    y = F.col(lat_col).cast("double")
+    x = F.col(lon_col).cast("double")
+    crossings = F.lit(0)
+    n = len(points)
+    for i in range(n):
+        yi, xi = float(points[i][0]), float(points[i][1])
+        yj, xj = float(points[(i + 1) % n][0]), float(points[(i + 1) % n][1])
+        if yi == yj:
+            continue  # horizontal edge can never cross a horizontal ray
+        straddles = (F.lit(yi) > y) != (F.lit(yj) > y)
+        # x-coordinate where the edge crosses the ray at height y
+        x_cross = (
+            F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
+        )
+        crossings = crossings + F.when(straddles & (x < x_cross), 1).otherwise(0)
+    return df.filter(crossings % 2 == 1)
+
+
+def geo_polygon_sql(
+    points: list[tuple[float, float]], lat: str, lon: str
+) -> str:
+    """DuckDB twin of ``geo_polygon``'s crossing-parity predicate —
+    generated from the same vertex walk so the float expressions match
+    op-for-op."""
+    terms = []
+    n = len(points)
+    for i in range(n):
+        yi, xi = float(points[i][0]), float(points[i][1])
+        yj, xj = float(points[(i + 1) % n][0]), float(points[(i + 1) % n][1])
+        if yi == yj:
+            continue
+        straddles = f"(({yi!r} > {lat}) != ({yj!r} > {lat}))"
+        x_cross = f"({xj - xi!r} * ({lat} - {yi!r}) / {yj - yi!r} + {xi!r})"
+        terms.append(
+            f"CASE WHEN {straddles} AND ({lon} < {x_cross}) THEN 1 ELSE 0 END"
+        )
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+# --- grid cells -------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _grid_indices(precision: int) -> tuple[int, int, int]:
+    total = 5 * precision
+    return total, (total + 1) // 2, total // 2  # total, lon bits, lat bits
+
+
+def geohash(lat_col, lon_col, precision: int = 4):
+    """Geohash cell id (base-32 string) as pure Catalyst arithmetic.
+
+    Classic geohash = bit-interleave of the lon/lat cell indices (lon
+    first), 5 bits per output character. The successive-bisection loop
+    of the textbook encoder is equivalent to taking the bits of
+    idx = floor((coord - lo) / range * 2^nbits); multiplying by a power
+    of two is exact in IEEE doubles, so the engine and the SQL twin
+    (``geohash_sql``) compute identical doubles before the floor."""
+    total, nlon, nlat = _grid_indices(precision)
+    lon_idx = F.least(
+        F.floor(
+            (F.col(lon_col).cast("double") + F.lit(180.0))
+            / F.lit(360.0) * F.lit(float(1 << nlon))
+        ).cast("long"),
+        F.lit((1 << nlon) - 1),
+    )
+    lat_idx = F.least(
+        F.floor(
+            (F.col(lat_col).cast("double") + F.lit(90.0))
+            / F.lit(180.0) * F.lit(float(1 << nlat))
+        ).cast("long"),
+        F.lit((1 << nlat) - 1),
+    )
+    combined = F.lit(0).cast("long")
+    for i in range(total):
+        src, nbits = (lon_idx, nlon) if i % 2 == 0 else (lat_idx, nlat)
+        src_bit = nbits - 1 - i // 2
+        out_shift = total - 1 - i
+        bit = F.shiftright(src, src_bit).bitwiseAND(F.lit(1))
+        combined = combined + bit * F.lit(1 << out_shift)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH32),
+            (F.shiftright(combined, total - 5 * (c + 1))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat: str, lon: str, precision: int = 4) -> str:
+    """DuckDB twin of ``geohash`` — same index formula, same interleave."""
+    total, nlon, nlat = _grid_indices(precision)
+    lon_idx = (
+        f"least(floor(({lon} + 180.0) / 360.0 * {float(1 << nlon)!r})::BIGINT,"
+        f" {(1 << nlon) - 1})"
+    )
+    lat_idx = (
+        f"least(floor(({lat} + 90.0) / 180.0 * {float(1 << nlat)!r})::BIGINT,"
+        f" {(1 << nlat) - 1})"
+    )
+    bits = []
+    for i in range(total):
+        src, nbits = (lon_idx, nlon) if i % 2 == 0 else (lat_idx, nlat)
+        src_bit = nbits - 1 - i // 2
+        out_shift = total - 1 - i
+        bits.append(f"(({src} >> {src_bit}) & 1) * {1 << out_shift}")
+    combined = "(" + " + ".join(bits) + ")"
+    chars = [
+        f"substr('{GEOHASH32}',"
+        f" ((({combined} >> {total - 5 * (c + 1)}) & 31) + 1)::INT, 1)"
+        for c in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+def geotile(lat_col, lon_col, zoom: int = 7):
+    """geotile_grid cell key '<zoom>/<x>/<y>' (Web-Mercator tiles, the
+    reference's GeoTileUtils.longEncode arithmetic)."""
+    import math
+
+    n = float(1 << zoom)
+    lon = F.col(lon_col).cast("double")
+    lat = F.col(lat_col).cast("double")
+    xf = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    lat_r = F.radians(lat)
+    yf = F.floor(
+        (F.lit(1.0) - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r))
+         / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
+    ).cast("long")
+    clamp = lambda c: F.greatest(F.lit(0).cast("long"),
+                                 F.least(c, F.lit((1 << zoom) - 1)))
+    return F.concat_ws("/", F.lit(str(zoom)), clamp(xf).cast("string"),
+                       clamp(yf).cast("string"))
+
+
+def geotile_sql(lat: str, lon: str, zoom: int = 7) -> str:
+    """DuckDB twin of ``geotile`` (same op order; pi() == math.pi)."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    x = f"floor(({lon} + 180.0) / 360.0 * {n!r})::BIGINT"
+    y = (
+        f"floor((1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat})))"
+        f" / pi()) / 2.0 * {n!r})::BIGINT"
+    )
+    cx = f"greatest(0, least({x}, {hi}))"
+    cy = f"greatest(0, least({y}, {hi}))"
+    return f"('{zoom}' || '/' || {cx}::VARCHAR || '/' || {cy}::VARCHAR)"

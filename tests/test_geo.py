@@ -1,0 +1,117 @@
+"""geo_point surface: bbox (incl. date line), polygon ray-cast,
+geohash/geotile cell encodings (vs known reference values)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.search.geo import (
+    geo_bounding_box,
+    geo_polygon,
+    geohash,
+    geotile,
+    haversine_km,
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [(i, float((i * 37) % 171 - 85), float((i * 91) % 360 - 180))
+            for i in range(400)]
+    return spark.createDataFrame(rows, "id long, lat double, lon double").cache()
+
+
+def test_bbox_plain(points):
+    got = {r["id"] for r in geo_bounding_box(
+        points, top_left=(50.0, -30.0), bottom_right=(-10.0, 60.0)
+    ).collect()}
+    want = {r["id"] for r in points.collect()
+            if -10.0 <= r["lat"] <= 50.0 and -30.0 <= r["lon"] <= 60.0}
+    assert got == want and got
+
+
+def test_bbox_crosses_dateline(points):
+    """left lon > right lon selects the UNION of the two strips around
+    the antimeridian (GeoBoundingBoxQueryBuilder date-line handling)."""
+    got = {r["id"] for r in geo_bounding_box(
+        points, top_left=(80.0, 160.0), bottom_right=(-80.0, -160.0)
+    ).collect()}
+    want = {r["id"] for r in points.collect()
+            if -80.0 <= r["lat"] <= 80.0
+            and (r["lon"] >= 160.0 or r["lon"] <= -160.0)}
+    assert got == want and got
+
+
+def _pip(lat, lon, poly):
+    """Plain-Python even-odd ray cast (independent re-implementation)."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        yi, xi = poly[i]
+        yj, xj = poly[(i + 1) % n]
+        if (yi > lat) != (yj > lat):
+            if lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                inside = not inside
+    return inside
+
+
+def test_polygon_matches_reference_raycast(points):
+    poly = [(10.0, -50.0), (60.0, 0.0), (20.0, 70.0), (-40.0, 30.0),
+            (-20.0, -60.0)]
+    got = {r["id"] for r in geo_polygon(points, poly).collect()}
+    want = {r["id"] for r in points.collect()
+            if _pip(r["lat"], r["lon"], poly)}
+    assert got == want and got
+
+
+def test_polygon_concave(points):
+    # concave "arrow" — exercises multiple crossings per ray
+    poly = [(0.0, -60.0), (50.0, 0.0), (0.0, 60.0), (20.0, 0.0)]
+    got = {r["id"] for r in geo_polygon(points, poly).collect()}
+    want = {r["id"] for r in points.collect()
+            if _pip(r["lat"], r["lon"], poly)}
+    assert got == want
+
+
+def test_geohash_known_values(spark):
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-25.382708, -49.265506), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    out = [r["gh"] for r in df.select(
+        geohash("lat", "lon", 6).alias("gh")).collect()]
+    assert out == ["u4pruy", "6gkzwg", "s00000"]
+    out5 = [r["gh"] for r in df.select(
+        geohash("lat", "lon", 5).alias("gh")).collect()]
+    assert out5 == ["u4pru", "6gkzw", "s0000"]
+
+
+def test_geotile_known_values(spark):
+    df = spark.createDataFrame(
+        [(51.5, 0.0), (0.0, 0.0), (40.7, -74.0)],
+        "lat double, lon double",
+    )
+    out = [r["t"] for r in df.select(
+        geotile("lat", "lon", 7).alias("t")).collect()]
+    # verified against the slippy-map tile formula
+    assert out == ["7/64/42", "7/64/64", "7/37/48"]
+
+
+def test_geo_exprs_are_codegen_no_udf(points):
+    """The whole geo slice must stay JVM-side (no BatchEvalPython)."""
+    import io, contextlib
+
+    poly = [(10.0, -50.0), (60.0, 0.0), (20.0, 70.0), (-40.0, 30.0)]
+    df = geo_polygon(points, poly).select(
+        geohash("lat", "lon", 4).alias("gh"),
+        geotile("lat", "lon", 5).alias("gt"),
+        haversine_km(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
