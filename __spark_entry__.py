@@ -305,8 +305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def phrase_suggest_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import phrase_suggest
 
+        # index-backed: unigrams = term_dict.cf, bigrams = persisted
+        # adjacency table — no raw-text scan per suggestion
         docs = _t(s, d, "documents")
-        return phrase_suggest(docs, "dat san", size=3)
+        return phrase_suggest(docs, "dat san", size=3,
+                              index=_doc_index(s, d), field="text")
 
     q["phrase_suggest"] = phrase_suggest_q
 

@@ -2,10 +2,17 @@
 
 Reference: x-pack/plugin/eql/.../sequence/SequenceMatcher.java:27 —
 stateful ordered matching of event steps sharing a join key within
-``maxspan``. Spark re-creation: windowed first-match joins — for each
-step-i match, the EARLIEST step-(i+1) event with the same key, a later
-timestamp, and overall span <= maxspan. Deterministic and
-SQL-expressible (window row_number), so oracle-checkable.
+``maxspan``. Spark re-creation: each step is an AS-OF extension — for
+every partial sequence, the EARLIEST step-(i+1) event with the same
+key, a strictly later timestamp, and overall span <= maxspan.
+
+The as-of step is NOT a join: partials and step events are unioned
+into one frame and scanned with a single running-min window per key
+(ordered ts desc), so a hot key with P partials and E step events
+costs O((P+E) log(P+E)) sort work instead of the P×E rows an equi-join
+would materialize before trimming — the same bounded-state shape as
+the reference's streaming matcher. Deterministic and SQL-expressible
+(window functions), so oracle-checkable.
 """
 
 from __future__ import annotations
@@ -47,22 +54,46 @@ def sequence(
     cur = step_df(0, steps[0])
     for i, step in enumerate(steps[1:], start=1):
         nxt = step_df(i, step)
-        joined = cur.join(nxt, "k").filter(F.col(f"ts_{i}") > F.col(f"ts_{i-1}"))
+        # as-of extension via ONE ordered scan per key: tag partials
+        # (_e=0, sort time = ts_{i-1}) and step-i events (_e=1), order
+        # by time DESC with partials FIRST at equal time (strict '>'
+        # means a same-timestamp event does not qualify), and take the
+        # running min (ts_i, id_i) struct over the PRECEDING rows —
+        # i.e. over exactly the events strictly later than the partial,
+        # with the (ts, id) lexicographic min giving the earliest
+        # continuation and its id tie-break.
+        p = cur.withColumn("_t", F.col(f"ts_{i-1}")).withColumn(
+            "_e", F.lit(0)
+        )
+        e = nxt.withColumn("_t", F.col(f"ts_{i}")).withColumn("_e", F.lit(1))
+        u = p.unionByName(e, allowMissingColumns=True)
+        w = (
+            Window.partitionBy("k")
+            .orderBy(F.desc("_t"), F.asc("_e"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cont = F.min(
+            F.when(
+                F.col("_e") == 1,
+                F.struct(F.col(f"ts_{i}"), F.col(f"id_{i}")),
+            )
+        ).over(w)
+        cur = (
+            u.withColumn("_c", cont)
+            .filter((F.col("_e") == 0) & F.col("_c").isNotNull())
+            .withColumn(f"ts_{i}", F.col("_c").getField(f"ts_{i}"))
+            .withColumn(f"id_{i}", F.col("_c").getField(f"id_{i}"))
+            .drop("_t", "_e", "_c")
+        )
         if maxspan_seconds is not None:
-            joined = joined.filter(
+            # events later than the earliest continuation are later
+            # still, so filtering after the as-of pick is equivalent to
+            # constraining the pick itself
+            cur = cur.filter(
                 F.unix_timestamp(F.col(f"ts_{i}"))
                 - F.unix_timestamp(F.col("ts_0"))
                 <= maxspan_seconds
             )
-        # earliest continuation per partial sequence
-        w = Window.partitionBy("k", *[f"id_{j}" for j in range(i)]).orderBy(
-            F.asc(f"ts_{i}"), F.asc(f"id_{i}")
-        )
-        cur = (
-            joined.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
     if until is not None:
         last = len(steps) - 1
         upred = (

@@ -21,6 +21,7 @@ primitives (SURVEY.md §2.3/§2.5-2.7):
 from __future__ import annotations
 
 import math
+import os
 import re
 from typing import Any
 
@@ -387,6 +388,50 @@ def profile(df: DataFrame) -> dict:
     }
 
 
+def ensure_bigram_stats(index, field: str = "text") -> DataFrame:
+    """Persisted adjacent-token (bigram) counts for ``field``, derived
+    from the INDEX's posting positions — never from raw text. Built
+    once and cached under ``<index>/bigrams_<field>``; rebuilt when the
+    field's total token count (coll_stats.sum_ttf) changes, so segment
+    appends/compaction invalidate it automatically.
+
+    The reference's PhraseSuggester reads index term statistics the
+    same way (suggest/phrase/PhraseSuggester.java). The build is one
+    distributed pass: explode positions -> per-doc ordered window ->
+    lead(term) adjacency -> count. O(tokens) rows through two
+    shuffles, run once per index generation — not per suggestion."""
+    import json
+
+    from elasticsearch_spark.search.executor import decoded_postings
+
+    spark = index.spark
+    out = os.path.join(index.path, f"bigrams_{field}")
+    meta_p = os.path.join(out, "_stats_meta.json")
+    cur_ttf = int(
+        index.coll_stats.filter(F.col("field") == field)
+        .select("sum_ttf").collect()[0][0]
+    )
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            if json.load(f).get("sum_ttf") == cur_ttf:
+                return spark.read.parquet(out)
+    toks = decoded_postings(index, field, with_positions=True).select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("_w2", F.lead("term").over(w))
+        .withColumn("_p2", F.lead("pos").over(w))
+        .filter(F.col("_p2") == F.col("pos") + 1)
+        .groupBy(F.col("term").alias("w1"), F.col("_w2").alias("w2"))
+        .agg(F.count("*").alias("c"))
+    )
+    pairs.write.mode("overwrite").parquet(out)
+    with open(meta_p, "w") as f:
+        json.dump({"sum_ttf": cur_ttf}, f)
+    return spark.read.parquet(out)
+
+
 def phrase_suggest(
     docs: DataFrame,
     text: str,
@@ -395,6 +440,8 @@ def phrase_suggest(
     max_edits: int = 2,
     candidates_per_term: int = 3,
     backoff: float = 0.4,
+    index=None,
+    field: str = "text",
 ) -> DataFrame:
     """phrase suggester ("did-you-mean",
     search/suggest/phrase/PhraseSuggester.java + the StupidBackoff
@@ -407,9 +454,15 @@ def phrase_suggest(
         P(w0) = c(w0)/N;  P(wi|wi-1) = c(wi-1,wi)/c(wi-1)
                           or backoff * c(wi)/N when the bigram is unseen
 
-    Distributed parts: corpus tokenization, unigram/bigram counting and
-    candidate ranking; only the tiny candidate grid (<=
-    candidates_per_term^n_terms) is scored driver-side."""
+    With ``index`` (the scale path): unigram counts are term_dict.cf,
+    the total is coll_stats.sum_ttf, bigrams come from the persisted
+    ``ensure_bigram_stats`` table, and ALL input terms' candidates are
+    ranked in ONE job (broadcast the query words against the term
+    dictionary, window-rank per word) — two metadata-sized Spark jobs
+    per suggestion, no corpus scan. Without ``index``, falls back to
+    tokenizing ``docs`` (small-data/debug path). Only the tiny
+    candidate grid (<= candidates_per_term^n_terms) is scored
+    driver-side."""
     import re as _re
     from itertools import product
 
@@ -417,60 +470,110 @@ def phrase_suggest(
     words = _re.findall(r"[a-z0-9_]+", text.lower())
     if not words:
         return spark.createDataFrame([], "text string, score double")
-    toks = docs.select(
-        F.col("doc_id"),
-        F.posexplode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
-        ).alias("pos", "term"),
-    )
-    uni = toks.groupBy("term").agg(F.count("*").alias("c")).cache()
-    total = float(uni.agg(F.sum("c")).collect()[0][0])
+    empty = lambda: spark.createDataFrame([], "text string, score double")
 
-    cands: list[list[str]] = []
-    for w in words:
-        rows = (
-            uni.filter(F.levenshtein(F.col("term"), F.lit(w)) <= max_edits)
-            .orderBy(
-                F.levenshtein(F.col("term"), F.lit(w)).asc(),
-                F.desc("c"), F.asc("term"),
+    if index is not None:
+        uni = index.term_dict.filter(F.col("field") == field).select(
+            "term", F.col("cf").alias("c")
+        )
+        total = float(
+            index.coll_stats.filter(F.col("field") == field)
+            .select("sum_ttf").collect()[0][0]
+        )
+        big_df = ensure_bigram_stats(index, field)
+        words_df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "wi int, w string"
+        )
+        rank_w = Window.partitionBy("wi").orderBy(
+            F.asc("_d"), F.desc("c"), F.asc("term")
+        )
+        cand_rows = (
+            uni.join(
+                F.broadcast(words_df),
+                F.levenshtein(F.col("term"), F.col("w")) <= max_edits,
             )
-            .limit(candidates_per_term)
+            .withColumn("_d", F.levenshtein(F.col("term"), F.col("w")))
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") <= candidates_per_term)
             .collect()
         )
-        if not rows:
-            return spark.createDataFrame([], "text string, score double")
-        cands.append([r["term"] for r in rows])
-
-    cand_terms = sorted({t for cl in cands for t in cl})
-    uni_c = {
-        r["term"]: float(r["c"])
-        for r in uni.filter(F.col("term").isin(cand_terms)).collect()
-    }
-    pair_keys = {
-        (a, b)
-        for i in range(len(cands) - 1)
-        for a in cands[i]
-        for b in cands[i + 1]
-    }
-    if pair_keys:
-        w2 = toks.select(
-            F.col("doc_id"), F.col("pos"), F.col("term").alias("w1")
-        )
-        nxt = toks.select(
-            F.col("doc_id"), (F.col("pos") - 1).alias("pos"),
-            F.col("term").alias("w2"),
-        )
-        big = (
-            w2.join(nxt, ["doc_id", "pos"])
-            .filter(F.col("w1").isin([a for a, _ in pair_keys]))
-            .filter(F.col("w2").isin([b for _, b in pair_keys]))
-            .groupBy("w1", "w2").agg(F.count("*").alias("c"))
-            .collect()
-        )
-        big_c = {(r["w1"], r["w2"]): float(r["c"]) for r in big}
+        cands = [[] for _ in words]
+        uni_c: dict[str, float] = {}
+        for r in sorted(cand_rows, key=lambda r: (r["wi"], r["_rn"])):
+            cands[r["wi"]].append(r["term"])
+            uni_c[r["term"]] = float(r["c"])
+        if any(not cl for cl in cands):
+            return empty()
+        pair_keys = {
+            (a, b)
+            for i in range(len(cands) - 1)
+            for a in cands[i]
+            for b in cands[i + 1]
+        }
+        if pair_keys:
+            big = (
+                big_df.filter(F.col("w1").isin([a for a, _ in pair_keys]))
+                .filter(F.col("w2").isin([b for _, b in pair_keys]))
+                .collect()
+            )
+            big_c = {(r["w1"], r["w2"]): float(r["c"]) for r in big}
+        else:
+            big_c = {}
     else:
-        big_c = {}
-    uni.unpersist()
+        toks = docs.select(
+            F.col("doc_id"),
+            F.posexplode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+            ).alias("pos", "term"),
+        )
+        uni = toks.groupBy("term").agg(F.count("*").alias("c")).cache()
+        total = float(uni.agg(F.sum("c")).collect()[0][0])
+
+        cands = []
+        for w_ in words:
+            rows = (
+                uni.filter(F.levenshtein(F.col("term"), F.lit(w_)) <= max_edits)
+                .orderBy(
+                    F.levenshtein(F.col("term"), F.lit(w_)).asc(),
+                    F.desc("c"), F.asc("term"),
+                )
+                .limit(candidates_per_term)
+                .collect()
+            )
+            if not rows:
+                return empty()
+            cands.append([r["term"] for r in rows])
+
+        cand_terms = sorted({t for cl in cands for t in cl})
+        uni_c = {
+            r["term"]: float(r["c"])
+            for r in uni.filter(F.col("term").isin(cand_terms)).collect()
+        }
+        pair_keys = {
+            (a, b)
+            for i in range(len(cands) - 1)
+            for a in cands[i]
+            for b in cands[i + 1]
+        }
+        if pair_keys:
+            w2 = toks.select(
+                F.col("doc_id"), F.col("pos"), F.col("term").alias("w1")
+            )
+            nxt = toks.select(
+                F.col("doc_id"), (F.col("pos") - 1).alias("pos"),
+                F.col("term").alias("w2"),
+            )
+            big = (
+                w2.join(nxt, ["doc_id", "pos"])
+                .filter(F.col("w1").isin([a for a, _ in pair_keys]))
+                .filter(F.col("w2").isin([b for _, b in pair_keys]))
+                .groupBy("w1", "w2").agg(F.count("*").alias("c"))
+                .collect()
+            )
+            big_c = {(r["w1"], r["w2"]): float(r["c"]) for r in big}
+        else:
+            big_c = {}
+        uni.unpersist()
 
     results = []
     for combo in product(*cands):

@@ -124,3 +124,28 @@ def test_geo_distance(spark):
     assert out[4] < out[3]
     near = geo_distance(df, origin=(0.0, 0.0), distance_km=200.0, k=10).collect()
     assert [r["doc_id"] for r in near] == [1, 2]
+
+
+def test_phrase_suggest_index_path_matches_text_path(index, docs):
+    """The index-backed suggester (term_dict.cf unigrams + persisted
+    posting-position bigrams) must reproduce the raw-text path exactly
+    — same candidates, same stupid-backoff scores."""
+    legacy = extras.phrase_suggest(docs, "dat san", size=3).collect()
+    backed = extras.phrase_suggest(
+        docs, "dat san", size=3, index=index, field="text"
+    ).collect()
+    assert [(r["text"], r["score"]) for r in backed] == \
+           [(r["text"], r["score"]) for r in legacy]
+    assert backed, "expected suggestions"
+
+
+def test_bigram_stats_cached_until_index_changes(index, tmp_path):
+    """ensure_bigram_stats builds once per index generation: a second
+    call must read the persisted table, not rebuild (same mtime)."""
+    import os
+
+    extras.ensure_bigram_stats(index, "text")
+    meta = os.path.join(index.path, "bigrams_text", "_stats_meta.json")
+    m1 = os.path.getmtime(meta)
+    extras.ensure_bigram_stats(index, "text")
+    assert os.path.getmtime(meta) == m1

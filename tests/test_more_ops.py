@@ -78,6 +78,32 @@ def test_eql_three_steps_ordered(events):
         assert r["ts_0"] < r["ts_1"] < r["ts_2"]
 
 
+def test_eql_hot_key_no_quadratic_blowup(spark):
+    """One bot-like key with 10^5 events per step: the as-of window scan
+    must complete in seconds (the old equi-join materialized 10^10
+    pairs). Also checks correctness of the dense-key result: every 'a'
+    event except the last chains to the immediately following 'b'."""
+    import time
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+        F.col("id").alias("event_id"),
+    )
+    t0 = time.time()
+    out = sequence(df, ["a", "b"], maxspan_seconds=10)
+    cnt = out.count()
+    wall = time.time() - t0
+    # every even id chains to id+1 (1s later, within maxspan)
+    assert cnt == n // 2
+    first = out.orderBy("id_0").limit(3).collect()
+    assert [(r["id_0"], r["id_1"]) for r in first] == [(0, 1), (2, 3), (4, 5)]
+    assert wall < 60, f"hot-key sequence took {wall:.1f}s — quadratic path?"
+
+
 def test_slice_scan_partitions(docs):
     total = docs.count()
     parts = [slice_scan(docs, i, 4).count() for i in range(4)]
