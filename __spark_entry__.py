@@ -582,6 +582,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_pipeline_cum_deriv"] = agg_pipeline
 
+    def agg_cumulative_cardinality_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import cumulative_cardinality
+
+        return cumulative_cardinality(
+            _t(s, d, "events"), "ts", "user_id", calendar="day"
+        ).select(
+            F.col("bucket").cast("string").alias("bucket"),
+            "new_keys", "cumulative_cardinality",
+        )
+
+    q["agg_cumulative_cardinality"] = agg_cumulative_cardinality_q
+
+    def agg_normalize_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import normalize_agg
+
+        out = normalize_agg(
+            _t(s, d, "events"), "ts", "value",
+            method="rescale_0_1", calendar="day",
+        )
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("value", 4).alias("value"),
+            F.round("normalized", 6).alias("normalized"),
+        )
+
+    q["agg_normalize"] = agg_normalize_q
+
     def agg_bucket_pipeline_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.translate import (
             bucket_script, bucket_selector, bucket_sort,
@@ -2341,6 +2368,32 @@ SELECT o_orderpriority, o_orderkey, hit_rank FROM (
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS hit_rank
   FROM orders) WHERE hit_rank <= 2
 """
+    o["agg_cumulative_cardinality"] = """
+WITH b AS (
+  SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS bucket FROM events),
+f AS (
+  SELECT user_id, min(date_trunc('day', ts)::TIMESTAMP) AS bucket
+  FROM events GROUP BY user_id),
+n AS (SELECT bucket, count(*)::BIGINT AS new_keys FROM f GROUP BY bucket)
+SELECT b.bucket::VARCHAR AS bucket,
+       coalesce(n.new_keys, 0)::BIGINT AS new_keys,
+       (sum(coalesce(n.new_keys, 0)) OVER (ORDER BY b.bucket))::BIGINT
+         AS cumulative_cardinality
+FROM b LEFT JOIN n ON n.bucket = b.bucket
+ORDER BY bucket
+"""
+
+    o["agg_normalize"] = """
+WITH per AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+         sum(value) AS value
+  FROM events GROUP BY 1)
+SELECT bucket::VARCHAR AS bucket, round(value, 4) AS value,
+       round((value - min(value) OVER ())
+             / (max(value) OVER () - min(value) OVER ()), 6) AS normalized
+FROM per ORDER BY bucket
+"""
+
     o["agg_pipeline_cum_deriv"] = """
 WITH b AS (
   SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS key,

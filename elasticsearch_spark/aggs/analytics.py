@@ -338,3 +338,63 @@ def geo_centroid_agg(df: DataFrame, lat_col: str, lon_col: str) -> DataFrame:
         F.avg(lon_col).alias("lon"),
         F.count("*").alias("count"),
     )
+
+
+def cumulative_cardinality(
+    df: DataFrame, ts_field: str, key_field: str, calendar: str = "month"
+) -> DataFrame:
+    """cumulative_cardinality pipeline agg (x-pack/plugin/analytics/
+    .../CumulativeCardinalityPipelineAggregationBuilder.java): per
+    calendar bucket, the number of DISTINCT keys seen in any bucket up
+    to and including it.
+
+    The reference merges per-bucket HLL sketches; the exact equivalent
+    (and the oracle-checkable mode) exploits that a key contributes to
+    the cumulative count from its FIRST bucket onward: one groupBy(key)
+    min(bucket) — shuffling O(distinct keys) rows, not O(rows) — then a
+    count per first-bucket and a running sum. Buckets with no new keys
+    still appear (joined against the full bucket histogram)."""
+    bucket = F.date_trunc(calendar, F.col(ts_field))
+    buckets = df.select(bucket.alias("bucket")).distinct()
+    firsts = (
+        df.groupBy(F.col(key_field).alias("k"))
+        .agg(F.min(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_keys"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        buckets.join(firsts, "bucket", "left")
+        .withColumn("new_keys", F.coalesce(F.col("new_keys"), F.lit(0)))
+        .withColumn("cumulative_cardinality", F.sum("new_keys").over(w))
+        .orderBy("bucket")
+    )
+
+
+def normalize_agg(
+    df: DataFrame, ts_field: str, value_field: str,
+    method: str = "percent_of_sum", calendar: str = "month",
+) -> DataFrame:
+    """normalize pipeline agg (x-pack/plugin/analytics/.../normalize/
+    NormalizePipelineAggregationBuilder.java): rescale a per-bucket
+    metric across the bucket set. Methods: percent_of_sum (v/Σv),
+    mean (v/avg), rescale_0_1, rescale_0_100, z-score."""
+    bucket = F.date_trunc(calendar, F.col(ts_field)).alias("bucket")
+    per = df.groupBy(bucket).agg(F.sum(value_field).alias("value"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col("value")
+    if method == "percent_of_sum":
+        norm = v / F.sum(v).over(w)
+    elif method == "mean":
+        norm = v / F.avg(v).over(w)
+    elif method == "rescale_0_1":
+        norm = (v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    elif method == "rescale_0_100":
+        norm = (v - F.min(v).over(w)) * 100.0 / (
+            F.max(v).over(w) - F.min(v).over(w)
+        )
+    elif method == "z-score":
+        norm = (v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)
+    else:
+        raise ValueError(method)
+    return per.select("bucket", "value", norm.alias("normalized")).orderBy("bucket")

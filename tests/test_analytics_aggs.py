@@ -87,3 +87,33 @@ def test_date_and_ip_range(spark):
     ir = {r["key"]: r["doc_count"] for r in A.ip_range_agg(
         df, "ip", [(None, "10.64.0.0"), ("10.64.0.0", None)]).collect()}
     assert ir == {"*..10.64.0.0": 1, "10.64.0.0..*": 2}
+
+
+def test_cumulative_cardinality(spark):
+    rows = [("2024-01-03", 1), ("2024-01-05", 2), ("2024-02-02", 1),
+            ("2024-02-10", 3), ("2024-03-01", 2), ("2024-04-09", 4)]
+    df = spark.createDataFrame(rows, "ts string, uid long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = A.cumulative_cardinality(df, "ts", "uid", calendar="month").collect()
+    got = [(str(r["bucket"])[:7], r["new_keys"], r["cumulative_cardinality"])
+           for r in out]
+    # Jan: {1,2}=2 new; Feb: {3}=1 new (1 repeats); Mar: 0 new; Apr: {4}
+    assert got == [("2024-01", 2, 2), ("2024-02", 1, 3),
+                   ("2024-03", 0, 3), ("2024-04", 1, 4)]
+
+
+def test_normalize_methods(spark):
+    rows = [("2024-01-01", 10.0), ("2024-02-01", 30.0), ("2024-03-01", 60.0)]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    pos = [r["normalized"] for r in A.normalize_agg(
+        df, "ts", "v", method="percent_of_sum").collect()]
+    assert pos == [0.1, 0.3, 0.6]
+    r01 = [r["normalized"] for r in A.normalize_agg(
+        df, "ts", "v", method="rescale_0_1").collect()]
+    assert r01 == [0.0, 0.4, 1.0]
+    mean = [r["normalized"] for r in A.normalize_agg(
+        df, "ts", "v", method="mean").collect()]
+    assert [round(x, 6) for x in mean] == [0.3, 0.9, 1.8]
