@@ -53,18 +53,24 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v5")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v8")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
             docs.select("doc_id", "text", "source")
-            .withColumn("text_en", F.col("text")),
+            .withColumn("text_en", F.col("text"))
+            .withColumn("text_syn", F.col("text"))
+            .withColumn("text_es", F.col("text")),
             path,
             fields={
                 "text": "ascii_word",
                 "source": "ascii_word",
                 # stop-filtered + S-stemmed English field (exact SQL twin)
                 "text_en": "english_light",
+                # index-time synonym expansion (df/cf/norms reflect it)
+                "text_syn": "ascii_word_syn",
+                # Spanish light analyzer (oracle-checked language rep)
+                "text_es": "spanish_light",
             },
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
@@ -148,6 +154,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_stemmed"] = match_stemmed
+
+    def match_synonym_index(s: SparkSession, d: str) -> DataFrame:
+        # INDEX-TIME synonyms: text_syn was tokenized through the
+        # synonym filter ("join, merge" expand set; "table => relation"
+        # contraction), so df/cf/dl already reflect the expansion.
+        # Querying the single analyzed term "merge" therefore matches
+        # docs that said only "join", with the union df — unlike
+        # query-time SynonymQuery blending (match_synonym entry).
+        idx = _doc_index(s, d)
+        # query analyzed with PLAIN ascii_word: the expansion lives in
+        # the index (ES practice: synonyms either index- or query-side)
+        terms = [t for t, _ in analyze("merge relation", "ascii_word")]
+        out = match_topk(idx, "text_syn", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_synonym_index"] = match_synonym_index
+
+    def match_stemmed_es(s: SparkSession, d: str) -> DataFrame:
+        # spanish_light field: "filtros rapidos" would match "filtro
+        # rapido"; over the ASCII corpus the cascade still applies
+        # end-to-end (plural -es/-os strip etc), exercising the whole
+        # analyzer chain against its SQL twin
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("tables columns", "spanish_light")]
+        out = match_topk(idx, "text_es", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_stemmed_es"] = match_stemmed_es
 
     def match_bool_prefix_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import match_bool_prefix_topk
@@ -1429,9 +1463,38 @@ def oracle_sql() -> dict[str, str]:
         [t for t, _ in analyze("tables scanned", "english_light")],
         k=10, tok_list_expr=english_light_list_sql("text"),
     )
+
+    from elasticsearch_spark.analysis.analyzers import SPANISH_STOPWORDS
+    from elasticsearch_spark.analysis.stem import SPANISH_LIGHT_RULES
+    from elasticsearch_spark.oracle.sql_oracle import light_language_list_sql
+
+    o["match_stemmed_es"] = bm25_topk_sql(
+        [t for t, _ in analyze("tables columns", "spanish_light")],
+        k=10,
+        tok_list_expr=light_language_list_sql(
+            SPANISH_STOPWORDS, SPANISH_LIGHT_RULES, "text"
+        ),
+    )
     o["match_synonym"] = synonym_topk_sql(
         [["table", "data"], ["scan", "filter"]], k=10
     )
+
+    from elasticsearch_spark.analysis.analyzers import DOC_SYNONYM_RULES
+    from elasticsearch_spark.oracle.sql_oracle import (
+        bm25_ctes,
+        synonym_expanded_tok_select,
+    )
+
+    o["match_synonym_index"] = f"""
+WITH {bm25_ctes(['merge', 'relation'],
+                tok_select=synonym_expanded_tok_select(DOC_SYNONYM_RULES),
+                dl_expr='count(DISTINCT pos)')}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE matched >= 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
 
     from elasticsearch_spark.oracle.sql_oracle import bm25_ctes as _bc
 

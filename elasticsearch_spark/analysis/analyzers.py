@@ -227,6 +227,28 @@ def analyze(text: str, analyzer: str = "standard") -> list[tuple[str, int]]:
     return list(zip(terms, positions))
 
 
+# Demo index-time synonym analyzer (the reference configures synonym
+# filters per-index in analysis settings; registering here makes the
+# name resolvable inside Spark's Python workers, which import this
+# module fresh and would not see driver-side registry mutations).
+DOC_SYNONYM_RULES = ["join, merge", "table => relation"]
+
+
+def _register_synonyms() -> None:
+    from elasticsearch_spark.analysis.filters import synonym_filter
+
+    syn = synonym_filter(DOC_SYNONYM_RULES)
+    base = ANALYZERS["ascii_word"]
+
+    def _analyze_ascii_word_syn(text: str) -> tuple[list[str], list[int]]:
+        return syn(*base(text))
+
+    ANALYZERS["ascii_word_syn"] = _analyze_ascii_word_syn
+
+
+_register_synonyms()
+
+
 # ---------------------------------------------------------------------
 # Flat (batch-vectorized) analyzers: one C-level regex pass over a whole
 # Arrow batch instead of a Python loop per document. Returns
@@ -497,12 +519,17 @@ GERMAN_STOPWORDS = frozenset(
 )
 
 
-def _register_light_language(name: str, stopwords: frozenset, stem_fn) -> None:
-    """Register a light language analyzer (standard tokens -> stopword
+def _register_light_language(
+    name: str, stopwords: frozenset, stem_fn, base: str = "standard"
+) -> None:
+    """Register a light language analyzer (base tokens -> stopword
     removal -> suffix-cascade stem), scalar + vectorized codes variants
     — the pattern the reference's 30+ language analyzers follow
     (AnalysisModule language registrations; *_light stemmers in
-    StemmerTokenFilterFactory)."""
+    StemmerTokenFilterFactory). ``base='ascii_word'`` gives the chain
+    an exact regexp SQL twin (used by the oracle-checked languages)."""
+    base_scalar = ANALYZERS[base]
+    base_codes = FLAT_ANALYZERS[base]
     cache: dict[str, str] = {}
 
     def word_fn(tok: str) -> str:
@@ -514,7 +541,7 @@ def _register_light_language(name: str, stopwords: frozenset, stem_fn) -> None:
         return hit
 
     def scalar(text: str) -> tuple[list[str], list[int]]:
-        terms, positions = _analyze_standard(text)
+        terms, positions = base_scalar(text)
         out_t: list[str] = []
         out_p: list[int] = []
         for t, p in zip(terms, positions):
@@ -524,7 +551,7 @@ def _register_light_language(name: str, stopwords: frozenset, stem_fn) -> None:
         return out_t, out_p
 
     def codes(texts: pd.Series):
-        d, c, u, p = _codes_standard(texts)
+        d, c, u, p = base_codes(texts)
         if c.size:
             lut = np.fromiter(
                 (w in stopwords for w in u), dtype=bool, count=len(u)
@@ -537,14 +564,47 @@ def _register_light_language(name: str, stopwords: frozenset, stem_fn) -> None:
     FLAT_ANALYZERS[name] = codes
 
 
+SPANISH_STOPWORDS = frozenset(
+    """el la los las de del un una unos unas y o en es son que con por
+    para como se su sus al lo le les este esta estos estas pero mas no
+    si ya fue han ser""".split()
+)
+ITALIAN_STOPWORDS = frozenset(
+    """il lo la i gli le di del della dei delle un una uno e o in che
+    con per come si su non sono al alla ai anche ma piu questo questa
+    questi queste da dal""".split()
+)
+PORTUGUESE_STOPWORDS = frozenset(
+    """o a os as de do da dos das um uma uns umas e ou em que com por
+    para como se seu sua seus suas ao nao mais este esta isto foi sao
+    ser ja pelo pela""".split()
+)
+DUTCH_STOPWORDS = frozenset(
+    """de het een en van in is dat die op te zijn voor met als maar om
+    aan er ook door naar bij dan nog uit over ze dit deze worden wordt
+    niet""".split()
+)
+
+
 def _register_default_languages() -> None:
     from elasticsearch_spark.analysis.stem import (
+        dutch_light_stem,
         french_light_stem,
         german_light_stem,
+        italian_light_stem,
+        portuguese_light_stem,
+        spanish_light_stem,
     )
 
     _register_light_language("french_light", FRENCH_STOPWORDS, french_light_stem)
     _register_light_language("german_light", GERMAN_STOPWORDS, german_light_stem)
+    _register_light_language("spanish_light", SPANISH_STOPWORDS,
+                             spanish_light_stem)
+    _register_light_language("italian_light", ITALIAN_STOPWORDS,
+                             italian_light_stem)
+    _register_light_language("portuguese_light", PORTUGUESE_STOPWORDS,
+                             portuguese_light_stem)
+    _register_light_language("dutch_light", DUTCH_STOPWORDS, dutch_light_stem)
 
 
 _register_default_languages()

@@ -100,6 +100,93 @@ def reverse_filter(terms: list[str], positions: list[int]) -> TokenStream:
     return [t[::-1] for t in terms], positions
 
 
+def parse_synonym_rules(
+    rules: list[str], expand: bool = True
+) -> dict[tuple[str, ...], list[str]]:
+    """Parse Solr-format synonym rules (the reference's synonym /
+    synonym_graph token filters, analysis-common
+    CommonAnalysisPlugin.java:320 + Lucene SynonymMap.Parser):
+
+    - ``"a, b, c"`` — equivalence set. With ``expand`` (the default)
+      every member maps to ALL members; with ``expand=False`` every
+      member maps to the first.
+    - ``"a, b => c"`` — explicit mapping: each left-hand side is
+      REPLACED by the right-hand side terms.
+
+    Left-hand sides may be multi-word ("machine learning => ml") —
+    matched greedily longest-first over the token stream. Multi-word
+    OUTPUTS would need position-graph tokens (SynonymGraphFilter); this
+    engine's flat positions cannot represent them, so they raise."""
+    mapping: dict[tuple[str, ...], list[str]] = {}
+
+    def add(lhs: str, outs: list[str]) -> None:
+        key = tuple(lhs.split())
+        for o in outs:
+            if " " in o:
+                raise ValueError(
+                    f"multi-word synonym output {o!r} needs graph positions"
+                )
+        mapping.setdefault(key, [])
+        for o in outs:
+            if o not in mapping[key]:
+                mapping[key].append(o)
+
+    for rule in rules:
+        if "=>" in rule:
+            lhs_s, rhs_s = rule.split("=>", 1)
+            outs = [t.strip() for t in rhs_s.split(",") if t.strip()]
+            for lhs in (t.strip() for t in lhs_s.split(",")):
+                if lhs:
+                    add(lhs, outs)
+        else:
+            members = [t.strip() for t in rule.split(",") if t.strip()]
+            targets = members if expand else members[:1]
+            for m in members:
+                add(m, targets)
+    return mapping
+
+
+def synonym_filter(rules: list[str], expand: bool = True):
+    """Index/query-time synonym token filter. Emits every mapped output
+    at the POSITION OF THE MATCH START (position increment 0 between
+    outputs), so document frequencies, collection frequencies and
+    norms reflect the expansion — dl discounts same-position overlaps
+    exactly like Lucene's discountOverlaps (index/builder.py dl =
+    distinct positions). Greedy longest-match like Lucene's FST-backed
+    SynonymMap; unmatched tokens pass through unchanged."""
+    mapping = parse_synonym_rules(rules, expand=expand)
+    max_len = max((len(k) for k in mapping), default=1)
+    starts = {k[0] for k in mapping}
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        i = 0
+        n = len(terms)
+        while i < n:
+            t = terms[i]
+            if t in starts:
+                matched = None
+                for L in range(min(max_len, n - i), 0, -1):
+                    key = tuple(terms[i:i + L])
+                    if key in mapping:
+                        matched = (L, mapping[key])
+                        break
+                if matched is not None:
+                    L, outs = matched
+                    for o in outs:
+                        out_t.append(o)
+                        out_p.append(positions[i])
+                    i += L
+                    continue
+            out_t.append(t)
+            out_p.append(positions[i])
+            i += 1
+        return out_t, out_p
+
+    return fn
+
+
 def compose(base: Callable[[str], TokenStream], *filters) -> Callable[[str], TokenStream]:
     def analyzer(text: str) -> TokenStream:
         terms, positions = base(text)

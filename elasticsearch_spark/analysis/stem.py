@@ -111,6 +111,54 @@ GERMAN_LIGHT_RULES: list[tuple[str, str]] = [
 french_light_stem = make_cascade_stemmer(FRENCH_LIGHT_RULES)
 german_light_stem = make_cascade_stemmer(GERMAN_LIGHT_RULES)
 
+# Light cascades for the next tier of the reference's language
+# analyzers (AnalysisModule/CommonAnalysisPlugin *_light stemmer
+# registrations; rule style after Savoy's light-stemming papers).
+# Same caveat as French/German: documented approximations that stem
+# query and index consistently; unanchored accent maps rely on
+# cascade_sql's 'g' option for the SQL twins.
+SPANISH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"á", "a"), (r"é", "e"), (r"í", "i"), (r"ó", "o"), (r"ú", "u"),
+    (r"(..)ces$", r"\1z"),          # luces -> luz
+    (r"(...)ciones$", r"\1cion"),   # canciones -> cancion
+    (r"(..[aeiou])s$", r"\1"),      # vowel plurals: gatos -> gato
+    (r"(...)[oae]$", r"\1"),        # final vowel: gato -> gat
+]
+
+ITALIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"à", "a"), (r"è", "e"), (r"é", "e"), (r"ì", "i"), (r"ò", "o"),
+    (r"ù", "u"),
+    (r"(...)zioni$", r"\1zione"),   # stazioni -> stazione
+    (r"(...)[ieoa]$", r"\1"),       # plural / final vowel
+]
+
+PORTUGUESE_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ã", "a"), (r"õ", "o"), (r"á", "a"), (r"â", "a"), (r"é", "e"),
+    (r"ê", "e"), (r"í", "i"), (r"ó", "o"), (r"ô", "o"), (r"ú", "u"),
+    (r"ç", "c"),
+    (r"(...)coes$", r"\1cao"),      # (folded) -ções -> -ção
+    (r"(..)oes$", r"\1ao"),         # aviões -> avião
+    (r"(..[^s])s$", r"\1"),         # plural -s (not after s)
+    (r"(...)[aeo]$", r"\1"),        # final vowel
+]
+
+DUTCH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(...)heden$", r"\1heid"),    # mogelijkheden -> mogelijkheid
+    (r"(...)(?:tje|je)$", r"\1"),   # diminutives: huisje -> huis
+    (r"(...)en$", r"\1"),           # plural / infinitive
+    (r"(..[^s])s$", r"\1"),         # plural -s
+    (r"(...)e$", r"\1"),            # final -e: snelle -> snell
+] + [
+    # undouble trailing consonants (kolomm -> kolom); one rule per
+    # letter because the DuckDB twin's RE2 has no backreferences
+    (rf"(.){c}{c}$", rf"\1{c}") for c in "bdfgklmnprst"
+]
+
+spanish_light_stem = make_cascade_stemmer(SPANISH_LIGHT_RULES)
+italian_light_stem = make_cascade_stemmer(ITALIAN_LIGHT_RULES)
+portuguese_light_stem = make_cascade_stemmer(PORTUGUESE_LIGHT_RULES)
+dutch_light_stem = make_cascade_stemmer(DUTCH_LIGHT_RULES)
+
 
 # ---------------------------------------------------------------------
 # Porter stemmer (Porter 1980, "An algorithm for suffix stripping")

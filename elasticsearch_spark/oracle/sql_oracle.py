@@ -46,6 +46,8 @@ def bm25_ctes(
     text_col: str = "text",
     terms_cte: str | None = None,
     tok_list_expr: str | None = None,
+    tok_select: str | None = None,
+    dl_expr: str = "count(*)",
 ) -> str:
     """CTE block computing ``{prefix}scored(doc_id, score, matched)``.
 
@@ -55,6 +57,11 @@ def bm25_ctes(
     so several blocks can coexist in one WITH clause.
     ``tok_list_expr`` overrides the analyzer's token-list SQL (default
     ascii_word; pass english_light_list_sql(...) for the stemmed field).
+    ``tok_select`` replaces the whole tok CTE body (must yield doc_id,
+    term and whatever ``dl_expr`` reads — used with position-overlapping
+    token streams such as synonym expansion, where field length is
+    ``count(DISTINCT pos)`` per Lucene discountOverlaps while avgdl
+    still counts every token, engine rebuild_global_stats parity).
     """
     p = prefix
     if terms_cte is not None:
@@ -66,18 +73,19 @@ def bm25_ctes(
     tok_list = tok_list_expr or (
         f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+')"
     )
-    return f"""
-{p}tok AS (
+    tok_body = tok_select or f"""
   SELECT {id_col} AS doc_id,
          unnest({tok_list}) AS term
-  FROM {table}
+  FROM {table}"""
+    return f"""
+{p}tok AS ({tok_body}
 ),
 {p}stats AS (
   SELECT (SELECT count(*) FROM {p}tok) * 1.0
            / (SELECT count(*) FROM {table}) AS avgdl,
          (SELECT count(*) FROM {table}) * 1.0 AS n
 ),
-{p}dl AS (SELECT doc_id, count(*) * 1.0 AS dl FROM {p}tok GROUP BY doc_id),
+{p}dl AS (SELECT doc_id, {dl_expr} * 1.0 AS dl FROM {p}tok GROUP BY doc_id),
 {p}tf AS (
   SELECT x.doc_id, x.term, count(*) * 1.0 AS tf
   FROM {p}tok x {tf_filter}
@@ -232,3 +240,57 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
+
+
+def synonym_expanded_tok_select(
+    rules: list[str],
+    expand: bool = True,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """tok-CTE body reproducing the engine's index-time synonym filter
+    for SINGLE-token left-hand sides: each token LEFT JOINs the rule
+    mapping (built by the same ``parse_synonym_rules``), matched tokens
+    fan out to every output AT THE SAME POSITION, unmatched tokens pass
+    through. Feed to ``bm25_ctes(tok_select=..., dl_expr=
+    'count(DISTINCT pos)')``."""
+    from elasticsearch_spark.analysis.filters import parse_synonym_rules
+
+    mapping = parse_synonym_rules(rules, expand=expand)
+    pairs = []
+    for lhs, outs in sorted(mapping.items()):
+        if len(lhs) != 1:
+            raise ValueError("SQL twin supports single-token LHS only")
+        for o in outs:
+            pairs.append(f"('{lhs[0]}', '{o}')")
+    values = ", ".join(pairs)
+    return f"""
+  SELECT t.doc_id, coalesce(m.out_term, t.tok) AS term, t.pos
+  FROM (
+    SELECT {id_col} AS doc_id, unnest(ts) AS tok,
+           unnest(range(1, len(ts) + 1)) AS pos
+    FROM (SELECT {id_col},
+                 regexp_extract_all(lower({text_col}), '[a-z0-9_]+') AS ts
+          FROM {table})
+  ) t LEFT JOIN (VALUES {values}) AS m(in_term, out_term)
+    ON m.in_term = t.tok"""
+
+
+def light_language_list_sql(
+    stopwords: frozenset, rules: list[tuple[str, str]],
+    text_col: str = "text",
+) -> str:
+    """Token-list SQL for any light language analyzer registered via
+    _register_light_language: tokens -> stopword removal -> the
+    language's suffix cascade (cascade_sql, global-replace). The ASCII
+    token regex is exact for the ASCII contract corpus; accented-token
+    parity is covered by the word-list twin tests."""
+    from elasticsearch_spark.analysis.stem import cascade_sql
+
+    stops = _sql_str_list(sorted(stopwords))
+    return (
+        f"list_transform(list_filter(regexp_extract_all(lower({text_col}),"
+        f" '[a-z0-9_]+'), t -> t NOT IN {stops}),"
+        f" t -> {cascade_sql(rules, 't')})"
+    )

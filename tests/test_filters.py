@@ -91,3 +91,70 @@ def test_char_filters():
     assert [t for t, _ in zip(*an2("x9 y42"))] == ["xn", "yn"]
     an3 = with_char_filters(base, html_strip_char_filter())
     assert [t for t, _ in zip(*an3("<b>bold</b> text"))] == ["bold", "text"]
+
+
+def test_synonym_filter_expand_set():
+    from elasticsearch_spark.analysis.filters import synonym_filter
+    from elasticsearch_spark.analysis.analyzers import ANALYZERS
+
+    syn = synonym_filter(["join, merge"])
+    t, p = syn(*ANALYZERS["ascii_word"]("hash join and merge sort"))
+    # each set member emits ALL members at its own position
+    assert list(zip(t, p)) == [
+        ("hash", 0), ("join", 1), ("merge", 1), ("and", 2),
+        ("join", 3), ("merge", 3), ("sort", 4),
+    ]
+
+
+def test_synonym_filter_contraction_and_noexpand():
+    from elasticsearch_spark.analysis.filters import synonym_filter
+
+    syn = synonym_filter(["table => relation"])
+    t, p = syn(["scan", "table", "fast"], [0, 1, 2])
+    assert list(zip(t, p)) == [("scan", 0), ("relation", 1), ("fast", 2)]
+
+    noexp = synonym_filter(["fast, quick, rapid"], expand=False)
+    t, p = noexp(["quick", "rapid", "slow"], [0, 1, 2])
+    assert list(zip(t, p)) == [("fast", 0), ("fast", 1), ("slow", 2)]
+
+
+def test_synonym_filter_multiword_lhs_greedy():
+    from elasticsearch_spark.analysis.filters import synonym_filter
+
+    syn = synonym_filter(["machine learning => ml", "machine => device"])
+    # longest match wins: "machine learning" -> ml, lone "machine" -> device
+    t, p = syn(["machine", "learning", "machine", "shop"], [0, 1, 2, 3])
+    assert list(zip(t, p)) == [("ml", 0), ("device", 2), ("shop", 3)]
+
+
+def test_synonym_multiword_output_rejected():
+    import pytest as _pytest
+
+    from elasticsearch_spark.analysis.filters import parse_synonym_rules
+
+    with _pytest.raises(ValueError):
+        parse_synonym_rules(["ml => machine learning"])
+
+
+def test_synonym_index_time_df_and_dl(spark, tmp_path):
+    """Index-time synonyms must change df (docs saying only 'join' are
+    found by 'merge') and must NOT inflate dl (same-position overlaps
+    discounted, Lucene discountOverlaps)."""
+    from elasticsearch_spark.index.builder import build_index, load_index
+    from elasticsearch_spark.search.executor import match_topk
+
+    docs = spark.createDataFrame(
+        [(0, "hash join fast"), (1, "merge sort slow"), (2, "scan only here")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, str(tmp_path / "synidx"),
+                      fields={"text": "ascii_word_syn"}, num_partitions=2,
+                      input_snapshot="t")
+    td = {r["term"]: r for r in idx.term_dict.collect()}
+    assert td["merge"]["df"] == 2 and td["join"]["df"] == 2
+    hits = {r["doc_id"] for r in
+            match_topk(idx, "text", ["merge"], k=10).collect()}
+    assert hits == {0, 1}
+    # dl: 3 position-advancing tokens per doc despite 4 emitted tokens
+    cs = idx.coll_stats.collect()[0]
+    assert cs["sum_dl"] == 9.0 and cs["sum_ttf"] == 11

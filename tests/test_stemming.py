@@ -205,3 +205,49 @@ def test_light_language_sql_twin_german():
     mism = [(w, got, german_light_stem(w)) for w, got in rows
             if got != german_light_stem(w)]
     assert not mism, mism
+
+
+@pytest.mark.parametrize("lang,words", [
+    ("spanish", ["canciones", "luces", "gatos", "rapidos", "mesa",
+                 "cancion", "grandes", "filtros"]),
+    ("italian", ["stazioni", "gatti", "veloce", "tavola", "grandi",
+                 "colonne", "libri"]),
+    ("portuguese", ["aviões", "coções", "rapidos", "mesas", "grande",
+                    "colunas", "livros"]),
+    ("dutch", ["mogelijkheden", "huisje", "boeken", "tafels", "kolommen",
+               "snelle"]),
+])
+def test_new_light_language_sql_twins(lang, words):
+    """Python cascade == DuckDB cascade_sql for every new language
+    (accented inputs exercise the global-replace option)."""
+    import duckdb
+
+    from elasticsearch_spark.analysis import stem as S
+
+    rules = getattr(S, f"{lang.upper()}_LIGHT_RULES")
+    py_stem = getattr(S, f"{lang}_light_stem")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {S.cascade_sql(rules, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, py_stem(w)) for w, got in rows if got != py_stem(w)]
+    assert not mism, mism
+
+
+def test_new_language_analyzers_registered():
+    from elasticsearch_spark.analysis.analyzers import (
+        ANALYZERS, FLAT_ANALYZERS, analyze,
+    )
+
+    for name in ["spanish_light", "italian_light", "portuguese_light",
+                 "dutch_light"]:
+        assert name in ANALYZERS and name in FLAT_ANALYZERS
+    # stopword removal + stemming end-to-end (positions keep stop gaps)
+    assert analyze("los gatos y las mesas", "spanish_light") == \
+        [("gat", 1), ("mes", 4)]
+    assert analyze("gato", "spanish_light") == analyze(
+        "gatos", "spanish_light")
+    assert analyze("de boeken en tafels", "dutch_light") == \
+        [("boek", 1), ("tafel", 3)]
+    assert analyze("kolommen", "dutch_light") == [("kolom", 0)]
