@@ -53,14 +53,15 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v8")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v9")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
             docs.select("doc_id", "text", "source")
             .withColumn("text_en", F.col("text"))
             .withColumn("text_syn", F.col("text"))
-            .withColumn("text_es", F.col("text")),
+            .withColumn("text_es", F.col("text"))
+            .withColumn("text_grams", F.col("text")),
             path,
             fields={
                 "text": "ascii_word",
@@ -71,6 +72,8 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
                 "text_syn": "ascii_word_syn",
                 # Spanish light analyzer (oracle-checked language rep)
                 "text_es": "spanish_light",
+                # common_grams filter ("the"/"a" bigrams at posInc 0)
+                "text_grams": "ascii_word_grams",
             },
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
@@ -182,6 +185,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_stemmed_es"] = match_stemmed_es
+
+    def match_common_grams(s: SparkSession, d: str) -> DataFrame:
+        # text_grams was indexed through common_grams("the","a"): the
+        # gram tokens exist alongside the originals at posInc 0, so a
+        # query on the grams scores stopword-adjacent phrases cheaply
+        # (the filter's purpose)
+        idx = _doc_index(s, d)
+        out = match_topk(idx, "text_grams", ["a_table", "the_batch"],
+                         k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_common_grams"] = match_common_grams
 
     def match_bool_prefix_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import match_bool_prefix_topk
@@ -1484,6 +1499,20 @@ def oracle_sql() -> dict[str, str]:
         bm25_ctes,
         synonym_expanded_tok_select,
     )
+
+    from elasticsearch_spark.analysis.analyzers import DOC_COMMON_WORDS
+    from elasticsearch_spark.oracle.sql_oracle import common_grams_tok_select
+
+    o["match_common_grams"] = f"""
+WITH {bm25_ctes(['a_table', 'the_batch'],
+                tok_select=common_grams_tok_select(DOC_COMMON_WORDS),
+                dl_expr='count(DISTINCT pos)')}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE matched >= 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
 
     o["match_synonym_index"] = f"""
 WITH {bm25_ctes(['merge', 'relation'],

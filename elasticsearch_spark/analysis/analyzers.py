@@ -232,21 +232,32 @@ def analyze(text: str, analyzer: str = "standard") -> list[tuple[str, int]]:
 # name resolvable inside Spark's Python workers, which import this
 # module fresh and would not see driver-side registry mutations).
 DOC_SYNONYM_RULES = ["join, merge", "table => relation"]
+DOC_COMMON_WORDS = ["the", "a"]
 
 
-def _register_synonyms() -> None:
-    from elasticsearch_spark.analysis.filters import synonym_filter
+def _register_composed() -> None:
+    from elasticsearch_spark.analysis.filters import (
+        common_grams_filter,
+        synonym_filter,
+    )
 
-    syn = synonym_filter(DOC_SYNONYM_RULES)
     base = ANALYZERS["ascii_word"]
+    syn = synonym_filter(DOC_SYNONYM_RULES)
 
     def _analyze_ascii_word_syn(text: str) -> tuple[list[str], list[int]]:
         return syn(*base(text))
 
     ANALYZERS["ascii_word_syn"] = _analyze_ascii_word_syn
 
+    grams = common_grams_filter(DOC_COMMON_WORDS)
 
-_register_synonyms()
+    def _analyze_ascii_word_grams(text: str) -> tuple[list[str], list[int]]:
+        return grams(*base(text))
+
+    ANALYZERS["ascii_word_grams"] = _analyze_ascii_word_grams
+
+
+_register_composed()
 
 
 # ---------------------------------------------------------------------

@@ -100,6 +100,125 @@ def reverse_filter(terms: list[str], positions: list[int]) -> TokenStream:
     return [t[::-1] for t in terms], positions
 
 
+def keep_filter(words):
+    """keep token filter (KeepWordFilterFactory): drop every token NOT
+    in the keep list — the inverse of stop."""
+    keep = frozenset(words)
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        pairs = [(t, p) for t, p in zip(terms, positions) if t in keep]
+        return [t for t, _ in pairs], [p for _, p in pairs]
+
+    return fn
+
+
+def token_type(tok: str) -> str:
+    """Token type as the standard tokenizer would assign it (the subset
+    our \\w+-style streams can carry): <NUM> for all-digit runs,
+    <ALPHANUM> otherwise."""
+    return "<NUM>" if tok.isdigit() else "<ALPHANUM>"
+
+
+def keep_types_filter(types, mode: str = "include"):
+    """keep_types token filter (KeepTypesFilterFactory): keep (or with
+    mode='exclude' drop) tokens whose type is in the set. Types are
+    derived from token shape (``token_type``) since list->list streams
+    carry no tokenizer type attribute — covers the <NUM>/<ALPHANUM>
+    split the filter is almost always used for."""
+    tset = frozenset(types)
+    want = mode == "include"
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        pairs = [
+            (t, p) for t, p in zip(terms, positions)
+            if (token_type(t) in tset) == want
+        ]
+        return [t for t, _ in pairs], [p for _, p in pairs]
+
+    return fn
+
+
+def pattern_capture_filter(patterns, preserve_original: bool = True):
+    """pattern_capture token filter (PatternCaptureGroupTokenFilter):
+    emit every capture group of every pattern as an extra token at the
+    SAME position (position increment 0); optionally keep the
+    original."""
+    compiled = [re.compile(p) for p in patterns]
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            emitted: list[str] = [t] if preserve_original else []
+            for pat in compiled:
+                for m in pat.finditer(t):
+                    for g in m.groups():
+                        if g and g not in emitted:
+                            emitted.append(g)
+            if not emitted:
+                emitted = [t]
+            for e in emitted:
+                out_t.append(e)
+                out_p.append(p)
+        return out_t, out_p
+
+    return fn
+
+
+def common_grams_filter(common_words, query_mode: bool = False,
+                        sep: str = "_"):
+    """common_grams token filter (CommonGramsFilterFactory): for every
+    adjacent pair where either side is a common word, ALSO emit the
+    joined bigram at the first word's position (position increment 0 —
+    Lucene CommonGramsFilter). ``query_mode`` additionally drops the
+    common unigrams themselves (CommonGramsQueryFilter), so phrase-ish
+    queries hit only the grams."""
+    common = frozenset(common_words)
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        n = len(terms)
+        for i, (t, p) in enumerate(zip(terms, positions)):
+            gram = (
+                i + 1 < n and (t in common or terms[i + 1] in common)
+            )
+            if not (query_mode and t in common):
+                out_t.append(t)
+                out_p.append(p)
+            if gram:
+                out_t.append(t + sep + terms[i + 1])
+                out_p.append(p)
+        return out_t, out_p
+
+    return fn
+
+
+FRENCH_ELISION_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)
+
+
+def elision_filter(articles=FRENCH_ELISION_ARTICLES):
+    """elision token filter (reg. CommonAnalysisPlugin): strip a
+    leading article + apostrophe ("l'avion" -> "avion"). Applies to
+    tokenizers that keep apostrophes inside tokens."""
+    arts = frozenset(articles)
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out = []
+        for t in terms:
+            for ap in ("'", "’"):
+                head, _, rest = t.partition(ap)
+                if rest and head in arts:
+                    t = rest
+                    break
+            out.append(t)
+        return out, positions
+
+    return fn
+
+
 def parse_synonym_rules(
     rules: list[str], expand: bool = True
 ) -> dict[tuple[str, ...], list[str]]:

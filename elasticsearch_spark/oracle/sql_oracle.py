@@ -294,3 +294,29 @@ def light_language_list_sql(
         f" '[a-z0-9_]+'), t -> t NOT IN {stops}),"
         f" t -> {cascade_sql(rules, 't')})"
     )
+
+
+def common_grams_tok_select(
+    common_words: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """tok-CTE body reproducing the common_grams token filter: base
+    tokens plus, for every adjacent pair touching a common word, the
+    joined bigram at the first word's position. Pair with
+    ``dl_expr='count(DISTINCT pos)'`` (grams are posInc-0 overlaps)."""
+    common = _sql_str_list(sorted(set(common_words)))
+    base = f"""
+    SELECT {id_col} AS doc_id, unnest(ts) AS tok,
+           unnest(range(1, len(ts) + 1)) AS pos
+    FROM (SELECT {id_col},
+                 regexp_extract_all(lower({text_col}), '[a-z0-9_]+') AS ts
+          FROM {table})"""
+    return f"""
+  SELECT doc_id, tok AS term, pos FROM ({base})
+  UNION ALL
+  SELECT a.doc_id, a.tok || '_' || b.tok AS term, a.pos
+  FROM ({base}) a JOIN ({base}) b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok IN {common} OR b.tok IN {common}"""

@@ -158,3 +158,56 @@ def test_synonym_index_time_df_and_dl(spark, tmp_path):
     # dl: 3 position-advancing tokens per doc despite 4 emitted tokens
     cs = idx.coll_stats.collect()[0]
     assert cs["sum_dl"] == 9.0 and cs["sum_ttf"] == 11
+
+
+def test_keep_and_keep_types():
+    from elasticsearch_spark.analysis.filters import (
+        keep_filter, keep_types_filter,
+    )
+
+    t, p = keep_filter(["scan", "join"])(
+        ["hash", "scan", "then", "join"], [0, 1, 2, 3])
+    assert list(zip(t, p)) == [("scan", 1), ("join", 3)]
+
+    nums_only = keep_types_filter(["<NUM>"])
+    t, p = nums_only(["v2", "42", "beta", "7"], [0, 1, 2, 3])
+    assert list(zip(t, p)) == [("42", 1), ("7", 3)]
+    no_nums = keep_types_filter(["<NUM>"], mode="exclude")
+    t, p = no_nums(["v2", "42", "beta", "7"], [0, 1, 2, 3])
+    assert list(zip(t, p)) == [("v2", 0), ("beta", 2)]
+
+
+def test_pattern_capture():
+    from elasticsearch_spark.analysis.filters import pattern_capture_filter
+
+    f = pattern_capture_filter([r"([a-z]+)_([a-z]+)"])
+    t, p = f(["snake_case", "plain"], [0, 1])
+    # original + each capture group, all at the source position
+    assert list(zip(t, p)) == [
+        ("snake_case", 0), ("snake", 0), ("case", 0), ("plain", 1)]
+    f2 = pattern_capture_filter([r"(\d+)"], preserve_original=False)
+    t, p = f2(["v42x7", "none"], [0, 1])
+    assert list(zip(t, p)) == [("42", 0), ("7", 0), ("none", 1)]
+
+
+def test_common_grams_filter():
+    from elasticsearch_spark.analysis.filters import common_grams_filter
+
+    f = common_grams_filter(["the", "a"])
+    t, p = f(["scan", "the", "table", "fast"], [0, 1, 2, 3])
+    # grams at the FIRST word's position (posInc 0)
+    assert list(zip(t, p)) == [
+        ("scan", 0), ("scan_the", 0), ("the", 1), ("the_table", 1),
+        ("table", 2), ("fast", 3)]
+    q = common_grams_filter(["the"], query_mode=True)
+    t, p = q(["scan", "the", "table"], [0, 1, 2])
+    assert list(zip(t, p)) == [
+        ("scan", 0), ("scan_the", 0), ("the_table", 1), ("table", 2)]
+
+
+def test_elision_filter():
+    from elasticsearch_spark.analysis.filters import elision_filter
+
+    f = elision_filter()
+    t, p = f(["l'avion", "d'eau", "qu'il", "laporte"], [0, 1, 2, 3])
+    assert t == ["avion", "eau", "il", "laporte"] and p == [0, 1, 2, 3]
