@@ -198,6 +198,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_common_grams"] = match_common_grams
 
+    def track_total_hits_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import track_total_hits
+
+        r = track_total_hits(
+            _t(s, d, "documents").filter(F.col("lang") == "en"),
+            threshold=1000,
+        )
+        return s.createDataFrame(
+            [(r["value"], r["relation"])], "value long, relation string"
+        )
+
+    q["track_total_hits"] = track_total_hits_q
+
+    def terminate_after_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import terminate_after
+
+        # single scan slice -> early termination takes the first n rows
+        # in file order (doc_id-ordered parquet), making it exact-checkable
+        docs = _t(s, d, "documents").coalesce(1)
+        return terminate_after(docs, 100).select("doc_id")
+
+    q["terminate_after"] = terminate_after_q
+
+    def highlight_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import highlight
+
+        hits = (
+            _t(s, d, "documents")
+            .filter(F.col("text").rlike(r"\btable\b"))
+            .orderBy("doc_id").limit(20)
+        )
+        out = highlight(hits, ["table"], n_fragments=1)
+        return out.select(
+            "doc_id", F.element_at("highlights", 1).alias("fragment")
+        ).orderBy("doc_id")
+
+    q["highlight"] = highlight_q
+
     def match_bool_prefix_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import match_bool_prefix_topk
 
@@ -1499,6 +1537,33 @@ def oracle_sql() -> dict[str, str]:
         bm25_ctes,
         synonym_expanded_tok_select,
     )
+
+    o["track_total_hits"] = """
+WITH c AS (SELECT count(*)::BIGINT AS n FROM documents WHERE lang = 'en')
+SELECT CASE WHEN n <= 1000 THEN n ELSE 1000 END AS value,
+       CASE WHEN n <= 1000 THEN 'eq' ELSE 'gte' END AS relation
+FROM c
+"""
+
+    o["terminate_after"] = """
+SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100
+"""
+
+    # unified-highlighter first fragment: 30 chars of context either
+    # side of the FIRST \btable\b match, all in-fragment matches tagged.
+    # The context prefix is LAZY ({0,30}?): a greedy prefix would bind
+    # the match to the latest occurrence reachable within 30 chars,
+    # while the engine anchors on m.start() of the first occurrence.
+    o["highlight"] = r"""
+WITH h AS (
+  SELECT doc_id, regexp_extract(text, '.{0,30}?\btable\b.{0,30}') AS frag
+  FROM documents
+  WHERE regexp_matches(text, '\btable\b')
+  ORDER BY doc_id LIMIT 20)
+SELECT doc_id,
+       regexp_replace(frag, '\btable\b', '<em>table</em>', 'g') AS fragment
+FROM h ORDER BY doc_id
+"""
 
     from elasticsearch_spark.analysis.analyzers import DOC_COMMON_WORDS
     from elasticsearch_spark.oracle.sql_oracle import common_grams_tok_select
