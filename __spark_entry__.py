@@ -117,6 +117,23 @@ def entry(spark: SparkSession) -> DataFrame:
 GEO_PENTAGON = [(0.0, -60.0), (45.0, -20.0), (30.0, 40.0),
                 (-25.0, 55.0), (-45.0, -15.0)]
 
+# stored percolator queries (PercolateQueryBuilder.java:83): decomposed
+# into requirement rows on both engines — see search/percolate.py
+PERCOLATE_STORED = [
+    (1, {"match": {"text": "table scan"}}),
+    (2, {"match": {"text": {"query": "window merge filter",
+                            "operator": "and"}}}),
+    (3, {"term": {"lang": "en"}}),
+    (4, {"bool": {"must": [
+        {"term": {"source": "src3"}},
+        {"range": {"n_chars": {"gte": 200, "lt": 500}}}]}}),
+    (5, {"terms": {"lang": ["fr", "de"]}}),
+    (6, {"bool": {"must": [
+        {"match": {"text": {"query": "query index batch",
+                            "minimum_should_match": 2}}},
+        {"range": {"n_chars": {"gt": 100}}}]}}),
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1185,6 +1202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return b.crossJoin(c)  # two 1-row aggs -> one 1-row frame
 
     q["agg_geo_bounds"] = agg_geo_bounds_q
+
+    def percolate_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.percolate import percolate
+
+        docs = _t(s, d, "documents")
+        out = percolate(
+            s, docs, PERCOLATE_STORED, text_fields=["text"],
+            keyword_fields=["lang", "source"], numeric_fields=["n_chars"],
+        )
+        return out.select(
+            F.col("doc_id").cast("long"), F.col("query_id").cast("long"))
+
+    q["percolate"] = percolate_q
 
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
@@ -2290,6 +2320,15 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
          CAST((doc_id % 171 + 171) % 171 - 85 AS DOUBLE) AS lat,
          CAST((doc_id * 7 % 360 + 360) % 360 - 180 AS DOUBLE) AS lon
   FROM documents)"""
+
+    from elasticsearch_spark.search.percolate import (
+        percolate_requirements_sql as _perc_sql,
+    )
+
+    o["percolate"] = _perc_sql(
+        PERCOLATE_STORED, keyword_fields=["lang", "source"],
+        numeric_fields=["n_chars"],
+    )
 
     o["geo_bbox"] = f"""
 WITH {_GEO_CTE}

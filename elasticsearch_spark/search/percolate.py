@@ -1,0 +1,310 @@
+"""Percolate query: reverse search — store queries, find which stored
+queries match each document.
+
+Reference: modules/percolator/src/main/java/org/elasticsearch/
+percolator/PercolateQueryBuilder.java:83 and
+PercolatorFieldMapper.java — Elasticsearch indexes each stored query's
+EXTRACTED TERMS in the percolator field, pre-filters candidate queries
+with a covering (minimum-should-match) query over those terms, then
+verifies candidates against a single-doc MemoryIndex.
+
+Spark-first re-expression (not a translation): stored queries are
+DECOMPOSED once into requirement-row tables — one row per
+(query, clause-group, term) plus one per numeric range — and
+percolation is an ordinary equi-join of document terms against the
+requirement table with a per-(doc, query, group) coverage count.
+There is no per-query loop and no per-doc MemoryIndex: a billion
+stored queries and a billion docs both scale as hash joins / partial
+aggregations on (field, term), which is exactly the shape Catalyst +
+AQE already optimize (the requirement side broadcasts while small,
+shuffles when huge).
+
+Supported percolated query subset — each query becomes 1+ groups and a
+doc matches iff EVERY group is satisfied:
+
+  {"term":  {f: v}}                      -> term group, msm=1
+  {"terms": {f: [v, ...]}}               -> term group, msm=1
+  {"match": {f: text}}                   -> term group, msm=1 ("or")
+  {"match": {f: {"query": text, "operator": "and"}}}      -> msm=n
+  {"match": {f: {"query": text, "minimum_should_match"}}} -> msm=k
+  {"range": {f: {gte|gt|lte|lt}}}        -> numeric range group
+  {"bool":  {"must": [sub, ...]}}        -> union of the subs' groups
+
+This mirrors the extraction in PercolatorFieldMapper.createQueryBuilder
+(term/disjunction extraction with minimum-should-match) while the
+conjunction-of-groups check plays the role of the verify phase.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from elasticsearch_spark.analysis.analyzers import analyze
+
+_TOKEN_RE = "[a-z0-9_]+"
+
+
+def _match_terms(field: str, body: Any) -> tuple[list[str], int]:
+    """Terms + msm for a match clause body (str or options dict)."""
+    if isinstance(body, str):
+        text, operator, msm = body, "or", None
+    else:
+        text = body["query"]
+        operator = body.get("operator", "or")
+        msm = body.get("minimum_should_match")
+    terms = list(dict.fromkeys(t for t, _ in analyze(text, "ascii_word")))
+    if msm is None:
+        msm = len(terms) if operator == "and" else 1
+    return terms, int(msm)
+
+
+def decompose_queries(
+    stored: list[tuple[Any, dict]],
+) -> tuple[list[tuple], list[tuple], list[tuple]]:
+    """Decompose stored (query_id, dsl) pairs into requirement rows.
+
+    Returns (term_rows, range_rows, group_rows):
+      term_rows:  (query_id, group_id, field, term)
+      range_rows: (query_id, group_id, field, lo, hi, lo_open, hi_open)
+      group_rows: (query_id, group_id, msm)   # msm=0 marks range groups
+    Decomposition is per-query and stateless — for a huge stored-query
+    table run it inside mapInPandas; here it feeds createDataFrame.
+    """
+    term_rows: list[tuple] = []
+    range_rows: list[tuple] = []
+    group_rows: list[tuple] = []
+
+    def add_clause(qid: Any, gid: int, clause: dict) -> int:
+        (kind, body), = clause.items()
+        if kind == "bool":
+            for sub in body.get("must", []):
+                gid = add_clause(qid, gid, sub)
+            return gid
+        if kind == "term":
+            (field, value), = body.items()
+            if isinstance(value, dict):
+                value = value["value"]
+            term_rows.append((qid, gid, field, str(value).lower()))
+            group_rows.append((qid, gid, 1))
+        elif kind == "terms":
+            (field, values), = body.items()
+            for v in values:
+                term_rows.append((qid, gid, field, str(v).lower()))
+            group_rows.append((qid, gid, 1))
+        elif kind == "match":
+            (field, body2), = body.items()
+            terms, msm = _match_terms(field, body2)
+            for t in terms:
+                term_rows.append((qid, gid, field, t))
+            group_rows.append((qid, gid, msm))
+        elif kind == "range":
+            (field, bounds), = body.items()
+            lo = bounds.get("gte", bounds.get("gt"))
+            hi = bounds.get("lte", bounds.get("lt"))
+            range_rows.append((
+                qid, gid, field,
+                float(lo) if lo is not None else None,
+                float(hi) if hi is not None else None,
+                "gt" in bounds, "lt" in bounds,
+            ))
+            group_rows.append((qid, gid, 0))
+        else:
+            raise ValueError(f"percolator: unsupported query kind {kind!r}")
+        return gid + 1
+
+    for qid, dsl in stored:
+        gid = 0
+        gid = add_clause(qid, gid, dsl)
+        if gid == 0:
+            raise ValueError(f"query {qid!r} produced no requirement groups")
+    return term_rows, range_rows, group_rows
+
+
+def percolate(
+    spark: SparkSession,
+    docs: DataFrame,
+    stored: list[tuple[Any, dict]],
+    text_fields: list[str],
+    keyword_fields: list[str] = (),
+    numeric_fields: list[str] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Return (doc_id, query_id) for every stored query matching a doc.
+
+    One pass over ``docs``: text fields tokenize JVM-side
+    (regexp_extract_all — the ascii_word analyzer's exact expression),
+    keyword fields contribute themselves, and the resulting
+    (doc, field, term) set joins the broadcast requirement tables.
+    """
+    term_rows, range_rows, group_rows = decompose_queries(stored)
+    qid_type = "string" if isinstance(stored[0][0], str) else "long"
+    groups = spark.createDataFrame(
+        group_rows, f"query_id {qid_type}, group_id int, msm int")
+
+    # total groups per query (matching requires ALL of them)
+    need = groups.groupBy("query_id").agg(
+        F.count("*").alias("need_groups"))
+
+    sat_parts: list[DataFrame] = []
+
+    if term_rows:
+        reqs = spark.createDataFrame(
+            term_rows,
+            f"query_id {qid_type}, group_id int, field string, term string")
+        per_field = []
+        for fld in text_fields:
+            per_field.append(
+                docs.select(
+                    F.col(id_col),
+                    F.lit(fld).alias("field"),
+                    F.explode(F.array_distinct(F.regexp_extract_all(
+                        F.lower(F.col(fld)), F.lit(_TOKEN_RE), 0)),
+                    ).alias("term"),
+                ))
+        for fld in keyword_fields:
+            per_field.append(
+                docs.select(
+                    F.col(id_col),
+                    F.lit(fld).alias("field"),
+                    F.lower(F.col(fld).cast("string")).alias("term"),
+                ).where(F.col("term").isNotNull()))
+        doc_terms = per_field[0]
+        for p in per_field[1:]:
+            doc_terms = doc_terms.unionByName(p)
+        term_msm = groups.where(F.col("msm") > 0)
+        sat_terms = (
+            doc_terms
+            .join(F.broadcast(reqs), ["field", "term"])
+            .groupBy(id_col, "query_id", "group_id")
+            .agg(F.count_distinct("term").alias("hits"))
+            .join(F.broadcast(term_msm), ["query_id", "group_id"])
+            .where(F.col("hits") >= F.col("msm"))
+            .select(id_col, "query_id", "group_id")
+        )
+        sat_parts.append(sat_terms)
+
+    if range_rows:
+        rreqs = spark.createDataFrame(
+            range_rows,
+            f"query_id {qid_type}, group_id int, field string, "
+            "lo double, hi double, lo_open boolean, hi_open boolean")
+        vals = None
+        for fld in numeric_fields:
+            v = docs.select(
+                F.col(id_col),
+                F.lit(fld).alias("field"),
+                F.col(fld).cast("double").alias("val"),
+            ).where(F.col("val").isNotNull())
+            vals = v if vals is None else vals.unionByName(v)
+        lo_ok = (
+            F.col("lo").isNull()
+            | F.when(F.col("lo_open"), F.col("val") > F.col("lo"))
+               .otherwise(F.col("val") >= F.col("lo"))
+        )
+        hi_ok = (
+            F.col("hi").isNull()
+            | F.when(F.col("hi_open"), F.col("val") < F.col("hi"))
+               .otherwise(F.col("val") <= F.col("hi"))
+        )
+        sat_ranges = (
+            vals.join(F.broadcast(rreqs), "field")
+            .where(lo_ok & hi_ok)
+            .select(id_col, "query_id", "group_id")
+        )
+        sat_parts.append(sat_ranges)
+
+    sat = sat_parts[0]
+    for p in sat_parts[1:]:
+        sat = sat.unionByName(p)
+
+    return (
+        sat.groupBy(id_col, "query_id")
+        .agg(F.count_distinct("group_id").alias("got"))
+        .join(F.broadcast(need), "query_id")
+        .where(F.col("got") == F.col("need_groups"))
+        .select(id_col, "query_id")
+    )
+
+
+def percolate_requirements_sql(
+    stored: list[tuple[Any, dict]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_fields: list[str] = ("text",),
+    keyword_fields: list[str] = (),
+    numeric_fields: list[str] = (),
+) -> str:
+    """DuckDB twin of :func:`percolate` over the same stored queries —
+    identical decomposition, tokenization regex, and group algebra."""
+    term_rows, range_rows, group_rows = decompose_queries(stored)
+
+    def q(v: Any) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    groups_v = ", ".join(
+        f"({q(a)}, {b}, {m})" for a, b, m in group_rows)
+    parts = []
+    doc_term_selects = [
+        f"SELECT {id_col} AS doc_id, '{fld}' AS field, unnest(list_distinct("
+        f"regexp_extract_all(lower({fld}), '{_TOKEN_RE}'))) AS term "
+        f"FROM {table}"
+        for fld in text_fields
+    ] + [
+        f"SELECT {id_col} AS doc_id, '{fld}' AS field, "
+        f"lower(CAST({fld} AS VARCHAR)) AS term FROM {table} "
+        f"WHERE {fld} IS NOT NULL"
+        for fld in keyword_fields
+    ]
+    if term_rows:
+        reqs_v = ", ".join(
+            f"({q(a)}, {b}, {q(c)}, {q(d)})" for a, b, c, d in term_rows)
+        parts.append(f"""
+  SELECT dt.doc_id, r.query_id, r.group_id
+  FROM ({' UNION ALL '.join(doc_term_selects)}) dt
+  JOIN (VALUES {reqs_v}) AS r(query_id, group_id, field, term)
+    ON r.field = dt.field AND r.term = dt.term
+  JOIN (VALUES {groups_v}) AS g(query_id, group_id, msm)
+    ON g.query_id = r.query_id AND g.group_id = r.group_id AND g.msm > 0
+  GROUP BY dt.doc_id, r.query_id, r.group_id
+  HAVING count(DISTINCT r.term) >= any_value(g.msm)""")
+    if range_rows:
+        rreqs_v = ", ".join(
+            f"({q(a)}, {b}, {q(c)}, {q(lo)}, {q(hi)}, {q(lop)}, {q(hop)})"
+            for a, b, c, lo, hi, lop, hop in range_rows)
+        val_selects = " UNION ALL ".join(
+            f"SELECT {id_col} AS doc_id, '{fld}' AS field, "
+            f"CAST({fld} AS DOUBLE) AS val FROM {table} "
+            f"WHERE {fld} IS NOT NULL"
+            for fld in numeric_fields)
+        parts.append(f"""
+  SELECT v.doc_id, r.query_id, r.group_id
+  FROM ({val_selects}) v
+  JOIN (VALUES {rreqs_v})
+    AS r(query_id, group_id, field, lo, hi, lo_open, hi_open)
+    ON r.field = v.field
+  WHERE (r.lo IS NULL OR (CASE WHEN r.lo_open THEN v.val > r.lo
+                               ELSE v.val >= r.lo END))
+    AND (r.hi IS NULL OR (CASE WHEN r.hi_open THEN v.val < r.hi
+                               ELSE v.val <= r.hi END))""")
+    sat = " UNION ALL ".join(f"({p})" for p in parts)
+    return f"""
+WITH sat(doc_id, query_id, group_id) AS ({sat}),
+need AS (
+  SELECT query_id, count(*) AS need_groups
+  FROM (VALUES {groups_v}) AS g(query_id, group_id, msm)
+  GROUP BY query_id
+)
+SELECT s.doc_id, s.query_id
+FROM (
+  SELECT doc_id, query_id, count(DISTINCT group_id) AS got
+  FROM sat GROUP BY doc_id, query_id
+) s JOIN need n ON n.query_id = s.query_id AND s.got = n.need_groups
+"""

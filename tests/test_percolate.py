@@ -1,0 +1,84 @@
+"""Percolator tests: requirement decomposition + join-based matching.
+
+Reference semantics: modules/percolator/.../PercolateQueryBuilder.java
+(extraction + verify); here matching is a requirement-table join and
+the DuckDB twin replays the identical algebra.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from elasticsearch_spark.search.percolate import (
+    decompose_queries,
+    percolate,
+    percolate_requirements_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decompose_bool_groups():
+    terms, ranges, groups = decompose_queries([
+        ("a", {"bool": {"must": [
+            {"term": {"lang": "EN"}},
+            {"match": {"text": {"query": "alpha beta", "operator": "and"}}},
+            {"range": {"n": {"gte": 1, "lt": 5}}},
+        ]}}),
+    ])
+    assert [(r[2], r[3]) for r in terms] == [
+        ("lang", "en"), ("text", "alpha"), ("text", "beta")]
+    assert ranges == [("a", 2, "n", 1.0, 5.0, False, True)]
+    # msm: term group 1, match-and group 2, range marker 0
+    assert [(g[1], g[2]) for g in groups] == [(0, 1), (1, 2), (2, 0)]
+
+
+def test_decompose_rejects_unknown_kind():
+    with pytest.raises(ValueError):
+        decompose_queries([(1, {"fancy": {"x": 1}})])
+
+
+def test_percolate_matches_duckdb_twin(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stored = [
+        (1, {"match": {"text": "table scan"}}),
+        (2, {"match": {"text": {"query": "window merge filter",
+                                "operator": "and"}}}),
+        (3, {"bool": {"must": [
+            {"terms": {"lang": ["fr", "de"]}},
+            {"range": {"n_chars": {"gte": 100, "lte": 400}}}]}}),
+    ]
+    got = percolate(
+        spark, docs, stored, text_fields=["text"],
+        keyword_fields=["lang"], numeric_fields=["n_chars"],
+    ).toPandas().astype("int64")
+    got = got.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(percolate_requirements_sql(
+        stored, keyword_fields=["lang"], numeric_fields=["n_chars"],
+    )).df().astype("int64")
+    want = want.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+    assert len(got) > 0
+    assert got.equals(want)
+
+
+def test_percolate_msm_and_conjunction(spark):
+    # one doc, hand-checkable: msm=2 of 3 terms; range must also hold
+    docs = spark.createDataFrame(
+        [(1, "alpha beta other", 10), (2, "alpha only here", 10),
+         (3, "alpha beta gamma", 999)],
+        "doc_id long, text string, n long")
+    stored = [
+        (7, {"bool": {"must": [
+            {"match": {"text": {"query": "alpha beta gamma",
+                                "minimum_should_match": 2}}},
+            {"range": {"n": {"lte": 100}}}]}}),
+    ]
+    out = percolate(spark, docs, stored, text_fields=["text"],
+                    numeric_fields=["n"]).toPandas()
+    assert sorted(out["doc_id"].tolist()) == [1]
