@@ -1188,6 +1188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_geotile_grid"] = agg_geotile_grid_q
 
+    def agg_geo_distance_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import geo_distance_agg
+
+        return geo_distance_agg(
+            _geo_docs(s, d), "lat", "lon", origin=(10.0, 20.0),
+            ranges=[(None, 3000.0), (3000.0, 8000.0), (8000.0, None)],
+        )
+
+    q["agg_geo_distance"] = agg_geo_distance_q
+
     def agg_geo_bounds_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.analytics import (
             geo_bounds_agg, geo_centroid_agg,
@@ -1215,6 +1225,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long"), F.col("query_id").cast("long"))
 
     q["percolate"] = percolate_q
+
+    DECOMP_DICT = ["col", "umn", "wind", "order", "val", "ream", "park"]
+
+    def analyze_decompound_q(s: SparkSession, d: str) -> DataFrame:
+        # dictionary_decompounder over the corpus token stream
+        # (filters.dictionary_decompounder_filter semantics: token len
+        # >= min_word_size, dict word a strict substring, one emit per
+        # (token occurrence, word)) expressed as a broadcast contains-
+        # join so the count runs as one scan + one partial agg — the
+        # token stream never collects
+        docs = _t(s, d, "documents")
+        toks = docs.select(
+            F.explode(F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z0-9_]+"), 0)).alias("tok")
+        ).where(F.length("tok") >= 5)
+        words = s.createDataFrame([(w,) for w in DECOMP_DICT], "word string")
+        return (
+            toks.join(F.broadcast(words),
+                      F.col("tok").contains(F.col("word"))
+                      & (F.col("tok") != F.col("word")))
+            .groupBy("word").agg(F.count("*").alias("occurrences"))
+        )
+
+    q["analyze_decompound"] = analyze_decompound_q
 
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
@@ -2330,6 +2364,20 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
         numeric_fields=["n_chars"],
     )
 
+    _decomp_vals = ", ".join(f"('{w}')" for w in
+                             ["col", "umn", "wind", "order", "val",
+                              "ream", "park"])
+    o["analyze_decompound"] = f"""
+SELECT w.word, count(*) AS occurrences
+FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+) t JOIN (VALUES {_decomp_vals}) AS w(word)
+  ON len(t.tok) >= 5 AND position(w.word IN t.tok) > 0
+  AND w.word <> t.tok
+GROUP BY w.word
+"""
+
     o["geo_bbox"] = f"""
 WITH {_GEO_CTE}
 SELECT doc_id, lat, lon FROM g
@@ -2349,6 +2397,21 @@ WITH {_GEO_CTE}
 SELECT doc_id, lat, lon FROM g
 WHERE {_poly_sql(GEO_PENTAGON, 'lat', 'lon')}
 ORDER BY doc_id ASC LIMIT 50
+"""
+
+    _DIST = _hav('lat', 'lon', '10.0', '20.0')
+    o["agg_geo_distance"] = f"""
+WITH {_GEO_CTE},
+dd AS (SELECT {_DIST} AS dist FROM g)
+SELECT key, doc_count FROM (
+  SELECT '*-3000' AS key,
+         count(*) FILTER (dist < 3000.0) AS doc_count, 1 AS ord FROM dd
+  UNION ALL
+  SELECT '3000-8000',
+         count(*) FILTER (dist >= 3000.0 AND dist < 8000.0), 2 FROM dd
+  UNION ALL
+  SELECT '8000-*', count(*) FILTER (dist >= 8000.0), 3 FROM dd
+) ORDER BY ord
 """
 
     o["agg_geohash_grid"] = f"""

@@ -304,6 +304,42 @@ def geohash_grid_agg(
     )
 
 
+def geo_distance_agg(
+    df: DataFrame, lat_col: str, lon_col: str,
+    origin: tuple[float, float], ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """geo_distance bucket agg (GeoDistanceAggregationBuilder.java,
+    registered in SearchModule.java:437-448): count docs per distance
+    ring [from, to) km around ``origin``. Rings may overlap, so each is
+    a conditional count over ONE pass — a single partial-agg shuffle of
+    per-ring counters, never one job per ring."""
+    from elasticsearch_spark.search.geo import haversine_km
+
+    d = haversine_km(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(origin[0])), F.lit(float(origin[1])))
+    aggs = []
+    keys = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        parts = []
+        if lo is not None:
+            cond = cond & (d >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (d < F.lit(float(hi)))
+        parts.append("*-" if lo is None else f"{float(lo):g}-")
+        parts.append("*" if hi is None else f"{float(hi):g}")
+        key = "".join(parts)
+        keys.append(key)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(key))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    counts = row.collect()[0].asDict()
+    return spark.createDataFrame(
+        [(k, int(counts[k] or 0)) for k in keys],
+        "key string, doc_count long")
+
+
 def geotile_grid_agg(
     df: DataFrame, lat_col: str, lon_col: str,
     zoom: int = 7, size: int = 10000,

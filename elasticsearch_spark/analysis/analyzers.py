@@ -595,6 +595,31 @@ DUTCH_STOPWORDS = frozenset(
     aan er ook door naar bij dan nog uit over ze dit deze worden wordt
     niet""".split()
 )
+SWEDISH_STOPWORDS = frozenset(
+    """och det att i en jag hon som han pa den med var sig for sa till
+    ar men ett om hade de av icke mig du henne da sin nu har inte hans
+    honom""".split()
+)
+NORWEGIAN_STOPWORDS = frozenset(
+    """og i jeg det at en et den til er som pa de med han av ikke der
+    sa var meg seg men ett har om vi min mitt ha hadde hun na over da
+    ved fra du ut""".split()
+)
+DANISH_STOPWORDS = frozenset(
+    """og i jeg det at en den til er som pa de med han af ikke der sa
+    var mig sig men et har om vi min havde ham hun nu over da fra du
+    ud sin dem os""".split()
+)
+FINNISH_STOPWORDS = frozenset(
+    """olla olen on ovat ja ei se etta han me he mina sina te tama nama
+    joka mika kun niin myos jos mutta vain nyt sitten kuin sen sita
+    ole""".split()
+)
+RUSSIAN_STOPWORDS = frozenset(
+    """и в во не что он на я с со как а то все она так его но да ты к
+    у же вы за бы по только ее мне было вот от меня еще нет о из ему
+    теперь когда даже ну ли если уже или ни быть был него до вас""".split()
+)
 
 
 def _register_default_languages() -> None:
@@ -616,6 +641,25 @@ def _register_default_languages() -> None:
     _register_light_language("portuguese_light", PORTUGUESE_STOPWORDS,
                              portuguese_light_stem)
     _register_light_language("dutch_light", DUTCH_STOPWORDS, dutch_light_stem)
+
+    from elasticsearch_spark.analysis.stem import (
+        danish_light_stem,
+        finnish_light_stem,
+        norwegian_light_stem,
+        russian_light_stem,
+        swedish_light_stem,
+    )
+
+    _register_light_language("swedish_light", SWEDISH_STOPWORDS,
+                             swedish_light_stem)
+    _register_light_language("norwegian_light", NORWEGIAN_STOPWORDS,
+                             norwegian_light_stem)
+    _register_light_language("danish_light", DANISH_STOPWORDS,
+                             danish_light_stem)
+    _register_light_language("finnish_light", FINNISH_STOPWORDS,
+                             finnish_light_stem)
+    _register_light_language("russian_light", RUSSIAN_STOPWORDS,
+                             russian_light_stem)
 
 
 _register_default_languages()

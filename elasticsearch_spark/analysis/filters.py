@@ -306,6 +306,181 @@ def synonym_filter(rules: list[str], expand: bool = True):
     return fn
 
 
+def dictionary_decompounder_filter(
+    word_list,
+    min_word_size: int = 5,
+    min_subword_size: int = 2,
+    max_subword_size: int = 15,
+    only_longest_match: bool = False,
+):
+    """dictionary_decompounder token filter
+    (CommonAnalysisPlugin.java registration of
+    DictionaryCompoundWordTokenFilter): for every token of at least
+    ``min_word_size`` chars, every dictionary word that occurs as a
+    substring (with size within [min_subword_size, max_subword_size])
+    is emitted as an extra token at the SAME position; the original
+    token always stays. ``only_longest_match`` keeps only the longest
+    matching subword per start offset (Lucene's flag).
+
+    The hyphenation_decompounder variant needs external hyphenation-
+    pattern XML files (not shippable here) and stays out of scope; its
+    dictionary-check step is this same algorithm.
+    """
+    words = sorted(
+        {
+            w.lower() for w in word_list
+            if min_subword_size <= len(w) <= max_subword_size
+        },
+        key=lambda w: (-len(w), w),
+    )
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            out_t.append(t)
+            out_p.append(p)
+            if len(t) < min_word_size:
+                continue
+            if only_longest_match:
+                # longest dictionary hit per start offset
+                for i in range(len(t)):
+                    for w in words:  # sorted longest-first
+                        if t.startswith(w, i) and w != t:
+                            out_t.append(w)
+                            out_p.append(p)
+                            break
+            else:
+                for w in words:
+                    if w != t and w in t:
+                        out_t.append(w)
+                        out_p.append(p)
+        return out_t, out_p
+
+    return fn
+
+
+def multiplexer_filter(*branches, preserve_original: bool = True):
+    """multiplexer token filter (MultiplexerTokenFilterFactory): run
+    each branch (a filter or tuple of filters forming a chain) over the
+    stream; every branch's output is emitted at the source position
+    (posInc 0 stacking); duplicate (term, position) pairs are removed
+    as the reference's filter does."""
+    chains = [b if isinstance(b, (tuple, list)) else (b,) for b in branches]
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out: list[tuple[int, str]] = []
+        seen: set[tuple[int, str]] = set()
+
+        def emit(ts: list[str], ps: list[int]) -> None:
+            for t, p in zip(ts, ps):
+                if t and (p, t) not in seen:
+                    seen.add((p, t))
+                    out.append((p, t))
+
+        if preserve_original:
+            emit(terms, positions)
+        for chain in chains:
+            ts, ps = list(terms), list(positions)
+            for f in chain:
+                ts, ps = f(ts, ps)
+            emit(ts, ps)
+        out.sort()
+        return [t for _, t in out], [p for p, _ in out]
+
+    return fn
+
+
+def condition_filter(predicate: Callable[[str], bool], *filters):
+    """condition token filter (ScriptedConditionTokenFilterFactory):
+    apply the wrapped filter chain only to tokens where ``predicate``
+    holds; other tokens pass through unchanged. The reference takes a
+    Painless script — here any Python predicate over the term."""
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            if predicate(t):
+                ts, ps = [t], [p]
+                for f in filters:
+                    ts, ps = f(ts, ps)
+                out_t.extend(ts)
+                out_p.extend(ps)
+            else:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+
+    return fn
+
+
+def predicate_token_filter(predicate: Callable[[str], bool]):
+    """predicate_token_filter (ScriptedPredicateTokenFilterFactory):
+    keep only tokens where the predicate holds."""
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        pairs = [(t, p) for t, p in zip(terms, positions) if predicate(t)]
+        return [t for t, _ in pairs], [p for _, p in pairs]
+
+    return fn
+
+
+def min_hash_filter(hash_count: int = 1, bucket_count: int = 512,
+                    hash_set_size: int = 1, with_rotation: bool = True):
+    """min_hash token filter (Lucene MinHashFilter, registered in
+    CommonAnalysisPlugin.java): hash every input token, keep the
+    ``hash_set_size`` smallest hashes per bucket (hash space split into
+    ``bucket_count`` ranges), and emit the kept hashes as hex tokens —
+    the index-side half of MinHash similarity. ``with_rotation`` fills
+    empty buckets with the next non-empty bucket's value (Lucene
+    default), keeping the output length fixed at bucket_count.
+
+    Hashing is sha1-based (deterministic across JVM/Python), not
+    Lucene's murmur — parity is with the ALGORITHM, not the bytes;
+    the dedup MinHash pipeline (ops/dedup.py) is the scale path.
+    """
+    import hashlib
+
+    def h(tok: str, salt: int) -> int:
+        d = hashlib.sha1(f"{salt}:{tok}".encode()).digest()
+        return int.from_bytes(d[:8], "big")
+
+    span = (1 << 64) // bucket_count
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        if not terms:
+            return [], []
+        out_t: list[str] = []
+        first_pos = positions[0] if positions else 1
+        for salt in range(hash_count):
+            buckets: list[list[int]] = [[] for _ in range(bucket_count)]
+            for t in terms:
+                v = h(t, salt)
+                b = min(v // span, bucket_count - 1)
+                keep = buckets[b]
+                keep.append(v)
+                keep.sort()
+                del keep[hash_set_size:]
+            if with_rotation:
+                # rotate: empty buckets borrow the next non-empty value
+                vals: list[list[int]] = [list(b) for b in buckets]
+                for i in range(bucket_count):
+                    if not vals[i]:
+                        j = (i + 1) % bucket_count
+                        while j != i and not buckets[j]:
+                            j = (j + 1) % bucket_count
+                        if buckets[j]:
+                            vals[i] = [buckets[j][0]]
+                buckets = vals
+            for b in buckets:
+                for v in b:
+                    out_t.append(f"{v:016x}")
+        return out_t, [first_pos] * len(out_t)
+
+    return fn
+
+
 def compose(base: Callable[[str], TokenStream], *filters) -> Callable[[str], TokenStream]:
     def analyzer(text: str) -> TokenStream:
         terms, positions = base(text)

@@ -159,6 +159,57 @@ italian_light_stem = make_cascade_stemmer(ITALIAN_LIGHT_RULES)
 portuguese_light_stem = make_cascade_stemmer(PORTUGUESE_LIGHT_RULES)
 dutch_light_stem = make_cascade_stemmer(DUTCH_LIGHT_RULES)
 
+# Scandinavian / Finnish / Russian tier (the reference registers
+# swedish/norwegian/danish/finnish/russian analyzers with *_light
+# stemmer variants; cascades after Savoy's light stemmers for the
+# Nordic languages and the common case-suffix strip for Russian).
+SWEDISH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"å", "a"), (r"ä", "a"), (r"ö", "o"),
+    (r"(...)(?:arna|erna|orna)$", r"\1"),  # definite plurals
+    (r"(...)(?:ande|ende)$", r"\1"),       # participles
+    (r"(...)(?:ar|er|or)$", r"\1"),        # plurals
+    (r"(...)(?:en|et|na)$", r"\1"),        # definite singular
+    (r"(...)(?:t|n|a|e|s)$", r"\1"),       # residual endings
+]
+
+NORWEGIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"å", "a"), (r"æ", "a"), (r"ø", "o"),
+    (r"(...)(?:ene|ane|ande|ende)$", r"\1"),  # definite plural / part.
+    (r"(...)(?:er|ar|st)$", r"\1"),
+    (r"(...)(?:en|et|a|e|s)$", r"\1"),
+]
+
+DANISH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"å", "a"), (r"æ", "a"), (r"ø", "o"),
+    (r"(...)(?:erne|ende)$", r"\1"),       # definite plurals
+    (r"(...)(?:ere|est)$", r"\1"),         # comparatives
+    (r"(...)(?:er|en|et|es)$", r"\1"),
+    (r"(...)(?:e|s)$", r"\1"),
+]
+
+FINNISH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ä", "a"), (r"ö", "o"),
+    (r"(...)(?:issa|ista|illa|ilta|ille|ihin)$", r"\1"),  # plural cases
+    (r"(...)(?:ssa|sta|lla|lta|lle|ksi|tta)$", r"\1"),    # sg cases
+    (r"(...)(?:iden|ien|jen)$", r"\1"),                   # plural gen.
+    (r"(...)(?:t|n|a)$", r"\1"),                          # residuals
+]
+
+RUSSIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ё", "е"),
+    (r"(...)(?:иями|ями|ами)$", r"\1"),               # instr. plurals
+    (r"(...)(?:иях|иям|ием|ого|его|ому|ему)$", r"\1"),  # adj/gen
+    (r"(...)(?:ой|ый|ий|ая|яя|ое|ее|ов|ев|ей|ам|ям|ах|ях|ию|ья|ье)$",
+     r"\1"),
+    (r"(...)(?:ы|и|а|я|о|е|у|ю|ь)$", r"\1"),          # single-vowel
+]
+
+swedish_light_stem = make_cascade_stemmer(SWEDISH_LIGHT_RULES)
+norwegian_light_stem = make_cascade_stemmer(NORWEGIAN_LIGHT_RULES)
+danish_light_stem = make_cascade_stemmer(DANISH_LIGHT_RULES)
+finnish_light_stem = make_cascade_stemmer(FINNISH_LIGHT_RULES)
+russian_light_stem = make_cascade_stemmer(RUSSIAN_LIGHT_RULES)
+
 
 # ---------------------------------------------------------------------
 # Porter stemmer (Porter 1980, "An algorithm for suffix stripping")

@@ -211,3 +211,81 @@ def test_elision_filter():
     f = elision_filter()
     t, p = f(["l'avion", "d'eau", "qu'il", "laporte"], [0, 1, 2, 3])
     assert t == ["avion", "eau", "il", "laporte"] and p == [0, 1, 2, 3]
+
+
+def test_dictionary_decompounder():
+    from elasticsearch_spark.analysis.filters import (
+        dictionary_decompounder_filter,
+    )
+
+    f = dictionary_decompounder_filter(["base", "ball", "foot", "note"])
+    t, p = f(["baseball", "footnote", "tiny"], [0, 1, 2])
+    # original kept + every dictionary subword at the same position
+    # (subwords in deterministic longest-then-lexicographic order)
+    assert list(zip(t, p)) == [
+        ("baseball", 0), ("ball", 0), ("base", 0),
+        ("footnote", 1), ("foot", 1), ("note", 1), ("tiny", 2)]
+    # min_word_size gates the whole token
+    f2 = dictionary_decompounder_filter(["tin"], min_word_size=5)
+    t, _ = f2(["tiny"], [0])
+    assert t == ["tiny"]
+    # only_longest_match: one (longest) hit per start offset
+    f3 = dictionary_decompounder_filter(
+        ["foot", "foo"], only_longest_match=True)
+    t, _ = f3(["footnote"], [0])
+    assert t == ["footnote", "foot"]
+
+
+def test_multiplexer_filter():
+    from elasticsearch_spark.analysis.filters import (
+        multiplexer_filter, reverse_filter, truncate_filter,
+    )
+
+    f = multiplexer_filter(reverse_filter, truncate_filter(3))
+    t, p = f(["stream"], [0])
+    # original + each branch variant stacked at position 0, deduped
+    assert set(zip(t, p)) == {("stream", 0), ("maerts", 0), ("str", 0)}
+    # dedup: identity branch collapses into the original
+    f2 = multiplexer_filter(truncate_filter(50))
+    t, _ = f2(["x"], [0])
+    assert t == ["x"]
+
+
+def test_condition_and_predicate_filters():
+    from elasticsearch_spark.analysis.filters import (
+        condition_filter, predicate_token_filter, reverse_filter,
+    )
+
+    f = condition_filter(lambda t: len(t) > 3, reverse_filter)
+    t, p = f(["abc", "abcd"], [0, 1])
+    assert list(zip(t, p)) == [("abc", 0), ("dcba", 1)]
+
+    g = predicate_token_filter(lambda t: not t.isdigit())
+    t, p = g(["a1", "42", "b"], [0, 1, 2])
+    assert list(zip(t, p)) == [("a1", 0), ("b", 2)]
+
+
+def test_min_hash_filter():
+    from elasticsearch_spark.analysis.filters import min_hash_filter
+
+    f = min_hash_filter(hash_count=1, bucket_count=8, hash_set_size=1)
+    t1, p1 = f(["alpha", "beta", "gamma"], [1, 2, 3])
+    # fixed-width signature: rotation fills all buckets
+    assert len(t1) == 8 and p1 == [1] * 8
+    assert all(len(x) == 16 for x in t1)
+    # deterministic, order-insensitive (set semantics of min-hashing)
+    t2, _ = f(["gamma", "alpha", "beta", "alpha"], [1, 2, 3, 4])
+    assert t1 == t2
+    # similar docs share most buckets, disjoint docs share none
+    t3, _ = f(["alpha", "beta", "delta"], [1, 2, 3])
+    assert sum(a == b for a, b in zip(t1, t3)) >= 4
+    t4, _ = f(["zz1", "zz2", "zz3"], [1, 2, 3])
+    assert t1 != t4
+
+
+def test_min_hash_no_rotation():
+    from elasticsearch_spark.analysis.filters import min_hash_filter
+
+    f = min_hash_filter(bucket_count=16, with_rotation=False)
+    t, _ = f(["only"], [1])
+    assert len(t) == 1  # one token -> one occupied bucket

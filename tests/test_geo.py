@@ -115,3 +115,17 @@ def test_geo_exprs_are_codegen_no_udf(points):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geo_distance_agg_rings(spark):
+    from elasticsearch_spark.aggs.analytics import geo_distance_agg
+
+    # origin-centric rings over 3 fixed points: 0 km, ~1113 km, ~5004 km
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 45.0, 0.0)],
+        "id long, lat double, lon double")
+    out = geo_distance_agg(df, "lat", "lon", origin=(0.0, 0.0),
+                           ranges=[(None, 500.0), (500.0, 2000.0),
+                                   (2000.0, None)])
+    got = {r["key"]: r["doc_count"] for r in out.collect()}
+    assert got == {"*-500": 1, "500-2000": 1, "2000-*": 1}

@@ -251,3 +251,49 @@ def test_new_language_analyzers_registered():
     assert analyze("de boeken en tafels", "dutch_light") == \
         [("boek", 1), ("tafel", 3)]
     assert analyze("kolommen", "dutch_light") == [("kolom", 0)]
+
+
+@pytest.mark.parametrize("lang,words", [
+    ("swedish", ["flickorna", "bilarna", "husen", "böcker", "springande",
+                 "stora", "snabbt"]),
+    ("norwegian", ["guttene", "bilene", "bøkene", "løpende", "store",
+                   "husets"]),
+    ("danish", ["pigerne", "bilerne", "bøgerne", "løbende", "hurtigste",
+                "huset"]),
+    ("finnish", ["taloissa", "autolla", "kirjasta", "kaupungille",
+                 "tyttöjen", "nopeasti"]),
+    ("russian", ["книгами", "столов", "быстрый", "хорошее", "домах",
+                 "окнами", "синяя"]),
+])
+def test_nordic_fi_ru_sql_twins(lang, words):
+    """Python cascade == DuckDB cascade_sql for the sv/no/da/fi/ru tier
+    (non-ASCII suffix alternations exercise multibyte regex parity)."""
+    import duckdb
+
+    from elasticsearch_spark.analysis import stem as S
+
+    rules = getattr(S, f"{lang.upper()}_LIGHT_RULES")
+    py_stem = getattr(S, f"{lang}_light_stem")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {S.cascade_sql(rules, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, py_stem(w)) for w, got in rows if got != py_stem(w)]
+    assert not mism, mism
+
+
+def test_nordic_fi_ru_analyzers_registered():
+    from elasticsearch_spark.analysis.analyzers import (
+        ANALYZERS, FLAT_ANALYZERS,
+    )
+
+    for name in ["swedish_light", "norwegian_light", "danish_light",
+                 "finnish_light", "russian_light"]:
+        assert name in ANALYZERS and name in FLAT_ANALYZERS
+    # singular and plural meet at the same stem
+    assert analyze("bilarna", "swedish_light") == \
+        analyze("bilar", "swedish_light")
+    # russian: cyrillic tokens survive the standard tokenizer and stem
+    assert analyze("книгами", "russian_light") == \
+        analyze("книга", "russian_light")
