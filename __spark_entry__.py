@@ -1530,6 +1530,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank")
     # rows-only check (random hyperplanes not SQL-expressible)
 
+    def ann_ivf(s, d):
+        # IVF with nprobe == n_clusters probes every inverted list, so
+        # the result is EXACTLY brute force — the deterministic k-means
+        # + assignment + probe plumbing all runs, oracle = the plain
+        # cosine SQL. Recall at nprobe < n_clusters is pytest-gated.
+        emb = _t(s, d, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+        out = similarity.ivf_topk(emb, qv, k=10, n_clusters=8, nprobe=8,
+                                  iters=1)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    q["ann_ivf_topk"] = ann_ivf
+
+    def count_api_q(s: SparkSession, d: str) -> DataFrame:
+        # the _count endpoint: same query DSL, returns only the count
+        docs = _t(s, d, "documents")
+        hits = filter_query(docs, {"bool": {"filter": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 200}}},
+        ]}})
+        return hits.agg(F.count("*").alias("count"))
+
+    q["count_api"] = count_api_q
+
+    def msearch_q(s: SparkSession, d: str) -> DataFrame:
+        # _msearch: several searches in one round trip — one plan, a
+        # UNION of independently-scored top-k blocks tagged by slot
+        a = _bm25(s, d, "table scan", k=5).withColumn("slot", F.lit(0))
+        b = _bm25(s, d, "window merge", k=5).withColumn("slot", F.lit(1))
+        return a.unionByName(b).select("slot", "doc_id", "score")
+
+    q["msearch"] = msearch_q
+
+    def rank_eval_q(s: SparkSession, d: str) -> DataFrame:
+        # _rank_eval (modules/rank-eval): P@10 / recall@10 / MRR / nDCG
+        # over the engine's own top-10, judgments = doc_id % 7 == 0
+        from elasticsearch_spark.search.rank_eval import (
+            mean_reciprocal_rank, ndcg_at_k, precision_at_k, recall_at_k,
+        )
+
+        docs = _t(s, d, "documents")
+        ranked = [r["doc_id"] for r in _bm25(s, d, "spark query data",
+                                             k=10).collect()]
+        relevant = {r["doc_id"] for r in
+                    docs.where(F.col("doc_id") % 7 == 0)
+                    .select("doc_id").collect()}
+        gains = {i: 1.0 for i in relevant}
+        row = [(
+            round(precision_at_k(ranked, relevant, 10), 6),
+            round(recall_at_k(ranked, relevant, 10), 6),
+            round(mean_reciprocal_rank(ranked, relevant, 10), 6),
+            round(ndcg_at_k(ranked, gains, 10), 6),
+        )]
+        return s.createDataFrame(
+            row, "p_at_10 double, recall_at_10 double, mrr_at_10 double, "
+                 "ndcg_at_10 double")
+
+    q["rank_eval"] = rank_eval_q
+
     q["text_token_count"] = lambda s, d: text_ops.token_count(
         _t(s, d, "documents")
     ).select("doc_id", "n_tokens")
@@ -2364,6 +2424,51 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
         numeric_fields=["n_chars"],
     )
 
+    o["count_api"] = """
+SELECT count(*) AS count FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+"""
+
+    from elasticsearch_spark.oracle.sql_oracle import bm25_ctes as _ctes
+
+    _ts_a = [t for t, _ in analyze("table scan", "ascii_word")]
+    _ts_b = [t for t, _ in analyze("window merge", "ascii_word")]
+    o["msearch"] = f"""
+WITH {_ctes(_ts_a, prefix="a_")},
+{_ctes(_ts_b, prefix="b_")},
+ta AS (SELECT 0 AS slot, doc_id, round(score, 4) AS score
+       FROM a_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5),
+tb AS (SELECT 1 AS slot, doc_id, round(score, 4) AS score
+       FROM b_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT * FROM ta UNION ALL SELECT * FROM tb
+"""
+
+    _ts_r = [t for t, _ in analyze("spark query data", "ascii_word")]
+    o["rank_eval"] = f"""
+WITH {_ctes(_ts_r)},
+topk AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored WHERE matched >= 1
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+j AS (SELECT rank, CASE WHEN doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS rel
+      FROM topk),
+tot AS (SELECT count(*) AS n_rel FROM documents WHERE doc_id % 7 = 0),
+idcg AS (
+  SELECT sum(1.0 / log2(i + 1)) AS v
+  FROM (SELECT unnest(range(1, least((SELECT n_rel FROM tot), 10) + 1)) AS i)
+)
+SELECT round(avg(rel), 6) AS p_at_10,
+       round(sum(rel) / (SELECT n_rel FROM tot), 6) AS recall_at_10,
+       round(coalesce(max(rel / rank), 0.0), 6) AS mrr_at_10,
+       round(sum(rel / log2(rank + 1)) / (SELECT v FROM idcg), 6)
+         AS ndcg_at_10
+FROM j
+"""
+
     _decomp_vals = ", ".join(f"('{w}')" for w in
                              ["col", "umn", "wind", "order", "val",
                               "ream", "park"])
@@ -2746,6 +2851,18 @@ s AS (
 SELECT vec_id, round(cosine, 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+    o["ann_ivf_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
+s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+  FROM embeddings, q)
+SELECT vec_id, round(cosine, 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
     o["ann_cosine_batch"] = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 3),

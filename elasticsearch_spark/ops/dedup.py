@@ -265,6 +265,69 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_bucketed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Same candidate pairs as :func:`minhash_lsh_pairs`, different
+    physical strategy: ONE shuffle.  Each (band, hash) bucket is
+    grouped once (collect_set of member ids — map-side partial agg
+    applies), the skew cap becomes a plain size() filter on the bucket
+    array (no separate bucket-size aggregation + semi-join), and the
+    within-bucket pairs are emitted by a nested array transform instead
+    of a two-sided shuffle join.  Worst-case per-bucket memory is
+    max_bucket ids + max_bucket^2/2 pair structs (~8 MB at the default
+    cap) — bounded, while the join strategy shuffles the stacked rows
+    twice more.  Kept alongside the join variant (parity-tested):
+    measure at your scale; the join wins when buckets are huge and the
+    grouped arrays would dominate task memory."""
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bd"),
+    ).select(id_col, "bd.band_id", "bd.band_hash")
+    buckets = (
+        stacked.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ids) - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids) - 1),
+                lambda j: F.struct(
+                    F.get(ids, i).alias("id_a"), F.get(ids, j).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def ngram_containment(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -121,6 +121,114 @@ def hyperplane_signatures(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    n_clusters: int = 64,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+
+    Init is the ``n_clusters`` vectors with the smallest xxhash64(id)
+    (a seeded uniform sample, reproducible across runs); each Lloyd
+    iteration is (a) one Arrow-batched assignment pass against the
+    broadcast centroid matrix and (b) one posexplode + groupBy(cluster,
+    dim) mean — the standard distributed k-means shuffle of
+    O(rows x dim) scalars with map-side partial aggregation. Centroids
+    (n_clusters x dim doubles) always fit the driver.
+
+    Returns (assignments ``(id, cluster)``, centroid matrix). At 100 TB
+    you persist the assignment partitioned BY cluster, so a query's
+    nprobe clusters prune to nprobe partitions at scan time."""
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = np.array([[float(x) for x in r[vec_col]] for r in init_rows])
+
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col, id_col)
+        sums = (
+            assigned.join(df.select(id_col, vec_col), id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in sums:
+            new[r["cluster"], r["dim"]] = r["mean"]
+        centroids = new
+    return ivf_assign(df, centroids, vec_col, id_col), centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (cosine): one mapInPandas matmul per
+    Arrow batch against the broadcast centroid matrix."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cn)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                "__id": pdf[id_col],
+                "cluster": (m @ c.T).argmax(axis=1).astype("int32"),
+            })
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"__id long, cluster int"
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assignments: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest
+    the query, exact cosine only within those inverted lists. With
+    nprobe == n_clusters this is EXACTLY brute force (the oracle-
+    checkable configuration); recall at nprobe < n_clusters is gated
+    in tests. Pass a prebuilt (assignments, centroids) to amortize the
+    build across queries — the production shape."""
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_build(
+            df, n_clusters, iters, vec_col, id_col)
+    q = np.asarray([float(x) for x in query_vec])
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    sims = cn @ (q / max(np.linalg.norm(q), 1e-12))
+    probes = [int(c) for c in np.argsort(-sims)[:nprobe]]
+    subset = df.join(
+        assignments.where(F.col("cluster").isin(probes)).select(id_col),
+        id_col, "left_semi",
+    )
+    return cosine_topk(subset, list(query_vec), k, vec_col, id_col)
+
+
 def ann_self_join(
     df: DataFrame,
     dim: int,

@@ -242,3 +242,50 @@ def test_frame_sample(spark):
     }
     for r in rows:
         assert r["count"] == max(durations[r["media_id"]] // 1000, 1)
+
+
+def test_minhash_lsh_bucketed_parity(spark):
+    """The one-shuffle bucketed strategy emits EXACTLY the join
+    strategy's candidate set (same bands, same cap semantics)."""
+    from elasticsearch_spark.ops import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = set(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
+    b = set(map(tuple, dedup.minhash_lsh_pairs_bucketed(docs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_exact_when_probing_all(spark):
+    """nprobe == n_clusters must reproduce brute force exactly."""
+    from elasticsearch_spark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.first()["embedding"]]
+    brute = [r["vec_id"] for r in
+             similarity.cosine_topk(emb, qv, k=5).collect()]
+    ivf = [r["vec_id"] for r in
+           similarity.ivf_topk(emb, qv, k=5, n_clusters=4, nprobe=4,
+                               iters=1).collect()]
+    assert ivf == brute
+
+
+def test_ivf_recall_at_partial_probe(spark):
+    """nprobe = half the clusters keeps recall@5 high on the synthetic
+    embeddings (clustered corpus -> the S-curve IVF relies on)."""
+    from elasticsearch_spark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    asg, cent = similarity.ivf_build(emb, n_clusters=8, iters=2)
+    asg = asg.cache()
+    hits = total = 0
+    for qid in (0, 7, 21):
+        qv = [float(x) for x in
+              emb.filter(emb.vec_id == qid).first()["embedding"]]
+        brute = {r["vec_id"] for r in
+                 similarity.cosine_topk(emb, qv, k=5).collect()}
+        ivf = {r["vec_id"] for r in
+               similarity.ivf_topk(emb, qv, k=5, n_clusters=8, nprobe=4,
+                                   assignments=asg, centroids=cent).collect()}
+        hits += len(brute & ivf)
+        total += len(brute)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"

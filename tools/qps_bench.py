@@ -1,0 +1,110 @@
+"""Query-side scaling evidence: BM25 top-10 QPS at two parallelism
+levels over the SAME on-disk 500k-doc index (built once — queries only
+read it, so unlike scaling_bench the build does not gate the repeats
+and each level affords many more fresh-JVM samples against host noise).
+
+Usage: python tools/qps_bench.py [n_docs] [lo_cores] [hi_cores]
+Appends the measured table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHILD = r"""
+import json, sys, time
+from concurrent.futures import ThreadPoolExecutor
+sys.path.insert(0, {repo!r})
+from elasticsearch_spark.session import get_spark
+from elasticsearch_spark.index.builder import load_index
+from elasticsearch_spark.search.executor import match_topk
+from elasticsearch_spark.analysis import analyze
+
+cores, idx_dir = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(f"qps{{cores}}", cores=cores, shuffle_partitions=128)
+idx = load_index(spark, idx_dir).cache()
+queries = ["import return static", "parseIndex scanBuffer", "def lambda yield",
+           "public class void", "read_buf_cfg token"]
+terms = [[t for t, _ in analyze(q, "code")] for q in queries]
+for ts in terms:
+    match_topk(idx, "content", ts, k=10).collect()
+N = 60
+t0 = time.time()
+with ThreadPoolExecutor(max_workers=8) as ex:
+    futs = [ex.submit(lambda ts=terms[i % len(terms)]:
+                      match_topk(idx, "content", ts, k=10).collect())
+            for i in range(N)]
+    for f in futs:
+        f.result()
+print(json.dumps({{"cores": cores, "qps": N / (time.time() - t0)}}))
+"""
+
+
+def qps(cores: int, idx_dir: str, repeats: int) -> list[float]:
+    vals = []
+    for _ in range(repeats):
+        proc = subprocess.run(
+            [sys.executable, "-c", CHILD.format(repo=REPO),
+             str(cores), idx_dir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-3000:])
+            raise RuntimeError(f"child cores={cores} failed")
+        vals.append(json.loads(proc.stdout.strip().splitlines()[-1])["qps"])
+    return vals
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else lo * 4
+    repeats = int(os.environ.get("QPS_REPEATS", "5"))
+
+    from elasticsearch_spark.corpus import generate_corpus
+    from elasticsearch_spark.index.builder import build_index
+    from elasticsearch_spark.session import get_spark
+
+    shards = max(32, n_docs // 8000)
+    spark = get_spark("qpsbuild", cores=16, shuffle_partitions=2 * shards)
+    corpus = generate_corpus(spark, n_docs, seed=42,
+                             partitions=2 * shards).cache()
+    idx_dir = tempfile.mkdtemp(prefix="qps_idx_")
+    build_index(corpus, idx_dir, fields={"content": "code"},
+                num_partitions=shards, id_cols=["repo", "path", "commit"],
+                input_snapshot="qps")
+    spark.stop()
+
+    lo_vals = qps(lo, idx_dir, repeats)
+    hi_vals = qps(hi, idx_dir, repeats)
+    eff = max(hi_vals) / ((hi / lo) * max(lo_vals))
+    out = {
+        "n_docs": n_docs,
+        f"qps_local{lo}": sorted(round(v, 3) for v in lo_vals),
+        f"qps_local{hi}": sorted(round(v, 3) for v in hi_vals),
+        f"qps_scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+    }
+    print(json.dumps(out))
+    section = (
+        f"\n## Query QPS scaling — {n_docs:,}-doc index, best of "
+        f"{repeats} fresh JVMs per level\n\n"
+        f"| level | QPS samples | best |\n|---|---|---|\n"
+        f"| local[{lo}] | {out[f'qps_local{lo}']} | {max(lo_vals):.3f} |\n"
+        f"| local[{hi}] | {out[f'qps_local{hi}']} | {max(hi_vals):.3f} |\n\n"
+        f"**QPS scaling efficiency ({lo} -> {hi} cores): {eff:.3f}** "
+        f"(index built once; each sample is a fresh JVM running the same "
+        f"60-query concurrent stream).\n"
+    )
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(section)
+
+
+if __name__ == "__main__":
+    main()
