@@ -119,6 +119,9 @@ GEO_PENTAGON = [(0.0, -60.0), (45.0, -20.0), (30.0, 40.0),
 
 # stored percolator queries (PercolateQueryBuilder.java:83): decomposed
 # into requirement rows on both engines — see search/percolate.py
+ANALYZE_TEXT = ("The tables were scanned and the queries re-filtered "
+                "for merges")
+
 PERCOLATE_STORED = [
     (1, {"match": {"text": "table scan"}}),
     (2, {"match": {"text": {"query": "window merge filter",
@@ -1555,6 +1558,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["count_api"] = count_api_q
 
+    def ingest_pipeline_q(s: SparkSession, d: str) -> DataFrame:
+        # a representative processor chain (ingest-common): set ->
+        # uppercase -> gsub -> split -> fingerprint — all JVM exprs
+        from elasticsearch_spark.ops.ingest import apply_pipeline
+
+        docs = _t(s, d, "documents").select("doc_id", "lang", "source")
+        out = apply_pipeline(docs, [
+            {"set": {"field": "pipe", "value": "v1"}},
+            {"uppercase": {"field": "lang"}},
+            {"gsub": {"field": "source", "pattern": "src",
+                      "replacement": "origin_"}},
+            {"split": {"field": "source", "separator": "_"}},
+            {"fingerprint": {"fields": ["doc_id", "lang"],
+                             "target_field": "fp"}},
+        ])
+        return out.select(
+            "doc_id", "lang", F.col("source").getItem(1).alias("src_num"),
+            "pipe", "fp")
+
+    q["ingest_pipeline"] = ingest_pipeline_q
+
+    def analyze_api_q(s: SparkSession, d: str) -> DataFrame:
+        # the _analyze endpoint: run a text through a named analyzer
+        # chain, return (token, position) — the engine's full python
+        # chain (tokenize -> stop -> stem) vs the SQL-twin chain
+        toks = analyze(ANALYZE_TEXT, "english_light")
+        return s.createDataFrame(
+            [(t, p) for t, p in toks], "token string, position int")
+
+    q["analyze_api"] = analyze_api_q
+
     def msearch_q(s: SparkSession, d: str) -> DataFrame:
         # _msearch: several searches in one round trip — one plan, a
         # UNION of independently-scored top-k blocks tagged by slot
@@ -2427,6 +2461,30 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
     o["count_api"] = """
 SELECT count(*) AS count FROM documents
 WHERE lang = 'en' AND n_chars >= 200
+"""
+
+    from elasticsearch_spark.analysis.analyzers import (
+        ENGLISH_STOPWORDS as _EN_STOPS,
+    )
+    from elasticsearch_spark.analysis.stem import s_stem_sql as _s_stem_sql
+
+    _stops_sql = ", ".join(f"'{w}'" for w in sorted(_EN_STOPS))
+    o["analyze_api"] = f"""
+SELECT {_s_stem_sql('tok')} AS token, pos AS position
+FROM (
+  SELECT unnest(ts) AS tok, unnest(range(0, len(ts))) AS pos
+  FROM (SELECT regexp_extract_all(lower('{ANALYZE_TEXT}'),
+                                  '[a-z0-9_]+') AS ts)
+)
+WHERE tok NOT IN ({_stops_sql})
+"""
+
+    o["ingest_pipeline"] = """
+SELECT doc_id, upper(lang) AS lang,
+       string_split(replace(source, 'src', 'origin_'), '_')[2] AS src_num,
+       'v1' AS pipe,
+       sha256(doc_id::VARCHAR || '|' || upper(lang)) AS fp
+FROM documents
 """
 
     from elasticsearch_spark.oracle.sql_oracle import bm25_ctes as _ctes

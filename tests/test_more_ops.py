@@ -307,3 +307,41 @@ def test_parent_join_family(spark, duck):
     some_key = li.select("l_orderkey").first()[0]
     pid = parent_id(li, "l_orderkey", some_key)
     assert pid.count() == li.filter(F.col("l_orderkey") == some_key).count()
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path):
+    """Snapshot -> restore produces a rank-identical index; the
+    manifest is the commit point (no snapshot.json -> invisible)."""
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.index.builder import build_index, load_index
+    from elasticsearch_spark.ops.snapshot import (
+        field_caps, list_snapshots, restore_index, snapshot_index,
+    )
+    from elasticsearch_spark.search.executor import match_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "idx")
+    build_index(docs.select("doc_id", "text"), src,
+                fields={"text": "ascii_word"}, num_partitions=2,
+                input_snapshot="snaptest")
+    repo = str(tmp_path / "repo")
+    man = snapshot_index(src, repo, "snap1")
+    assert man["state"] == "SUCCESS"
+    assert [s["name"] for s in list_snapshots(repo)] == ["snap1"]
+
+    tgt = str(tmp_path / "restored")
+    restore_index(repo, "snap1", tgt)
+    terms = [t for t, _ in analyze("table scan", "ascii_word")]
+    a = match_topk(load_index(spark, src), "text", terms, k=10).collect()
+    b = match_topk(load_index(spark, tgt), "text", terms, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in a] == \
+           [(r["doc_id"], round(r["score"], 6)) for r in b]
+
+    caps = field_caps(src)
+    assert caps == [{"field": "text", "type": "text",
+                     "analyzer": "ascii_word", "searchable": True,
+                     "aggregatable": True}]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snapshot_index(src, repo, "snap1")  # duplicate name refused
