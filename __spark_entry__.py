@@ -1547,6 +1547,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf
 
+    def vector_l2_topk(s, d):
+        # script_score l2norm (ScoreScriptUtils.java): nearest by
+        # euclidean distance to vec_id=2's embedding
+        emb = _t(s, d, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+        out = similarity.vector_score_topk(emb, qv, fn="l2norm", k=10)
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    q["vector_l2norm_topk"] = vector_l2_topk
+
+    def vector_dot_topk(s, d):
+        emb = _t(s, d, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+        out = similarity.vector_score_topk(emb, qv, fn="dot_product", k=10)
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    q["vector_dot_product_topk"] = vector_dot_topk
+
     def count_api_q(s: SparkSession, d: str) -> DataFrame:
         # the _count endpoint: same query DSL, returns only the count
         docs = _t(s, d, "documents")
@@ -2909,6 +2929,27 @@ s AS (
 SELECT vec_id, round(cosine, 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
+    o["vector_l2norm_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2),
+s AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(
+           list_zip(embedding::DOUBLE[], q.qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])))) AS score
+  FROM embeddings, q)
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score ASC, vec_id ASC LIMIT 10
+"""
+
+    o["vector_dot_product_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2),
+s AS (
+  SELECT vec_id, list_dot_product(embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings, q)
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
     o["ann_ivf_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1),
 s AS (

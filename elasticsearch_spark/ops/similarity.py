@@ -121,6 +121,48 @@ def hyperplane_signatures(
     )
 
 
+def vector_score_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    fn: str = "cosine",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """script_score vector functions (reference: x-pack/plugin/vectors/
+    .../query/ScoreScriptUtils.java — cosineSimilarity, dotProduct,
+    l1norm, l2norm over a dense_vector field). All four stay JVM-side
+    (zip_with/aggregate fold). Distance functions rank ASCENDING
+    (nearest first), similarities DESCENDING — the score the reference
+    derives in the script (e.g. 1/(1+l2norm)) is monotone in this
+    ordering."""
+    q = [float(x) for x in query_vec]
+    d = with_norm(df, vec_col)
+    qcol = F.array(*[F.lit(x) for x in q])
+    if fn == "cosine":
+        qn = float(np.sqrt(np.dot(q, q)))
+        col = _dot(F.col("_vec"), qcol) / (F.col("_norm") * F.lit(qn))
+        asc = False
+    elif fn == "dot_product":
+        col = _dot(F.col("_vec"), qcol)
+        asc = False
+    elif fn == "l1norm":
+        col = F.aggregate(
+            F.zip_with(F.col("_vec"), qcol, lambda x, y: F.abs(x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        asc = True
+    elif fn == "l2norm":
+        col = F.sqrt(F.aggregate(
+            F.zip_with(F.col("_vec"), qcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+        asc = True
+    else:
+        raise ValueError(f"unknown vector score fn {fn!r}")
+    out = d.select(F.col(id_col), col.alias("score"))
+    order = [F.asc("score") if asc else F.desc("score"), F.asc(id_col)]
+    return out.orderBy(*order).limit(k)
+
+
 def ivf_build(
     df: DataFrame,
     n_clusters: int = 64,

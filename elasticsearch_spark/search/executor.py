@@ -136,6 +136,7 @@ def _make_scorer(
         for i, ts in enumerate(stats):
             g = by_term.get(ts.term)
             remaining_ub = float(ubs[i:].sum())
+            rem_after = remaining_ub - float(ubs[i])
             theta = None
             if use_theta and acc_ids.size >= k:
                 # k-th best accumulated score is a LOWER bound on the
@@ -151,13 +152,44 @@ def _make_scorer(
                     ).astype({"doc_id": "int64", "score": "float64", "matched": "int32"})
                 continue
 
+            # block-max WAND: a block whose own upper bound (max_tf at
+            # min_dl — the skip metadata the builder stores per block)
+            # plus every later term's ub cannot reach theta can add no
+            # NEW top-k candidate; such blocks are restricted to docs
+            # already in the accumulator (their partial sums must stay
+            # exact), and skipped outright when no accumulator doc
+            # falls in the block's [first_doc, last_doc] range.
+            # acc_ids is sorted by construction (np.unique), so both
+            # the range test and membership are searchsorted, not isin.
+            block_restrict = None
+            if theta is not None and not restrict:
+                tfn_blk = bm25.tf_norm(
+                    g["max_tf"].to_numpy().astype(np.float64),
+                    g["min_dl"].to_numpy().astype(np.int64),
+                    avgdl, params,
+                )
+                block_ubs = ts.weight * (k1 + 1.0) * ts.idf * tfn_blk
+                block_restrict = block_ubs + rem_after < theta
+
             ids_parts, tf_parts, dl_parts = [], [], []
-            for row in g.itertuples(index=False):
-                if restrict and acc_ids.size == 0:
-                    break
+            for bi, row in enumerate(g.itertuples(index=False)):
+                restricted = restrict or (
+                    block_restrict is not None and bool(block_restrict[bi])
+                )
+                if restricted and acc_ids.size == 0:
+                    if restrict:
+                        break
+                    continue
+                if restricted:
+                    lo = np.searchsorted(acc_ids, row.first_doc, "left")
+                    hi = np.searchsorted(acc_ids, row.last_doc, "right")
+                    if lo == hi:
+                        continue  # range-skip: nothing to update, no decode
                 d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
-                if restrict:
-                    mask = np.isin(d, acc_ids)
+                if restricted:
+                    pos = np.searchsorted(acc_ids, d)
+                    pos[pos >= acc_ids.size] = acc_ids.size - 1
+                    mask = acc_ids[pos] == d
                     if not mask.any():
                         continue  # block-skip: no accumulator members
                     tfv = codec.vbyte_decode(row.tfs)[mask]
@@ -243,7 +275,8 @@ def match_topk(
     qterms = [s.term for s in term_stats]
     blocks = index.postings.filter(
         (F.col("field") == field) & F.col("term").isin(qterms)
-    ).select("part_id", "term", "doc_ids", "tfs", "dls")
+    ).select("part_id", "term", "doc_ids", "tfs", "dls",
+             "max_tf", "min_dl", "first_doc", "last_doc")
     scorer = _make_scorer(
         term_stats, avgdl, params, k, operator, minimum_should_match, prune
     )

@@ -58,15 +58,21 @@ def main() -> None:
         terms = [t for t, _ in analyze(qtext, "code")]
         match_topk(idx, "content", terms, k=10, params=exact,
                    prune=True).collect()  # warm
+        # INTERLEAVED on/off samples: host noise and cache warmth drift
+        # over seconds, so consecutive-block measurement makes whichever
+        # variant runs second look faster; alternating cancels the bias
         row: dict[str, float] = {}
-        for flag in (True, False):
-            ts = []
-            for _ in range(3):
+        samples = {True: [], False: []}
+        match_topk(idx, "content", terms, k=10, params=exact,
+                   prune=False).collect()  # warm the off-path too
+        for _ in range(7):
+            for flag in (True, False):
                 t0 = time.time()
                 match_topk(idx, "content", terms, k=10, params=exact,
                            prune=flag).collect()
-                ts.append(time.time() - t0)
-            row["prune_on" if flag else "prune_off"] = round(min(ts), 3)
+                samples[flag].append(time.time() - t0)
+        row["prune_on"] = round(min(samples[True]), 3)
+        row["prune_off"] = round(min(samples[False]), 3)
         row["speedup"] = round(row["prune_off"] / row["prune_on"], 3)
         results[name] = row
     shutil.rmtree(out, ignore_errors=True)
