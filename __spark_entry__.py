@@ -1644,6 +1644,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_eval"] = rank_eval_q
 
+    def agg_children_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.joins import children_agg
+
+        orders = _t(s, d, "orders")
+        items = _t(s, d, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey")
+        return children_agg(
+            orders, items, "o_orderkey", "o_orderstatus",
+            [F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price")],
+        )
+
+    q["agg_children"] = agg_children_q
+
+    def agg_parent_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.joins import parent_agg
+
+        orders = _t(s, d, "orders")
+        items = _t(s, d, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey")
+        return parent_agg(
+            orders, items, "o_orderkey", "l_returnflag",
+            [F.round(F.avg("o_totalprice"), 4).alias("avg_total")],
+        )
+
+    q["agg_parent"] = agg_parent_q
+
     q["text_token_count"] = lambda s, d: text_ops.token_count(
         _t(s, d, "documents")
     ).select("doc_id", "n_tokens")
@@ -2477,6 +2504,22 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
         PERCOLATE_STORED, keyword_fields=["lang", "source"],
         numeric_fields=["n_chars"],
     )
+
+    o["agg_children"] = """
+SELECT o.o_orderstatus, count(*) AS child_doc_count,
+       round(avg(l.l_quantity), 4) AS avg_qty,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+    o["agg_parent"] = """
+SELECT c.l_returnflag, count(*) AS parent_doc_count,
+       round(avg(o.o_totalprice), 4) AS avg_total
+FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem) c
+JOIN orders o ON o.o_orderkey = c.l_orderkey
+GROUP BY c.l_returnflag
+"""
 
     o["count_api"] = """
 SELECT count(*) AS count FROM documents

@@ -120,3 +120,44 @@ def parent_id(
 ) -> DataFrame:
     """Children of one specific parent (ParentIdQueryBuilder)."""
     return children.filter(F.col(child_key) == F.lit(parent))
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    join_key: str,
+    bucket_col: str,
+    child_aggs: list[Column],
+) -> DataFrame:
+    """``children`` aggregation (modules/parent-join/.../aggregations/
+    ChildrenAggregationBuilder.java): inside each parent bucket, step
+    into the child documents and aggregate THEIR fields. One equi-join
+    on the join key (broadcast when the bucketed parent side is small,
+    shuffle otherwise — Catalyst/AQE's call) + one partial-agg groupBy;
+    the child table is scanned once regardless of bucket count."""
+    p = parents.select(F.col(join_key), F.col(bucket_col))
+    return (
+        p.join(children, join_key)
+        .groupBy(bucket_col)
+        .agg(F.count("*").alias("child_doc_count"), *child_aggs)
+    )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    join_key: str,
+    bucket_col: str,
+    parent_aggs: list[Column],
+) -> DataFrame:
+    """``parent`` aggregation (ParentAggregationBuilder.java): from
+    child buckets step UP to the distinct parent documents and
+    aggregate parent fields. The dedup happens BEFORE the parent-field
+    aggregation (a parent with many matching children counts once per
+    bucket), matching the reference's bitset-per-bucket semantics."""
+    c = children.select(F.col(join_key), F.col(bucket_col)).distinct()
+    return (
+        c.join(parents, join_key)
+        .groupBy(bucket_col)
+        .agg(F.count("*").alias("parent_doc_count"), *parent_aggs)
+    )
