@@ -149,6 +149,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["match_zero_hits"] = lambda s, d: _bm25(s, d, "zzznoterm qqqmissing")
     q["match_k50"] = lambda s, d: _bm25(s, d, "stream batch", k=50)
 
+    def match_classic(s: SparkSession, d: str) -> DataFrame:
+        # classic TF-IDF similarity (SimilarityService.java "classic"):
+        # idf_c^2 * sqrt(tf)/sqrt(dl), queryNorm omitted (rank-identical)
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("spark query data", "ascii_word")]
+        out = match_topk(
+            idx, "text", terms, k=10,
+            params=BM25Params(quantize_norms=False, similarity="classic"))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_classic"] = match_classic
+
+    def match_boolean(s: SparkSession, d: str) -> DataFrame:
+        # boolean similarity: each matching clause contributes its boost
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+        out = match_topk(
+            idx, "text", terms, k=20,
+            params=BM25Params(quantize_norms=False, similarity="boolean"))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_boolean"] = match_boolean
+
     def match_phrase(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import phrase_topk
 
@@ -1671,6 +1694,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_parent"] = agg_parent_q
 
+    def pii_scrub_q(s: SparkSession, d: str) -> DataFrame:
+        # testdata carries no PII, so append a deterministic fake
+        # email/IP/phone per doc, then scrub — the redaction chain is
+        # the operator under test; both engines build the same input
+        from elasticsearch_spark.ops.text import pii_scrub
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 tel 415-555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ).alias("text"),
+        )
+        return pii_scrub(docs).select("doc_id", "text_scrubbed")
+
+    q["pii_scrub"] = pii_scrub_q
+
     q["text_token_count"] = lambda s, d: text_ops.token_count(
         _t(s, d, "documents")
     ).select("doc_id", "n_tokens")
@@ -1705,6 +1748,39 @@ def oracle_sql() -> dict[str, str]:
     o["match_or"] = _bm25_oracle("spark query data")
     o["match_and"] = _bm25_oracle("table scan", operator="and")
     o["match_msm2"] = _bm25_oracle("window filter merge", msm=2)
+
+    _cl_terms = "', '".join(
+        t for t, _ in analyze("spark query data", "ascii_word"))
+    o["match_classic"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('{_cl_terms}') GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         sum(pow(1.0 + ln(nd.n / (df.df + 1.0)), 2)
+             * sqrt(tf.tf) / sqrt(greatest(dl.dl, 1))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), nd
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    _bl_terms = "', '".join(
+        t for t, _ in analyze("table scan merge", "ascii_word"))
+    o["match_boolean"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT doc_id, round(CAST(count(DISTINCT term) AS DOUBLE), 4) AS score
+FROM toks WHERE term IN ('{_bl_terms}')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
     o["match_high_df"] = _bm25_oracle("table")
     o["match_zero_hits"] = _bm25_oracle("zzznoterm qqqmissing")
     o["match_k50"] = _bm25_oracle("stream batch", k=50)
@@ -2504,6 +2580,16 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
         PERCOLATE_STORED, keyword_fields=["lang", "source"],
         numeric_fields=["n_chars"],
     )
+
+    from elasticsearch_spark.ops.text import pii_scrub_sql as _pii_sql
+
+    _pii_inner = (
+        "SELECT doc_id, text || ' contact user' || doc_id::VARCHAR"
+        " || '@example.com or 10.0.' || (doc_id % 256)::VARCHAR"
+        " || '.1 tel 415-555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')"
+        " AS text FROM documents"
+    )
+    o["pii_scrub"] = _pii_sql(table=f"({_pii_inner})")
 
     o["agg_children"] = """
 SELECT o.o_orderstatus, count(*) AS child_doc_count,

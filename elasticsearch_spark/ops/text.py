@@ -109,3 +109,39 @@ SELECT doc_id,
            regexp_extract_all(lower({text_col}), '{WORD_RE}'))), ' ')) AS fingerprint
 FROM {table}
 """
+
+
+# PII scrubbing for training-data pipelines: redact spans matching
+# well-known identifier shapes. Pure regexp_replace chain — JVM-side,
+# whole-stage codegen, one pass per pattern; the same RE2-compatible
+# patterns run verbatim in the DuckDB twin (global replace).
+PII_PATTERNS: list[tuple[str, str]] = [
+    # email before phone/number rules (local parts can contain digits)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # 13-19 digit runs with optional separators (card-shaped)
+    (r"\b\d(?:[ -]?\d){12,18}\b", "<CARD>"),
+    # international/US phone shapes
+    (r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b",
+     "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out: str = "text_scrubbed"
+) -> DataFrame:
+    col = F.col(text_col)
+    for pat, rep in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, rep)
+    return df.withColumn(out, col)
+
+
+def pii_scrub_sql(table: str = "documents", text_col: str = "text") -> str:
+    expr = text_col
+    for pat, rep in PII_PATTERNS:
+        # DuckDB standard single-quote literals do NOT process
+        # backslash escapes, so the RE2 pattern goes in verbatim
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_scrubbed FROM {table}"

@@ -34,6 +34,13 @@ class BM25Params:
     k1: float = K1_DEFAULT
     b: float = B_DEFAULT
     quantize_norms: bool = True  # Lucene-parity mode
+    # per-field similarity selection (SimilarityService.java:43 —
+    # "BM25" default, "classic" TF-IDF, "boolean"):
+    #   bm25    : (k1+1) * idf * tf/(tf + k1(1-b+b·dl/avgdl))
+    #   classic : idf_c^2 * sqrt(tf)/sqrt(dl), idf_c = 1+ln(N/(df+1))
+    #             (queryNorm omitted — constant per query, rank-identical)
+    #   boolean : matching term contributes its boost (weight) only
+    similarity: str = "bm25"
 
 
 # ---- SmallFloat (Lucene 8 semantics, reimplemented on numpy) ----------
@@ -125,6 +132,45 @@ def score(
 ) -> np.ndarray:
     tf = np.asarray(tf, dtype=np.float64)
     return (params.k1 + 1.0) * idf(df, n_docs) * tf_norm(tf, dl, avgdl, params)
+
+
+# ---- similarity dispatch (SimilarityService registrations) ----------
+
+def idf_sim(df: float, n_docs: float, params: BM25Params) -> float:
+    """Per-term document-frequency factor under the selected similarity
+    (classic squares its idf because Lucene applies it to both query
+    and document vectors)."""
+    if params.similarity == "classic":
+        v = 1.0 + np.log(n_docs / (df + 1.0))
+        return float(v * v)
+    if params.similarity == "boolean":
+        return 1.0
+    return float(idf(df, n_docs))
+
+
+def tfn_eff(tf: np.ndarray, dl_eff: np.ndarray, avgdl: float,
+            params: BM25Params) -> np.ndarray:
+    """Per-posting factor with dl ALREADY effective (quantized or
+    exact). score = weight * idf_sim * tfn_eff. Monotone increasing in
+    tf and non-increasing in dl for every similarity, so (max_tf,
+    min_dl) remains a valid block upper bound."""
+    tf = np.asarray(tf, dtype=np.float64)
+    if params.similarity == "classic":
+        return np.sqrt(tf) / np.sqrt(np.maximum(dl_eff, 1.0))
+    if params.similarity == "boolean":
+        return np.ones_like(tf)
+    return (params.k1 + 1.0) * tf / (
+        tf + params.k1 * (1.0 - params.b + params.b * dl_eff / avgdl)
+    )
+
+
+def tf_norm_sim(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                params: BM25Params) -> np.ndarray:
+    dl_eff = (
+        quantize_dl(dl).astype(np.float64)
+        if params.quantize_norms else np.asarray(dl, dtype=np.float64)
+    )
+    return tfn_eff(tf, dl_eff, avgdl, params)
 
 
 def max_impact(max_tf_norm: float, df: float, n_docs: float, params: BM25Params) -> float:

@@ -82,9 +82,9 @@ def _lookup_terms(
         if r is None:
             continue
         df = int(r["df"])
-        term_idf = float(bm25.idf(df, n_docs))
+        term_idf = bm25.idf_sim(df, n_docs, params)
         tfn_ub = float(
-            bm25.tf_norm(
+            bm25.tf_norm_sim(
                 np.array([r["max_tf"]], dtype=np.float64),
                 np.array([r["min_dl"]], dtype=np.int64),
                 avgdl,
@@ -92,11 +92,7 @@ def _lookup_terms(
             )[0]
         )
         w = int(mult[t])
-        out.append(
-            TermStats(
-                t, df, term_idf, w * (params.k1 + 1.0) * term_idf * tfn_ub, w
-            )
-        )
+        out.append(TermStats(t, df, term_idf, w * term_idf * tfn_ub, w))
     return out, n_docs, avgdl
 
 
@@ -163,12 +159,12 @@ def _make_scorer(
             # the range test and membership are searchsorted, not isin.
             block_restrict = None
             if theta is not None and not restrict:
-                tfn_blk = bm25.tf_norm(
+                tfn_blk = bm25.tf_norm_sim(
                     g["max_tf"].to_numpy().astype(np.float64),
                     g["min_dl"].to_numpy().astype(np.int64),
                     avgdl, params,
                 )
-                block_ubs = ts.weight * (k1 + 1.0) * ts.idf * tfn_blk
+                block_ubs = ts.weight * ts.idf * tfn_blk
                 block_restrict = block_ubs + rem_after < theta
 
             ids_parts, tf_parts, dl_parts = [], [], []
@@ -207,9 +203,8 @@ def _make_scorer(
             tfs = np.concatenate(tf_parts).astype(np.float64)
             dls = np.concatenate(dl_parts)
             dl_eff = bm25.quantize_dl(dls).astype(np.float64) if quant else dls.astype(np.float64)
-            scores = ts.weight * (k1 + 1.0) * ts.idf * tfs / (
-                tfs + k1 * (1.0 - b + b * dl_eff / avgdl)
-            )
+            scores = ts.weight * ts.idf * bm25.tfn_eff(
+                tfs, dl_eff, avgdl, params)
             # merge into accumulator
             all_ids = np.concatenate([acc_ids, ids])
             all_scores = np.concatenate([acc_scores, scores])

@@ -46,3 +46,26 @@ def test_score_known_value():
     idf = math.log(1 + (3 - 1 + 0.5) / 1.5)
     tfn = 2.0 / (2.0 + 1.2 * (1 - 0.75 + 0.75 * 10 / 8.0))
     assert math.isclose(float(s[0]), 2.2 * idf * tfn, rel_tol=1e-12)
+
+
+def test_similarity_dispatch_scores():
+    """classic/boolean similarity formulas (SimilarityService.java)."""
+    import numpy as np
+
+    from elasticsearch_spark.search import bm25
+
+    pc = bm25.BM25Params(quantize_norms=False, similarity="classic")
+    # idf_c^2 * sqrt(tf)/sqrt(dl)
+    idf = bm25.idf_sim(10, 100, pc)
+    assert abs(idf - (1 + np.log(100 / 11)) ** 2) < 1e-12
+    tfn = bm25.tfn_eff(np.array([4.0]), np.array([16.0]), 10.0, pc)
+    assert abs(tfn[0] - 2.0 / 4.0) < 1e-12
+
+    pb = bm25.BM25Params(quantize_norms=False, similarity="boolean")
+    assert bm25.idf_sim(10, 100, pb) == 1.0
+    assert bm25.tfn_eff(np.array([7.0]), np.array([3.0]), 10.0, pb)[0] == 1.0
+
+    pd_ = bm25.BM25Params(quantize_norms=False)
+    got = bm25.tfn_eff(np.array([2.0]), np.array([5.0]), 5.0, pd_)
+    want = (pd_.k1 + 1) * 2.0 / (2.0 + pd_.k1 * (1 - pd_.b + pd_.b * 1.0))
+    assert abs(got[0] - want) < 1e-12

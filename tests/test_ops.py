@@ -289,3 +289,16 @@ def test_ivf_recall_at_partial_probe(spark):
         hits += len(brute & ivf)
         total += len(brute)
     assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_pii_scrub(spark):
+    from elasticsearch_spark.ops.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io, ip 10.1.2.3, card 4111 1111 1111 1111,"
+             " tel +44 20 7946 0958, clean 42")],
+        "doc_id long, text string")
+    out = pii_scrub(df).first()["text_scrubbed"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<CARD>" in out \
+        and "<PHONE>" in out
+    assert "clean 42" in out  # short digits untouched
