@@ -138,6 +138,17 @@ def _make_scorer(
                 # k-th best accumulated score is a LOWER bound on the
                 # final k-th score (scores only grow)
                 theta = float(np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k])
+                # accumulator pruning: a doc whose score plus EVERY
+                # remaining term's upper bound still misses theta can
+                # never be top-k — dropping it shrinks each later
+                # unique-merge and makes restricted blocks selective.
+                # (Safe only because use_theta implies msm == 1.)
+                if acc_ids.size > k:
+                    keepm = acc_scores + remaining_ub >= theta
+                    if not keepm.all():
+                        acc_ids = acc_ids[keepm]
+                        acc_scores = acc_scores[keepm]
+                        acc_counts = acc_counts[keepm]
             restrict = (
                 theta is not None and remaining_ub < theta
             ) or (operator == "and" and i > 0)
