@@ -1288,21 +1288,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def analyze_decompound_q(s: SparkSession, d: str) -> DataFrame:
         # dictionary_decompounder over the corpus token stream
         # (filters.dictionary_decompounder_filter semantics: token len
-        # >= min_word_size, dict word a strict substring, one emit per
-        # (token occurrence, word)) expressed as a broadcast contains-
-        # join so the count runs as one scan + one partial agg — the
-        # token stream never collects
+        # >= min_word_size, dict word a strict substring, ONE EMIT PER
+        # MATCHING START OFFSET as DictionaryCompoundWordTokenFilter
+        # does) expressed as a broadcast contains-join + a codegen
+        # higher-order offset count so the token stream never collects
         docs = _t(s, d, "documents")
         toks = docs.select(
             F.explode(F.regexp_extract_all(
                 F.lower("text"), F.lit("[a-z0-9_]+"), 0)).alias("tok")
         ).where(F.length("tok") >= 5)
         words = s.createDataFrame([(w,) for w in DECOMP_DICT], "word string")
+        n_occ = F.expr(
+            "size(filter(sequence(1, length(tok) - length(word) + 1), "
+            "i -> substring(tok, i, length(word)) = word))")
         return (
             toks.join(F.broadcast(words),
                       F.col("tok").contains(F.col("word"))
                       & (F.col("tok") != F.col("word")))
-            .groupBy("word").agg(F.count("*").alias("occurrences"))
+            .groupBy("word").agg(F.sum(n_occ).alias("occurrences"))
         )
 
     q["analyze_decompound"] = analyze_decompound_q
@@ -2711,7 +2714,11 @@ FROM j
                              ["col", "umn", "wind", "order", "val",
                               "ream", "park"])
     o["analyze_decompound"] = f"""
-SELECT w.word, count(*) AS occurrences
+SELECT w.word,
+       CAST(sum(len(list_filter(
+           range(1, len(t.tok) - len(w.word) + 2),
+           i -> substr(t.tok, i, len(w.word)) = w.word))) AS BIGINT)
+         AS occurrences
 FROM (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
   FROM documents

@@ -595,24 +595,29 @@ DUTCH_STOPWORDS = frozenset(
     aan er ook door naar bij dan nog uit over ze dit deze worden wordt
     niet""".split()
 )
+# Nordic/Finnish stopwords are written in NATIVE diacritic form, as in
+# Lucene's snowball stopword files: the standard tokenizer keeps
+# diacritics and stop-removal runs BEFORE the stemmer's folding, so an
+# ascii-folded list ("pa", "ar") would never match the real tokens
+# ("på", "är").
 SWEDISH_STOPWORDS = frozenset(
-    """och det att i en jag hon som han pa den med var sig for sa till
-    ar men ett om hade de av icke mig du henne da sin nu har inte hans
+    """och det att i en jag hon som han på den med var sig för så till
+    är men ett om hade de av icke mig du henne då sin nu har inte hans
     honom""".split()
 )
 NORWEGIAN_STOPWORDS = frozenset(
-    """og i jeg det at en et den til er som pa de med han av ikke der
-    sa var meg seg men ett har om vi min mitt ha hadde hun na over da
+    """og i jeg det at en et den til er som på de med han av ikke der
+    så var meg seg men ett har om vi min mitt ha hadde hun nå over da
     ved fra du ut""".split()
 )
 DANISH_STOPWORDS = frozenset(
-    """og i jeg det at en den til er som pa de med han af ikke der sa
+    """og i jeg det at en den til er som på de med han af ikke der så
     var mig sig men et har om vi min havde ham hun nu over da fra du
     ud sin dem os""".split()
 )
 FINNISH_STOPWORDS = frozenset(
-    """olla olen on ovat ja ei se etta han me he mina sina te tama nama
-    joka mika kun niin myos jos mutta vain nyt sitten kuin sen sita
+    """olla olen on ovat ja ei se että hän me he minä sinä te tämä nämä
+    joka mikä kun niin myös jos mutta vain nyt sitten kuin sen sitä
     ole""".split()
 )
 RUSSIAN_STOPWORDS = frozenset(

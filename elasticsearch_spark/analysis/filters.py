@@ -318,9 +318,10 @@ def dictionary_decompounder_filter(
     DictionaryCompoundWordTokenFilter): for every token of at least
     ``min_word_size`` chars, every dictionary word that occurs as a
     substring (with size within [min_subword_size, max_subword_size])
-    is emitted as an extra token at the SAME position; the original
-    token always stays. ``only_longest_match`` keeps only the longest
-    matching subword per start offset (Lucene's flag).
+    is emitted as an extra token at the SAME position, once per
+    matching start offset; the original token always stays.
+    ``only_longest_match`` keeps only the longest matching subword per
+    start offset (Lucene's flag).
 
     The hyphenation_decompounder variant needs external hyphenation-
     pattern XML files (not shippable here) and stays out of scope; its
@@ -351,10 +352,14 @@ def dictionary_decompounder_filter(
                             out_p.append(p)
                             break
             else:
-                for w in words:
-                    if w != t and w in t:
-                        out_t.append(w)
-                        out_p.append(p)
+                # one subword token PER MATCHING START OFFSET, as
+                # DictionaryCompoundWordTokenFilter does — a word that
+                # occurs twice inside the token is emitted twice
+                for i in range(len(t)):
+                    for w in words:
+                        if w != t and t.startswith(w, i):
+                            out_t.append(w)
+                            out_p.append(p)
         return out_t, out_p
 
     return fn

@@ -172,7 +172,3 @@ def tf_norm_sim(tf: np.ndarray, dl: np.ndarray, avgdl: float,
     )
     return tfn_eff(tf, dl_eff, avgdl, params)
 
-
-def max_impact(max_tf_norm: float, df: float, n_docs: float, params: BM25Params) -> float:
-    """Per-block score upper bound for block-max WAND."""
-    return float((params.k1 + 1.0) * idf(df, n_docs) * max_tf_norm)

@@ -79,7 +79,23 @@ def decompose_queries(
     def add_clause(qid: Any, gid: int, clause: dict) -> int:
         (kind, body), = clause.items()
         if kind == "bool":
-            for sub in body.get("must", []):
+            # Only conjunctive decomposition is supported: must (and
+            # filter, identical semantics in a match-only context) map
+            # to requirement groups.  must_not would need complemented
+            # groups — reject loudly rather than over-match.  A should
+            # list WITHOUT minimum_should_match alongside must is
+            # scoring-only in ES and is intentionally ignored.
+            unsupported = set(body) - {"must", "filter", "should"}
+            if unsupported:
+                raise ValueError(
+                    f"percolator: unsupported bool sections {sorted(unsupported)}"
+                )
+            if body.get("should") and not body.get("must") and not body.get("filter"):
+                raise ValueError(
+                    "percolator: bool with only 'should' is unsupported "
+                    "(would need disjunctive group semantics)"
+                )
+            for sub in list(body.get("must", [])) + list(body.get("filter", [])):
                 gid = add_clause(qid, gid, sub)
             return gid
         if kind == "term":
@@ -139,6 +155,15 @@ def percolate(
     (doc, field, term) set joins the broadcast requirement tables.
     """
     term_rows, range_rows, group_rows = decompose_queries(stored)
+    # A range requirement on a field not listed in numeric_fields can
+    # never be satisfied (and empty numeric_fields would crash below on
+    # vals=None) — fail loudly instead of silently never-matching.
+    missing_range_fields = {r[2] for r in range_rows} - set(numeric_fields)
+    if missing_range_fields:
+        raise ValueError(
+            "percolator: stored range clauses reference fields not in "
+            f"numeric_fields: {sorted(missing_range_fields)}"
+        )
     qid_type = "string" if isinstance(stored[0][0], str) else "long"
     groups = spark.createDataFrame(
         group_rows, f"query_id {qid_type}, group_id int, msm int")

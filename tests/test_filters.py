@@ -220,11 +220,16 @@ def test_dictionary_decompounder():
 
     f = dictionary_decompounder_filter(["base", "ball", "foot", "note"])
     t, p = f(["baseball", "footnote", "tiny"], [0, 1, 2])
-    # original kept + every dictionary subword at the same position
-    # (subwords in deterministic longest-then-lexicographic order)
+    # original kept + one subword token per matching start offset (so
+    # emission follows offset order, as the Lucene filter scans)
     assert list(zip(t, p)) == [
-        ("baseball", 0), ("ball", 0), ("base", 0),
+        ("baseball", 0), ("base", 0), ("ball", 0),
         ("footnote", 1), ("foot", 1), ("note", 1), ("tiny", 2)]
+    # a word occurring twice inside one token is emitted once per
+    # occurrence (DictionaryCompoundWordTokenFilter emits per offset)
+    fd = dictionary_decompounder_filter(["boot"])
+    t, p = fd(["bootboot"], [0])
+    assert list(zip(t, p)) == [("bootboot", 0), ("boot", 0), ("boot", 0)]
     # min_word_size gates the whole token
     f2 = dictionary_decompounder_filter(["tin"], min_word_size=5)
     t, _ = f2(["tiny"], [0])

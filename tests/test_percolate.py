@@ -82,3 +82,39 @@ def test_percolate_msm_and_conjunction(spark):
     out = percolate(spark, docs, stored, text_fields=["text"],
                     numeric_fields=["n"]).toPandas()
     assert sorted(out["doc_id"].tolist()) == [1]
+
+
+def test_decompose_rejects_must_not_and_filter_maps_to_groups():
+    import pytest
+
+    from elasticsearch_spark.search.percolate import decompose_queries
+
+    # must_not would silently over-match if dropped -> hard error
+    with pytest.raises(ValueError, match="must_not"):
+        decompose_queries([(1, {"bool": {
+            "must": [{"term": {"lang": "en"}}],
+            "must_not": [{"term": {"lang": "fr"}}]}})])
+    # bool.filter participates exactly like must (filter context has
+    # identical matching semantics for percolation)
+    t, r, g = decompose_queries([(1, {"bool": {
+        "filter": [{"term": {"lang": "en"}},
+                   {"range": {"n": {"gte": 5}}}]}})])
+    assert len(g) == 2 and len(t) == 1 and len(r) == 1
+    # should-only bool has disjunctive semantics we do not decompose
+    with pytest.raises(ValueError, match="should"):
+        decompose_queries([(1, {"bool": {
+            "should": [{"term": {"lang": "en"}}]}})])
+
+
+def test_percolate_validates_numeric_fields(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", 10)], "doc_id long, text string, n long")
+    stored = [(7, {"range": {"n": {"gte": 5}}})]
+    with pytest.raises(ValueError, match="numeric_fields"):
+        percolate(spark, docs, stored, text_fields=["text"],
+                  numeric_fields=[])
+    with pytest.raises(ValueError, match="numeric_fields"):
+        percolate(spark, docs, stored, text_fields=["text"],
+                  numeric_fields=["other"])

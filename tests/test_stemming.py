@@ -297,3 +297,16 @@ def test_nordic_fi_ru_analyzers_registered():
     # russian: cyrillic tokens survive the standard tokenizer and stem
     assert analyze("книгами", "russian_light") == \
         analyze("книга", "russian_light")
+
+
+def test_nordic_stopwords_native_diacritic_form():
+    # the standard tokenizer keeps diacritics and stop-removal runs
+    # before any stemmer folding, so the lists must be native-form
+    # (Lucene snowball stopword files) to actually remove real tokens
+    def toks(text, name):
+        return [t for t, _ in analyze(text, name)]
+
+    assert toks("på är för bil", "swedish_light") == ["bil"]
+    assert toks("så på nå bil", "norwegian_light") == ["bil"]
+    assert toks("på så auto", "danish_light") == ["auto"]
+    assert toks("että hän tämä auto", "finnish_light") == ["auto"]
