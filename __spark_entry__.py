@@ -75,6 +75,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Deterministic non-Latin columns for the CJK / Arabic analyzer oracle
+# entries: both engines pick the same words from constant lists by
+# doc_id arithmetic, so the analyzed field is bit-identical without any
+# external data.
+CJK_WORDS_A = ["検索エンジン", "索引データ", "分散処理", "全文検索"]
+CJK_WORDS_B = ["システム", "クエリ", "処理速度"]
+AR_WORDS_A = ["والكتاب", "الكتاب", "كتابها", "مكتبة"]
+AR_WORDS_B = ["المدرسة", "مدرسون", "معلمين", "قالت"]
+
+
+def _synth_words_col(words_a: list[str], words_b: list[str]):
+    a = F.element_at(F.array(*[F.lit(w) for w in words_a]),
+                     F.pmod(F.col("doc_id"), F.lit(len(words_a)))
+                     .cast("int") + 1)
+    b = F.element_at(F.array(*[F.lit(w) for w in words_b]),
+                     F.pmod(F.col("doc_id"), F.lit(len(words_b)))
+                     .cast("int") + 1)
+    return F.concat(a, F.lit(" "), b)
+
+
+def _synth_words_sql(words_a: list[str], words_b: list[str]) -> str:
+    la = ", ".join(f"'{w}'" for w in words_a)
+    lb = ", ".join(f"'{w}'" for w in words_b)
+    return (f"(([{la}])[CAST(doc_id % {len(words_a)} AS INT) + 1]"
+            f" || ' ' || ([{lb}])[CAST(doc_id % {len(words_b)} AS INT) + 1])")
+
+
 _INDEX_CACHE: dict[str, InvertedIndex] = {}
 
 
@@ -84,7 +111,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v9")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v10")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
@@ -92,7 +119,9 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             .withColumn("text_en", F.col("text"))
             .withColumn("text_syn", F.col("text"))
             .withColumn("text_es", F.col("text"))
-            .withColumn("text_grams", F.col("text")),
+            .withColumn("text_grams", F.col("text"))
+            .withColumn("text_cjk", _synth_words_col(CJK_WORDS_A, CJK_WORDS_B))
+            .withColumn("text_ar", _synth_words_col(AR_WORDS_A, AR_WORDS_B)),
             path,
             fields={
                 "text": "ascii_word",
@@ -105,6 +134,10 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
                 "text_es": "spanish_light",
                 # common_grams filter ("the"/"a" bigrams at posInc 0)
                 "text_grams": "ascii_word_grams",
+                # CJK bigram analyzer over a deterministic CJK column
+                "text_cjk": "cjk",
+                # Arabic light analyzer (RTL, prefix+suffix strip)
+                "text_ar": "arabic_light",
             },
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
@@ -147,6 +180,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 GEO_PENTAGON = [(0.0, -60.0), (45.0, -20.0), (30.0, 40.0),
                 (-25.0, 55.0), (-45.0, -15.0)]
+
+# geo_shape constants (WKT order is lon lat): the pentagon above as an
+# outer ring plus a triangular hole; a dateline-crossing envelope
+GEO_SHAPE_WKT = (
+    "POLYGON ((-60 0, -20 45, 40 30, 55 -25, -15 -45, -60 0), "
+    "(-20 0, 10 20, 20 -10, -20 0))"
+)
+GEO_SHAPE_ENVELOPE = "ENVELOPE (150, -120, 60, -20)"
 
 # stored percolator queries (PercolateQueryBuilder.java:83): decomposed
 # into requirement rows on both engines — see search/percolate.py
@@ -272,6 +313,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["match_common_grams"] = match_common_grams
 
+    def match_cjk(s: SparkSession, d: str) -> DataFrame:
+        # cjk analyzer (CJKBigramFilter semantics) over the synthesized
+        # text_cjk field: query bigrams score BM25 against bigram
+        # postings with bigram-derived dl/df
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("検索 処理", "cjk")]
+        out = match_topk(idx, "text_cjk", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_cjk"] = match_cjk
+
+    def match_stemmed_ar(s: SparkSession, d: str) -> DataFrame:
+        # arabic_light (RTL; light10-style prefix+suffix strip): query
+        # "الكتاب مدرسة" meets inflected corpus forms (والكتاب, كتابها,
+        # مدرسون) at the same stems
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("الكتاب مدرسة", "arabic_light")]
+        out = match_topk(idx, "text_ar", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_stemmed_ar"] = match_stemmed_ar
+
     def track_total_hits_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.scan import track_total_hits
 
@@ -303,9 +366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("text").rlike(r"\btable\b"))
             .orderBy("doc_id").limit(20)
         )
-        out = highlight(hits, ["table"], n_fragments=1)
+        out = highlight(hits, ["table"], n_fragments=2)
         return out.select(
-            "doc_id", F.element_at("highlights", 1).alias("fragment")
+            "doc_id",
+            F.try_element_at("highlights", F.lit(1)).alias("frag1"),
+            F.try_element_at("highlights", F.lit(2)).alias("frag2"),
         ).orderBy("doc_id")
 
     q["highlight"] = highlight_q
@@ -454,6 +519,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["more_like_this"] = mlt_q
+
+    def pinned_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import pinned_topk
+
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("table scan", "ascii_word")]
+        organic = match_topk(idx, "text", terms, k=None, params=_EXACT)
+        out = pinned_topk(organic.select("doc_id", "score"),
+                          [7, 3, 1203], k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["pinned"] = pinned_q
 
     def suggest_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import term_suggest
@@ -1229,6 +1306,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_polygon"] = geo_polygon_q
 
+    def geo_shape_intersects_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.geo import geo_shape
+
+        # WKT polygon with a HOLE (even-odd parity over both rings)
+        out = geo_shape(_geo_docs(s, d), GEO_SHAPE_WKT, "intersects")
+        return (
+            out.select("doc_id", "lat", "lon")
+            .orderBy(F.asc("doc_id")).limit(100)
+        )
+
+    q["geo_shape_intersects"] = geo_shape_intersects_q
+
+    def geo_shape_disjoint_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.geo import geo_shape
+
+        # ENVELOPE crossing the dateline, complement relation
+        out = geo_shape(_geo_docs(s, d), GEO_SHAPE_ENVELOPE, "disjoint")
+        return (
+            out.select("doc_id", "lat", "lon")
+            .orderBy(F.asc("doc_id")).limit(50)
+        )
+
+    q["geo_shape_disjoint"] = geo_shape_disjoint_q
+
     def agg_geohash_grid_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.analytics import geohash_grid_agg
 
@@ -1847,6 +1948,34 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         [["table", "data"], ["scan", "filter"]], k=10
     )
 
+    # CJK bigrams over the synthesized column (pure-CJK words, so the
+    # english stop filter is a no-op and every token is a \p{L} run)
+    _cjk_synth = _synth_words_sql(CJK_WORDS_A, CJK_WORDS_B)
+    _cjk_tok = f"""flatten(list_transform(
+        regexp_extract_all(lower({_cjk_synth}), '[\\p{{L}}\\p{{N}}_]+'),
+        t -> CASE WHEN length(t) = 1 THEN [t]
+             ELSE list_transform(range(1, length(t)),
+                                 i -> substr(t, CAST(i AS INT), 2)) END))"""
+    o["match_cjk"] = bm25_topk_sql(
+        [t for t, _ in analyze("検索 処理", "cjk")],
+        k=10, tok_list_expr=_cjk_tok,
+    )
+
+    from elasticsearch_spark.analysis.analyzers import ARABIC_STOPWORDS
+    from elasticsearch_spark.analysis.stem import ARABIC_LIGHT_RULES, cascade_sql
+
+    _ar_synth = _synth_words_sql(AR_WORDS_A, AR_WORDS_B)
+    _ar_stops = ", ".join(f"'{w}'" for w in sorted(ARABIC_STOPWORDS))
+    _ar_tok = (
+        f"list_transform(list_filter(regexp_extract_all(lower({_ar_synth}),"
+        f" '[\\p{{L}}\\p{{N}}_]+'), t -> t NOT IN ({_ar_stops})),"
+        f" t -> {cascade_sql(ARABIC_LIGHT_RULES, 't')})"
+    )
+    o["match_stemmed_ar"] = bm25_topk_sql(
+        [t for t, _ in analyze("الكتاب مدرسة", "arabic_light")],
+        k=10, tok_list_expr=_ar_tok,
+    )
+
     from elasticsearch_spark.analysis.analyzers import DOC_SYNONYM_RULES
     from elasticsearch_spark.oracle.sql_oracle import (
         bm25_ctes,
@@ -1871,12 +2000,16 @@ SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100
     # while the engine anchors on m.start() of the first occurrence.
     o["highlight"] = r"""
 WITH h AS (
-  SELECT doc_id, regexp_extract(text, '.{0,30}?\btable\b.{0,30}') AS frag
+  SELECT doc_id,
+         regexp_extract_all(text, '.{0,30}?\btable\b.{0,30}') AS fr
   FROM documents
   WHERE regexp_matches(text, '\btable\b')
   ORDER BY doc_id LIMIT 20)
 SELECT doc_id,
-       regexp_replace(frag, '\btable\b', '<em>table</em>', 'g') AS fragment
+       regexp_replace(fr[1], '\btable\b', '<em>table</em>', 'g') AS frag1,
+       CASE WHEN len(fr) >= 2
+            THEN regexp_replace(fr[2], '\btable\b', '<em>table</em>', 'g')
+       END AS frag2
 FROM h ORDER BY doc_id
 """
 
@@ -2109,6 +2242,21 @@ chosen AS (
 SELECT doc_id, round(score, 4) AS score FROM scored
 WHERE doc_id != 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    from elasticsearch_spark.search.extras import PINNED_SCORE_BASE
+
+    o["pinned"] = f"""
+WITH {bm25_ctes([t for t, _ in analyze("table scan", "ascii_word")])},
+pin AS (SELECT * FROM (VALUES (7, 3.0), (3, 2.0), (1203, 1.0))
+        AS p(doc_id, pin)),
+m AS (
+  SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+         CASE WHEN p.pin IS NOT NULL THEN {PINNED_SCORE_BASE!r} + p.pin
+              ELSE s.score END AS score
+  FROM scored s FULL OUTER JOIN pin p ON s.doc_id = p.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM m ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
     # bigram-LM stupid-backoff phrase suggester; float op order matches
@@ -2738,6 +2886,7 @@ ORDER BY doc_id ASC LIMIT 50
 
     from elasticsearch_spark.search.geo import (
         geo_polygon_sql as _poly_sql,
+        geo_shape_sql as _shape_sql,
         geohash_sql as _gh_sql,
         geotile_sql as _gt_sql,
     )
@@ -2746,6 +2895,20 @@ ORDER BY doc_id ASC LIMIT 50
 WITH {_GEO_CTE}
 SELECT doc_id, lat, lon FROM g
 WHERE {_poly_sql(GEO_PENTAGON, 'lat', 'lon')}
+ORDER BY doc_id ASC LIMIT 50
+"""
+
+    o["geo_shape_intersects"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, lat, lon FROM g
+WHERE {_shape_sql(GEO_SHAPE_WKT, 'lat', 'lon', 'intersects')}
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    o["geo_shape_disjoint"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, lat, lon FROM g
+WHERE {_shape_sql(GEO_SHAPE_ENVELOPE, 'lat', 'lon', 'disjoint')}
 ORDER BY doc_id ASC LIMIT 50
 """
 
@@ -3046,11 +3209,14 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
   FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, unnest(
     list_transform(generate_series(1, len(ts) - 1),
                    i -> array_to_string(ts[i:i+1], ' '))) AS shingle
   FROM tok WHERE len(ts) >= 2),
+-- stop-shingle cap: same max_shingle_df=1000 default as the engine
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

@@ -666,6 +666,189 @@ def _register_default_languages() -> None:
     _register_light_language("russian_light", RUSSIAN_STOPWORDS,
                              russian_light_stem)
 
+    from elasticsearch_spark.analysis.stem import (
+        arabic_light_stem,
+        czech_light_stem,
+        greek_light_stem,
+        romanian_light_stem,
+        turkish_light_stem,
+    )
+
+    _register_light_language("arabic_light", ARABIC_STOPWORDS,
+                             arabic_light_stem)
+    _register_light_language("turkish_light", TURKISH_STOPWORDS,
+                             turkish_light_stem)
+    _register_light_language("greek_light", GREEK_STOPWORDS,
+                             greek_light_stem)
+    _register_light_language("czech_light", CZECH_STOPWORDS,
+                             czech_light_stem)
+    _register_light_language("romanian_light", ROMANIAN_STOPWORDS,
+                             romanian_light_stem)
+
+
+# Native-form stopword lists for the r4 tier (same sourcing note as the
+# Nordic lists: written as Lucene's snowball/plugin stopword files are,
+# in the script the tokenizer actually emits).
+ARABIC_STOPWORDS = frozenset(
+    """في من على إلى عن أن إن كان مع هذا هذه ذلك التي الذي هو هي ما لا
+    لم لن قد كل بعد قبل عند أو ثم حتى إذا كما لكن بين غير أي عليه منها
+    فيه وقد وهو وهي""".split()
+)
+TURKISH_STOPWORDS = frozenset(
+    """ve bir bu da de için ile olarak daha çok en gibi kadar sonra ama
+    ancak veya her ne ki mi o şu ben sen biz siz onlar değil var yok
+    olan oldu ise diye""".split()
+)
+GREEK_STOPWORDS = frozenset(
+    """και το τη την η ο οι τα του τησ των στο στη στην με για από δεν
+    που είναι να θα ωσ αν ή αλλά όπωσ έχει ένα μια αυτό αυτή σε κατά
+    προσ""".split()
+)
+CZECH_STOPWORDS = frozenset(
+    """a v na je se z do ze že o k i po pro jako ale jeho její jsou byl
+    byla bylo být s od u za při nebo však tento tato toto co když již
+    jen tak""".split()
+)
+ROMANIAN_STOPWORDS = frozenset(
+    """și în la cu de pe un o a al ale lui care este sunt din pentru nu
+    se mai ca dar sau fi fost acest această după până prin când unde
+    ei ele""".split()
+)
+
+
+# ---------------------------------------------------------------------
+# CJK bigram analyzer (the reference's `cjk` analyzer: StandardTokenizer
+# -> lowercase -> CJKBigramFilter -> english stopwords; Lucene
+# CJKBigramFilter joins adjacent Han/Hiragana/Katakana/Hangul characters
+# into overlapping bigrams, each at its own position, while non-CJK
+# tokens pass through unchanged).
+# ---------------------------------------------------------------------
+
+_CJK_RANGE = (
+    "ᄀ-ᇿ"   # Hangul Jamo
+    "぀-ヿ"   # Hiragana + Katakana
+    "ㇰ-ㇿ"   # Katakana phonetic extensions
+    "㐀-䶿"   # CJK ext A
+    "一-鿿"   # CJK unified
+    "가-힯"   # Hangul syllables
+    "豈-﫿"   # CJK compatibility
+)
+_CJK_ANY_RE = re.compile(f"[{_CJK_RANGE}]")
+_CJK_SEG_RE = re.compile(f"[{_CJK_RANGE}]+|[^{_CJK_RANGE}]+")
+
+_CJK_SPLIT_CACHE: dict[str, list[str]] = {}
+
+
+def _cjk_expand(tok: str) -> list[str]:
+    """One lowercased standard token -> emitted CJK-bigram stream."""
+    hit = _CJK_SPLIT_CACHE.get(tok)
+    if hit is not None:
+        return hit
+    if not _CJK_ANY_RE.search(tok):
+        out = [tok]
+    else:
+        out = []
+        for seg in _CJK_SEG_RE.findall(tok):
+            if _CJK_ANY_RE.match(seg):
+                if len(seg) == 1:
+                    out.append(seg)  # lone ideogram stays a unigram
+                else:
+                    out.extend(seg[i:i + 2] for i in range(len(seg) - 1))
+            else:
+                out.append(seg)
+    if len(_CJK_SPLIT_CACHE) >= _CODE_SPLIT_CACHE_MAX:
+        _CJK_SPLIT_CACHE.clear()
+    _CJK_SPLIT_CACHE[tok] = out
+    return out
+
+
+def _analyze_cjk(text: str) -> tuple[list[str], list[int]]:
+    """cjk analyzer: standard tokens -> CJK bigrams (each advancing the
+    position, as CJKBigramFilter emits posInc=1 grams) -> english stop
+    removal (increments preserved)."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for raw in _WORD_RE.findall(text.lower()):
+        for chunk in _chunk255(raw):
+            for t in _cjk_expand(chunk):
+                if t not in ENGLISH_STOPWORDS:
+                    terms.append(t)
+                    positions.append(pos)
+                pos += 1
+    return terms, positions
+
+
+def _codes_cjk(texts: pd.Series):
+    """Vectorized cjk: ONE Arrow split pass for raw tokens, bigram
+    expansion computed once per UNIQUE token (memoized, Zipf) and
+    broadcast back with the same int-gather as the `code` analyzer;
+    positions are re-derived doc-major because bigrams ADVANCE positions
+    (unlike code's overlap tokens)."""
+    d, c, u, ul, p = _split_codes(texts, _NEG_WORD, lower=True)
+    if ul.size and int(ul.max()) > MAX_TOKEN_LENGTH:
+        # rare long-token docs: scalar fallback for the whole batch
+        return _codes_via_scalar(texts, _analyze_cjk)
+    if not c.size:
+        return d, c, u, p
+    vocab: dict[str, int] = {}
+    setd = vocab.setdefault
+    flat_ids: list[int] = []
+    exp_lens = np.empty(len(u), dtype=np.int64)
+    for i, tok in enumerate(u.tolist()):
+        sl = _cjk_expand(tok)
+        flat_ids.extend(setd(w, len(vocab)) for w in sl)
+        exp_lens[i] = len(sl)
+    exp_ids = np.array(flat_ids, dtype=np.int64)
+    exp_offs = np.concatenate(([0], np.cumsum(exp_lens)))
+    tok_lens = exp_lens[c]
+    total = int(tok_lens.sum())
+    cum0 = np.cumsum(tok_lens) - tok_lens
+    gather = (
+        np.repeat(exp_offs[c], tok_lens)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(cum0, tok_lens)
+    )
+    new_u = np.empty(len(vocab), dtype=object)
+    for w, i in vocab.items():
+        new_u[i] = w
+    d2 = np.repeat(d, tok_lens)
+    c2 = exp_ids[gather]
+    # positions: every emitted token advances within its doc (d2 is
+    # doc-major ascending, so a grouped arange suffices)
+    if d2.size:
+        cnt = np.bincount(d2, minlength=int(d2.max()) + 1)
+        cnt = cnt[cnt > 0]
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        p2 = np.arange(d2.size, dtype=np.int64) - np.repeat(starts, cnt)
+    else:
+        p2 = np.empty(0, dtype=np.int64)
+    # english stop removal by code (positions preserved)
+    stop_lut = np.fromiter(
+        (w in ENGLISH_STOPWORDS for w in new_u), dtype=bool,
+        count=len(new_u))
+    keep = ~stop_lut[c2]
+    return d2[keep], c2[keep], new_u, p2[keep]
+
+
+def _codes_via_scalar(texts: pd.Series, scalar_fn):
+    parts_d, parts_t, parts_p = [], [], []
+    for i, text in enumerate(texts.fillna("").tolist()):
+        t, p = scalar_fn(text)
+        if t:
+            parts_d.append(np.full(len(t), i, dtype=np.int64))
+            parts_t.append(np.array(t, dtype=object))
+            parts_p.append(np.array(p, dtype=np.int64))
+    if not parts_d:
+        return _CODES_EMPTY
+    return _refactorize(
+        np.concatenate(parts_d), np.concatenate(parts_t),
+        np.concatenate(parts_p),
+    )
+
+
+ANALYZERS["cjk"] = _analyze_cjk
+FLAT_ANALYZERS["cjk"] = _codes_cjk
 
 _register_default_languages()
 

@@ -210,6 +210,69 @@ danish_light_stem = make_cascade_stemmer(DANISH_LIGHT_RULES)
 finnish_light_stem = make_cascade_stemmer(FINNISH_LIGHT_RULES)
 russian_light_stem = make_cascade_stemmer(RUSSIAN_LIGHT_RULES)
 
+# Arabic / Turkish / Greek / Czech / Romanian tier (reference registers
+# arabic/turkish/greek/czech/romanian analyzers in AnalysisModule +
+# CommonAnalysisPlugin; cascades after the published light stemmers:
+# Larkey's Arabic light10, Savoy's light stemmers for Greek/Czech/
+# Romanian, and a suffix-strip for Turkish's most common noun
+# morphology). Same engineering property as the other tiers: every
+# rule is a regex pair, so cascade_sql gives an exact DuckDB twin.
+ARABIC_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"[ً-ْٰ]", ""),      # tashkeel diacritics + dagger alif
+    (r"[أإآٱ]", "ا"),                     # alef variants -> bare alef
+    (r"ى", "ي"), (r"ة", "ه"),             # alef maqsura / ta marbuta
+    # light10 prefixes: definite article (+clitics), waw only when >= 3
+    # letters remain
+    (r"^(?:وال|بال|كال|فال)(..+)$", r"\1"),
+    (r"^(?:ال|لل)(..+)$", r"\1"),
+    (r"^و(...+)$", r"\1"),
+    # light10 suffixes
+    (r"(..)(?:ها|ان|ات|ون|ين|يه|ية)$", r"\1"),
+    (r"(..)[هةي]$", r"\1"),
+]
+
+TURKISH_LIGHT_RULES: list[tuple[str, str]] = [
+    # outer-to-inner (kitap-lar-dan): case/possessive first, plural
+    # second, so one cascade pass unwinds the common two-suffix stack
+    (r"(...)(?:nın|nin|nun|nün|dan|den|tan|ten)$", r"\1"),  # gen./abl.
+    (r"(...)(?:da|de|ta|te|ın|in|un|ün|sı|si|su|sü)$", r"\1"),  # loc/poss
+    (r"(...)(?:lar|ler)$", r"\1"),               # plural
+    (r"(...)[ıiuüaeoö]$", r"\1"),                # residual vowel
+]
+
+GREEK_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ς", "σ"),                                  # final sigma
+    (r"ά", "α"), (r"έ", "ε"), (r"ή", "η"), (r"ί", "ι"),
+    (r"ό", "ο"), (r"ύ", "υ"), (r"ώ", "ω"),        # tonos fold
+    (r"(...)(?:ματα|ματοσ|ουμε|ουνε)$", r"\1"),
+    (r"(...)(?:εισ|ουν|ουσ|ων|εσ|οι|ου)$", r"\1"),
+    (r"(...)(?:οσ|ησ|ασ|α|η|ο|ε|ι)$", r"\1"),
+]
+
+CZECH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"á", "a"), (r"é", "e"), (r"í", "i"), (r"ó", "o"), (r"ú", "u"),
+    (r"ů", "u"), (r"ý", "y"), (r"ě", "e"), (r"č", "c"), (r"ř", "r"),
+    (r"š", "s"), (r"ž", "z"), (r"ť", "t"), (r"ď", "d"), (r"ň", "n"),
+    (r"(...)(?:atech|atum)$", r"\1"),             # neuter -at- paradigm
+    (r"(...)(?:ech|ich|ach|ych|ami|emi|imi|ata|ova|ove|ovi)$", r"\1"),
+    (r"(...)(?:em|im|am|um|ou|eho|emu|ym|ej)$", r"\1"),
+    (r"(...)[aeiouy]$", r"\1"),
+]
+
+ROMANIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ă", "a"), (r"â", "a"), (r"î", "i"),
+    (r"[șş]", "s"), (r"[țţ]", "t"),               # both cedilla forms
+    (r"(...)(?:urile|ilor|ului|elor|easca)$", r"\1"),
+    (r"(...)(?:ile|uri|ele|iei|iile|ii|ul|ea|le)$", r"\1"),
+    (r"(...)[aeiu]$", r"\1"),
+]
+
+arabic_light_stem = make_cascade_stemmer(ARABIC_LIGHT_RULES)
+turkish_light_stem = make_cascade_stemmer(TURKISH_LIGHT_RULES)
+greek_light_stem = make_cascade_stemmer(GREEK_LIGHT_RULES)
+czech_light_stem = make_cascade_stemmer(CZECH_LIGHT_RULES)
+romanian_light_stem = make_cascade_stemmer(ROMANIAN_LIGHT_RULES)
+
 
 # ---------------------------------------------------------------------
 # Porter stemmer (Porter 1980, "An algorithm for suffix stripping")

@@ -217,31 +217,63 @@ class InvertedIndex:
     _term_cache: dict | None = None
     _term_cache_state: str = "unchecked"  # unchecked | cached | too_big
 
+    def _term_stats_scan(self, field: str, terms: list[str]) -> DataFrame:
+        """Pushed-down per-query TermStatistics scan (the no-cache
+        path): the In(term, ...) predicate reaches the parquet reader,
+        so only the queried terms' row groups are read."""
+        return self.term_dict.filter(
+            (F.col("field") == field) & F.col("term").isin(terms)
+        )
+
     def term_stats(self, field: str, terms: list[str]) -> list:
-        """TermStatistics lookup for a query's terms. For term dicts
-        that fit the driver (<= ~2M entries) the whole dictionary is
-        collected ONCE per handle (the coordinator-side stats cache —
-        saves one Spark job per query); larger dictionaries fall back
-        to a pushed-down filter + collect."""
+        """TermStatistics lookup for a query's terms. Term dicts within
+        a bounded driver budget (<= 250k entries) are collected ONCE
+        per handle into plain tuples (the coordinator-side stats cache
+        — saves one Spark job per query; tuples, not Rows: 2M pyspark
+        Rows in a dict is multi-GB of driver heap). Larger dictionaries
+        always use the pushed-down filter + collect path."""
         if self._term_cache_state == "unchecked":
-            if self.term_dict.count() <= 2_000_000:
+            if self.term_dict.count() <= 250_000:
+                pdf = self.term_dict.toPandas()
                 self._term_cache = {
-                    (r["field"], r["term"]): r for r in self.term_dict.collect()
+                    (f, t): (int(df_), int(cf), int(mt), int(md))
+                    for f, t, df_, cf, mt, md in zip(
+                        pdf["field"], pdf["term"], pdf["df"], pdf["cf"],
+                        pdf["max_tf"], pdf["min_dl"])
                 }
                 self._term_cache_state = "cached"
             else:
                 self._term_cache_state = "too_big"
         if self._term_cache_state == "cached":
-            rows = [
-                self._term_cache[(field, t)]
-                for t in terms
-                if (field, t) in self._term_cache
-            ]
-            return rows
-        return (
-            self.term_dict.filter(
-                (F.col("field") == field) & F.col("term").isin(terms)
-            ).collect()
+            out = []
+            for t in terms:
+                v = self._term_cache.get((field, t))
+                if v is not None:
+                    out.append({"field": field, "term": t, "df": v[0],
+                                "cf": v[1], "max_tf": v[2], "min_dl": v[3]})
+            return out
+        return self._term_stats_scan(field, terms).collect()
+
+    _nparts: int | None = None
+
+    def num_partitions(self) -> int:
+        """Shard count the builder routed docs with — needed by any
+        operator that must co-locate external doc ids with the index
+        partitions (e.g. pushing a filter's allowlist into the scorer:
+        part_id = pmod(xxhash64(doc_id), num_partitions))."""
+        if self._nparts is None:
+            self._nparts = int(index_meta(self.path)["num_partitions"])
+        return self._nparts
+
+    def route_ids(self, ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """Attach the index's routing part_id to a frame of doc ids
+        (same expression the builder used, so ids land on the partition
+        holding their postings)."""
+        return ids_df.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")),
+                   F.lit(self.num_partitions()))
+            .cast("int").alias("part_id"),
+            F.col(id_col).cast("long").alias("doc_id"),
         )
 
     def manifests(self) -> list[dict]:

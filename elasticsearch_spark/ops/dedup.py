@@ -102,13 +102,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """EXACT all-pairs Jaccard over word k-shingles >= threshold.
+    """All-pairs Jaccard over word k-shingles >= threshold.
 
     Inverted-index self-join: |A ∩ B| from co-occurring shingles, sizes
-    from per-doc distinct counts. ``max_shingle_df`` drops stop-shingles
-    (skew guard at scale; None = exact)."""
+    from per-doc distinct counts. The join is quadratic in per-shingle
+    document frequency, so ``max_shingle_df`` (default 1000) drops
+    stop-shingles before the self-join — one ubiquitous k-gram ("the
+    end if") would otherwise dominate the whole job at scale. Pass
+    ``None`` explicitly for the exact, uncapped computation; capped
+    runs undercount |A ∩ B| by at most the dropped shingles (both
+    pair sizes exclude them too, so near-identical docs still pair)."""
     sh = word_shingles(df, text_col, id_col, k).persist()
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)

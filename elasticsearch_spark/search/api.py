@@ -134,6 +134,22 @@ def _match_terms(index: InvertedIndex, field: str, spec: Any) -> tuple[list[str]
     return terms, operator, msm
 
 
+def _single_match_clause(scored_query: dict[str, Any]) -> dict[str, Any] | None:
+    """If the scoring part of a filtered bool reduces to ONE match
+    clause, return it (the filter can then be pushed into the scorer
+    without changing any score); else None."""
+    kind = next(iter(scored_query))
+    if kind == "match":
+        return scored_query
+    if kind == "bool":
+        b = scored_query["bool"]
+        must = list(b.get("must") or [])
+        should = list(b.get("should") or [])
+        if len(must) == 1 and not should and next(iter(must[0])) == "match":
+            return must[0]
+    return None
+
+
 def _scored_df(
     index: InvertedIndex,
     query: dict[str, Any],
@@ -437,10 +453,28 @@ def search(
             .limit(k)
         )
 
-    scores = _scored_df(index, scored_query, params)
-    if filter_pred is not None:
-        allowed = docs.filter(filter_pred).select(id_col)
-        scores = scores.join(allowed, on=id_col, how="left_semi")
+    pushed = _single_match_clause(scored_query) if filter_pred is not None else None
+    if pushed is not None:
+        # filter + single scored match: push the filter's doc-id set
+        # INTO the scorer (partition-local allowlist via cogroup) so
+        # block-max/theta pruning stays active under the filter and
+        # each shard emits only a local top-k — instead of scoring
+        # every matching doc with k=None and semi-joining after.
+        field, spec = next(iter(pushed["match"].items()))
+        terms, operator, msm = _match_terms(index, field, spec)
+        b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        allowed = docs.filter(filter_pred).select(F.col(id_col).alias("doc_id"))
+        scores = match_topk(
+            index, field, terms, k=k, operator=operator,
+            minimum_should_match=msm, params=params, allowed=allowed,
+        ).select("doc_id", "score")
+        if b != 1.0:
+            scores = scores.withColumn("score", F.col("score") * F.lit(b))
+    else:
+        scores = _scored_df(index, scored_query, params)
+        if filter_pred is not None:
+            allowed = docs.filter(filter_pred).select(id_col)
+            scores = scores.join(allowed, on=id_col, how="left_semi")
     if const_boost:
         scores = scores.withColumn("score", F.col("score") + F.lit(const_boost))
     if min_score is not None:

@@ -123,7 +123,15 @@ def _make_scorer(
     use_theta = prune and k is not None and operator == "or" and msm == 1
     k1, b, quant = params.k1, params.b, params.quantize_norms
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_group_impl(
+        pdf: pd.DataFrame, allowed: np.ndarray | None
+    ) -> pd.DataFrame:
+        """Score one partition's blocks; ``allowed`` (sorted int64 doc
+        ids) restricts scoring to docs that passed a filter clause —
+        pruning stays SAFE because every accumulated doc is then a true
+        candidate, so theta remains a lower bound of the final k-th
+        score (the reference intersects the filter bitset inside the
+        collector the same way: TopDocsCollectorContext.java:202-206)."""
         by_term = dict(tuple(pdf.groupby("term", sort=False)))
         acc_ids = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
@@ -192,6 +200,14 @@ def _make_scorer(
                     hi = np.searchsorted(acc_ids, row.last_doc, "right")
                     if lo == hi:
                         continue  # range-skip: nothing to update, no decode
+                elif allowed is not None:
+                    # filter-aware skip: a block whose [first_doc,
+                    # last_doc] range holds no allowed doc decodes
+                    # nothing (the allowlist is sorted)
+                    lo = np.searchsorted(allowed, row.first_doc, "left")
+                    hi = np.searchsorted(allowed, row.last_doc, "right")
+                    if lo == hi:
+                        continue
                 d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
                 if restricted:
                     pos = np.searchsorted(acc_ids, d)
@@ -205,6 +221,13 @@ def _make_scorer(
                 else:
                     tfv = codec.vbyte_decode(row.tfs)
                     dlv = codec.vbyte_decode(row.dls)
+                    if allowed is not None:
+                        pos = np.searchsorted(allowed, d)
+                        pos[pos >= allowed.size] = allowed.size - 1
+                        mask = allowed[pos] == d
+                        if not mask.any():
+                            continue
+                        d, tfv, dlv = d[mask], tfv[mask], dlv[mask]
                 ids_parts.append(d)
                 tf_parts.append(tfv)
                 dl_parts.append(dlv)
@@ -255,6 +278,12 @@ def _make_scorer(
             }
         )
 
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # single-parameter wrapper: applyInPandas dispatches on arity
+        # (a 2-arg fn would receive (key, pdf))
+        return _score_group_impl(pdf, None)
+
+    score_group.with_allowed = _score_group_impl
     return score_group
 
 
@@ -267,11 +296,41 @@ def match_topk(
     minimum_should_match: int = 1,
     params: BM25Params | None = None,
     prune: bool = True,
+    allowed: DataFrame | None = None,
+    allowed_strategy: str = "cogroup",
+    broadcast_allowed_max: int = 2_000_000,
 ) -> DataFrame:
     """Top-k BM25 for analyzed query ``terms``.
 
     Returns DataFrame(doc_id long, score double, matched int), globally
     ordered by (score desc, doc_id asc), limited to k.
+
+    ``allowed`` (a DataFrame with a ``doc_id`` column) restricts
+    scoring to docs passing a filter clause WITHOUT giving up top-k
+    pruning — the Spark shape of the reference's "filter bitset
+    intersected inside the collector while WAND prunes"
+    (search/query/TopDocsCollectorContext.java:202-206). Strategies:
+
+      - ``cogroup`` (default): ids are routed to their index partition
+        with the builder's hash (one in-plan shuffle of bare longs) and
+        cogrouped with the posting blocks — ONE job, no driver
+        round-trip, executor memory bounded at any filter size. The
+        cluster-scale shape.
+      - ``broadcast``: the sorted id array is collected (capped by
+        ``broadcast_allowed_max``; raises beyond it) and broadcast to
+        the scorer closure — the scoring plan is then identical to an
+        unfiltered match, at the price of one extra driver job.
+      - ``auto``: one ``limit(max+1)`` probe job picks broadcast when
+        the ids fit, else cogroup.
+
+    Measured at 1M docs / local[16] (BENCH/BASELINE.md): all
+    strategies are within host noise of the old score-all + semi-join
+    plan, because scoring is not the bottleneck at 8k-doc shards and
+    hash-routed doc ids leave no empty block ranges to skip. The
+    structural difference — each shard emits only k rows and theta
+    pruning stays VALID under the filter — is what matters at
+    1000-executor scale, where the k=None plan's per-shard full
+    emission and disabled pruning dominate.
     """
     params = params or BM25Params()
     spark = index.spark
@@ -286,7 +345,60 @@ def match_topk(
     scorer = _make_scorer(
         term_stats, avgdl, params, k, operator, minimum_should_match, prune
     )
-    local = blocks.groupBy("part_id").applyInPandas(scorer, schema=TOPK_SCHEMA)
+    if allowed is not None:
+        strategy = allowed_strategy
+        ids = None
+        if strategy == "auto":
+            head = allowed.select("doc_id").limit(
+                broadcast_allowed_max + 1).toPandas()
+            if head.empty:
+                return spark.createDataFrame([], TOPK_SCHEMA)
+            if len(head) <= broadcast_allowed_max:
+                ids = head["doc_id"].to_numpy(dtype=np.int64)
+                strategy = "broadcast"
+            else:
+                strategy = "cogroup"
+        if strategy == "broadcast":
+            if ids is None:
+                head = allowed.select("doc_id").limit(
+                    broadcast_allowed_max + 1).toPandas()
+                if len(head) > broadcast_allowed_max:
+                    raise ValueError(
+                        "allowed set exceeds broadcast_allowed_max; use "
+                        "allowed_strategy='cogroup'"
+                    )
+                ids = head["doc_id"].to_numpy(dtype=np.int64)
+            ids = np.sort(ids)
+            bc = spark.sparkContext.broadcast(ids)
+
+            def score_bc(pdf: pd.DataFrame) -> pd.DataFrame:
+                return scorer.with_allowed(pdf, bc.value)
+
+            local = blocks.groupBy("part_id").applyInPandas(
+                score_bc, schema=TOPK_SCHEMA)
+        elif strategy == "cogroup":
+            allow_parts = index.route_ids(allowed)
+
+            def score_cogroup(
+                left: pd.DataFrame, right: pd.DataFrame
+            ) -> pd.DataFrame:
+                ids2 = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
+                if ids2.size == 0 or left.empty:
+                    return pd.DataFrame(
+                        {"doc_id": [], "score": [], "matched": []}
+                    ).astype({"doc_id": "int64", "score": "float64",
+                              "matched": "int32"})
+                return scorer.with_allowed(left, ids2)
+
+            local = (
+                blocks.groupBy("part_id")
+                .cogroup(allow_parts.groupBy("part_id"))
+                .applyInPandas(score_cogroup, schema=TOPK_SCHEMA)
+            )
+        else:
+            raise ValueError(f"unknown allowed_strategy {allowed_strategy!r}")
+    else:
+        local = blocks.groupBy("part_id").applyInPandas(scorer, schema=TOPK_SCHEMA)
     if k is None:
         return local
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -215,6 +215,44 @@ def rescore(
     return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+# PinnedQueryBuilder ranks pinned docs above any organic score with
+# descending constants (the reference uses Float.MAX_VALUE-derived
+# pinned scores); 2^30 keeps the arithmetic exact in float64 on both
+# engines.
+PINNED_SCORE_BASE = float(2 ** 30)
+
+
+def pinned_topk(
+    organic: DataFrame,
+    pinned_ids: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """pinned query (x-pack search-business-rules
+    PinnedQueryBuilder.java): ``pinned_ids`` rank first IN LIST ORDER
+    above every organic hit; organic results follow by score. Pinned
+    docs match even when the organic query does not match them (the
+    reference composes a DisjunctionMaxQuery of an ids query with
+    capped-above scores and the organic query).
+
+    ``organic`` is the (doc_id, score) frame of ALL organic matches
+    (k=None scoring path). The pinned list is a query constant —
+    broadcast, no extra shuffle beyond the organic plan's.
+    """
+    spark = organic.sparkSession
+    rows = [(int(i), float(len(pinned_ids) - j))
+            for j, i in enumerate(pinned_ids)]
+    pin = spark.createDataFrame(rows, f"{id_col} long, _pin double")
+    merged = organic.join(F.broadcast(pin), id_col, "full_outer")
+    scored = merged.withColumn(
+        "score",
+        F.when(F.col("_pin").isNotNull(),
+               F.lit(PINNED_SCORE_BASE) + F.col("_pin"))
+        .otherwise(F.col("score")),
+    ).drop("_pin")
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def highlight(
     hits: DataFrame,
     terms: list[str],
@@ -223,28 +261,45 @@ def highlight(
     n_fragments: int = 2,
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
+    order: str = "none",
+    max_passages: int = 32,
 ) -> DataFrame:
-    """Fragment extraction around matched terms (unified-highlighter
-    style), Arrow-batched."""
-    tset = [t.lower() for t in terms]
-    pat = re.compile(
-        r"\b(" + "|".join(re.escape(t) for t in tset) + r")\b", re.IGNORECASE
+    """Multi-fragment unified-highlighter-style passages, Arrow-batched
+    (reference: search/fetch/subphase/highlight/ HighlightBuilder
+    options number_of_fragments / fragment_size / pre_tags / post_tags /
+    order).
+
+    A passage is one NON-OVERLAPPING match of the lazy window regex
+    ``.{0,half}?\\bterm\\b.{0,half}`` scanned left to right — nearby
+    matches inside one window share a passage, and successive passages
+    never overlap (finditer semantics). Python re and RE2 agree on this
+    scan, which is what gives the operator an exact DuckDB twin
+    (regexp_extract_all of the same pattern). ``order='score'`` sorts
+    passages by match count desc (ES ``order: score``; ties keep
+    document order, Lucene's passage sort is stable); default document
+    order.
+    """
+    half = fragment_size // 2
+    alt = "|".join(re.escape(t.lower()) for t in terms)
+    win = re.compile(
+        rf"(?s).{{0,{half}}}?\b(?:{alt})\b.{{0,{half}}}", re.IGNORECASE
     )
+    inner = re.compile(r"\b(" + alt + r")\b", re.IGNORECASE)
+    rep = pre_tag.replace("\\", "\\\\") + r"\1" + post_tag.replace("\\", "\\\\")
 
     def frag_batch(it):
+        from itertools import islice
+
         for pdf in it:
             frags = []
             for text in pdf[text_col].fillna(""):
-                found = []
-                for m in pat.finditer(text):
-                    if len(found) >= n_fragments:
-                        break
-                    lo = max(0, m.start() - fragment_size // 2)
-                    hi = min(len(text), m.end() + fragment_size // 2)
-                    frag = text[lo:hi]
-                    frag = pat.sub(lambda mm: pre_tag + mm.group(0) + post_tag, frag)
-                    found.append(frag)
-                frags.append(found)
+                cap = n_fragments if order == "none" else max_passages
+                wins = [m.group(0) for m in islice(win.finditer(text), cap)]
+                if order == "score":
+                    # stable sort: equal-count passages keep doc order
+                    wins.sort(key=lambda w: -len(inner.findall(w)))
+                sel = wins[:n_fragments]
+                frags.append([inner.sub(rep, w) for w in sel])
             yield pdf.assign(highlights=frags)
 
     schema = ", ".join(

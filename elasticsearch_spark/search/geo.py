@@ -1,12 +1,17 @@
-"""geo_point query surface: distance, bounding box, polygon, grid cells.
+"""geo_point query surface: distance, bounding box, polygon, grid cells,
+and a geo_shape MVP (WKT query shapes vs point fields).
 
 Reference: index/query/GeoDistanceQueryBuilder.java (arc distance via
 Lucene's haversin), sort/GeoDistanceSortBuilder.java,
 GeoBoundingBoxQueryBuilder.java / GeoPolygonQueryBuilder.java
-(registered in SearchModule.java:810-826), and the geohash_grid /
+(registered in SearchModule.java:810-826), the geohash_grid /
 geotile_grid bucket sources (SearchModule.java:437-448,
-bucket/geogrid/GeoHashGridAggregationBuilder.java). geo_shape
-(BKD-backed arbitrary geometries) stays out of scope.
+bucket/geogrid/GeoHashGridAggregationBuilder.java), and geo_shape
+(GeoShapeQueryBuilder.java + x-pack/plugin/spatial ShapeQueryBuilder):
+this engine supports WKT POINT/POLYGON (with holes)/MULTIPOLYGON/
+ENVELOPE query shapes with intersects/within/disjoint relations against
+geo_point fields — full BKD-indexed doc-side geometries stay out of
+scope.
 
 The haversine great-circle distance is written as ONE fixed sequence of
 double ops so the DuckDB oracle can reproduce it bit-for-bit-ish
@@ -150,6 +155,169 @@ def geo_polygon_sql(
             f"CASE WHEN {straddles} AND ({lon} < {x_cross}) THEN 1 ELSE 0 END"
         )
     return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+# --- geo_shape (WKT query shapes vs point fields) ---------------------
+
+def parse_wkt(wkt: str):
+    """Minimal WKT parser for the geo_shape query surface: POINT,
+    POLYGON (outer ring + holes), MULTIPOLYGON, ENVELOPE (the CQL/ES
+    bbox extension: minlon, maxlon, maxlat, minlat). WKT coordinate
+    order is (lon, lat). Returns (kind, payload)."""
+    import re as _re
+
+    s = wkt.strip()
+    m = _re.match(r"(?is)^\s*(POINT|POLYGON|MULTIPOLYGON|ENVELOPE)\s*\((.*)\)\s*$", s)
+    if not m:
+        raise ValueError(f"unsupported WKT: {wkt[:60]!r}")
+    kind, body = m.group(1).upper(), m.group(2)
+
+    def nums(txt: str) -> list[float]:
+        return [float(v) for v in _re.findall(r"[-+0-9.eE]+", txt)]
+
+    def ring(txt: str) -> list[tuple[float, float]]:
+        vals = nums(txt)
+        if len(vals) % 2 or len(vals) < 6:
+            raise ValueError("WKT ring needs >= 3 (lon, lat) pairs")
+        return list(zip(vals[0::2], vals[1::2]))
+
+    if kind == "POINT":
+        lon, lat = nums(body)
+        return "point", (lon, lat)
+    if kind == "ENVELOPE":
+        minlon, maxlon, maxlat, minlat = nums(body)
+        return "envelope", (minlon, maxlon, maxlat, minlat)
+    if kind == "POLYGON":
+        rings = [ring(r) for r in _re.findall(r"\(([^()]*)\)", body)]
+        return "polygon", rings
+    # MULTIPOLYGON (((...)),((...), (...)))
+    polys = [
+        [ring(r) for r in _re.findall(r"\(([^()]*)\)", poly)]
+        for poly in _re.findall(r"\((\([^)]*\)(?:\s*,\s*\([^)]*\))*)\)", body)
+    ]
+    return "multipolygon", polys
+
+
+def _rings_crossings(rings, y: Column, x: Column) -> Column:
+    """Summed ray crossings over a ring set; even-odd parity covers
+    holes for free (a point inside outer+hole crosses both)."""
+    crossings = F.lit(0)
+    for pts in rings:
+        n = len(pts)
+        for i in range(n):
+            xi, yi = float(pts[i][0]), float(pts[i][1])
+            xj, yj = float(pts[(i + 1) % n][0]), float(pts[(i + 1) % n][1])
+            if yi == yj:
+                continue
+            straddles = (F.lit(yi) > y) != (F.lit(yj) > y)
+            x_cross = (
+                F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
+            )
+            crossings = crossings + F.when(straddles & (x < x_cross), 1).otherwise(0)
+    return crossings
+
+
+def _rings_crossings_sql(rings, lat: str, lon: str) -> list[str]:
+    terms = []
+    for pts in rings:
+        n = len(pts)
+        for i in range(n):
+            xi, yi = float(pts[i][0]), float(pts[i][1])
+            xj, yj = float(pts[(i + 1) % n][0]), float(pts[(i + 1) % n][1])
+            if yi == yj:
+                continue
+            straddles = f"(({yi!r} > {lat}) != ({yj!r} > {lat}))"
+            x_cross = f"({xj - xi!r} * ({lat} - {yi!r}) / {yj - yi!r} + {xi!r})"
+            terms.append(
+                f"CASE WHEN {straddles} AND ({lon} < {x_cross}) THEN 1 ELSE 0 END"
+            )
+    return terms
+
+
+def geo_shape_predicate(
+    wkt: str, lat_col: str = "lat", lon_col: str = "lon"
+) -> Column:
+    """intersects-predicate for a WKT query shape against a point
+    field, unrolled to a static whole-stage-codegen expression (the
+    shape is a query-time constant, like geo_polygon)."""
+    y = F.col(lat_col).cast("double")
+    x = F.col(lon_col).cast("double")
+    kind, payload = parse_wkt(wkt)
+    if kind == "point":
+        lon, lat = payload
+        return (y == F.lit(float(lat))) & (x == F.lit(float(lon)))
+    if kind == "envelope":
+        minlon, maxlon, maxlat, minlat = payload
+        lon_ok = (
+            (x >= F.lit(minlon)) & (x <= F.lit(maxlon))
+            if minlon <= maxlon
+            # dateline-crossing envelope, as GeoBoundingBox allows
+            else (x >= F.lit(minlon)) | (x <= F.lit(maxlon))
+        )
+        return lon_ok & (y >= F.lit(minlat)) & (y <= F.lit(maxlat))
+    if kind == "polygon":
+        return _rings_crossings(payload, y, x) % 2 == 1
+    # multipolygon: union of per-polygon parities
+    pred = F.lit(False)
+    for rings in payload:
+        pred = pred | (_rings_crossings(rings, y, x) % 2 == 1)
+    return pred
+
+
+def geo_shape(
+    df: DataFrame,
+    wkt: str,
+    relation: str = "intersects",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """geo_shape query for point fields (GeoShapeQueryBuilder.java
+    relations): for a point doc, ``within`` coincides with
+    ``intersects`` (a point intersecting a shape lies within it);
+    ``disjoint`` is the strict complement over non-null coordinates
+    (ES: docs without the field never match any relation)."""
+    pred = geo_shape_predicate(wkt, lat_col, lon_col)
+    not_null = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    if relation in ("intersects", "within"):
+        return df.filter(not_null & pred)
+    if relation == "disjoint":
+        return df.filter(not_null & ~pred)
+    raise ValueError(f"unsupported geo_shape relation {relation!r}")
+
+
+def geo_shape_sql(
+    wkt: str, lat: str = "lat", lon: str = "lon",
+    relation: str = "intersects",
+) -> str:
+    """DuckDB twin of geo_shape's predicate — generated from the same
+    vertex walk so the float expressions match op-for-op."""
+    kind, payload = parse_wkt(wkt)
+    if kind == "point":
+        lon_v, lat_v = payload
+        pred = f"({lat} = {float(lat_v)!r} AND {lon} = {float(lon_v)!r})"
+    elif kind == "envelope":
+        minlon, maxlon, maxlat, minlat = payload
+        lon_ok = (
+            f"({lon} >= {minlon!r} AND {lon} <= {maxlon!r})"
+            if minlon <= maxlon
+            else f"({lon} >= {minlon!r} OR {lon} <= {maxlon!r})"
+        )
+        pred = (f"({lon_ok} AND {lat} >= {minlat!r} AND {lat} <= {maxlat!r})")
+    elif kind == "polygon":
+        terms = _rings_crossings_sql(payload, lat, lon)
+        pred = f"(({' + '.join(terms)}) % 2 = 1)"
+    else:
+        parts = []
+        for rings in payload:
+            terms = _rings_crossings_sql(rings, lat, lon)
+            parts.append(f"(({' + '.join(terms)}) % 2 = 1)")
+        pred = "(" + " OR ".join(parts) + ")"
+    base = f"({lat} IS NOT NULL AND {lon} IS NOT NULL)"
+    if relation in ("intersects", "within"):
+        return f"({base} AND {pred})"
+    if relation == "disjoint":
+        return f"({base} AND NOT {pred})"
+    raise ValueError(f"unsupported geo_shape relation {relation!r}")
 
 
 # --- grid cells -------------------------------------------------------

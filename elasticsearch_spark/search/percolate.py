@@ -27,8 +27,19 @@ doc matches iff EVERY group is satisfied:
   {"match": {f: text}}                   -> term group, msm=1 ("or")
   {"match": {f: {"query": text, "operator": "and"}}}      -> msm=n
   {"match": {f: {"query": text, "minimum_should_match"}}} -> msm=k
+  {"prefix":   {f: v}}                   -> pattern group (v*), msm=1
+  {"wildcard": {f: pat}}                 -> pattern group (*/?), msm=1
   {"range": {f: {gte|gt|lte|lt}}}        -> numeric range group
-  {"bool":  {"must": [sub, ...]}}        -> union of the subs' groups
+  {"bool":  {"must"/"filter": [...]}}    -> union of the subs' groups
+  {"bool":  {"should": [...], "minimum_should_match": k}}
+      -> ONE group; every should clause gets a clause id and k distinct
+         clauses must be satisfied (a should list alongside must
+         WITHOUT msm is scoring-only and is ignored)
+
+Clause counting: requirement rows carry a clause id; a group is
+satisfied when count(DISTINCT clause) >= msm, so a terms clause
+matching two of its values still counts as ONE satisfied clause —
+Lucene's BooleanQuery msm counts clauses, not terms.
 
 This mirrors the extraction in PercolatorFieldMapper.createQueryBuilder
 (term/disjunction extraction with minimum-should-match) while the
@@ -60,40 +71,115 @@ def _match_terms(field: str, body: Any) -> tuple[list[str], int]:
     return terms, int(msm)
 
 
+def _like_escape(literal: str) -> str:
+    """Escape LIKE metacharacters in a literal (backslash escape —
+    Spark's default; the DuckDB twin adds an explicit ESCAPE clause)."""
+    return (literal.replace("\\", "\\\\")
+            .replace("%", "\\%").replace("_", "\\_"))
+
+
+def _wildcard_like(pattern: str) -> str:
+    """ES wildcard (* any run, ? one char) -> SQL LIKE pattern."""
+    out = []
+    for ch in pattern:
+        if ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        elif ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def decompose_queries(
     stored: list[tuple[Any, dict]],
-) -> tuple[list[tuple], list[tuple], list[tuple]]:
+) -> tuple[list[tuple], list[tuple], list[tuple], list[tuple]]:
     """Decompose stored (query_id, dsl) pairs into requirement rows.
 
-    Returns (term_rows, range_rows, group_rows):
-      term_rows:  (query_id, group_id, field, term)
+    Returns (term_rows, pat_rows, range_rows, group_rows):
+      term_rows:  (query_id, group_id, field, term, clause)
+      pat_rows:   (query_id, group_id, field, like_pattern, clause)
       range_rows: (query_id, group_id, field, lo, hi, lo_open, hi_open)
       group_rows: (query_id, group_id, msm)   # msm=0 marks range groups
     Decomposition is per-query and stateless — for a huge stored-query
     table run it inside mapInPandas; here it feeds createDataFrame.
     """
     term_rows: list[tuple] = []
+    pat_rows: list[tuple] = []
     range_rows: list[tuple] = []
     group_rows: list[tuple] = []
+
+    def add_should_group(qid: Any, gid: int, should: list, msm: int) -> None:
+        """One group for a should list: every clause gets a clause id;
+        msm distinct clause ids must be satisfied."""
+        for ci, sub in enumerate(should):
+            (skind, sbody), = sub.items()
+            if skind == "term":
+                (field, value), = sbody.items()
+                if isinstance(value, dict):
+                    value = value["value"]
+                term_rows.append((qid, gid, field, str(value).lower(), ci))
+            elif skind == "terms":
+                (field, values), = sbody.items()
+                for v in values:
+                    term_rows.append((qid, gid, field, str(v).lower(), ci))
+            elif skind == "match":
+                (field, body2), = sbody.items()
+                terms, msm2 = _match_terms(field, body2)
+                if msm2 != 1:
+                    raise ValueError(
+                        "percolator: match inside should supports only "
+                        "operator=or / msm=1 (nested msm has no flat "
+                        "clause decomposition)"
+                    )
+                for t in terms:
+                    term_rows.append((qid, gid, field, t, ci))
+            elif skind == "prefix":
+                (field, value), = sbody.items()
+                if isinstance(value, dict):
+                    value = value["value"]
+                pat_rows.append((
+                    qid, gid, field,
+                    _like_escape(str(value).lower()) + "%", ci))
+            elif skind == "wildcard":
+                (field, value), = sbody.items()
+                if isinstance(value, dict):
+                    value = value.get("value", value.get("wildcard"))
+                pat_rows.append((
+                    qid, gid, field,
+                    _wildcard_like(str(value).lower()), ci))
+            else:
+                raise ValueError(
+                    f"percolator: unsupported should clause kind {skind!r}"
+                )
+        group_rows.append((qid, gid, int(msm)))
 
     def add_clause(qid: Any, gid: int, clause: dict) -> int:
         (kind, body), = clause.items()
         if kind == "bool":
-            # Only conjunctive decomposition is supported: must (and
-            # filter, identical semantics in a match-only context) map
-            # to requirement groups.  must_not would need complemented
-            # groups — reject loudly rather than over-match.  A should
-            # list WITHOUT minimum_should_match alongside must is
-            # scoring-only in ES and is intentionally ignored.
-            unsupported = set(body) - {"must", "filter", "should"}
+            # Conjunctive decomposition: must and filter (identical
+            # matching semantics here) map to requirement groups;
+            # should + minimum_should_match becomes ONE clause-counted
+            # group.  must_not would need complemented groups — reject
+            # loudly rather than over-match.  A should list WITHOUT msm
+            # alongside must is scoring-only in ES and is ignored.
+            unsupported = set(body) - {"must", "filter", "should",
+                                       "minimum_should_match"}
             if unsupported:
                 raise ValueError(
                     f"percolator: unsupported bool sections {sorted(unsupported)}"
                 )
-            if body.get("should") and not body.get("must") and not body.get("filter"):
+            should = list(body.get("should") or [])
+            msm_b = body.get("minimum_should_match")
+            if should and msm_b:
+                add_should_group(qid, gid, should, int(msm_b))
+                gid += 1
+            elif should and not body.get("must") and not body.get("filter"):
                 raise ValueError(
-                    "percolator: bool with only 'should' is unsupported "
-                    "(would need disjunctive group semantics)"
+                    "percolator: bool with only 'should' needs "
+                    "minimum_should_match (disjunctive group)"
                 )
             for sub in list(body.get("must", [])) + list(body.get("filter", [])):
                 gid = add_clause(qid, gid, sub)
@@ -102,19 +188,34 @@ def decompose_queries(
             (field, value), = body.items()
             if isinstance(value, dict):
                 value = value["value"]
-            term_rows.append((qid, gid, field, str(value).lower()))
+            term_rows.append((qid, gid, field, str(value).lower(), 0))
             group_rows.append((qid, gid, 1))
         elif kind == "terms":
             (field, values), = body.items()
             for v in values:
-                term_rows.append((qid, gid, field, str(v).lower()))
+                term_rows.append((qid, gid, field, str(v).lower(), 0))
             group_rows.append((qid, gid, 1))
         elif kind == "match":
             (field, body2), = body.items()
             terms, msm = _match_terms(field, body2)
-            for t in terms:
-                term_rows.append((qid, gid, field, t))
+            for ci, t in enumerate(terms):
+                term_rows.append((qid, gid, field, t, ci))
             group_rows.append((qid, gid, msm))
+        elif kind == "prefix":
+            (field, value), = body.items()
+            if isinstance(value, dict):
+                value = value["value"]
+            pat_rows.append((
+                qid, gid, field,
+                _like_escape(str(value).lower()) + "%", 0))
+            group_rows.append((qid, gid, 1))
+        elif kind == "wildcard":
+            (field, value), = body.items()
+            if isinstance(value, dict):
+                value = value.get("value", value.get("wildcard"))
+            pat_rows.append((
+                qid, gid, field, _wildcard_like(str(value).lower()), 0))
+            group_rows.append((qid, gid, 1))
         elif kind == "range":
             (field, bounds), = body.items()
             lo = bounds.get("gte", bounds.get("gt"))
@@ -135,7 +236,7 @@ def decompose_queries(
         gid = add_clause(qid, gid, dsl)
         if gid == 0:
             raise ValueError(f"query {qid!r} produced no requirement groups")
-    return term_rows, range_rows, group_rows
+    return term_rows, pat_rows, range_rows, group_rows
 
 
 def percolate(
@@ -154,7 +255,7 @@ def percolate(
     keyword fields contribute themselves, and the resulting
     (doc, field, term) set joins the broadcast requirement tables.
     """
-    term_rows, range_rows, group_rows = decompose_queries(stored)
+    term_rows, pat_rows, range_rows, group_rows = decompose_queries(stored)
     # A range requirement on a field not listed in numeric_fields can
     # never be satisfied (and empty numeric_fields would crash below on
     # vals=None) — fail loudly instead of silently never-matching.
@@ -174,10 +275,7 @@ def percolate(
 
     sat_parts: list[DataFrame] = []
 
-    if term_rows:
-        reqs = spark.createDataFrame(
-            term_rows,
-            f"query_id {qid_type}, group_id int, field string, term string")
+    if term_rows or pat_rows:
         per_field = []
         for fld in text_fields:
             per_field.append(
@@ -198,12 +296,37 @@ def percolate(
         doc_terms = per_field[0]
         for p in per_field[1:]:
             doc_terms = doc_terms.unionByName(p)
+        clause_hits = None
+        if term_rows:
+            reqs = spark.createDataFrame(
+                term_rows,
+                f"query_id {qid_type}, group_id int, field string, "
+                "term string, clause int")
+            clause_hits = doc_terms.join(
+                F.broadcast(reqs), ["field", "term"]
+            ).select(id_col, "query_id", "group_id", "clause")
+        if pat_rows:
+            # prefix/wildcard requirements: equi-join on field, LIKE on
+            # the pattern (broadcast side stays tiny; the doc-term side
+            # is the same single tokenize pass)
+            preqs = spark.createDataFrame(
+                pat_rows,
+                f"query_id {qid_type}, group_id int, pfield string, "
+                "pattern string, clause int")
+            pat_hits = doc_terms.join(
+                F.broadcast(preqs),
+                (F.col("field") == F.col("pfield"))
+                & F.expr("term LIKE pattern"),
+            ).select(id_col, "query_id", "group_id", "clause")
+            clause_hits = (
+                pat_hits if clause_hits is None
+                else clause_hits.unionByName(pat_hits)
+            )
         term_msm = groups.where(F.col("msm") > 0)
         sat_terms = (
-            doc_terms
-            .join(F.broadcast(reqs), ["field", "term"])
+            clause_hits
             .groupBy(id_col, "query_id", "group_id")
-            .agg(F.count_distinct("term").alias("hits"))
+            .agg(F.count_distinct("clause").alias("hits"))
             .join(F.broadcast(term_msm), ["query_id", "group_id"])
             .where(F.col("hits") >= F.col("msm"))
             .select(id_col, "query_id", "group_id")
@@ -263,7 +386,7 @@ def percolate_requirements_sql(
 ) -> str:
     """DuckDB twin of :func:`percolate` over the same stored queries —
     identical decomposition, tokenization regex, and group algebra."""
-    term_rows, range_rows, group_rows = decompose_queries(stored)
+    term_rows, pat_rows, range_rows, group_rows = decompose_queries(stored)
 
     def q(v: Any) -> str:
         if v is None:
@@ -288,18 +411,34 @@ def percolate_requirements_sql(
         f"WHERE {fld} IS NOT NULL"
         for fld in keyword_fields
     ]
-    if term_rows:
-        reqs_v = ", ".join(
-            f"({q(a)}, {b}, {q(c)}, {q(d)})" for a, b, c, d in term_rows)
+    if term_rows or pat_rows:
+        dt = " UNION ALL ".join(doc_term_selects)
+        hit_selects = []
+        if term_rows:
+            reqs_v = ", ".join(
+                f"({q(a)}, {b}, {q(c)}, {q(d)}, {e})"
+                for a, b, c, d, e in term_rows)
+            hit_selects.append(f"""
+  SELECT dt.doc_id, r.query_id, r.group_id, r.clause
+  FROM ({dt}) dt
+  JOIN (VALUES {reqs_v}) AS r(query_id, group_id, field, term, clause)
+    ON r.field = dt.field AND r.term = dt.term""")
+        if pat_rows:
+            preqs_v = ", ".join(
+                f"({q(a)}, {b}, {q(c)}, {q(d)}, {e})"
+                for a, b, c, d, e in pat_rows)
+            hit_selects.append(f"""
+  SELECT dt.doc_id, p.query_id, p.group_id, p.clause
+  FROM ({dt}) dt
+  JOIN (VALUES {preqs_v}) AS p(query_id, group_id, field, pattern, clause)
+    ON p.field = dt.field AND dt.term LIKE p.pattern ESCAPE '\\'""")
         parts.append(f"""
-  SELECT dt.doc_id, r.query_id, r.group_id
-  FROM ({' UNION ALL '.join(doc_term_selects)}) dt
-  JOIN (VALUES {reqs_v}) AS r(query_id, group_id, field, term)
-    ON r.field = dt.field AND r.term = dt.term
+  SELECT h.doc_id, h.query_id, h.group_id
+  FROM ({' UNION ALL '.join(hit_selects)}) h
   JOIN (VALUES {groups_v}) AS g(query_id, group_id, msm)
-    ON g.query_id = r.query_id AND g.group_id = r.group_id AND g.msm > 0
-  GROUP BY dt.doc_id, r.query_id, r.group_id
-  HAVING count(DISTINCT r.term) >= any_value(g.msm)""")
+    ON g.query_id = h.query_id AND g.group_id = h.group_id AND g.msm > 0
+  GROUP BY h.doc_id, h.query_id, h.group_id
+  HAVING count(DISTINCT h.clause) >= any_value(g.msm)""")
     if range_rows:
         rreqs_v = ", ".join(
             f"({q(a)}, {b}, {q(c)}, {q(lo)}, {q(hi)}, {q(lop)}, {q(hop)})"

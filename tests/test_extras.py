@@ -149,3 +149,27 @@ def test_bigram_stats_cached_until_index_changes(index, tmp_path):
     m1 = os.path.getmtime(meta)
     extras.ensure_bigram_stats(index, "text")
     assert os.path.getmtime(meta) == m1
+
+
+def test_highlight_multi_fragment_options(spark):
+    from elasticsearch_spark.search import extras
+
+    text = ("alpha table beta " + "x" * 80 + " gamma table delta table end "
+            + "y" * 80 + " table last")
+    hits = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extras.highlight(
+        hits, ["table"], fragment_size=30, n_fragments=3,
+        pre_tag="[", post_tag="]").collect()[0]["highlights"]
+    assert len(out) == 3
+    # every fragment tags its matches; nearby matches share a passage
+    assert all("[table]" in f for f in out)
+    assert "[table] delta [table]" in out[1]
+    # order=score puts the 2-match passage first (stable ties)
+    scored = extras.highlight(
+        hits, ["table"], fragment_size=30, n_fragments=1,
+        pre_tag="[", post_tag="]", order="score").collect()[0]["highlights"]
+    assert scored[0].count("[table]") == 2
+    # custom tags + fragment budget respected
+    one = extras.highlight(
+        hits, ["table"], fragment_size=10, n_fragments=1).collect()[0]
+    assert len(one["highlights"]) == 1 and "<em>table</em>" in one["highlights"][0]

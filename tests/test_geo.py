@@ -129,3 +129,71 @@ def test_geo_distance_agg_rings(spark):
                                    (2000.0, None)])
     got = {r["key"]: r["doc_count"] for r in out.collect()}
     assert got == {"*-500": 1, "500-2000": 1, "2000-*": 1}
+
+
+def test_parse_wkt():
+    from elasticsearch_spark.search.geo import parse_wkt
+
+    assert parse_wkt("POINT (30 10)") == ("point", (30.0, 10.0))
+    k, rings = parse_wkt(
+        "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10), (20 30, 35 35, 30 20, 20 30))")
+    assert k == "polygon" and len(rings) == 2 and len(rings[0]) == 5
+    k, env = parse_wkt("ENVELOPE (10, 40, 45, -10)")
+    assert k == "envelope" and env == (10.0, 40.0, 45.0, -10.0)
+    k, polys = parse_wkt(
+        "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), "
+        "((15 5, 40 10, 10 20, 5 10, 15 5)))")
+    assert k == "multipolygon" and len(polys) == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_wkt("LINESTRING (30 10, 10 30)")
+
+
+def test_geo_shape_relations(spark):
+    from elasticsearch_spark.search.geo import geo_shape, geo_shape_sql
+
+    pts = [
+        (1, 25.0, 25.0),    # inside outer ring (clear of hole)
+        (2, 30.0, 30.0),    # inside the hole -> not intersecting
+        (3, 0.0, 120.0),    # far outside
+        (4, None, None),    # missing field: matches NO relation
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    wkt = ("POLYGON ((10 10, 50 10, 50 50, 10 50, 10 10), "
+           "(27 27, 33 27, 33 33, 27 33, 27 27))")
+    inter = sorted(r["doc_id"] for r in geo_shape(df, wkt).collect())
+    disj = sorted(r["doc_id"]
+                  for r in geo_shape(df, wkt, "disjoint").collect())
+    assert inter == [1]
+    assert disj == [2, 3]
+    # within == intersects for point fields
+    assert sorted(r["doc_id"] for r in
+                  geo_shape(df, wkt, "within").collect()) == [1]
+    # DuckDB twin agrees row-for-row
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", pts)
+    got = [r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE "
+        + geo_shape_sql(wkt, "lat", "lon") + " ORDER BY doc_id").fetchall()]
+    assert got == inter
+    # envelope across the dateline
+    env = "ENVELOPE (150, -120, 60, -20)"
+    df2 = spark.createDataFrame(
+        [(1, 0.0, 170.0), (2, 0.0, -150.0), (3, 0.0, 0.0)],
+        "doc_id long, lat double, lon double")
+    assert sorted(r["doc_id"] for r in geo_shape(df2, env).collect()) == [1, 2]
+
+
+def test_geo_shape_multipolygon(spark):
+    from elasticsearch_spark.search.geo import geo_shape
+
+    wkt = ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+           "((20 20, 30 20, 30 30, 20 30, 20 20)))")
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 25.0, 25.0), (3, 15.0, 15.0)],
+        "doc_id long, lat double, lon double")
+    assert sorted(r["doc_id"] for r in geo_shape(df, wkt).collect()) == [1, 2]

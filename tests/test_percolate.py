@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_decompose_bool_groups():
-    terms, ranges, groups = decompose_queries([
+    terms, pats, ranges, groups = decompose_queries([
         ("a", {"bool": {"must": [
             {"term": {"lang": "EN"}},
             {"match": {"text": {"query": "alpha beta", "operator": "and"}}},
@@ -96,7 +96,7 @@ def test_decompose_rejects_must_not_and_filter_maps_to_groups():
             "must_not": [{"term": {"lang": "fr"}}]}})])
     # bool.filter participates exactly like must (filter context has
     # identical matching semantics for percolation)
-    t, r, g = decompose_queries([(1, {"bool": {
+    t, _pt, r, g = decompose_queries([(1, {"bool": {
         "filter": [{"term": {"lang": "en"}},
                    {"range": {"n": {"gte": 5}}}]}})])
     assert len(g) == 2 and len(t) == 1 and len(r) == 1
@@ -118,3 +118,55 @@ def test_percolate_validates_numeric_fields(spark):
     with pytest.raises(ValueError, match="numeric_fields"):
         percolate(spark, docs, stored, text_fields=["text"],
                   numeric_fields=["other"])
+
+
+def test_decompose_prefix_wildcard_and_should_msm():
+    t, p, r, g = decompose_queries([
+        (1, {"prefix": {"text": "tab"}}),
+        (2, {"wildcard": {"text": "sc*n_?"}}),
+        (3, {"bool": {
+            "should": [{"term": {"lang": "en"}},
+                       {"terms": {"lang": ["fr", "de"]}},
+                       {"prefix": {"text": "mer"}}],
+            "minimum_should_match": 2}}),
+    ])
+    assert p[0] == (1, 0, "text", "tab%", 0)
+    assert p[1] == (2, 0, "text", "sc%n\\__", 0)
+    # should group: term clause 0, both terms-values clause 1, prefix 2
+    assert [(x[3], x[4]) for x in t if x[0] == 3] == [
+        ("en", 0), ("fr", 1), ("de", 1)]
+    assert (3, 0, "text", "mer%", 2) in p
+    assert (3, 0, 2) in g
+
+
+def test_percolate_prefix_wildcard_should(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "alpha table xyz", "en"), (2, "merge scan here", "fr"),
+         (3, "scan_7 only", "zh"), (4, "nothing else", "de")],
+        "doc_id long, text string, lang string")
+    stored = [
+        (10, {"prefix": {"text": "tab"}}),            # doc 1
+        (11, {"wildcard": {"text": "scan_?"}}),       # doc 3
+        (12, {"bool": {"should": [
+            {"term": {"lang": "en"}},
+            {"prefix": {"text": "mer"}},
+            {"term": {"text": "scan"}}],
+            "minimum_should_match": 2}}),             # doc 2 (mer+scan)
+    ]
+    out = percolate(spark, docs, stored, text_fields=["text"],
+                    keyword_fields=["lang"]).toPandas()
+    got = sorted(map(tuple, out[["doc_id", "query_id"]].to_numpy()))
+    assert got == [(1, 10), (2, 12), (3, 11)]
+    # DuckDB twin agrees
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)",
+                    [(1, "alpha table xyz", "en"),
+                     (2, "merge scan here", "fr"),
+                     (3, "scan_7 only", "zh"), (4, "nothing else", "de")])
+    want = sorted(map(tuple, con.execute(percolate_requirements_sql(
+        stored, table="d", text_fields=["text"], keyword_fields=["lang"],
+    )).fetchall()))
+    assert got == want

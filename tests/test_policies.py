@@ -118,3 +118,137 @@ def test_filter_query_pushdown(spark, tmp_path):
     # column pruning: the scan must not read `text`
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" not in m.group(1), m.group(1) if m else plan[:500]
+
+
+def test_filtered_search_keeps_pruning_plan(spark, index):
+    """bool{must: match, filter: ...} must push the filter INTO the
+    scorer (WAND/theta pruning stays active), not run a k=None
+    full-scoring pass followed by a semi-join. search() uses the
+    cogroup strategy (single plan, no driver round-trip)."""
+    from elasticsearch_spark.search.api import search
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.executor import match_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = {"bool": {"must": [{"match": {"text": "query data"}}],
+                  "filter": [{"term": {"lang": "en"}}]}}
+    out = search(index, docs, q, k=10,
+                 params=BM25Params(quantize_norms=False))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the scored side must NOT be semi-joined against the filter
+    assert "LeftSemi" not in plan, plan[:3000]
+    # beyond the broadcast threshold the allowlist cogroups instead
+    allowed = docs.filter(docs.lang == "en").select("doc_id")
+    big = match_topk(index, "text", ["query", "data"], k=10,
+                     params=BM25Params(quantize_norms=False),
+                     allowed=allowed)
+    plan2 = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan2, plan2[:3000]
+
+
+def test_filtered_search_parity_with_fallback(spark, index):
+    """Pushed-allowlist scoring must be row-identical to the unpruned
+    score-everything + semi-join fallback, across operators and msm."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search import dsl
+    from elasticsearch_spark.search.api import _scored_df, search
+    from elasticsearch_spark.search.bm25 import BM25Params
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    params = BM25Params(quantize_norms=False)
+    cases = [
+        {"bool": {"must": [{"match": {"text": "table scan merge"}}],
+                  "filter": [{"range": {"n_chars": {"gte": 300}}}]}},
+        {"bool": {"must": [{"match": {"text": {"query": "window filter",
+                                               "operator": "and"}}}],
+                  "filter": [{"term": {"lang": "fr"}}]}},
+        {"bool": {"must": [{"match": {"text": {
+                      "query": "table scan merge",
+                      "minimum_should_match": 2}}}],
+                  "filter": [{"term": {"lang": "en"}}]}},
+        # zero-hit filter
+        {"bool": {"must": [{"match": {"text": "table"}}],
+                  "filter": [{"term": {"lang": "zz_nope"}}]}},
+    ]
+    for q in cases:
+        got = [
+            (r["doc_id"], r["s"])
+            for r in search(index, docs, q, k=10, params=params)
+            .select("doc_id", F.round("score", 6).alias("s")).collect()
+        ]
+        body = q["bool"]
+        scores = _scored_df(
+            index, {"bool": {"must": body["must"], "should": []}}, params)
+        allowed = docs.filter(dsl.compile_filter(
+            {"bool": {"filter": body["filter"], "must_not": []}}, "doc_id"
+        )).select("doc_id")
+        want = [
+            (r["doc_id"], r["s"])
+            for r in scores.join(allowed, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.round("score", 6).alias("s")).collect()
+        ]
+        assert got == want, q
+
+
+def test_filtered_match_cogroup_strategy_parity(spark, index):
+    """broadcast and cogroup allowlist strategies return identical
+    rows."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.executor import match_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    allowed = docs.filter(F.col("n_chars") >= 300).select("doc_id")
+    params = BM25Params(quantize_norms=False)
+
+    def rows(**kw):
+        return [
+            (r["doc_id"], r["s"])
+            for r in match_topk(index, "text", ["table", "scan", "merge"],
+                                k=10, params=params, allowed=allowed, **kw)
+            .select("doc_id", F.round("score", 6).alias("s")).collect()
+        ]
+
+    assert rows(allowed_strategy="broadcast") == rows()
+    assert rows(allowed_strategy="auto") == rows()
+
+
+def test_term_stats_fallback_pushdown(spark, tmp_path):
+    """When the term dictionary exceeds the driver cache budget, the
+    per-query stats lookup must push In(term, ...) to the parquet scan
+    (not scan the whole dictionary)."""
+    from elasticsearch_spark.index.builder import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fresh = build_index(
+        docs.select("doc_id", "text"), str(tmp_path / "ts_idx"),
+        fields={"text": "ascii_word"}, num_partitions=2,
+        input_snapshot="ts",
+    )
+    fresh._term_cache_state = "too_big"  # force the fallback path
+    df = fresh._term_stats_scan("text", ["table", "scan"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan[:2000]
+    rows = fresh.term_stats("text", ["table", "scan"])
+    assert {r["term"] for r in rows} == {"table", "scan"}
+
+
+def test_term_stats_cache_matches_scan(spark, tmp_path):
+    """Tuple-backed cache rows must agree with the pushed-scan rows."""
+    from elasticsearch_spark.index.builder import build_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fresh = build_index(
+        docs.select("doc_id", "text"), str(tmp_path / "tc_idx"),
+        fields={"text": "ascii_word"}, num_partitions=2,
+        input_snapshot="tc",
+    )
+    cached = {r["term"]: (r["df"], r["cf"], r["max_tf"], r["min_dl"])
+              for r in fresh.term_stats("text", ["table", "scan"])}
+    assert fresh._term_cache_state == "cached"
+    scanned = {r["term"]: (r["df"], r["cf"], r["max_tf"], r["min_dl"])
+               for r in fresh._term_stats_scan("text", ["table", "scan"]).collect()}
+    assert cached == scanned and cached

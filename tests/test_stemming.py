@@ -310,3 +310,84 @@ def test_nordic_stopwords_native_diacritic_form():
     assert toks("så på nå bil", "norwegian_light") == ["bil"]
     assert toks("på så auto", "danish_light") == ["auto"]
     assert toks("että hän tämä auto", "finnish_light") == ["auto"]
+
+
+@pytest.mark.parametrize("lang,words", [
+    ("arabic", ["والكتاب", "المكتبة", "كتابها", "مدرسون", "بالبيت",
+                "وقالت", "معلمين"]),
+    ("turkish", ["kitaplardan", "evlerin", "arabalar", "okulda",
+                 "sularını", "gözlerinden"]),
+    ("greek", ["μηχανές", "αναζητήσεις", "βιβλίου", "προγράμματα",
+               "γλώσσας", "συστήματος"]),
+    ("czech", ["databázích", "tabulkách", "systémem", "programové",
+               "knihami", "městech"]),
+    ("romanian", ["tabelele", "coloanelor", "sistemului", "cărțile",
+                  "programele", "limbajul"]),
+])
+def test_r4_language_sql_twins(lang, words):
+    """Python cascade == DuckDB cascade_sql for the ar/tr/el/cs/ro tier
+    (RTL script, agglutinative stacks, Greek sigma, cedilla variants)."""
+    import duckdb
+
+    from elasticsearch_spark.analysis import stem as S
+
+    rules = getattr(S, f"{lang.upper()}_LIGHT_RULES")
+    py_stem = getattr(S, f"{lang}_light_stem")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {S.cascade_sql(rules, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, py_stem(w)) for w, got in rows if got != py_stem(w)]
+    assert not mism, mism
+
+
+def test_r4_language_analyzers_registered():
+    from elasticsearch_spark.analysis.analyzers import (
+        ANALYZERS, FLAT_ANALYZERS,
+    )
+
+    for name in ["arabic_light", "turkish_light", "greek_light",
+                 "czech_light", "romanian_light", "cjk"]:
+        assert name in ANALYZERS and name in FLAT_ANALYZERS
+    # consistency: inflected and base forms meet at one stem
+    assert analyze("kitaplardan", "turkish_light") == \
+        analyze("kitap", "turkish_light")
+    assert [t for t, _ in analyze("والكتاب في المكتبة", "arabic_light")] \
+        == ["كتاب", "مكتب"]
+
+
+def test_cjk_bigram_analyzer():
+    toks = analyze("検索エンジン", "cjk")
+    assert toks == [("検索", 0), ("索エ", 1), ("エン", 2), ("ンジ", 3),
+                    ("ジン", 4)]
+    # lone ideogram stays a unigram; latin passes through; english
+    # stopwords removed with position increments preserved
+    assert analyze("索 the index", "cjk") == [("索", 0), ("index", 2)]
+    # mixed-script token: segments bigram independently
+    assert [t for t, _ in analyze("漢字abc定", "cjk")] == \
+        ["漢字", "abc", "定"]
+    # han + kana bigram across adjacent runs within each run only
+    assert [t for t, _ in analyze("한국어 데이터", "cjk")] == \
+        ["한국", "국어", "데이", "이터"]
+
+
+def test_cjk_flat_parity():
+    import pandas as pd
+
+    from elasticsearch_spark.analysis.analyzers import (
+        FLAT_ANALYZERS, _analyze_cjk,
+    )
+
+    texts = pd.Series([
+        "検索エンジンの仕組み", "plain ascii text", "", "한국어 데이터 処理",
+        "the 索引 and 検索 system", "漢 字 漢字漢字漢字",
+    ])
+    d, c, u, p = FLAT_ANALYZERS["cjk"](texts)
+    got = {}
+    for di, ci, pi in zip(d, c, p):
+        got.setdefault(int(di), []).append((u[ci], int(pi)))
+    for i, text in enumerate(texts):
+        expect = [(t, pos) for t, pos in
+                  zip(*_analyze_cjk(text))] if text else []
+        assert got.get(i, []) == expect, (i, text, got.get(i), expect)
