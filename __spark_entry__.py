@@ -207,6 +207,14 @@ PERCOLATE_STORED = [
         {"match": {"text": {"query": "query index batch",
                             "minimum_should_match": 2}}},
         {"range": {"n_chars": {"gt": 100}}}]}}),
+    # round-4 percolator growth: pattern groups + should-with-msm
+    (7, {"prefix": {"text": "tabl"}}),
+    (8, {"wildcard": {"text": "sc?n"}}),
+    (9, {"bool": {
+        "should": [{"term": {"lang": "en"}},
+                   {"prefix": {"text": "merg"}},
+                   {"terms": {"lang": ["fr", "de"]}}],
+        "minimum_should_match": 2}}),
 ]
 
 
@@ -920,6 +928,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eql_sequence"] = eql_sequence_q
 
+    def rollup_hourly_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.rollup import rollup
+
+        ev = _t(s, d, "events")
+        out = rollup(ev, "ts", "1 hour", ["event_type"],
+                     {"value": ["min", "max", "sum", "value_count"]})
+        return out.select(
+            F.col("bucket_ts").cast("string").alias("bucket_ts"),
+            "event_type", "_doc_count",
+            F.round("value_min", 4).alias("value_min"),
+            F.round("value_max", 4).alias("value_max"),
+            F.round("value_sum", 2).alias("value_sum"),
+            F.col("value_value_count").alias("value_value_count"),
+        )
+
+    q["rollup_hourly"] = rollup_hourly_q
+
+    def transform_pivot_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.rollup import transform_pivot
+
+        ev = _t(s, d, "events")
+        out = transform_pivot(ev, ["user_id"],
+                              {"value": ["sum", "avg", "max"]})
+        return out.select(
+            "user_id", "_doc_count",
+            F.round("value_sum", 2).alias("value_sum"),
+            F.round(F.col("value_avg_sum")
+                    / F.col("value_avg_count"), 4).alias("value_avg"),
+            F.round("value_max", 4).alias("value_max"),
+        )
+
+    q["transform_pivot"] = transform_pivot_q
+
     def eql_until_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.eql import sequence
 
@@ -1444,6 +1485,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return completion_suggest(idx, "text", "s", size=5)
 
     q["completion_suggest"] = completion_q
+
+    def _suggestions(s: SparkSession, d: str) -> DataFrame:
+        # deterministic suggestion table both engines derive from
+        # documents: the first 5 tokens as suggestions, n_chars as
+        # weight, (lang, source) as category contexts
+        return _t(s, d, "documents").select(
+            F.explode(F.expr(
+                "slice(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), 1, 5)"
+            )).alias("suggestion"),
+            F.col("n_chars").cast("long").alias("weight"),
+            F.array("lang", "source").alias("contexts"),
+        ).where(F.length("suggestion") > 0)
+
+    def completion_fuzzy_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.completion import completion_suggest
+
+        out = completion_suggest(_suggestions(s, d), "tabel",
+                                 size=5, fuzziness=1)
+        return out.select("suggestion", F.round("score", 4).alias("score"))
+
+    q["completion_fuzzy"] = completion_fuzzy_q
+
+    def completion_contexts_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.completion import completion_suggest
+
+        out = completion_suggest(
+            _suggestions(s, d), "s", size=5,
+            contexts={"en": 2.0, "fr": 1.0})
+        return out.select("suggestion", F.round("score", 4).alias("score"))
+
+    q["completion_contexts"] = completion_contexts_q
 
     def runtime_field_q(s: SparkSession, d: str) -> DataFrame:
         # runtime field (script-on-read, search/runtime/*): a computed
@@ -2444,6 +2516,30 @@ cscored AS (
 SELECT doc_id, round(score, 4) AS score
 FROM cscored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # 1-hour Spark windows are epoch-aligned, so date_trunc('hour') is
+    # the exact DuckDB twin of window(ts, '1 hour').start
+    o["rollup_hourly"] = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket_ts,
+       event_type,
+       count(*) AS _doc_count,
+       round(min(value), 4) AS value_min,
+       round(max(value), 4) AS value_max,
+       round(sum(value), 2) AS value_sum,
+       count(value) AS value_value_count
+FROM events
+GROUP BY 1, 2
+"""
+
+    o["transform_pivot"] = """
+SELECT user_id,
+       count(*) AS _doc_count,
+       round(sum(value), 2) AS value_sum,
+       round(sum(value) / count(value), 4) AS value_avg,
+       round(max(value), 4) AS value_max
+FROM events
+GROUP BY 1
+"""
+
     o["eql_sequence"] = """
 WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
 b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
@@ -2961,6 +3057,18 @@ SELECT doc_id, round(50.0 / (50.0 + abs(n_chars - 300)), 6) AS score
 FROM documents
 ORDER BY 50.0 / (50.0 + abs(n_chars - 300)) DESC, doc_id ASC LIMIT 10
 """
+    from elasticsearch_spark.search.completion import completion_suggest_sql
+
+    _SUGG_SUB = ("(SELECT unnest(regexp_extract_all(lower(text), "
+                 "'[a-z0-9_]+')[1:5]) AS suggestion, "
+                 "CAST(n_chars AS BIGINT) AS weight, "
+                 "[lang, source] AS contexts FROM documents) sg")
+    o["completion_fuzzy"] = completion_suggest_sql(
+        "tabel", size=5, fuzziness=1, table=_SUGG_SUB, round_decimals=4)
+    o["completion_contexts"] = completion_suggest_sql(
+        "s", size=5, contexts={"en": 2.0, "fr": 1.0},
+        table=_SUGG_SUB, round_decimals=4)
+
     o["completion_suggest"] = """
 WITH tok AS (
   SELECT DISTINCT doc_id,

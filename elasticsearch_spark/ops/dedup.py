@@ -162,8 +162,10 @@ def minhash_signatures(
 
     ``use_arrays=True`` computes every min inside one PROJECTION over
     the per-doc shingle-hash array (array_min over a transform) — no
-    explode, no shuffle; identical signatures. Right shape when the
-    signatures feed a single consumer or are persisted explicitly."""
+    explode, no shuffle; identical signatures. Measured ~25x SLOWER
+    end-to-end (BENCH/BASELINE.md r4 A/B): Catalyst collapses the
+    staged projections, so each of the 64 min columns re-evaluates the
+    whole shingle+hash pipeline. Kept as a parity-tested reference."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -231,6 +233,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     max_bucket: int = 1000,
+    strategy: str = "bucketed",
+    use_arrays: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -238,10 +242,38 @@ def minhash_lsh_pairs(
     band become candidates (the classic S-curve). Returns distinct
     (id_a < id_b) candidate pairs; verify with ngram_jaccard or
     estimated signature similarity. Buckets larger than ``max_bucket``
-    are dropped (they are giant dup-clusters; handle via exact dedup)."""
+    are dropped (they are giant dup-clusters; handle via exact dedup).
+
+    Default physical shape (round-4 cost-center rework; the four
+    strategy x use_arrays combinations are parity-tested and were
+    interleave-benchmarked at 60k docs, BENCH/BASELINE.md): explode +
+    groupBy signatures feeding the ONE-shuffle bucketed pair expansion.
+    Measured 3.3x faster than the round-3 default (join strategy):
+    the signature groupBy's exchange is a materialization point, the
+    band-bucket groupBy is the only further shuffle, and the bucket cap
+    is a plain size() filter.  The ``use_arrays=True`` signature path
+    (mins as 64 array_min projections) measured ~25x SLOWER than the
+    explode path end-to-end: Catalyst collapses the staged projections
+    and re-evaluates the whole shingle+hash pipeline once per min
+    column — kept only as a parity-tested reference implementation.
+
+    ``strategy='join'`` keeps the two-sided bucket equi-join (wins when
+    buckets are huge and grouped id arrays would dominate task memory);
+    with ``use_arrays=True`` the stacked band rows are persisted so the
+    self-join's two branches don't recompute the signature projection
+    (with ``use_arrays=False`` the signature groupBy exchange is
+    already the reuse point)."""
+    if strategy == "bucketed":
+        return minhash_lsh_pairs_bucketed(
+            df, text_col, id_col, k, n_hashes, bands, seed, max_bucket,
+            use_arrays=use_arrays,
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown LSH strategy {strategy!r}")
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes, seed,
+                             use_arrays=use_arrays)
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -256,6 +288,11 @@ def minhash_lsh_pairs(
             ])
         ).alias("bd"),
     ).select(id_col, "bd.band_id", "bd.band_hash")
+    if use_arrays:
+        # three consumers below (size agg, semi-join, both join sides):
+        # without a shuffle boundary each would recompute the per-doc
+        # signature projection
+        stacked = stacked.persist()
     # skew guard: drop degenerate buckets
     bucket_sizes = stacked.groupBy("band_id", "band_hash").count()
     ok = bucket_sizes.filter(F.col("count") <= max_bucket).select("band_id", "band_hash")
@@ -279,6 +316,7 @@ def minhash_lsh_pairs_bucketed(
     bands: int = 16,
     seed: int = 42,
     max_bucket: int = 1000,
+    use_arrays: bool = False,
 ) -> DataFrame:
     """Same candidate pairs as :func:`minhash_lsh_pairs`, different
     physical strategy: ONE shuffle.  Each (band, hash) bucket is
@@ -294,7 +332,8 @@ def minhash_lsh_pairs_bucketed(
     grouped arrays would dominate task memory."""
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n_hashes, seed)
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes, seed,
+                             use_arrays=use_arrays)
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)

@@ -1,0 +1,183 @@
+"""Rollup + transform: continuous summary indexes.
+
+Reference: x-pack/plugin/rollup (RollupJobConfig: a date_histogram
+group, optional terms groups, and metric configs min/max/sum/avg/
+value_count rolled into a summary index on a schedule) and the
+transform plugin (TransformConfig: a pivot of group_by sources +
+aggregations continuously synced into a dest index with checkpoints).
+
+Spark-first shape — a rollup/transform is exactly a declarative
+aggregation Catalyst already optimizes (partial aggs map-side, one
+exchange on the group keys):
+
+  - :func:`rollup` / :func:`transform_pivot` build the summary
+    DataFrame for a batch refresh;
+  - :func:`rollup_incremental` appends only NEW complete buckets to a
+    parquet summary index, tracking the high-water mark in a tiny JSON
+    checkpoint (the transform plugin's checkpoint document) — the
+    continuous mode, runnable from any scheduler or a foreachBatch
+    sink. Late data within an explicit ``delay`` lag is retried on the
+    next sync, mirroring the rollup job's query delay.
+
+The summary table layout matches the reference's rollup document
+convention: one row per (bucket_ts, group...) with
+``<field>_<metric>`` columns plus ``_doc_count`` — so a query over the
+rollup is an ordinary aggregation over pre-aggregated partials
+(sum-of-sums, min-of-mins; avg carried as sum+count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_METRIC_FNS = {
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "value_count": F.count,
+}
+
+
+def _metric_cols(metrics: dict[str, list[str]]) -> list:
+    cols = []
+    for field, wanted in metrics.items():
+        for m in wanted:
+            if m == "avg":
+                # avg rolls up as (sum, count) partials — averaging the
+                # averages would be wrong on merge (RollupField.java
+                # stores the same pair)
+                cols.append(F.sum(field).alias(f"{field}_avg_sum"))
+                cols.append(
+                    F.count(field).cast("long").alias(f"{field}_avg_count"))
+            elif m in _METRIC_FNS:
+                cols.append(_METRIC_FNS[m](field).alias(f"{field}_{m}"))
+            else:
+                raise ValueError(f"unsupported rollup metric {m!r}")
+    return cols
+
+
+def rollup(
+    df: DataFrame,
+    date_col: str,
+    interval: str = "1 hour",
+    group_cols: list[str] = (),
+    metrics: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Batch rollup: date_histogram(interval) x terms(group_cols) with
+    metric partials. One exchange on the bucket keys."""
+    metrics = metrics or {}
+    bucket = F.window(F.col(date_col), interval).start.alias("bucket_ts")
+    aggs = [F.count("*").cast("long").alias("_doc_count")] + _metric_cols(metrics)
+    return (
+        df.groupBy(bucket, *[F.col(c) for c in group_cols])
+        .agg(*aggs)
+    )
+
+
+def transform_pivot(
+    df: DataFrame,
+    group_cols: list[str],
+    metrics: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """transform pivot: entity-centric summary (group_by sources +
+    aggregations), the continuous-transform batch body."""
+    metrics = metrics or {}
+    aggs = [F.count("*").cast("long").alias("_doc_count")] + _metric_cols(metrics)
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def _ckpt_path(dest: str) -> str:
+    return os.path.join(dest, "_rollup_checkpoint.json")
+
+
+def read_checkpoint(dest: str) -> dict[str, Any]:
+    try:
+        with open(_ckpt_path(dest)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"high_water_ms": None, "syncs": 0}
+
+
+def rollup_incremental(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: str,
+    date_col: str,
+    interval: str = "1 hour",
+    group_cols: list[str] = (),
+    metrics: dict[str, list[str]] | None = None,
+    delay: str = "0 seconds",
+    now: Any = None,
+) -> dict[str, Any]:
+    """One continuous-rollup sync: aggregate every COMPLETE bucket that
+    ended after the checkpoint's high-water mark (minus ``delay`` for
+    late data, the rollup job's query delay) and append it to the
+    parquet summary index at ``dest``; then advance the checkpoint
+    atomically (write + os.replace — same crash-safety pattern as
+    compact_index).
+
+    Buckets are only emitted once CLOSED (bucket_end <= now - delay),
+    so reruns never rewrite a bucket and the append is idempotent per
+    sync; a crash between write and checkpoint advance re-aggregates
+    the same closed buckets into a duplicate append, which the
+    ``syncs``-stamped ``_sync_id`` column disambiguates (keep max per
+    bucket on read — :func:`read_rollup`).
+
+    Returns the updated checkpoint dict.
+    """
+    ck = read_checkpoint(dest)
+    if now is None:
+        row = source.select(F.max(F.col(date_col)).alias("m")).first()
+        now = row["m"]
+    if now is None:
+        return ck  # empty source
+    lo_ms = ck["high_water_ms"]
+    win = F.window(F.col(date_col), interval)
+    closed = source.where(
+        win.end <= F.lit(now) - F.expr(f"INTERVAL {delay}"))
+    if lo_ms is not None:
+        closed = closed.where(
+            win.start >= F.lit(lo_ms).cast("timestamp"))
+    rolled = rollup(closed, date_col, interval, group_cols, metrics)
+    if not rolled.head(1):
+        return ck
+    sync_id = int(ck["syncs"]) + 1
+    (
+        rolled.withColumn("_sync_id", F.lit(sync_id))
+        .write.mode("append").parquet(os.path.join(dest, "data"))
+    )
+    hw = rolled.select(F.max(
+        F.col("bucket_ts") + F.expr(f"INTERVAL {interval}")).alias("m")
+    ).first()["m"]
+    new_ck = {
+        "high_water_ms": hw.isoformat() if hasattr(hw, "isoformat") else str(hw),
+        "syncs": sync_id,
+    }
+    tmp = _ckpt_path(dest) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_ck, f)
+    os.replace(tmp, _ckpt_path(dest))
+    return new_ck
+
+
+def read_rollup(spark: SparkSession, dest: str) -> DataFrame:
+    """Read the summary index, deduplicating crash-window double
+    appends: keep the newest _sync_id per (bucket, groups) row."""
+    df = spark.read.parquet(os.path.join(dest, "data"))
+    metric_suffixes = ("_min", "_max", "_sum", "_count",
+                       "_avg_sum", "_avg_count")
+    keys = [c for c in df.columns
+            if c not in ("_doc_count", "_sync_id")
+            and not c.endswith(metric_suffixes)]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.desc("_sync_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn", "_sync_id")
+    )

@@ -48,6 +48,11 @@ from elasticsearch_spark.search.bm25 import BM25Params
 
 TOPK_SCHEMA = "doc_id long, score double, matched int"
 
+# Impact-ordered block scan toggle (read at scorer construction, so
+# benchmarks can interleave on/off within one session; pruning safety
+# does not depend on scan order).
+IMPACT_ORDERING = True
+
 
 @dataclass
 class TermStats:
@@ -122,6 +127,10 @@ def _make_scorer(
     # used when a post-filter runs before the global top-k cut.
     use_theta = prune and k is not None and operator == "or" and msm == 1
     k1, b, quant = params.k1, params.b, params.quantize_norms
+    # captured HERE (driver side) so the serialized scorer carries the
+    # flag's value at construction time — workers re-import the module
+    # and would otherwise always see the default
+    impact_ordering = IMPACT_ORDERING
 
     def _score_group_impl(
         pdf: pd.DataFrame, allowed: np.ndarray | None
@@ -176,22 +185,93 @@ def _make_scorer(
             # falls in the block's [first_doc, last_doc] range.
             # acc_ids is sorted by construction (np.unique), so both
             # the range test and membership are searchsorted, not isin.
-            block_restrict = None
-            if theta is not None and not restrict:
+            block_ubs = None
+            if (use_theta or theta is not None) and not restrict:
                 tfn_blk = bm25.tf_norm_sim(
                     g["max_tf"].to_numpy().astype(np.float64),
                     g["min_dl"].to_numpy().astype(np.int64),
                     avgdl, params,
                 )
                 block_ubs = ts.weight * ts.idf * tfn_blk
-                block_restrict = block_ubs + rem_after < theta
 
-            ids_parts, tf_parts, dl_parts = [], [], []
-            for bi, row in enumerate(g.itertuples(index=False)):
-                restricted = restrict or (
-                    block_restrict is not None and bool(block_restrict[bi])
+            rows = list(g.itertuples(index=False))
+            # IMPACT-ORDERED scan (Lucene's impact-sorted posting slices
+            # behind WANDScorer): highest block impact first.  A doc
+            # occurs in exactly ONE block per term, so the k-th
+            # accumulated score remains a valid lower bound MID-term —
+            # chunked merges refresh theta while the term is still
+            # scanning and the low-impact ordered tail flips to
+            # restricted (range-skipped, usually undecoded).
+            # ONLY where it can pay: for a single-term query, and for
+            # the LAST term of a multi-term OR (rem_after == 0, so a
+            # rising theta immediately restricts the tail).  For
+            # earlier terms theta can rarely beat the remaining terms'
+            # full upper bounds, and the extra merges were measured to
+            # cost more than the ordering saves (BENCH/BASELINE.md).
+            impact_zone = (
+                impact_ordering
+                and use_theta and block_ubs is not None and len(rows) > 1
+                and (len(stats) == 1 or i == len(stats) - 1)
+            )
+            if impact_zone:
+                scan = np.argsort(-block_ubs, kind="stable")
+            else:
+                scan = np.arange(len(rows))
+
+            widf = ts.weight * ts.idf
+            wgt = ts.weight
+            merged_this_term = False
+
+            def merge_pending(parts):
+                nonlocal acc_ids, acc_scores, acc_counts, theta
+                nonlocal merged_this_term
+                merged_this_term = True
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+                dls = np.concatenate([p[2] for p in parts])
+                dl_eff = (
+                    bm25.quantize_dl(dls).astype(np.float64)
+                    if quant else dls.astype(np.float64)
                 )
-                if restricted and acc_ids.size == 0:
+                scores = widf * bm25.tfn_eff(tfs, dl_eff, avgdl, params)
+                all_ids = np.concatenate([acc_ids, ids])
+                all_scores = np.concatenate([acc_scores, scores])
+                all_counts = np.concatenate(
+                    [acc_counts, np.full(ids.size, wgt, dtype=np.int64)]
+                )
+                uniq, inv = np.unique(all_ids, return_inverse=True)
+                new_scores = np.zeros(uniq.size, dtype=np.float64)
+                new_counts = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(new_scores, inv, all_scores)
+                np.add.at(new_counts, inv, all_counts)
+                acc_ids, acc_scores, acc_counts = uniq, new_scores, new_counts
+                if use_theta and acc_ids.size >= k:
+                    theta = float(np.partition(
+                        acc_scores, acc_scores.size - k)[acc_scores.size - k])
+                    # mid-term accumulator pruning: remaining_ub still
+                    # includes THIS term (a pruned doc's own block may
+                    # be unscanned), so the bound is safe
+                    if acc_ids.size > k:
+                        keepm = acc_scores + remaining_ub >= theta
+                        if not keepm.all():
+                            acc_ids = acc_ids[keepm]
+                            acc_scores = acc_scores[keepm]
+                            acc_counts = acc_counts[keepm]
+
+            # merge cadence: the first merge is small so theta activates
+            # early in the term; the target then DOUBLES per merge, so
+            # total merge work stays within ~2x of a single end-of-term
+            # merge while theta refreshes O(log n_blocks) times
+            chunk_target = max(4 * k, 1024) if impact_zone else None
+            pending: list[tuple] = []
+            pending_n = 0
+            for oi in scan:
+                row = rows[oi]
+                restricted = restrict or (
+                    theta is not None and block_ubs is not None
+                    and block_ubs[oi] + rem_after < theta
+                )
+                if restricted and acc_ids.size == 0 and not pending:
                     if restrict:
                         break
                     continue
@@ -228,35 +308,20 @@ def _make_scorer(
                         if not mask.any():
                             continue
                         d, tfv, dlv = d[mask], tfv[mask], dlv[mask]
-                ids_parts.append(d)
-                tf_parts.append(tfv)
-                dl_parts.append(dlv)
-            if not ids_parts:
-                continue
-            ids = np.concatenate(ids_parts)
-            tfs = np.concatenate(tf_parts).astype(np.float64)
-            dls = np.concatenate(dl_parts)
-            dl_eff = bm25.quantize_dl(dls).astype(np.float64) if quant else dls.astype(np.float64)
-            scores = ts.weight * ts.idf * bm25.tfn_eff(
-                tfs, dl_eff, avgdl, params)
-            # merge into accumulator
-            all_ids = np.concatenate([acc_ids, ids])
-            all_scores = np.concatenate([acc_scores, scores])
-            all_counts = np.concatenate(
-                [acc_counts, np.full(ids.size, ts.weight, dtype=np.int64)]
-            )
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            new_scores = np.zeros(uniq.size, dtype=np.float64)
-            new_counts = np.zeros(uniq.size, dtype=np.int64)
-            np.add.at(new_scores, inv, all_scores)
-            np.add.at(new_counts, inv, all_counts)
-            if operator == "and":
+                pending.append((d, tfv, dlv))
+                pending_n += int(d.size)
+                if chunk_target is not None and pending_n >= chunk_target:
+                    merge_pending(pending)
+                    pending, pending_n = [], 0
+                    chunk_target *= 2
+            if pending:
+                merge_pending(pending)
+            if operator == "and" and merged_this_term:
                 # docs must have matched every clause (weight) so far
-                keep = new_counts == cumw[i]
-                uniq, new_scores, new_counts = (
-                    uniq[keep], new_scores[keep], new_counts[keep],
+                keep = acc_counts == cumw[i]
+                acc_ids, acc_scores, acc_counts = (
+                    acc_ids[keep], acc_scores[keep], acc_counts[keep],
                 )
-            acc_ids, acc_scores, acc_counts = uniq, new_scores, new_counts
 
         if acc_ids.size == 0:
             return pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(

@@ -244,15 +244,20 @@ def test_frame_sample(spark):
         assert r["count"] == max(durations[r["media_id"]] // 1000, 1)
 
 
-def test_minhash_lsh_bucketed_parity(spark):
-    """The one-shuffle bucketed strategy emits EXACTLY the join
-    strategy's candidate set (same bands, same cap semantics)."""
+def test_minhash_lsh_strategy_parity(spark):
+    """Every (strategy, use_arrays) combination emits EXACTLY the same
+    candidate set — same bands, same cap semantics, identical
+    signatures (the array path is bit-equal to the explode path)."""
     from elasticsearch_spark.ops import dedup
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    a = set(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
-    b = set(map(tuple, dedup.minhash_lsh_pairs_bucketed(docs).collect()))
-    assert a == b and len(a) > 0
+    default = set(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
+    assert len(default) > 0
+    for strategy in ("join", "bucketed"):
+        for arrays in (True, False):
+            got = set(map(tuple, dedup.minhash_lsh_pairs(
+                docs, strategy=strategy, use_arrays=arrays).collect()))
+            assert got == default, (strategy, arrays)
 
 
 def test_ivf_exact_when_probing_all(spark):
