@@ -83,6 +83,8 @@ CJK_WORDS_A = ["æ¤œç´¢ã‚¨ãƒ³ã‚¸ãƒ³", "ç´¢å¼•ãƒ‡ãƒ¼ã‚¿", "åˆ†æ•£å‡¦ç†", "å…¨æ–‡æ
 CJK_WORDS_B = ["ã‚·ã‚¹ãƒ†ãƒ ", "ã‚¯ã‚¨ãƒª", "å‡¦ç†é€Ÿåº¦"]
 AR_WORDS_A = ["ÙˆØ§Ù„ÙƒØªØ§Ø¨", "Ø§Ù„ÙƒØªØ§Ø¨", "ÙƒØªØ§Ø¨Ù‡Ø§", "Ù…ÙƒØªØ¨Ø©"]
 AR_WORDS_B = ["Ø§Ù„Ù…Ø¯Ø±Ø³Ø©", "Ù…Ø¯Ø±Ø³ÙˆÙ†", "Ù…Ø¹Ù„Ù…ÙŠÙ†", "Ù‚Ø§Ù„Øª"]
+HI_WORDS_A = ["à¤•à¤¿à¤¤à¤¾à¤¬à¥‹à¤‚", "à¤•à¤¿à¤¤à¤¾à¤¬", "à¤²à¤¡à¤¼à¤•à¤¿à¤¯à¥‹à¤‚", "à¤²à¤¡à¤¼à¤•à¤¾"]
+HI_WORDS_B = ["à¤œà¤¾à¤¨à¥‡", "à¤•à¤°à¤¤à¤¾", "à¤…à¤šà¥à¤›à¤¾"]
 
 
 def _synth_words_col(words_a: list[str], words_b: list[str]):
@@ -111,7 +113,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v10")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v11")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
@@ -121,7 +123,8 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             .withColumn("text_es", F.col("text"))
             .withColumn("text_grams", F.col("text"))
             .withColumn("text_cjk", _synth_words_col(CJK_WORDS_A, CJK_WORDS_B))
-            .withColumn("text_ar", _synth_words_col(AR_WORDS_A, AR_WORDS_B)),
+            .withColumn("text_ar", _synth_words_col(AR_WORDS_A, AR_WORDS_B))
+            .withColumn("text_hi", _synth_words_col(HI_WORDS_A, HI_WORDS_B)),
             path,
             fields={
                 "text": "ascii_word",
@@ -138,6 +141,8 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
                 "text_cjk": "cjk",
                 # Arabic light analyzer (RTL, prefix+suffix strip)
                 "text_ar": "arabic_light",
+                # Hindi light analyzer (deva_word base keeps matras)
+                "text_hi": "hindi_light",
             },
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
@@ -342,6 +347,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_stemmed_ar"] = match_stemmed_ar
+
+    def match_stemmed_hi(s: SparkSession, d: str) -> DataFrame:
+        # hindi_light over the deva_word base: "à¤•à¤¿à¤¤à¤¾à¤¬ à¤²à¤¡à¤¼à¤•à¥‡" meets the
+        # inflected corpus forms (à¤•à¤¿à¤¤à¤¾à¤¬à¥‹à¤‚, à¤²à¤¡à¤¼à¤•à¤¿à¤¯à¥‹à¤‚, à¤²à¤¡à¤¼à¤•à¤¾) at shared stems
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("à¤•à¤¿à¤¤à¤¾à¤¬ à¤²à¤¡à¤¼à¤•à¥‡", "hindi_light")]
+        out = match_topk(idx, "text_hi", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_stemmed_hi"] = match_stemmed_hi
 
     def track_total_hits_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.scan import track_total_hits
@@ -2046,6 +2061,19 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
     o["match_stemmed_ar"] = bm25_topk_sql(
         [t for t, _ in analyze("Ø§Ù„ÙƒØªØ§Ø¨ Ù…Ø¯Ø±Ø³Ø©", "arabic_light")],
         k=10, tok_list_expr=_ar_tok,
+    )
+
+    from elasticsearch_spark.analysis.analyzers import HINDI_STOPWORDS
+    from elasticsearch_spark.analysis.stem import HINDI_LIGHT_RULES
+    from elasticsearch_spark.oracle.sql_oracle import light_language_list_sql
+
+    _hi_synth = _synth_words_sql(HI_WORDS_A, HI_WORDS_B)
+    _hi_tok = light_language_list_sql(
+        HINDI_STOPWORDS, HINDI_LIGHT_RULES, _hi_synth,
+        token_re=r"[\p{L}\p{N}_à¤€-à¥¿]+")
+    o["match_stemmed_hi"] = bm25_topk_sql(
+        [t for t, _ in analyze("à¤•à¤¿à¤¤à¤¾à¤¬ à¤²à¤¡à¤¼à¤•à¥‡", "hindi_light")],
+        k=10, tok_list_expr=_hi_tok,
     )
 
     from elasticsearch_spark.analysis.analyzers import DOC_SYNONYM_RULES

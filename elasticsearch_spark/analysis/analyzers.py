@@ -78,6 +78,19 @@ def _analyze_ascii_word(text: str) -> tuple[list[str], list[int]]:
     return terms, list(range(len(terms)))
 
 
+_DEVA_WORD_RE = re.compile(r"[\wऀ-ॿ]+", re.UNICODE)
+
+
+def _analyze_deva_word(text: str) -> tuple[list[str], list[int]]:
+    """Devanagari-aware word tokenizer: ``\\w`` excludes combining
+    matras/viramas (category Mn/Mc), so plain standard tokenization
+    shreds Hindi words at every vowel sign — this base keeps the whole
+    U+0900-097F block inside a token (the UAX#29 behavior Lucene's
+    StandardTokenizer gives Indic scripts)."""
+    terms = _DEVA_WORD_RE.findall(text.lower())
+    return terms, list(range(len(terms)))
+
+
 def _analyze_simple(text: str) -> tuple[list[str], list[int]]:
     terms = [t.lower() for t in _LETTER_RE.findall(text)]
     return terms, list(range(len(terms)))
@@ -215,6 +228,7 @@ ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "ascii_word": _analyze_ascii_word,
     "english": _analyze_english,
     "english_light": _analyze_english_light,
+    "deva_word": _analyze_deva_word,
 }
 
 
@@ -385,6 +399,16 @@ def _codes_simple(texts: pd.Series):
     return d, c, u, p
 
 
+# RE2 twin of _DEVA_WORD_RE's complement (the Devanagari block spelled
+# as literal range endpoints, which RE2 accepts in a class)
+_NEG_DEVA = r"[^\p{L}\p{N}_ऀ-ॿ]+"
+
+
+def _codes_deva_word(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_DEVA, lower=True)
+    return d, c, u, p
+
+
 def _codes_whitespace(texts: pd.Series):
     d, c, u, ul, p = _split_codes(texts, _NEG_NONSPACE, lower=False)
     return d, c, u, p
@@ -514,6 +538,7 @@ FLAT_ANALYZERS: dict[str, Callable] = {
     "code": _codes_code,
     "english": _codes_english,
     "english_light": _codes_english_light,
+    "deva_word": _codes_deva_word,
 }
 
 
@@ -685,6 +710,25 @@ def _register_default_languages() -> None:
     _register_light_language("romanian_light", ROMANIAN_STOPWORDS,
                              romanian_light_stem)
 
+    from elasticsearch_spark.analysis.stem import (
+        bulgarian_light_stem,
+        hindi_light_stem,
+        hungarian_light_stem,
+        indonesian_light_stem,
+        persian_light_stem,
+    )
+
+    _register_light_language("hungarian_light", HUNGARIAN_STOPWORDS,
+                             hungarian_light_stem)
+    _register_light_language("bulgarian_light", BULGARIAN_STOPWORDS,
+                             bulgarian_light_stem)
+    _register_light_language("hindi_light", HINDI_STOPWORDS,
+                             hindi_light_stem, base="deva_word")
+    _register_light_language("persian_light", PERSIAN_STOPWORDS,
+                             persian_light_stem)
+    _register_light_language("indonesian_light", INDONESIAN_STOPWORDS,
+                             indonesian_light_stem)
+
 
 # Native-form stopword lists for the r4 tier (same sourcing note as the
 # Nordic lists: written as Lucene's snowball/plugin stopword files are,
@@ -713,6 +757,27 @@ ROMANIAN_STOPWORDS = frozenset(
     """și în la cu de pe un o a al ale lui care este sunt din pentru nu
     se mai ca dar sau fi fost acest această după până prin când unde
     ei ele""".split()
+)
+HUNGARIAN_STOPWORDS = frozenset(
+    """a az és van volt hogy nem is egy ez azt de ha már csak meg mi ki
+    mint el le fel ők mert vagy még őt én te ti lesz itt ott""".split()
+)
+BULGARIAN_STOPWORDS = frozenset(
+    """и в на с за от не се да е са по това този тази което като но или
+    ако ние вие те аз ти той тя то при със има ще бе беше""".split()
+)
+HINDI_STOPWORDS = frozenset(
+    """और का के की में है हैं को से पर यह वह एक नहीं भी हो गया था थी थे
+    कि जो कर ने हम तुम वे इस उस अब तो""".split()
+)
+PERSIAN_STOPWORDS = frozenset(
+    """و در به از که این آن را با است بود برای تا هم یا اگر ما شما او
+    نه هر چه می بر شد شده باید""".split()
+)
+INDONESIAN_STOPWORDS = frozenset(
+    """yang dan di ke dari untuk pada dengan adalah ini itu tidak akan
+    ada atau juga saya kamu dia mereka kami kita sudah bisa telah oleh
+    karena""".split()
 )
 
 

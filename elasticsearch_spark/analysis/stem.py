@@ -273,6 +273,53 @@ greek_light_stem = make_cascade_stemmer(GREEK_LIGHT_RULES)
 czech_light_stem = make_cascade_stemmer(CZECH_LIGHT_RULES)
 romanian_light_stem = make_cascade_stemmer(ROMANIAN_LIGHT_RULES)
 
+# Hungarian / Bulgarian / Hindi / Persian / Indonesian tier (reference
+# registers hungarian/bulgarian/hindi/persian/indonesian analyzers;
+# cascades after the published light stemmers: Savoy for hu/bg,
+# Ramanathan & Rao's Hindi suffix list, Lucene's PersianNormalizer
+# (normalization-only language) + common plural/comparative strips,
+# and the Tala Indonesian stemmer's highest-frequency affixes).
+HUNGARIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"á", "a"), (r"é", "e"), (r"í", "i"), (r"ó", "o"), (r"ö", "o"),
+    (r"ő", "o"), (r"ú", "u"), (r"ü", "u"), (r"ű", "u"),
+    (r"(...)(?:okat|eket|akat|aknak|eknek)$", r"\1"),  # plural+case
+    (r"(...)(?:nak|nek|ban|ben|bol|val|vel|hoz|hez|rol|tol|nal|nel)$",
+     r"\1"),                                           # case suffixes
+    (r"(...)(?:ok|ek|ak|at|et|ot|ra|re|ba|be)$", r"\1"),
+    (r"(...)[aeout]$", r"\1"),                         # residuals
+]
+
+BULGARIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(...)(?:ията|ият|ите|ове|ета)$", r"\1"),  # def. plural forms
+    (r"(...)(?:ът|ят|та|то|те)$", r"\1"),        # definite articles
+    (r"(...)[аиое]$", r"\1"),                    # residual vowels
+]
+
+HINDI_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(..)(?:ियों|ियाँ|ाओं|ाएं)$", r"\1"),      # oblique/fem plurals
+    (r"(..)(?:ों|ें|ीय|ता|ने|ना)$", r"\1"),       # case/infinitive
+    (r"(..)[ीेाो]$", r"\1"),                     # final matras
+]
+
+PERSIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ي", "ی"), (r"ك", "ک"),                    # arabic -> farsi forms
+    (r"‌", ""),                              # ZWNJ fold
+    (r"(..)(?:هایی|های|ها)$", r"\1"),            # plurals
+    (r"(..)(?:ترین|تر)$", r"\1"),                # comparatives
+]
+
+INDONESIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"^(?:meng|meny|mem|men|ber|di|ke|per|pe)(..+)$", r"\1"),  # prefixes
+    (r"(..)(?:nya|kan|an)$", r"\1"),             # suffixes
+    (r"(...)i$", r"\1"),
+]
+
+hungarian_light_stem = make_cascade_stemmer(HUNGARIAN_LIGHT_RULES)
+bulgarian_light_stem = make_cascade_stemmer(BULGARIAN_LIGHT_RULES)
+hindi_light_stem = make_cascade_stemmer(HINDI_LIGHT_RULES)
+persian_light_stem = make_cascade_stemmer(PERSIAN_LIGHT_RULES)
+indonesian_light_stem = make_cascade_stemmer(INDONESIAN_LIGHT_RULES)
+
 
 # ---------------------------------------------------------------------
 # Porter stemmer (Porter 1980, "An algorithm for suffix stripping")

@@ -280,18 +280,20 @@ def synonym_expanded_tok_select(
 def light_language_list_sql(
     stopwords: frozenset, rules: list[tuple[str, str]],
     text_col: str = "text",
+    token_re: str = "[a-z0-9_]+",
 ) -> str:
     """Token-list SQL for any light language analyzer registered via
     _register_light_language: tokens -> stopword removal -> the
-    language's suffix cascade (cascade_sql, global-replace). The ASCII
-    token regex is exact for the ASCII contract corpus; accented-token
-    parity is covered by the word-list twin tests."""
+    language's suffix cascade (cascade_sql, global-replace). The
+    default ASCII token regex is exact for the ASCII contract corpus
+    (pass e.g. a Devanagari-inclusive class for the hindi twin);
+    accented-token parity is covered by the word-list twin tests."""
     from elasticsearch_spark.analysis.stem import cascade_sql
 
     stops = _sql_str_list(sorted(stopwords))
     return (
         f"list_transform(list_filter(regexp_extract_all(lower({text_col}),"
-        f" '[a-z0-9_]+'), t -> t NOT IN {stops}),"
+        f" '{token_re}'), t -> t NOT IN {stops}),"
         f" t -> {cascade_sql(rules, 't')})"
     )
 

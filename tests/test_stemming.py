@@ -391,3 +391,64 @@ def test_cjk_flat_parity():
         expect = [(t, pos) for t, pos in
                   zip(*_analyze_cjk(text))] if text else []
         assert got.get(i, []) == expect, (i, text, got.get(i), expect)
+
+
+@pytest.mark.parametrize("lang,words", [
+    ("hungarian", ["asztalokat", "székeknek", "házban", "könyvek",
+                   "emberek", "gyorsan"]),
+    ("bulgarian", ["книгите", "столовете", "хубавият", "жените",
+                   "градове"]),
+    ("hindi", ["किताबों", "लड़कियों", "अच्छाइयों", "जाने", "करता"]),
+    ("persian", ["کتاب‌ها", "بهترین", "خانه‌هایی", "بزرگتر"]),
+    ("indonesian", ["menggunakan", "bukunya", "memberikan", "perbaikan",
+                    "belajar"]),
+])
+def test_r4b_language_sql_twins(lang, words):
+    """Python cascade == DuckDB cascade_sql for the hu/bg/hi/fa/id tier
+    (Devanagari matras, ZWNJ, Cyrillic articles, agglutinative cases)."""
+    import duckdb
+
+    from elasticsearch_spark.analysis import stem as S
+
+    rules = getattr(S, f"{lang.upper()}_LIGHT_RULES")
+    py_stem = getattr(S, f"{lang}_light_stem")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {S.cascade_sql(rules, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, py_stem(w)) for w, got in rows if got != py_stem(w)]
+    assert not mism, mism
+
+
+def test_r4b_language_analyzers_registered():
+    from elasticsearch_spark.analysis.analyzers import (
+        ANALYZERS, FLAT_ANALYZERS,
+    )
+
+    for name in ["hungarian_light", "bulgarian_light", "hindi_light",
+                 "persian_light", "indonesian_light", "deva_word"]:
+        assert name in ANALYZERS and name in FLAT_ANALYZERS
+    # Devanagari base keeps matras inside tokens; singular == plural
+    assert analyze("लड़का", "hindi_light") == analyze("लड़के", "hindi_light")
+    assert [t for t, _ in analyze("az asztalokat és", "hungarian_light")] \
+        == ["asztal"]
+    assert [t for t, _ in analyze("menggunakan bukunya", "indonesian_light")] \
+        == ["guna", "buku"]
+
+
+def test_deva_word_flat_parity():
+    import pandas as pd
+
+    from elasticsearch_spark.analysis.analyzers import (
+        FLAT_ANALYZERS, _analyze_deva_word,
+    )
+
+    texts = pd.Series(["किताबों और लड़कियों", "mixed हिंदी latin", ""])
+    d, c, u, p = FLAT_ANALYZERS["deva_word"](texts)
+    got = {}
+    for di, ci, pi in zip(d, c, p):
+        got.setdefault(int(di), []).append((u[ci], int(pi)))
+    for i, text in enumerate(texts):
+        expect = list(zip(*_analyze_deva_word(text))) if text else []
+        assert got.get(i, []) == expect, (i, got.get(i), expect)
