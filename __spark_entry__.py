@@ -85,6 +85,10 @@ AR_WORDS_A = ["والكتاب", "الكتاب", "كتابها", "مكتبة"]
 AR_WORDS_B = ["المدرسة", "مدرسون", "معلمين", "قالت"]
 HI_WORDS_A = ["किताबों", "किताब", "लड़कियों", "लड़का"]
 HI_WORDS_B = ["जाने", "करता", "अच्छा"]
+BN_WORDS_A = ["বইগুলো", "বই", "ছেলেদের", "ছেলে"]
+BN_WORDS_B = ["মানুষের", "শহরটা", "এখন"]
+TH_WORDS_A = ["การค้นหา", "ข้อมูล", "ระบบค้นหา", "เอกสาร"]
+TH_WORDS_B = ["แมวน้ำ", "รวดเร็ว", "ประมวลผล"]
 
 
 def _synth_words_col(words_a: list[str], words_b: list[str]):
@@ -113,7 +117,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v11")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v12")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
@@ -124,7 +128,9 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             .withColumn("text_grams", F.col("text"))
             .withColumn("text_cjk", _synth_words_col(CJK_WORDS_A, CJK_WORDS_B))
             .withColumn("text_ar", _synth_words_col(AR_WORDS_A, AR_WORDS_B))
-            .withColumn("text_hi", _synth_words_col(HI_WORDS_A, HI_WORDS_B)),
+            .withColumn("text_hi", _synth_words_col(HI_WORDS_A, HI_WORDS_B))
+            .withColumn("text_bn", _synth_words_col(BN_WORDS_A, BN_WORDS_B))
+            .withColumn("text_th", _synth_words_col(TH_WORDS_A, TH_WORDS_B)),
             path,
             fields={
                 "text": "ascii_word",
@@ -143,6 +149,10 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
                 "text_ar": "arabic_light",
                 # Hindi light analyzer (deva_word base keeps matras)
                 "text_hi": "hindi_light",
+                # Bengali light analyzer (beng_word base)
+                "text_bn": "bengali_light",
+                # Thai cluster-bigram analyzer
+                "text_th": "thai",
             },
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
@@ -357,6 +367,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_stemmed_hi"] = match_stemmed_hi
+
+    def match_stemmed_bn(s: SparkSession, d: str) -> DataFrame:
+        # bengali_light over the beng_word base: "বই ছেলে" meets the
+        # inflected corpus forms (বইগুলো, ছেলেদের) at shared stems
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("বই ছেলে", "bengali_light")]
+        out = match_topk(idx, "text_bn", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_stemmed_bn"] = match_stemmed_bn
+
+    def match_thai(s: SparkSession, d: str) -> DataFrame:
+        # thai analyzer (cluster bigrams over Thai runs, no dictionary):
+        # query "ค้นหา ข้อมูล" scores bigram postings with bigram dl/df
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("ค้นหา ข้อมูล", "thai")]
+        out = match_topk(idx, "text_th", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_thai"] = match_thai
 
     def track_total_hits_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.scan import track_total_hits
@@ -2074,6 +2104,43 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
     o["match_stemmed_hi"] = bm25_topk_sql(
         [t for t, _ in analyze("किताब लड़के", "hindi_light")],
         k=10, tok_list_expr=_hi_tok,
+    )
+
+    from elasticsearch_spark.analysis.analyzers import (
+        BENGALI_STOPWORDS,
+        THAI_STOPWORDS,
+    )
+    from elasticsearch_spark.analysis.stem import BENGALI_LIGHT_RULES
+
+    _bn_synth = _synth_words_sql(BN_WORDS_A, BN_WORDS_B)
+    _bn_tok = light_language_list_sql(
+        BENGALI_STOPWORDS, BENGALI_LIGHT_RULES, _bn_synth,
+        token_re=r"[\p{L}\p{N}_ঀ-৿]+")
+    o["match_stemmed_bn"] = bm25_topk_sql(
+        [t for t, _ in analyze("বই ছেলে", "bengali_light")],
+        k=10, tok_list_expr=_bn_tok,
+    )
+
+    # thai twin: the synthesized corpus tokens are pure-script, so the
+    # CASE needs only the no-thai / lone-cluster / bigram arms (the
+    # engine's mixed-script per-segment path can't occur here). Cluster
+    # regex = lead char + combining sara/mai marks, same as the engine.
+    _th_synth = _synth_words_sql(TH_WORDS_A, TH_WORDS_B)
+    _th_stops = ", ".join(
+        f"'{w}'" for w in sorted(THAI_STOPWORDS))
+    _th_cl = "regexp_extract_all(t, '[฀-๿][ัิ-ฺ็-๎]*')"
+    _th_tok = f"""flatten(list_transform(
+        list_filter(regexp_extract_all(lower({_th_synth}),
+                                       '[\\p{{L}}\\p{{N}}_฀-๿]+'),
+                    t -> t NOT IN ({_th_stops})),
+        t -> CASE WHEN NOT regexp_matches(t, '[฀-๿]') THEN [t]
+             WHEN len({_th_cl}) = 1 THEN {_th_cl}
+             ELSE list_transform(range(1, len({_th_cl})),
+                  i -> {_th_cl}[CAST(i AS INT)]
+                       || {_th_cl}[CAST(i AS INT) + 1]) END))"""
+    o["match_thai"] = bm25_topk_sql(
+        [t for t, _ in analyze("ค้นหา ข้อมูล", "thai")],
+        k=10, tok_list_expr=_th_tok,
     )
 
     from elasticsearch_spark.analysis.analyzers import DOC_SYNONYM_RULES

@@ -91,6 +91,18 @@ def _analyze_deva_word(text: str) -> tuple[list[str], list[int]]:
     return terms, list(range(len(terms)))
 
 
+_BENG_WORD_RE = re.compile(r"[\wঀ-৿]+", re.UNICODE)
+
+
+def _analyze_beng_word(text: str) -> tuple[list[str], list[int]]:
+    """Bengali-script analog of ``deva_word``: keeps the U+0980-09FF
+    block (matras/virama are Mn/Mc, excluded by ``\\w``) inside one
+    token, the UAX#29 treatment Lucene's StandardTokenizer gives the
+    Bengali analyzer's input."""
+    terms = _BENG_WORD_RE.findall(text.lower())
+    return terms, list(range(len(terms)))
+
+
 def _analyze_simple(text: str) -> tuple[list[str], list[int]]:
     terms = [t.lower() for t in _LETTER_RE.findall(text)]
     return terms, list(range(len(terms)))
@@ -229,6 +241,7 @@ ANALYZERS: dict[str, Callable[[str], tuple[list[str], list[int]]]] = {
     "english": _analyze_english,
     "english_light": _analyze_english_light,
     "deva_word": _analyze_deva_word,
+    "beng_word": _analyze_beng_word,
 }
 
 
@@ -409,6 +422,14 @@ def _codes_deva_word(texts: pd.Series):
     return d, c, u, p
 
 
+_NEG_BENG = r"[^\p{L}\p{N}_ঀ-৿]+"
+
+
+def _codes_beng_word(texts: pd.Series):
+    d, c, u, ul, p = _split_codes(texts, _NEG_BENG, lower=True)
+    return d, c, u, p
+
+
 def _codes_whitespace(texts: pd.Series):
     d, c, u, ul, p = _split_codes(texts, _NEG_NONSPACE, lower=False)
     return d, c, u, p
@@ -539,6 +560,7 @@ FLAT_ANALYZERS: dict[str, Callable] = {
     "english": _codes_english,
     "english_light": _codes_english_light,
     "deva_word": _codes_deva_word,
+    "beng_word": _codes_beng_word,
 }
 
 
@@ -729,6 +751,43 @@ def _register_default_languages() -> None:
     _register_light_language("indonesian_light", INDONESIAN_STOPWORDS,
                              indonesian_light_stem)
 
+    from elasticsearch_spark.analysis.stem import (
+        armenian_light_stem,
+        basque_light_stem,
+        bengali_light_stem,
+        brazilian_light_stem,
+        catalan_light_stem,
+        estonian_light_stem,
+        galician_light_stem,
+        irish_light_stem,
+        latvian_light_stem,
+        lithuanian_light_stem,
+        sorani_light_stem,
+    )
+
+    _register_light_language("brazilian_light", BRAZILIAN_STOPWORDS,
+                             brazilian_light_stem)
+    _register_light_language("catalan_light", CATALAN_STOPWORDS,
+                             catalan_light_stem)
+    _register_light_language("galician_light", GALICIAN_STOPWORDS,
+                             galician_light_stem)
+    _register_light_language("basque_light", BASQUE_STOPWORDS,
+                             basque_light_stem)
+    _register_light_language("irish_light", IRISH_STOPWORDS,
+                             irish_light_stem)
+    _register_light_language("estonian_light", ESTONIAN_STOPWORDS,
+                             estonian_light_stem)
+    _register_light_language("latvian_light", LATVIAN_STOPWORDS,
+                             latvian_light_stem)
+    _register_light_language("lithuanian_light", LITHUANIAN_STOPWORDS,
+                             lithuanian_light_stem)
+    _register_light_language("armenian_light", ARMENIAN_STOPWORDS,
+                             armenian_light_stem)
+    _register_light_language("sorani_light", SORANI_STOPWORDS,
+                             sorani_light_stem)
+    _register_light_language("bengali_light", BENGALI_STOPWORDS,
+                             bengali_light_stem, base="beng_word")
+
 
 # Native-form stopword lists for the r4 tier (same sourcing note as the
 # Nordic lists: written as Lucene's snowball/plugin stopword files are,
@@ -778,6 +837,64 @@ INDONESIAN_STOPWORDS = frozenset(
     """yang dan di ke dari untuk pada dengan adalah ini itu tidak akan
     ada atau juga saya kamu dia mereka kami kita sudah bisa telah oleh
     karena""".split()
+)
+# Final analyzer tier (native diacritic/script form — stop-removal runs
+# before the stemmer's folding, same ordering note as the Nordic lists).
+BRAZILIAN_STOPWORDS = frozenset(
+    """o a os as de do da dos das um uma e ou em que com por para não
+    como se seu sua ao mais este esta foi são ser já pelo pela ele ela
+    nos isso""".split()
+)
+CATALAN_STOPWORDS = frozenset(
+    """i el la els les de del dels un una és en que què amb per a al no
+    es més aquest aquesta com són o si ja ho hi se va ser té hem
+    perquè""".split()
+)
+GALICIAN_STOPWORDS = frozenset(
+    """o a os as de do da dos das un unha uns unhas e ou en que con por
+    para non como se é ao máis este esta foi son xa polo pola el ela
+    nós""".split()
+)
+BASQUE_STOPWORDS = frozenset(
+    """eta da dira zen ez bat batean du dute ere baina edo hau hori
+    horiek bere nire zure gure izan dela baita zer nola non dago egin
+    ditu""".split()
+)
+IRISH_STOPWORDS = frozenset(
+    """agus an na is i ar le go do de ag ó sé sí mé tú muid siad atá
+    bhí tá ní nach a ach as nó mar seo sin chun faoi roimh aige
+    bhfuil""".split()
+)
+ESTONIAN_STOPWORDS = frozenset(
+    """ja on ei see et ta ma sa me te nad oma kui aga või ka siis nii
+    veel juba kes mis oli olid olema selle seda need üle välja
+    ning""".split()
+)
+LATVIAN_STOPWORDS = frozenset(
+    """un ir nav es tu viņš viņa mēs jūs kas ka bet vai arī no uz ar
+    par pēc pie šis šī tas tā to bija būt kā ja lai gan tikai
+    jau""".split()
+)
+LITHUANIAN_STOPWORDS = frozenset(
+    """ir yra nėra aš tu jis ji mes jūs kas kad bet ar taip pat iš į su
+    apie po prie šis ši tas ta tai buvo būti kaip jei dar tik
+    jau""".split()
+)
+ARMENIAN_STOPWORDS = frozenset(
+    """և է են էր ու որ այս այն նա ես դու մենք դուք նրանք իր ինչ չի մի
+    էլ կամ բայց համար հետ մեջ վրա որպես երբ ինչպես այդ""".split()
+)
+SORANI_STOPWORDS = frozenset(
+    """و لە بە بۆ کە ئەو ئەم من تۆ ئێمە ئێوە ئەوان دە هەر چی بەڵام یان
+    لەگەڵ سەر ناو دوای پێش بوو بووە هەیە نییە ئەگەر چۆن""".split()
+)
+BENGALI_STOPWORDS = frozenset(
+    """এবং ও এই সে তা আমি তুমি আমরা তারা যে কি না হয় ছিল করে থেকে
+    জন্য সাথে এক আর কিন্তু বা তার এটা এখন আছে যদি কেন""".split()
+)
+THAI_STOPWORDS = frozenset(
+    """และ ที่ ใน ของ มี ไม่ เป็น การ ได้ ให้ จะ มา ว่า กับ แล้ว ก็ เรา
+    คุณ เขา นี้ นั้น อยู่ ด้วย จาก ถึง""".split()
 )
 
 
@@ -914,6 +1031,123 @@ def _codes_via_scalar(texts: pd.Series, scalar_fn):
 
 ANALYZERS["cjk"] = _analyze_cjk
 FLAT_ANALYZERS["cjk"] = _codes_cjk
+
+
+# ---------------------------------------------------------------------
+# Thai analyzer. The reference's `thai` analyzer
+# (modules/analysis-common/.../CommonAnalysisPlugin.java thai
+# registration -> Lucene ThaiAnalyzer) segments with a dictionary
+# BreakIterator that is not available here, so this re-expression uses
+# the CJK-bigram strategy over Thai GRAPHEME CLUSTERS (a lead character
+# plus its combining vowels/tone marks): recall-equivalent matching
+# without a word dictionary, the standard fallback for unsegmented
+# scripts. Thai/English stopwords are dropped at the raw-run level
+# (one position increment per dropped run, StopFilter-style); Latin
+# tokens pass through unchanged.
+# ---------------------------------------------------------------------
+
+_THAI_RANGE = "฀-๿"  # U+0E00-0E7F
+_THAI_ANY_RE = re.compile(f"[{_THAI_RANGE}]")
+_THAI_SEG_RE = re.compile(f"[{_THAI_RANGE}]+|[^{_THAI_RANGE}]+")
+# \w drops Thai combining marks (Mn), so the base split keeps the block
+_THAI_WORD_RE = re.compile(rf"[\w{_THAI_RANGE}]+", re.UNICODE)
+# one cluster: lead char + trailing sara/mai marks (U+0E31, U+0E34-3A,
+# U+0E47-4E are the block's combining codepoints)
+_THAI_CLUSTER_RE = re.compile(
+    "[฀-๿][ัิ-ฺ็-๎]*")
+
+_THAI_SPLIT_CACHE: dict[str, list[str]] = {}
+
+
+def _thai_expand(tok: str) -> list[str]:
+    """One lowercased token -> emitted cluster-bigram stream."""
+    hit = _THAI_SPLIT_CACHE.get(tok)
+    if hit is not None:
+        return hit
+    if not _THAI_ANY_RE.search(tok):
+        out = [tok]
+    else:
+        out = []
+        for seg in _THAI_SEG_RE.findall(tok):
+            if _THAI_ANY_RE.match(seg):
+                cl = _THAI_CLUSTER_RE.findall(seg)
+                if len(cl) == 1:
+                    out.append(cl[0])
+                else:
+                    out.extend(cl[i] + cl[i + 1]
+                               for i in range(len(cl) - 1))
+            else:
+                out.append(seg)
+    if len(_THAI_SPLIT_CACHE) >= _CODE_SPLIT_CACHE_MAX:
+        _THAI_SPLIT_CACHE.clear()
+    _THAI_SPLIT_CACHE[tok] = out
+    return out
+
+
+def _analyze_thai(text: str) -> tuple[list[str], list[int]]:
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for raw in _THAI_WORD_RE.findall(text.lower()):
+        for chunk in _chunk255(raw):
+            if chunk in THAI_STOPWORDS or chunk in ENGLISH_STOPWORDS:
+                pos += 1
+                continue
+            for t in _thai_expand(chunk):
+                terms.append(t)
+                positions.append(pos)
+                pos += 1
+    return terms, positions
+
+
+_NEG_THAI = rf"[^\p{{L}}\p{{N}}_{_THAI_RANGE}]+"
+
+
+def _codes_thai(texts: pd.Series):
+    """Vectorized thai: one Arrow split pass, per-UNIQUE-token cluster
+    bigram expansion (memoized), variable position ADVANCE (stop runs
+    emit nothing but still advance one position)."""
+    d, c, u, ul, p = _split_codes(texts, _NEG_THAI, lower=True)
+    if ul.size and int(ul.max()) > MAX_TOKEN_LENGTH:
+        return _codes_via_scalar(texts, _analyze_thai)
+    if not c.size:
+        return d, c, u, p
+    vocab: dict[str, int] = {}
+    setd = vocab.setdefault
+    flat_ids: list[int] = []
+    emit_lens = np.empty(len(u), dtype=np.int64)
+    adv_lens = np.empty(len(u), dtype=np.int64)
+    for i, tok in enumerate(u.tolist()):
+        if tok in THAI_STOPWORDS or tok in ENGLISH_STOPWORDS:
+            emit_lens[i] = 0
+            adv_lens[i] = 1
+        else:
+            sl = _thai_expand(tok)
+            flat_ids.extend(setd(w, len(vocab)) for w in sl)
+            emit_lens[i] = adv_lens[i] = len(sl)
+    exp_ids = np.array(flat_ids, dtype=np.int64)
+    exp_offs = np.concatenate(([0], np.cumsum(emit_lens)))
+    tok_e = emit_lens[c]
+    tok_a = adv_lens[c]
+    total = int(tok_e.sum())
+    cum0 = np.cumsum(tok_e) - tok_e
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum0, tok_e)
+    gather = np.repeat(exp_offs[c], tok_e) + within
+    new_u = np.empty(len(vocab), dtype=object)
+    for w, i in vocab.items():
+        new_u[i] = w
+    # start position of each raw token: per-doc exclusive cumsum of the
+    # ADVANCE lengths (d is doc-major ascending from _split_codes)
+    ca = np.cumsum(tok_a) - tok_a
+    change = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+    counts = np.diff(np.append(change, d.size))
+    start = ca - np.repeat(ca[change], counts)
+    return (np.repeat(d, tok_e), exp_ids[gather], new_u,
+            np.repeat(start, tok_e) + within)
+
+
+ANALYZERS["thai"] = _analyze_thai
+FLAT_ANALYZERS["thai"] = _codes_thai
 
 _register_default_languages()
 

@@ -320,6 +320,132 @@ hindi_light_stem = make_cascade_stemmer(HINDI_LIGHT_RULES)
 persian_light_stem = make_cascade_stemmer(PERSIAN_LIGHT_RULES)
 indonesian_light_stem = make_cascade_stemmer(INDONESIAN_LIGHT_RULES)
 
+# Final tier — the remaining languages of the reference's analyzer
+# table (modules/analysis-common/.../CommonAnalysisPlugin.java:170-217
+# registers armenian/basque/bengali/brazilian/catalan/estonian/galician/
+# irish/latvian/lithuanian/sorani alongside the ones above; thai is
+# segmentation-only and lives in analyzers.py). Cascades follow the
+# same published-light-stemmer style (Savoy for the Romance/Baltic
+# group, Lucene's SoraniNormalizer normalization rules for Kurdish,
+# a case-suffix strip for the agglutinative ones); each rule is a
+# (pattern, replacement) regex pair so cascade_sql gives every stemmer
+# an exact DuckDB twin.
+BRAZILIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ã", "a"), (r"õ", "o"), (r"á", "a"), (r"â", "a"), (r"é", "e"),
+    (r"ê", "e"), (r"í", "i"), (r"ó", "o"), (r"ô", "o"), (r"ú", "u"),
+    (r"ç", "c"),
+    (r"(..)(?:coes|cao)$", r"\1c"),   # -ções/-ção (folded) share a stem
+    (r"(..)oes$", r"\1ao"),           # aviões -> aviao
+    (r"(...)(?:eiro|eira)$", r"\1"),  # agentives: brasileiro -> brasil
+    (r"(...)(?:mente)$", r"\1"),      # adverbs
+    (r"(..[^s])s$", r"\1"),           # plural -s (not after s)
+    (r"(...)[aeo]$", r"\1"),          # final vowel
+]
+
+CATALAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"à", "a"), (r"è", "e"), (r"é", "e"), (r"í", "i"), (r"ï", "i"),
+    (r"ò", "o"), (r"ó", "o"), (r"ú", "u"), (r"ü", "u"), (r"ç", "c"),
+    (r"(...)(?:cions|cio)$", r"\1cio"),  # nacions/nacio share a stem
+    (r"(..)(?:ques|qua|que)$", r"\1c"),  # -ques -> -c (bibliotec-)
+    (r"(...)(?:es|os|is)$", r"\1"),      # plurals: cases -> cas
+    (r"(..[^s])s$", r"\1"),              # plural -s
+    (r"(...)[aeo]$", r"\1"),             # final vowel
+]
+
+GALICIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"á", "a"), (r"é", "e"), (r"í", "i"), (r"ó", "o"), (r"ú", "u"),
+    (r"ñ", "n"),
+    (r"(..)(?:cions|cion|zons|zon)$", r"\1z"),  # nacións/nación
+    (r"(..)ns$", r"\1n"),               # cans -> can
+    (r"(...)(?:eiro|eira)$", r"\1"),    # agentives
+    (r"(...)(?:es|is)$", r"\1"),        # plurals
+    (r"(..[^s])s$", r"\1"),
+    (r"(...)[aeo]$", r"\1"),
+]
+
+BASQUE_LIGHT_RULES: list[tuple[str, str]] = [
+    # agglutinative case stack, outer-to-inner: local/genitive plurals
+    # first, then singular cases, then the article
+    (r"(...)(?:etako|etara|etatik|engatik|arentzat)$", r"\1"),
+    (r"(...)(?:aren|etan|ekin|entzat|gatik|raino)$", r"\1"),
+    (r"(...)(?:ean|era|tik|ari|ek|en|an|az)$", r"\1"),
+    (r"(...)(?:ak|a|k)$", r"\1"),       # article / absolutive plural
+]
+
+IRISH_LIGHT_RULES: list[tuple[str, str]] = [
+    # initial mutations (Lucene IrishLowerCaseFilter + snowball handle
+    # these): eclipsis clusters, then h-/t-/n- prothesis before vowels
+    (r"^(?:bhf|mb|gc|nd|ng|bp|dt)(.+)$", r"\1"),
+    (r"^[htn]-?([aeiouáéíóú].+)$", r"\1"),
+    (r"á", "a"), (r"é", "e"), (r"í", "i"), (r"ó", "o"), (r"ú", "u"),
+    (r"(...)(?:eacha|anna|acha)$", r"\1"),  # plurals
+    (r"(...)(?:ai|ta|te|a|e|i)$", r"\1"),   # residual endings
+]
+
+ESTONIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ä", "a"), (r"ö", "o"), (r"ü", "u"), (r"õ", "o"), (r"š", "s"),
+    (r"ž", "z"),
+    (r"(...)(?:dele|delt|dest|desse|tele|telt|test|tesse)$", r"\1"),
+    (r"(...)(?:des|tes|sse|st|le|lt|ga|ks|ni|na|ta)$", r"\1"),
+    (r"(...)(?:de|te|id)$", r"\1"),     # plural genitive/partitive
+    (r"(...)[dt]$", r"\1"),             # plural -d / partitive -t
+]
+
+LATVIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ā", "a"), (r"ē", "e"), (r"ī", "i"), (r"ū", "u"), (r"č", "c"),
+    (r"ģ", "g"), (r"ķ", "k"), (r"ļ", "l"), (r"ņ", "n"), (r"š", "s"),
+    (r"ž", "z"),
+    (r"(...)(?:ajiem|ajam|ajai|ajas)$", r"\1"),  # definite adjectives
+    (r"(...)(?:iem|iet|ies|am|em|im|um|os|us|as|es|is)$", r"\1"),
+    (r"(...)[aeisu]$", r"\1"),
+]
+
+LITHUANIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"ą", "a"), (r"ę", "e"), (r"ė", "e"), (r"į", "i"), (r"ų", "u"),
+    (r"ū", "u"), (r"č", "c"), (r"š", "s"), (r"ž", "z"),
+    (r"(...)(?:iams|ams|oms|ems|ose|uose|ais|iais|omis|emis)$", r"\1"),
+    (r"(...)(?:ai|as|os|us|is|ys|es|io|iu|ia)$", r"\1"),
+    (r"(...)[aeiouy]$", r"\1"),
+]
+
+ARMENIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"եւ", "և"),                         # ligature normalization
+    (r"(...)(?:ներում|ներին|ների|ները|ներով|ներ)$", r"\1"),  # plurals
+    (r"(...)(?:ությունը|ության|ություն)$", r"\1"),  # -ություն nouns
+    (r"(...)(?:ում|ից|ով|ին|եր|եմ|ենք)$", r"\1"),  # case/verb endings
+    (r"(...)[ընիե]$", r"\1"),             # article/residual
+]
+
+SORANI_LIGHT_RULES: list[tuple[str, str]] = [
+    # SoraniNormalizer character folds (Lucene analysis/ckb): unify
+    # yeh/kaf forms, final-form heh, strip ZWNJ + Arabic diacritics
+    (r"ي", "ی"), (r"ى", "ی"), (r"ك", "ک"), (r"ه‌", "ە"),
+    (r"‌", ""),                       # ZWNJ
+    (r"[ً-ْ]", ""),        # harakat
+    (r"(..)(?:ەکانی|ەکان|ەکەی|ەکە)$", r"\1"),   # definite (+izafe)
+    (r"(..)(?:انە|ێکی|ێک|ان|ەوە|دا|تان|مان)$", r"\1"),
+    (r"(..)[یە]$", r"\1"),                       # izafe / final vowel
+]
+
+BENGALI_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(..)(?:গুলোতে|গুলিতে|গুলোর|গুলির|গুলো|গুলি)$", r"\1"),  # plurals
+    (r"(..)(?:দেরকে|দের|রা|কে|তে|ের|েরা)$", r"\1"),  # case endings
+    (r"(..)(?:টি|টা|খানা|জন)$", r"\1"),              # classifiers
+    (r"(..)[ের]$", r"\1"),                           # residual
+]
+
+brazilian_light_stem = make_cascade_stemmer(BRAZILIAN_LIGHT_RULES)
+catalan_light_stem = make_cascade_stemmer(CATALAN_LIGHT_RULES)
+galician_light_stem = make_cascade_stemmer(GALICIAN_LIGHT_RULES)
+basque_light_stem = make_cascade_stemmer(BASQUE_LIGHT_RULES)
+irish_light_stem = make_cascade_stemmer(IRISH_LIGHT_RULES)
+estonian_light_stem = make_cascade_stemmer(ESTONIAN_LIGHT_RULES)
+latvian_light_stem = make_cascade_stemmer(LATVIAN_LIGHT_RULES)
+lithuanian_light_stem = make_cascade_stemmer(LITHUANIAN_LIGHT_RULES)
+armenian_light_stem = make_cascade_stemmer(ARMENIAN_LIGHT_RULES)
+sorani_light_stem = make_cascade_stemmer(SORANI_LIGHT_RULES)
+bengali_light_stem = make_cascade_stemmer(BENGALI_LIGHT_RULES)
+
 
 # ---------------------------------------------------------------------
 # Porter stemmer (Porter 1980, "An algorithm for suffix stripping")

@@ -452,3 +452,115 @@ def test_deva_word_flat_parity():
     for i, text in enumerate(texts):
         expect = list(zip(*_analyze_deva_word(text))) if text else []
         assert got.get(i, []) == expect, (i, got.get(i), expect)
+
+
+@pytest.mark.parametrize("lang,words", [
+    ("brazilian", ["aviões", "brasileiro", "nações", "rapidamente",
+                   "casas"]),
+    ("catalan", ["nacions", "biblioteques", "cases", "catalans",
+                 "història"]),
+    ("galician", ["nacións", "cans", "primeiro", "libros", "galegas"]),
+    ("basque", ["etxeetako", "mendietan", "liburuak", "gizonaren",
+                "herriak"]),
+    ("irish", ["bhfuinneog", "n-athair", "scoileanna", "leabhair",
+               "hoifige"]),
+    ("estonian", ["raamatutele", "linnades", "majast", "lapsed",
+                  "koolidesse"]),
+    ("latvian", ["grāmatas", "pilsētām", "bērniem", "skolas",
+                 "lielajiem"]),
+    ("lithuanian", ["knygos", "miestuose", "vaikams", "mokyklose",
+                    "namais"]),
+    ("armenian", ["գրքերը", "տներում", "ուսանողների", "ազատություն",
+                  "մարդկանց"]),
+    ("sorani", ["کتێبەکان", "ماڵەکەی", "منداڵان", "شارەوە", "کوردی"]),
+    ("bengali", ["বইগুলো", "ছেলেদের", "বাড়িতে", "মানুষের", "শহরটা"]),
+])
+def test_final_tier_language_sql_twins(lang, words):
+    """Python cascade == DuckDB cascade_sql for the final analyzer tier
+    (Irish mutations, Basque/Estonian case stacks, Sorani normalization,
+    Bengali classifiers, Armenian plurals)."""
+    import duckdb
+
+    from elasticsearch_spark.analysis import stem as S
+
+    rules = getattr(S, f"{lang.upper()}_LIGHT_RULES")
+    py_stem = getattr(S, f"{lang}_light_stem")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT t, {S.cascade_sql(rules, 't')} AS s "
+        "FROM (SELECT unnest(?) AS t)", [words],
+    ).fetchall()
+    mism = [(w, got, py_stem(w)) for w, got in rows if got != py_stem(w)]
+    assert not mism, mism
+
+
+def test_final_tier_language_analyzers_registered():
+    from elasticsearch_spark.analysis.analyzers import (
+        ANALYZERS, FLAT_ANALYZERS,
+    )
+
+    for name in ["brazilian_light", "catalan_light", "galician_light",
+                 "basque_light", "irish_light", "estonian_light",
+                 "latvian_light", "lithuanian_light", "armenian_light",
+                 "sorani_light", "bengali_light", "beng_word", "thai"]:
+        assert name in ANALYZERS and name in FLAT_ANALYZERS
+    # singular/plural meet at the stem; native-form stopwords removed
+    assert [t for t, _ in analyze("os aviões", "brazilian_light")] \
+        == ["avia"]
+    assert analyze("avião", "brazilian_light")[0][0] == "avia"
+    assert [t for t, _ in analyze("i les nacions", "catalan_light")] \
+        == ["nacion"]
+    # Irish eclipsis (bhfuinneog -> fuinneog family stem)
+    assert [t for t, _ in analyze("bhfuinneog", "irish_light")] \
+        == ["uinneog"]
+    # Bengali base keeps matras; plural classifier strips
+    assert analyze("বই", "bengali_light") == [("বই", 0)]
+    assert analyze("বইগুলো", "bengali_light") == [("বই", 0)]
+
+
+def test_thai_analyzer():
+    # cluster bigrams: แมวน้ำ -> แม มว วน้ น้ำ (combining marks stay
+    # glued to their base consonant)
+    assert analyze("แมวน้ำ", "thai") == [("แม", 0), ("มว", 1),
+                                         ("วน้", 2), ("น้ำ", 3)]
+    # stopword run dropped with ONE position increment; latin passes
+    # through with english stop removal
+    assert analyze("และ แมว the cat", "thai") == [("แม", 1), ("มว", 2),
+                                                  ("cat", 4)]
+    # lone cluster stays a unigram
+    assert [t for t, _ in analyze("ดี", "thai")] == ["ดี"]
+
+
+def test_thai_flat_parity():
+    import pandas as pd
+
+    from elasticsearch_spark.analysis.analyzers import (
+        FLAT_ANALYZERS, _analyze_thai,
+    )
+
+    texts = pd.Series(["และ แมว the cat", "แมวน้ำ", "", "plain text",
+                       "การค้นหาข้อมูล mixed ไทย"])
+    d, c, u, p = FLAT_ANALYZERS["thai"](texts)
+    got = {}
+    for di, ci, pi in zip(d, c, p):
+        got.setdefault(int(di), []).append((u[ci], int(pi)))
+    for i, text in enumerate(texts):
+        expect = list(zip(*_analyze_thai(text))) if text else []
+        assert got.get(i, []) == expect, (i, text, got.get(i), expect)
+
+
+def test_beng_word_flat_parity():
+    import pandas as pd
+
+    from elasticsearch_spark.analysis.analyzers import (
+        FLAT_ANALYZERS, _analyze_beng_word,
+    )
+
+    texts = pd.Series(["বই বইগুলো এবং", "mixed বাংলা latin", ""])
+    d, c, u, p = FLAT_ANALYZERS["beng_word"](texts)
+    got = {}
+    for di, ci, pi in zip(d, c, p):
+        got.setdefault(int(di), []).append((u[ci], int(pi)))
+    for i, text in enumerate(texts):
+        expect = list(zip(*_analyze_beng_word(text))) if text else []
+        assert got.get(i, []) == expect, (i, text, got.get(i), expect)

@@ -47,19 +47,30 @@ print(json.dumps({{"cores": cores, "qps": N / (time.time() - t0)}}))
 """
 
 
-def qps(cores: int, idx_dir: str, repeats: int) -> list[float]:
-    vals = []
-    for _ in range(repeats):
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD.format(repo=REPO),
-             str(cores), idx_dir],
-            capture_output=True, text=True, timeout=1800,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-3000:])
-            raise RuntimeError(f"child cores={cores} failed")
-        vals.append(json.loads(proc.stdout.strip().splitlines()[-1])["qps"])
-    return vals
+def _one(cores: int, idx_dir: str) -> float:
+    proc = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO),
+         str(cores), idx_dir],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-3000:])
+        raise RuntimeError(f"child cores={cores} failed")
+    return json.loads(proc.stdout.strip().splitlines()[-1])["qps"]
+
+
+def qps_interleaved(lo: int, hi: int, idx_dir: str,
+                    repeats: int) -> tuple[list[float], list[float]]:
+    """Alternate lo/hi samples so slow host drift hits both levels
+    equally instead of biasing whichever level ran second."""
+    lo_vals, hi_vals = [], []
+    for i in range(repeats):
+        lo_vals.append(_one(lo, idx_dir))
+        hi_vals.append(_one(hi, idx_dir))
+        sys.stderr.write(
+            f"round {i + 1}/{repeats}: lo={lo_vals[-1]:.3f} "
+            f"hi={hi_vals[-1]:.3f}\n")
+    return lo_vals, hi_vals
 
 
 def main() -> None:
@@ -82,8 +93,7 @@ def main() -> None:
                 input_snapshot="qps")
     spark.stop()
 
-    lo_vals = qps(lo, idx_dir, repeats)
-    hi_vals = qps(hi, idx_dir, repeats)
+    lo_vals, hi_vals = qps_interleaved(lo, hi, idx_dir, repeats)
     eff = max(hi_vals) / ((hi / lo) * max(lo_vals))
     out = {
         "n_docs": n_docs,
