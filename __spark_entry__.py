@@ -1497,6 +1497,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["analyze_decompound"] = analyze_decompound_q
 
+    HYPH_DICT = ["cus", "tomer", "vec", "tor", "win", "dow", "fil", "ter"]
+
+    def analyze_hyphen_decompound_q(s: SparkSession, d: str) -> DataFrame:
+        # hyphenation_decompounder with inline Liang patterns
+        # ("1to", "1do", "l1t") re-expressed in Catalyst: a marker char
+        # at every odd break point -> syllable split -> all consecutive
+        # syllable SPANS -> dictionary + size check -> grouped counts.
+        # Parity with filters.hyphenation_decompounder_filter on the
+        # same patterns is asserted in tests/test_filters.py.
+        docs = _t(s, d, "documents")
+        toks = docs.select(
+            F.explode(F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z0-9_]+"), 0)).alias("tok")
+        ).where(F.length("tok") >= 5)
+        marked = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            F.col("tok"), "to", "\x01to"), "do", "\x01do"), "lt", "l\x01t")
+        sylls = F.filter(F.split(marked, "\x01"),
+                         lambda x: x != F.lit(""))
+        spans = F.expr(
+            "flatten(transform(sequence(1, size(ss)), a -> "
+            "transform(sequence(a, size(ss)), b -> "
+            "array_join(slice(ss, a, b - a + 1), ''))))")
+        return (
+            toks.withColumn("ss", sylls)
+            .select("tok", F.explode(spans).alias("word"))
+            .where((F.col("word") != F.col("tok"))
+                   & (F.length("word") >= 3) & (F.length("word") <= 15)
+                   & F.col("word").isin(HYPH_DICT))
+            .groupBy("word").agg(F.count("*").alias("occurrences"))
+        )
+
+    q["analyze_hyphen_decompound"] = analyze_hyphen_decompound_q
+
     def rank_feature_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import (
             feature_topk, rank_feature_score,
@@ -3065,6 +3098,35 @@ FROM (
   ON len(t.tok) >= 5 AND position(w.word IN t.tok) > 0
   AND w.word <> t.tok
 GROUP BY w.word
+"""
+
+    _hyph_dict = ", ".join(f"'{w}'" for w in
+                           sorted(["cus", "tomer", "vec", "tor", "win",
+                                   "dow", "fil", "ter"]))
+    o["analyze_hyphen_decompound"] = f"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+    FROM documents)
+  WHERE length(tok) >= 5),
+syl AS (
+  SELECT tok,
+         list_filter(string_split(replace(replace(replace(tok,
+             'to', chr(1) || 'to'), 'do', chr(1) || 'do'),
+             'lt', 'l' || chr(1) || 't'), chr(1)),
+           s -> s <> '') AS ss
+  FROM toks),
+spans AS (
+  SELECT tok,
+         unnest(flatten(list_transform(range(1, len(ss) + 1), a ->
+           list_transform(range(a, len(ss) + 1), b ->
+             array_to_string(ss[a:b], ''))))) AS word
+  FROM syl)
+SELECT word, count(*)::BIGINT AS occurrences
+FROM spans
+WHERE word <> tok AND length(word) BETWEEN 3 AND 15
+  AND word IN ({_hyph_dict})
+GROUP BY word
 """
 
     o["geo_bbox"] = f"""

@@ -323,9 +323,9 @@ def dictionary_decompounder_filter(
     ``only_longest_match`` keeps only the longest matching subword per
     start offset (Lucene's flag).
 
-    The hyphenation_decompounder variant needs external hyphenation-
-    pattern XML files (not shippable here) and stays out of scope; its
-    dictionary-check step is this same algorithm.
+    The hyphenation_decompounder variant is
+    ``hyphenation_decompounder_filter`` below (inline Liang patterns
+    instead of the reference's external XML grammar files).
     """
     words = sorted(
         {
@@ -360,6 +360,110 @@ def dictionary_decompounder_filter(
                         if w != t and t.startswith(w, i):
                             out_t.append(w)
                             out_p.append(p)
+        return out_t, out_p
+
+    return fn
+
+
+def _parse_liang_patterns(
+    patterns,
+) -> tuple[dict[str, tuple[int, ...]], int]:
+    """Parse Liang (1983, "Word Hy-phen-a-tion by Com-put-er") TeX-style
+    hyphenation patterns ("ab1c", ".ach4", "1ba") into
+    letters -> inter-letter digit vector (len(letters)+1 values)."""
+    table: dict[str, tuple[int, ...]] = {}
+    max_len = 1
+    for pat in patterns:
+        letters: list[str] = []
+        vals = [0]
+        for ch in pat:
+            if ch.isdigit():
+                vals[-1] = int(ch)
+            else:
+                letters.append(ch)
+                vals.append(0)
+        key = "".join(letters)
+        table[key] = tuple(vals)
+        max_len = max(max_len, len(key))
+    return table, max_len
+
+
+def hyphenation_decompounder_filter(
+    patterns,
+    word_list=None,
+    min_word_size: int = 5,
+    min_subword_size: int = 2,
+    max_subword_size: int = 15,
+    only_longest_match: bool = False,
+):
+    """hyphenation_decompounder token filter
+    (CommonAnalysisPlugin.java registration of
+    HyphenationCompoundWordTokenFilter). The reference loads FOP XML
+    hyphenation grammars from ``hyphenation_patterns_path``; this
+    re-expression takes the SAME Liang patterns INLINE (list of
+    TeX-style pattern strings, "." = word boundary) so no external file
+    is needed — the scoring algorithm is Liang's published one.
+
+    For each token of at least ``min_word_size`` chars: compute the
+    hyphenation points (max pattern digit per inter-letter gap, odd =
+    break), then every contiguous syllable span within
+    [min_subword_size, max_subword_size] that passes the dictionary
+    check (``word_list``; ``None`` = accept every span, Lucene's
+    no-dictionary mode) is emitted at the token's position, once per
+    span. ``only_longest_match`` keeps only the longest hit per start
+    syllable."""
+    table, max_len = _parse_liang_patterns(patterns)
+    words = None
+    if word_list is not None:
+        words = {
+            w.lower() for w in word_list
+            if min_subword_size <= len(w) <= max_subword_size
+        }
+
+    def breaks(word: str) -> list[int]:
+        """Positions p (0<p<len) where hyphenation is allowed."""
+        w = f".{word}."
+        n = len(w)
+        # vals[k] = weight of the gap BEFORE w[k]
+        vals = [0] * (n + 1)
+        for i in range(n):
+            top = min(n, i + max_len)
+            for j in range(i + 1, top + 1):
+                hit = table.get(w[i:j])
+                if hit is not None:
+                    for off, v in enumerate(hit):
+                        if v > vals[i + off]:
+                            vals[i + off] = v
+        # gap before w[k] == gap before word[k-1]; interior breaks only
+        return [k - 1 for k in range(2, n - 1) if vals[k] % 2 == 1]
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            out_t.append(t)
+            out_p.append(p)
+            if len(t) < min_word_size:
+                continue
+            cuts = [0] + breaks(t) + [len(t)]
+            for a in range(len(cuts) - 1):
+                best = None
+                for b in range(a + 1, len(cuts)):
+                    cand = t[cuts[a]:cuts[b]]
+                    if cand == t or not (
+                        min_subword_size <= len(cand) <= max_subword_size
+                    ):
+                        continue
+                    if words is not None and cand not in words:
+                        continue
+                    if only_longest_match:
+                        best = cand  # spans grow with b: keep longest
+                    else:
+                        out_t.append(cand)
+                        out_p.append(p)
+                if best is not None:
+                    out_t.append(best)
+                    out_p.append(p)
         return out_t, out_p
 
     return fn

@@ -294,3 +294,70 @@ def test_min_hash_no_rotation():
     f = min_hash_filter(bucket_count=16, with_rotation=False)
     t, _ = f(["only"], [1])
     assert len(t) == 1  # one token -> one occupied bucket
+
+
+def test_hyphenation_decompounder():
+    from elasticsearch_spark.analysis.filters import (
+        hyphenation_decompounder_filter,
+    )
+
+    # Liang scoring: odd max digit = break, even overrides odd, "." is
+    # the word anchor (patterns inline instead of the reference's
+    # external FOP XML grammar)
+    f = hyphenation_decompounder_filter(["t1b"], ["soft", "ball"])
+    t, p = f(["softball", "tiny"], [0, 1])
+    assert list(zip(t, p)) == [
+        ("softball", 0), ("soft", 0), ("ball", 0), ("tiny", 1)]
+    # anchored even digit suppresses the unanchored odd one at position
+    f2 = hyphenation_decompounder_filter(["o1f", ".so2f"], None,
+                                         min_subword_size=2)
+    t, _ = f2(["sofas"], [0])
+    assert t == ["sofas"]  # no break allowed -> only the original
+    t, _ = f2(["xsofyz"], [0])
+    assert t == ["xsofyz", "xso", "fyz"]
+    # no-dictionary mode emits every syllable SPAN within size bounds
+    f3 = hyphenation_decompounder_filter(["t1b", "l1b"], None,
+                                         min_subword_size=3)
+    t, _ = f3(["softballbat"], [0])
+    assert t == ["softballbat", "soft", "softball", "ball", "ballbat",
+                 "bat"]
+    # dictionary check filters spans; only_longest_match keeps the
+    # longest dictionary hit per start syllable
+    f4 = hyphenation_decompounder_filter(
+        ["t1b", "l1b"], ["soft", "softball", "ball"],
+        only_longest_match=True)
+    t, _ = f4(["softballbat"], [0])
+    assert t == ["softballbat", "softball", "ball"]
+    # min_word_size gates the whole token
+    f5 = hyphenation_decompounder_filter(["i1n"], ["ti"], min_word_size=5)
+    t, _ = f5(["tin"], [0])
+    assert t == ["tin"]
+
+
+def test_hyphenation_decompounder_entry_parity():
+    """The analyze_hyphen_decompound contract entry re-expresses the
+    filter in Catalyst (marker insert -> syllable spans). Assert the
+    real filter and the marker/span formulation agree on the corpus
+    vocabulary for the entry's pattern set."""
+    from elasticsearch_spark.analysis.filters import (
+        hyphenation_decompounder_filter,
+    )
+
+    hyph_dict = ["cus", "tomer", "vec", "tor", "win", "dow", "fil",
+                 "ter"]
+    f = hyphenation_decompounder_filter(
+        ["1to", "1do", "l1t"], hyph_dict, min_subword_size=3)
+    vocab = ["batch", "customer", "column", "filter", "small", "merge",
+             "order", "vector", "table", "value", "stream", "window",
+             "spark", "group", "query", "tofu", "ltola"]
+    for tok in vocab:
+        got = f([tok], [0])[0][1:]  # filter output minus the original
+        marked = (tok.replace("to", "\x01to").replace("do", "\x01do")
+                  .replace("lt", "l\x01t"))
+        ss = [s for s in marked.split("\x01") if s]
+        spans = ["".join(ss[a:b]) for a in range(len(ss))
+                 for b in range(a + 1, len(ss) + 1)]
+        want = [w for w in spans
+                if w != tok and 3 <= len(w) <= 15 and w in hyph_dict
+                and len(tok) >= 5]
+        assert sorted(got) == sorted(want), (tok, got, want)
