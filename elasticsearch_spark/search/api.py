@@ -155,9 +155,16 @@ def _scored_df(
     query: dict[str, Any],
     params: BM25Params,
     boost: float = 1.0,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Evaluate a scoring-context clause -> DataFrame(doc_id, score),
-    ALL matching docs (k=None), scores already boosted."""
+    ALL matching docs (k=None), scores already boosted. ``allowed``
+    (a DataFrame with a ``doc_id`` column — the enclosing filter's id
+    set) is pushed down to every LEAF scorer, so compound queries under
+    a filter restrict each posting scan/shuffle to filtered docs
+    instead of scoring the whole corpus and semi-joining at the top —
+    restriction commutes with max/sum/count combination, so scores are
+    unchanged."""
     kind, body = next(iter(query.items()))
     spark = index.spark
 
@@ -167,7 +174,7 @@ def _scored_df(
         b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
         df = match_topk(
             index, field, terms, k=None, operator=operator,
-            minimum_should_match=msm, params=params,
+            minimum_should_match=msm, params=params, allowed=allowed,
         ).select("doc_id", "score")
         return df.withColumn("score", F.col("score") * F.lit(boost * b))
 
@@ -179,15 +186,17 @@ def _scored_df(
         terms = [t for t, _ in analyze(text, analyzer)]
         b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
         df = phrase_topk(index, field, terms, k=None, params=params)
-        return df.select("doc_id", "score").withColumn(
-            "score", F.col("score") * F.lit(boost * b)
-        )
+        df = df.select("doc_id", "score")
+        if allowed is not None:
+            df = df.join(allowed.select("doc_id"), "doc_id", "left_semi")
+        return df.withColumn("score", F.col("score") * F.lit(boost * b))
 
     if kind == "term_scored":
         # term query on an indexed text field: single un-analyzed term
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
-        df = match_topk(index, field, [value], k=None, params=params)
+        df = match_topk(index, field, [value], k=None, params=params,
+                        allowed=allowed)
         return df.select("doc_id", "score").withColumn(
             "score", F.col("score") * F.lit(boost)
         )
@@ -205,11 +214,14 @@ def _scored_df(
             df = cross_fields_topk(
                 index, fields, terms, k=None, tie_breaker=tie, params=params
             )
+            df = df.select("doc_id", "score")
+            if allowed is not None:
+                df = df.join(allowed.select("doc_id"), "doc_id", "left_semi")
             return df.select(
                 "doc_id", (F.col("score") * F.lit(boost)).alias("score")
             )
         per_field = [
-            _scored_df(index, {"match": {f: {"query": text, **{k: v for k, v in body.items() if k in ("operator", "minimum_should_match")}}}}, params)
+            _scored_df(index, {"match": {f: {"query": text, **{k: v for k, v in body.items() if k in ("operator", "minimum_should_match")}}}}, params, allowed=allowed)
             .withColumnRenamed("score", "s")
             .withColumn("fidx", F.lit(i))
             for i, f in enumerate(fields)
@@ -229,7 +241,8 @@ def _scored_df(
     if kind == "dis_max":
         tie = float(body.get("tie_breaker", 0.0))
         subs = [
-            _scored_df(index, q, params).withColumnRenamed("score", "s")
+            _scored_df(index, q, params, allowed=allowed)
+            .withColumnRenamed("score", "s")
             for q in body["queries"]
         ]
         u = subs[0]
@@ -255,13 +268,13 @@ def _scored_df(
         parts: list[DataFrame] = []
         for i, q in enumerate(must):
             parts.append(
-                _scored_df(index, q, params)
+                _scored_df(index, q, params, allowed=allowed)
                 .withColumn("is_must", F.lit(1))
                 .withColumn("clause", F.lit(i))
             )
         for j, q in enumerate(should):
             parts.append(
-                _scored_df(index, q, params)
+                _scored_df(index, q, params, allowed=allowed)
                 .withColumn("is_must", F.lit(0))
                 .withColumn("clause", F.lit(1000 + j))
             )
@@ -287,20 +300,113 @@ def _scored_df(
         inner = body["filter"]
         ik = next(iter(inner))
         if ik in SCORED_KINDS:
-            df = _scored_df(index, inner, params)
+            df = _scored_df(index, inner, params, allowed=allowed)
             return df.select("doc_id", F.lit(b * boost).alias("score"))
         raise ValueError(
             "constant_score over a pure filter needs the docs table; use search()"
         )
 
     if kind == "function_score":
-        base = _scored_df(index, body["query"], params)
+        base = _scored_df(index, body["query"], params, allowed=allowed)
         weight = float(body.get("weight", 1.0))
         return base.select(
             "doc_id", (F.col("score") * F.lit(weight * boost)).alias("score")
         )
 
     raise ValueError(f"unsupported scoring query: {kind}")
+
+
+def _unwrap_single_must(q: dict[str, Any]) -> dict[str, Any]:
+    if next(iter(q)) == "bool":
+        b = q["bool"]
+        must = list(b.get("must") or [])
+        if len(must) == 1 and not (b.get("should") or []):
+            return must[0]
+    return q
+
+
+def _max_disjunction_leaves(
+    scored_query: dict[str, Any], allow_phrase: bool
+) -> list[dict[str, Any]] | None:
+    """If the scoring query is a pure MAX-combine disjunction —
+    dis_max with tie_breaker=0, or multi_match best_fields with
+    tie_breaker=0 (its default) — over independently top-k-able leaf
+    clauses, return the leaf list; else None.
+
+    Why per-leaf top-k is exact for max-combine: if doc d is in the
+    global top-k by best-leaf score, then within d's best leaf fewer
+    than k docs precede it on (score desc, doc_id asc) — every doc
+    preceding d there has best >= that leaf score, so it precedes d
+    globally too. Hence the union of per-leaf top-k (same tie-break)
+    contains the exact global top-k, and a doc's max over its present
+    leaf scores equals its true best. This is the reference's
+    DisjunctionMaxQuery-under-WAND shape
+    (lucene/.../DisjunctionMaxQuery.java block-max score bounds): each
+    leaf keeps block-max pruning instead of scoring every matching doc.
+
+    ``allow_phrase``: phrase leaves cannot take a pushed filter id set,
+    so they only decompose when no filter is present."""
+    q = _unwrap_single_must(scored_query)
+    kind = next(iter(q))
+    if kind == "dis_max":
+        if float(q["dis_max"].get("tie_breaker", 0.0)) != 0.0:
+            return None
+        leaves = list(q["dis_max"]["queries"])
+    elif kind == "multi_match":
+        b = q["multi_match"]
+        if b.get("type", "best_fields") != "best_fields" or \
+                float(b.get("tie_breaker", 0.0)) != 0.0:
+            return None
+        spec = {"query": b["query"],
+                **{kk: v for kk, v in b.items()
+                   if kk in ("operator", "minimum_should_match")}}
+        leaves = [{"match": {f: dict(spec)}} for f in b["fields"]]
+    else:
+        return None
+    ok = {"match", "term_scored"} | ({"match_phrase"} if allow_phrase else set())
+    if leaves and all(next(iter(le)) in ok for le in leaves):
+        return leaves
+    return None
+
+
+def _leaf_topk(
+    index: InvertedIndex,
+    q: dict[str, Any],
+    k: int,
+    params: BM25Params,
+    allowed: DataFrame | None,
+) -> DataFrame:
+    """Top-k of ONE disjunction leaf with pruning active (and the
+    filter id set pushed in). Per-leaf boost is applied after the
+    top-k — a positive constant scale keeps the leaf order."""
+    kind, body = next(iter(q.items()))
+    if kind in ("match", "term_scored"):
+        field, spec = next(iter(body.items()))
+        if kind == "match":
+            terms, operator, msm = _match_terms(index, field, spec)
+        else:
+            terms = [spec["value"] if isinstance(spec, dict) else spec]
+            operator, msm = "or", 1
+        b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        df = match_topk(
+            index, field, terms, k=k, operator=operator,
+            minimum_should_match=msm, params=params, allowed=allowed,
+        ).select("doc_id", "score")
+    elif kind == "match_phrase":
+        assert allowed is None  # guarded by _max_disjunction_leaves
+        field, spec = next(iter(body.items()))
+        text = spec["query"] if isinstance(spec, dict) else spec
+        analyzer = (spec.get("analyzer") if isinstance(spec, dict) else None) or \
+            index_meta(index.path)["fields"].get(field, "standard")
+        terms = [t for t, _ in analyze(text, analyzer)]
+        b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        df = phrase_topk(index, field, terms, k=k, params=params) \
+            .select("doc_id", "score")
+    else:  # pragma: no cover - guarded by _max_disjunction_leaves
+        raise ValueError(f"non-decomposable leaf: {kind}")
+    if b != 1.0:
+        df = df.withColumn("score", F.col("score") * F.lit(b))
+    return df
 
 
 def search(
@@ -453,28 +559,38 @@ def search(
             .limit(k)
         )
 
-    pushed = _single_match_clause(scored_query) if filter_pred is not None else None
+    allowed = None
+    if filter_pred is not None:
+        allowed = docs.filter(filter_pred).select(F.col(id_col).alias("doc_id"))
+    pushed = _single_match_clause(scored_query)
+    leaves = None if pushed else _max_disjunction_leaves(
+        scored_query, allow_phrase=filter_pred is None)
     if pushed is not None:
-        # filter + single scored match: push the filter's doc-id set
-        # INTO the scorer (partition-local allowlist via cogroup) so
-        # block-max/theta pruning stays active under the filter and
-        # each shard emits only a local top-k — instead of scoring
-        # every matching doc with k=None and semi-joining after.
+        # single scored match (filtered or not): run the scorer with
+        # k, so block-max/theta pruning is active and each shard emits
+        # only a local top-k; under a filter the id set is pushed INTO
+        # the scorer (partition-local allowlist via cogroup) instead of
+        # scoring every matching doc with k=None and semi-joining after.
         field, spec = next(iter(pushed["match"].items()))
         terms, operator, msm = _match_terms(index, field, spec)
         b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
-        allowed = docs.filter(filter_pred).select(F.col(id_col).alias("doc_id"))
         scores = match_topk(
             index, field, terms, k=k, operator=operator,
             minimum_should_match=msm, params=params, allowed=allowed,
         ).select("doc_id", "score")
         if b != 1.0:
             scores = scores.withColumn("score", F.col("score") * F.lit(b))
+    elif leaves is not None:
+        # max-combine disjunction (dis_max / multi_match best_fields at
+        # tie_breaker=0): per-leaf PRUNED top-k (filter pushed into each
+        # leaf), union, max per doc — exact, see _max_disjunction_leaves
+        parts = [_leaf_topk(index, q, k, params, allowed) for q in leaves]
+        u = parts[0]
+        for d in parts[1:]:
+            u = u.unionByName(d)
+        scores = u.groupBy("doc_id").agg(F.max("score").alias("score"))
     else:
-        scores = _scored_df(index, scored_query, params)
-        if filter_pred is not None:
-            allowed = docs.filter(filter_pred).select(id_col)
-            scores = scores.join(allowed, on=id_col, how="left_semi")
+        scores = _scored_df(index, scored_query, params, allowed=allowed)
     if const_boost:
         scores = scores.withColumn("score", F.col("score") + F.lit(const_boost))
     if min_score is not None:

@@ -252,3 +252,82 @@ def test_term_stats_cache_matches_scan(spark, tmp_path):
     scanned = {r["term"]: (r["df"], r["cf"], r["max_tf"], r["min_dl"])
                for r in fresh._term_stats_scan("text", ["table", "scan"]).collect()}
     assert cached == scanned and cached
+
+
+def test_disjunction_decomposition_parity(spark, index):
+    """dis_max / multi_match best_fields at tie_breaker=0 decompose
+    into per-leaf PRUNED top-k + max-combine; rows and scores must be
+    identical to the k=None score-everything fallback, with and
+    without a filter."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search import dsl
+    from elasticsearch_spark.search.api import (
+        _max_disjunction_leaves, _scored_df, search,
+    )
+    from elasticsearch_spark.search.bm25 import BM25Params
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    params = BM25Params(quantize_norms=False)
+    cases = [
+        {"multi_match": {"query": "table scan merge",
+                         "fields": ["text", "text_en"]}},
+        {"dis_max": {"queries": [
+            {"match": {"text": "window filter"}},
+            {"match": {"text_en": {"query": "windows filtering",
+                                   "boost": 1.5}}}]}},
+        {"bool": {"must": [{"multi_match": {
+                      "query": "table scan merge",
+                      "fields": ["text", "text_en"]}}],
+                  "filter": [{"range": {"n_chars": {"gte": 300}}}]}},
+        {"bool": {"must": [{"dis_max": {"queries": [
+                      {"match": {"text": "window filter"}},
+                      {"match": {"text_en": "windows filtering"}}]}}],
+                  "filter": [{"term": {"lang": "en"}}]}},
+    ]
+    for q in cases:
+        got = [
+            (r["doc_id"], r["s"])
+            for r in search(index, docs, q, k=10, params=params)
+            .select("doc_id", F.round("score", 6).alias("s")).collect()
+        ]
+        if next(iter(q)) == "bool":
+            scored = {"bool": {"must": q["bool"]["must"], "should": []}}
+            flt = dsl.compile_filter(
+                {"bool": {"filter": q["bool"]["filter"], "must_not": []}},
+                "doc_id")
+            base = _scored_df(index, scored, params).join(
+                docs.filter(flt).select("doc_id"), "doc_id", "left_semi")
+        else:
+            base = _scored_df(index, q, params)
+        want = [
+            (r["doc_id"], r["s"])
+            for r in base.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10).select("doc_id", F.round("score", 6).alias("s"))
+            .collect()
+        ]
+        assert got == want, q
+    # a nonzero tie_breaker must NOT decompose (scores need every leaf)
+    assert _max_disjunction_leaves(
+        {"dis_max": {"tie_breaker": 0.3, "queries":
+                     [{"match": {"text": "a"}}]}}, True) is None
+    assert _max_disjunction_leaves(
+        {"multi_match": {"query": "a", "fields": ["text"],
+                         "type": "most_fields"}}, True) is None
+
+
+def test_filtered_disjunction_keeps_pruning_plan(spark, index):
+    """A filtered multi_match must push the filter id set into every
+    leaf scorer (cogroup), never semi-join after scoring everything."""
+    from elasticsearch_spark.search.api import search
+    from elasticsearch_spark.search.bm25 import BM25Params
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = {"bool": {"must": [{"multi_match": {
+             "query": "query data", "fields": ["text", "text_en"]}}],
+         "filter": [{"term": {"lang": "en"}}]}}
+    out = search(index, docs, q, k=10,
+                 params=BM25Params(quantize_norms=False))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan, plan[:3000]
+    assert plan.count("FlatMapCoGroupsInPandas") >= 2, plan[:3000]
