@@ -23,6 +23,7 @@ rounds to 4 decimals):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
@@ -318,6 +319,169 @@ def geo_shape_sql(
     if relation == "disjoint":
         return f"({base} AND NOT {pred})"
     raise ValueError(f"unsupported geo_shape relation {relation!r}")
+
+
+# --- doc-side shapes (WKT shape FIELDS, shape-vs-shape relations) -----
+#
+# The reference indexes geo_shape fields as BKD triangle trees
+# (server/.../index/mapper/GeoShapeFieldMapper.java) and evaluates
+# ShapeRelation INTERSECTS/DISJOINT/WITHIN/CONTAINS against them. The
+# Spark re-expression evaluates the relation per document over a WKT
+# column with a vectorized Arrow-batched UDF: the query shape is a
+# constant, each unique doc WKT is parsed and tested ONCE per batch
+# (shape vocabularies repeat), and the geometry kernel is the classic
+# even-odd parity + segment-orientation test — no external geo library.
+
+
+def _shape_polys(kind, payload):
+    """Normalize a parse_wkt result to a list of polygons, each a list
+    of rings (first outer, rest holes); a point becomes None (handled
+    separately)."""
+    if kind == "point":
+        return None
+    if kind == "envelope":
+        minlon, maxlon, maxlat, minlat = payload
+        return [[[(minlon, minlat), (maxlon, minlat),
+                  (maxlon, maxlat), (minlon, maxlat)]]]
+    if kind == "polygon":
+        return [payload]
+    return payload  # multipolygon
+
+
+def _pt_in_polys(polys, pt) -> bool:
+    """Even-odd parity over every ring of any polygon (holes for free,
+    same rule as _rings_crossings)."""
+    x, y = pt
+    for rings in polys:
+        crossings = 0
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                xi, yi = ring[i]
+                xj, yj = ring[(i + 1) % n]
+                if yi == yj:
+                    continue
+                if (yi > y) != (yj > y) and \
+                        x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+                    crossings += 1
+        if crossings % 2 == 1:
+            return True
+    return False
+
+
+def _segs_cross(a, b, c, d) -> bool:
+    """Proper or touching intersection of segments ab and cd
+    (orientation signs + collinear-overlap bounds)."""
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on_seg(p, q, r):
+        return (min(p[0], q[0]) <= r[0] <= max(p[0], q[0])
+                and min(p[1], q[1]) <= r[1] <= max(p[1], q[1]))
+
+    return ((o1 == 0 and on_seg(a, b, c)) or (o2 == 0 and on_seg(a, b, d))
+            or (o3 == 0 and on_seg(c, d, a)) or (o4 == 0 and on_seg(c, d, b)))
+
+
+def _iter_segs(polys):
+    for rings in polys:
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                yield ring[i], ring[(i + 1) % n]
+
+
+def _any_edge_cross(pa, pb) -> bool:
+    segs_b = list(_iter_segs(pb))
+    for a1, a2 in _iter_segs(pa):
+        for b1, b2 in segs_b:
+            if _segs_cross(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def shapes_relation(query_wkt: str, doc_wkt: str, relation: str) -> bool:
+    """ShapeRelation semantics between a constant query shape and one
+    document shape (both WKT). ``within`` = doc within query,
+    ``contains`` = doc contains query, as GeoShapeQueryBuilder defines
+    them. Point docs: within == intersects == point-in-shape."""
+    qk, qp = parse_wkt(query_wkt)
+    dk, dp = parse_wkt(doc_wkt)
+    qpolys, dpolys = _shape_polys(qk, qp), _shape_polys(dk, dp)
+
+    def intersects() -> bool:
+        if dpolys is None and qpolys is None:
+            return dp == qp
+        if dpolys is None:
+            return _pt_in_polys(qpolys, dp)
+        if qpolys is None:
+            return _pt_in_polys(dpolys, qp)
+        if _any_edge_cross(qpolys, dpolys):
+            return True
+        # no crossings: either disjoint or one part fully inside the
+        # other — probe one vertex per POLYGON part of each shape
+        return (any(_pt_in_polys(qpolys, rings[0][0]) for rings in dpolys)
+                or any(_pt_in_polys(dpolys, rings[0][0])
+                       for rings in qpolys))
+
+    if relation == "intersects":
+        return intersects()
+    if relation == "disjoint":
+        return not intersects()
+    if relation == "within":
+        # doc within query: no boundary crossing, every doc vertex
+        # inside, and no query vertex strictly inside the doc (a query
+        # HOLE poking into the doc region has its ring inside the doc)
+        if dpolys is None:
+            return qpolys is not None and _pt_in_polys(qpolys, dp)
+        if qpolys is None:
+            return False
+        if _any_edge_cross(qpolys, dpolys):
+            return False
+        return (all(_pt_in_polys(qpolys, v)
+                    for rings in dpolys for ring in rings for v in ring)
+                and not any(_pt_in_polys(dpolys, v)
+                            for rings in qpolys for ring in rings
+                            for v in ring))
+    if relation == "contains":
+        return shapes_relation(doc_wkt, query_wkt, "within")
+    raise ValueError(f"unsupported geo_shape relation {relation!r}")
+
+
+def doc_geo_shape(
+    df: DataFrame,
+    wkt: str,
+    shape_col: str = "shape",
+    relation: str = "intersects",
+) -> DataFrame:
+    """geo_shape query against a WKT shape FIELD. Vectorized: one
+    Arrow-batched pandas UDF, the relation computed once per UNIQUE
+    doc WKT per batch (docs without the field never match, as ES)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rel = relation
+
+    @pandas_udf("boolean")
+    def _match(shapes: pd.Series) -> pd.Series:
+        cache: dict[str, bool] = {}
+        out = []
+        for s in shapes:
+            if s is None:
+                out.append(False)
+                continue
+            hit = cache.get(s)
+            if hit is None:
+                hit = cache[s] = shapes_relation(wkt, s, rel)
+            out.append(hit)
+        return pd.Series(out, dtype="boolean")
+
+    return df.filter(F.col(shape_col).isNotNull() & _match(F.col(shape_col)))
 
 
 # --- grid cells -------------------------------------------------------

@@ -197,3 +197,44 @@ def test_geo_shape_multipolygon(spark):
         [(1, 5.0, 5.0), (2, 25.0, 25.0), (3, 15.0, 15.0)],
         "doc_id long, lat double, lon double")
     assert sorted(r["doc_id"] for r in geo_shape(df, wkt).collect()) == [1, 2]
+
+
+def test_shapes_relation_kernel():
+    from elasticsearch_spark.search.geo import shapes_relation as rel
+
+    Q = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert rel(Q, "POINT (5 5)", "intersects")
+    assert not rel(Q, "POINT (15 5)", "intersects")
+    assert rel(Q, "ENVELOPE (2, 4, 4, 2)", "within")
+    assert rel(Q, "ENVELOPE (8, 12, 4, 2)", "intersects")
+    assert not rel(Q, "ENVELOPE (8, 12, 4, 2)", "within")
+    assert rel(Q, "ENVELOPE (20, 30, 5, 1)", "disjoint")
+    assert rel(Q, "ENVELOPE (-5, 15, 15, -5)", "contains")
+    # doc fully inside a query HOLE is disjoint; beside the hole, within
+    QH = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+          "(3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert rel(QH, "ENVELOPE (4, 6, 6, 4)", "disjoint")
+    assert rel(QH, "ENVELOPE (1, 2, 2, 1)", "within")
+    # multipolygon doc with one part inside: intersects but not within
+    MD = ("MULTIPOLYGON (((1 1, 2 1, 2 2, 1 2, 1 1)), "
+          "((20 20, 21 20, 21 21, 20 21, 20 20)))")
+    assert rel(Q, MD, "intersects")
+    assert not rel(Q, MD, "within")
+
+
+def test_doc_geo_shape(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search.geo import doc_geo_shape
+
+    rows = [(1, "ENVELOPE (2, 4, 4, 2)"),        # inside
+            (2, "ENVELOPE (8, 12, 4, 2)"),       # straddles
+            (3, "ENVELOPE (20, 30, 5, 1)"),      # outside
+            (4, None)]                            # missing field
+    df = spark.createDataFrame(rows, "doc_id long, shape string")
+    q = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    got = lambda r: sorted(
+        x["doc_id"] for x in doc_geo_shape(df, q, relation=r).collect())
+    assert got("intersects") == [1, 2]
+    assert got("within") == [1]
+    assert got("disjoint") == [3]  # null-shape docs never match

@@ -33,11 +33,20 @@ idx = load_index(spark, idx_dir).cache()
 queries = ["import return static", "parseIndex scanBuffer", "def lambda yield",
            "public class void", "read_buf_cfg token"]
 terms = [[t for t, _ in analyze(q, "code")] for q in queries]
-for ts in terms:
-    match_topk(idx, "content", ts, k=10).collect()
+# two warmup rounds: the first JIT-compiles the scorer codegen, the
+# second settles it — a single round leaves the measured stream paying
+# compilation on some hot paths (observed as 2-3x sample spread at
+# higher core counts)
+for _ in range(2):
+    for ts in terms:
+        match_topk(idx, "content", ts, k=10).collect()
 N = 60
+# closed-loop load scaled to capacity: 4 in-flight queries per core at
+# BOTH levels (a fixed worker count saturates the small level while
+# starving the big one of queueing headroom — the per-core ratio is the
+# like-for-like load model)
 t0 = time.time()
-with ThreadPoolExecutor(max_workers=8) as ex:
+with ThreadPoolExecutor(max_workers=4 * cores) as ex:
     futs = [ex.submit(lambda ts=terms[i % len(terms)]:
                       match_topk(idx, "content", ts, k=10).collect())
             for i in range(N)]
