@@ -204,6 +204,22 @@ GEO_SHAPE_WKT = (
 )
 GEO_SHAPE_ENVELOPE = "ENVELOPE (150, -120, 60, -20)"
 
+# user_agent processor fixtures: both engines pick the same UA string
+# by doc_id arithmetic and run the identical RE2-safe pattern chain
+UA_STRINGS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/119.0",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) "
+    "Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_5 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.5 Mobile/15E148 "
+    "Safari/604.1",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+]
+
 # stored percolator queries (PercolateQueryBuilder.java:83): decomposed
 # into requirement rows on both engines — see search/percolate.py
 ANALYZE_TEXT = ("The tables were scanned and the queries re-filtered "
@@ -2025,6 +2041,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["doc_id", "lang", "n_chars"],
     )
 
+    # -- doc-side geo_shape: WKT shape FIELDS, shape-vs-shape relations
+    # (GeoShapeQueryBuilder ShapeRelation over indexed geometries).
+    # Docs carry deterministic integer ENVELOPEs; the query envelope's
+    # bounds end in .5 so no doc edge can sit exactly on the query
+    # boundary (keeps both engines off the touching-edge knife edge).
+
+    def _shape_docs(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        minlon = F.pmod(did * 7, F.lit(300)) - 170
+        maxlon = minlon + F.pmod(did, F.lit(23)) + 5
+        minlat = F.pmod(did * 3, F.lit(140)) - 80
+        maxlat = minlat + F.pmod(did, F.lit(17)) + 4
+        return _t(s, d, "documents").select(
+            "doc_id",
+            F.format_string("ENVELOPE (%d, %d, %d, %d)",
+                            minlon.cast("long"), maxlon.cast("long"),
+                            maxlat.cast("long"), minlat.cast("long"))
+            .alias("shape"),
+        )
+
+    DOC_SHAPE_QUERY = "ENVELOPE (-60.5, 70.5, 45.5, -30.5)"
+
+    def doc_geo_shape_q(rel):
+        def run(s: SparkSession, d: str) -> DataFrame:
+            from elasticsearch_spark.search.geo import doc_geo_shape
+
+            out = doc_geo_shape(_shape_docs(s, d), DOC_SHAPE_QUERY,
+                                relation=rel)
+            return out.orderBy(F.asc("doc_id")).limit(100)
+        return run
+
+    q["doc_geo_shape_intersects"] = doc_geo_shape_q("intersects")
+    q["doc_geo_shape_within"] = doc_geo_shape_q("within")
+
+    # -- lookup-backed ingest processors (enrich / geoip / user_agent)
+
+    def ingest_enrich_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        ing.register_enrich_policy(
+            "regions", _t(s, d, "region"), "r_regionkey", ["r_name"])
+        docs = _t(s, d, "documents").select(
+            "doc_id", F.pmod(F.col("doc_id"), F.lit(5)).alias("rkey"))
+        out = ing.apply_pipeline(docs, [
+            {"enrich": {"policy_name": "regions", "field": "rkey",
+                        "target_field": "reg"}},
+        ])
+        return (out.select("doc_id", F.col("reg.r_name").alias("region_name"))
+                .orderBy("doc_id").limit(200))
+
+    q["ingest_enrich"] = ingest_enrich_q
+
+    def ingest_geoip_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        db = s.createDataFrame(
+            [("10.0.0.0/9", "XA"), ("10.128.0.0/10", "XB"),
+             ("203.0.113.0/24", "XC")],
+            "network string, country_iso_code string")
+        ing.register_geoip_database("default", db)
+        did = F.col("doc_id")
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.format_string(
+                "10.%d.%d.%d",
+                F.pmod(did, F.lit(256)).cast("int"),
+                F.pmod(did * 3, F.lit(256)).cast("int"),
+                F.pmod(did * 7, F.lit(256)).cast("int")).alias("ip"))
+        out = ing.apply_pipeline(docs, [{"geoip": {"field": "ip"}}])
+        return (out.select("doc_id", "ip",
+                           F.col("geoip.country_iso_code").alias("country"))
+                .orderBy("doc_id").limit(200))
+
+    q["ingest_geoip"] = ingest_geoip_q
+
+    def ingest_user_agent_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.element_at(
+                F.array(*[F.lit(u) for u in UA_STRINGS]),
+                F.pmod(F.col("doc_id"), F.lit(len(UA_STRINGS)))
+                .cast("int") + 1).alias("ua"))
+        out = ing.apply_pipeline(docs, [{"user_agent": {"field": "ua"}}])
+        return (out.select(
+            "doc_id",
+            F.col("user_agent.name").alias("browser"),
+            F.col("user_agent.version").alias("browser_version"),
+            F.col("user_agent.os_name").alias("os_name"),
+            F.col("user_agent.os_version").alias("os_version"),
+            F.col("user_agent.device").alias("device"))
+            .orderBy("doc_id").limit(200))
+
+    q["ingest_user_agent"] = ingest_user_agent_q
+
     return _rotate_checked(q)
 
 
@@ -3629,4 +3741,124 @@ SELECT doc_id,
              + 0.2 * least(stop_en * 5, 1.0), 6) AS quality
 FROM m
 """
+    # doc-side geo_shape: rectangle-vs-rectangle relations reduce to
+    # interval arithmetic the oracle states directly, while the engine
+    # goes through the full WKT parse + edge-cross/parity kernel. The
+    # .5 query bounds make strict-vs-touching comparisons unreachable.
+    _SHAPE_CTE = """sh AS (
+  SELECT doc_id,
+         (doc_id * 7 % 300 + 300) % 300 - 170 AS minlon,
+         (doc_id * 3 % 140 + 140) % 140 - 80 AS minlat,
+         (doc_id * 7 % 300 + 300) % 300 - 170
+           + (doc_id % 23 + 23) % 23 + 5 AS maxlon,
+         (doc_id * 3 % 140 + 140) % 140 - 80
+           + (doc_id % 17 + 17) % 17 + 4 AS maxlat
+  FROM documents)"""
+    _SHAPE_SEL = ("SELECT doc_id, 'ENVELOPE (' || minlon || ', ' || maxlon"
+                  " || ', ' || maxlat || ', ' || minlat || ')' AS shape")
+
+    o["doc_geo_shape_intersects"] = f"""
+WITH {_SHAPE_CTE}
+{_SHAPE_SEL}
+FROM sh
+WHERE minlon <= 70.5 AND maxlon >= -60.5
+  AND minlat <= 45.5 AND maxlat >= -30.5
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    o["doc_geo_shape_within"] = f"""
+WITH {_SHAPE_CTE}
+{_SHAPE_SEL}
+FROM sh
+WHERE minlon > -60.5 AND maxlon < 70.5
+  AND minlat > -30.5 AND maxlat < 45.5
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    # lookup-backed ingest processors: enrich is a plain left join, the
+    # geoip CIDR containment collapses to second-octet arithmetic for
+    # the synthetic 10/8 address space, and user_agent restates the
+    # identical RE2 pattern chain (DuckDB regexp_* is RE2 like Spark's
+    # patterns are written to be; no-match extract is '' on both).
+    o["ingest_enrich"] = """
+SELECT d.doc_id, r.r_name AS region_name
+FROM documents d
+LEFT JOIN region r ON (d.doc_id % 5 + 5) % 5 = r.r_regionkey
+ORDER BY d.doc_id ASC LIMIT 200
+"""
+
+    o["ingest_geoip"] = """
+WITH ips AS (
+  SELECT doc_id,
+         '10.' || (doc_id % 256 + 256) % 256
+             || '.' || (doc_id * 3 % 256 + 256) % 256
+             || '.' || (doc_id * 7 % 256 + 256) % 256 AS ip,
+         (doc_id % 256 + 256) % 256 AS oct2
+  FROM documents)
+SELECT doc_id, ip,
+       CASE WHEN oct2 < 128 THEN 'XA'
+            WHEN oct2 < 192 THEN 'XB'
+            ELSE NULL END AS country
+FROM ips
+ORDER BY doc_id ASC LIMIT 200
+"""
+
+    _ua_list = ", ".join("'" + u.replace("'", "''") + "'"
+                         for u in UA_STRINGS)
+    o["ingest_user_agent"] = f"""
+WITH u AS (
+  SELECT doc_id,
+         ([{_ua_list}])[(doc_id % {len(UA_STRINGS)}
+                          + {len(UA_STRINGS)}) % {len(UA_STRINGS)} + 1]
+           AS ua
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN regexp_matches(ua, 'Edg[eA]?/') THEN 'Edge'
+       WHEN regexp_matches(ua, 'OPR/') THEN 'Opera'
+       WHEN regexp_matches(ua, 'Chrome/') THEN 'Chrome'
+       WHEN regexp_matches(ua, 'Firefox/') THEN 'Firefox'
+       WHEN regexp_matches(ua, 'Version/[0-9.]+.*Safari/') THEN 'Safari'
+       WHEN regexp_matches(ua, 'MSIE [0-9.]+|Trident/')
+         THEN 'Internet Explorer'
+       ELSE 'Other' END AS browser,
+  CASE WHEN regexp_matches(ua, 'Edg[eA]?/')
+         THEN regexp_extract(ua, 'Edg[eA]?/([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'OPR/')
+         THEN regexp_extract(ua, 'OPR/([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'Chrome/')
+         THEN regexp_extract(ua, 'Chrome/([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'Firefox/')
+         THEN regexp_extract(ua, 'Firefox/([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'Version/[0-9.]+.*Safari/')
+         THEN regexp_extract(ua, 'Version/([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'MSIE [0-9.]+')
+         THEN regexp_extract(ua, 'MSIE ([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'Trident/')
+         THEN regexp_extract(ua, 'rv:([0-9.]+)', 1)
+       ELSE '' END AS browser_version,
+  CASE WHEN regexp_matches(ua, 'Windows NT') THEN 'Windows'
+       WHEN regexp_matches(ua, 'iPhone OS|CPU OS') THEN 'iOS'
+       WHEN regexp_matches(ua, 'Mac OS X') THEN 'Mac OS X'
+       WHEN regexp_matches(ua, 'Android') THEN 'Android'
+       WHEN regexp_matches(ua, 'Linux') THEN 'Linux'
+       ELSE 'Other' END AS os_name,
+  CASE WHEN regexp_matches(ua, 'Windows NT')
+         THEN regexp_extract(ua, 'Windows NT ([0-9.]+)', 1)
+       WHEN regexp_matches(ua, 'iPhone OS|CPU OS')
+         THEN replace(regexp_extract(ua,
+                '(?:iPhone OS|CPU OS) ([0-9_]+)', 1), '_', '.')
+       WHEN regexp_matches(ua, 'Mac OS X')
+         THEN replace(regexp_extract(ua, 'Mac OS X ([0-9_.]+)', 1),
+                      '_', '.')
+       WHEN regexp_matches(ua, 'Android')
+         THEN regexp_extract(ua, 'Android ([0-9.]+)', 1)
+       ELSE '' END AS os_version,
+  CASE WHEN regexp_matches(ua, '(?i)bot|spider|crawl') THEN 'Spider'
+       WHEN regexp_matches(ua, 'iPad|Tablet') THEN 'Tablet'
+       WHEN regexp_matches(ua, 'Mobile|iPhone|Android') THEN 'Phone'
+       ELSE 'Desktop' END AS device
+FROM u
+ORDER BY doc_id ASC LIMIT 200
+"""
+
     return _rotate_checked(o)

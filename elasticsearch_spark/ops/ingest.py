@@ -11,7 +11,10 @@ Supported processors (same names/fields as the reference JSON):
   set, rename, remove, convert, lowercase, uppercase, trim, split,
   join, gsub, grok (a pragmatic named-group regex subset), dissect
   (simple %{field} patterns), date, json, kv, csv, fingerprint,
-  script (a Spark SQL expression), append, html_strip.
+  script (a Spark SQL expression), append, html_strip, and the
+  lookup-backed tier: enrich (registered policy table -> broadcast
+  hash join), geoip (registered CIDR table -> /16-bucketed broadcast
+  join), user_agent (inline RE2-safe ua-parser subset).
 """
 
 from __future__ import annotations
@@ -20,6 +23,54 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
+
+# --- lookup-backed processors (enrich / geoip) ------------------------
+#
+# The reference's enrich processor reads an internal `.enrich-*` index
+# that `PUT _enrich/policy/<name>/_execute` materializes from a source
+# index and every ingest node loads into memory
+# (x-pack/plugin/enrich/.../EnrichProcessorFactory.java,
+# EnrichPolicyRunner.java). The Spark analogue of "loaded into memory
+# on every node" is a BROADCAST of the policy table; executing the
+# policy = registering the lookup DataFrame here. geoip similarly
+# side-loads a per-node database file (ingest-geoip/GeoIpProcessor.java
+# over a MaxMind mmap) — re-expressed as a broadcast CIDR table.
+
+_ENRICH_POLICIES: dict[str, dict[str, Any]] = {}
+_GEOIP_DATABASES: dict[str, DataFrame] = {}
+
+
+def register_enrich_policy(
+    name: str,
+    source: DataFrame,
+    match_field: str,
+    enrich_fields: list[str],
+) -> None:
+    """The _execute analogue: snapshot the policy's source table. The
+    match key is deduplicated (keep the row with the smallest enrich
+    tuple) so the processor join can never fan out."""
+    lookup = (
+        source.select(match_field, *enrich_fields)
+        .groupBy(match_field)
+        .agg(*[F.min(f).alias(f) for f in enrich_fields])
+    )
+    _ENRICH_POLICIES[name] = {
+        "lookup": lookup,
+        "match_field": match_field,
+        "enrich_fields": list(enrich_fields),
+    }
+
+
+def register_geoip_database(name: str, db: DataFrame) -> None:
+    """db: columns `network` (IPv4 CIDR string) + attribute columns.
+    Networks must be non-overlapping (MaxMind GeoLite shape)."""
+    _GEOIP_DATABASES[name] = db
+
+
+def _ipv4_num(c):
+    o = F.split(c, r"\.")
+    return (o[0].cast("long") * 16777216 + o[1].cast("long") * 65536
+            + o[2].cast("long") * 256 + o[3].cast("long"))
 
 _GROK_PATTERNS = {
     "WORD": r"\w+",
@@ -290,6 +341,132 @@ def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         digest = F.base64(F.unhex(F.sha1(F.unhex(F.lower(hexstr)))))
         return df.withColumn(
             p.get("target_field", "community_id"), F.concat(F.lit("1:"), digest)
+        )
+    if kind == "enrich":
+        # EnrichProcessor: broadcast hash join against the registered
+        # policy table; the matched enrich doc lands at target_field as
+        # a struct (max_matches=1, the reference default — the policy
+        # registration dedupes the match key so no fan-out is possible)
+        pol = _ENRICH_POLICIES[p["policy_name"]]
+        mf, efs = pol["match_field"], pol["enrich_fields"]
+        tgt = p.get("target_field", p["policy_name"])
+        look = pol["lookup"].select(
+            F.col(mf).alias("__enrich_key"),
+            F.struct(*[F.col(f) for f in efs]).alias(tgt),
+        )
+        return df.join(
+            F.broadcast(look),
+            df[p["field"]] == look["__enrich_key"],
+            "left",
+        ).drop("__enrich_key")
+    if kind == "geoip":
+        # GeoIpProcessor: ip -> CIDR containment against the broadcast
+        # database. Scale shape: each CIDR is exploded onto its /16
+        # bucket range so the join is a broadcast HASH join on bucket
+        # (never a nested-loop range join); the BETWEEN is a residual
+        # filter. A /16-or-longer prefix lands in exactly one bucket.
+        db = _GEOIP_DATABASES[p.get("database_file", "default")]
+        attr_cols = [c for c in db.columns if c != "network"]
+        base = _ipv4_num(F.split(F.col("network"), "/")[0])
+        prefix = F.split(F.col("network"), "/")[1].cast("int")
+        span = F.pow(F.lit(2.0), 32 - prefix).cast("long")
+        start = (base - F.pmod(base, span)).alias("__net_start")
+        db2 = (
+            db.select(
+                start,
+                (base - F.pmod(base, span) + span - 1).alias("__net_end"),
+                F.struct(*[F.col(c) for c in attr_cols]).alias("__geo"),
+            )
+            .withColumn(
+                "__bucket",
+                F.explode(F.sequence(
+                    (F.col("__net_start") / 65536).cast("long"),
+                    (F.col("__net_end") / 65536).cast("long"),
+                )),
+            )
+        )
+        ipn = _ipv4_num(F.col(p["field"]))
+        tgt = p.get("target_field", "geoip")
+        probed = df.withColumn("__ipn", ipn).withColumn(
+            "__bucket", (F.col("__ipn") / 65536).cast("long")
+        )
+        return (
+            probed.join(
+                F.broadcast(db2),
+                (probed["__bucket"] == db2["__bucket"])
+                & probed["__ipn"].between(
+                    db2["__net_start"], db2["__net_end"]),
+                "left",
+            )
+            .withColumnRenamed("__geo", tgt)
+            .drop("__ipn", "__bucket", "__net_start", "__net_end")
+        )
+    if kind == "user_agent":
+        # UserAgentProcessor.java drives ua-parser's regexes.yaml; this
+        # is an inline RE2-safe subset covering the major browser/OS/
+        # device families, evaluated as one codegen CASE chain. Match
+        # order matters: Edge and Opera send Chrome/ tokens, Chrome
+        # sends Safari/ tokens.
+        c = F.col(p["field"])
+        ver = lambda pat: F.regexp_extract(c, pat, 1)
+
+        def has(pat):
+            return c.rlike(pat)
+
+        name = (
+            F.when(has(r"Edg[eA]?/"), F.lit("Edge"))
+            .when(has(r"OPR/"), F.lit("Opera"))
+            .when(has(r"Chrome/"), F.lit("Chrome"))
+            .when(has(r"Firefox/"), F.lit("Firefox"))
+            .when(has(r"Version/[0-9.]+.*Safari/"), F.lit("Safari"))
+            .when(has(r"MSIE [0-9.]+|Trident/"),
+                  F.lit("Internet Explorer"))
+            .otherwise(F.lit("Other"))
+        )
+        version = (
+            F.when(has(r"Edg[eA]?/"), ver(r"Edg[eA]?/([0-9.]+)"))
+            .when(has(r"OPR/"), ver(r"OPR/([0-9.]+)"))
+            .when(has(r"Chrome/"), ver(r"Chrome/([0-9.]+)"))
+            .when(has(r"Firefox/"), ver(r"Firefox/([0-9.]+)"))
+            .when(has(r"Version/[0-9.]+.*Safari/"),
+                  ver(r"Version/([0-9.]+)"))
+            .when(has(r"MSIE [0-9.]+"), ver(r"MSIE ([0-9.]+)"))
+            .when(has(r"Trident/"), ver(r"rv:([0-9.]+)"))
+            .otherwise(F.lit(""))
+        )
+        os_name = (
+            F.when(has(r"Windows NT"), F.lit("Windows"))
+            .when(has(r"iPhone OS|CPU OS"), F.lit("iOS"))
+            .when(has(r"Mac OS X"), F.lit("Mac OS X"))
+            .when(has(r"Android"), F.lit("Android"))
+            .when(has(r"Linux"), F.lit("Linux"))
+            .otherwise(F.lit("Other"))
+        )
+        os_version = (
+            F.when(has(r"Windows NT"), ver(r"Windows NT ([0-9.]+)"))
+            .when(has(r"iPhone OS|CPU OS"),
+                  F.replace(ver(r"(?:iPhone OS|CPU OS) ([0-9_]+)"),
+                            F.lit("_"), F.lit(".")))
+            .when(has(r"Mac OS X"),
+                  F.replace(ver(r"Mac OS X ([0-9_.]+)"),
+                            F.lit("_"), F.lit(".")))
+            .when(has(r"Android"), ver(r"Android ([0-9.]+)"))
+            .otherwise(F.lit(""))
+        )
+        device = (
+            F.when(has(r"(?i)bot|spider|crawl"), F.lit("Spider"))
+            .when(has(r"iPad|Tablet"), F.lit("Tablet"))
+            .when(has(r"Mobile|iPhone|Android"), F.lit("Phone"))
+            .otherwise(F.lit("Desktop"))
+        )
+        tgt = p.get("target_field", "user_agent")
+        return df.withColumn(
+            tgt,
+            F.struct(
+                name.alias("name"), version.alias("version"),
+                os_name.alias("os_name"), os_version.alias("os_version"),
+                device.alias("device"),
+            ),
         )
     raise ValueError(f"unsupported processor: {kind}")
 

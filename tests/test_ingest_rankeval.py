@@ -207,3 +207,85 @@ def test_community_id_matches_reference_impl(spark):
     for r in out:
         row = next(x for x in rows if x[0] == r["id"])
         assert r["community_id"] == ref_cid(0, row[1], row[2], 6, row[3], row[4])
+
+
+# --- lookup-backed processors (round 4) ------------------------------
+
+
+def test_enrich_processor(spark):
+    from elasticsearch_spark.ops import ingest as ing
+
+    users = spark.createDataFrame(
+        [("alice", "eng", "berlin"), ("bob", "ops", "tokyo"),
+         ("alice", "zz", "zz")],  # dup key: dedupe keeps the min tuple
+        "login string, team string, city string")
+    ing.register_enrich_policy("users", users, "login", ["team", "city"])
+    docs = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "id int, author string")
+    out = ing.apply_pipeline(docs, [
+        {"enrich": {"policy_name": "users", "field": "author",
+                    "target_field": "user"}},
+    ]).orderBy("id").collect()
+    assert out[0]["user"]["team"] == "eng"
+    assert out[0]["user"]["city"] == "berlin"
+    assert out[1]["user"]["city"] == "tokyo"
+    assert out[2]["user"] is None  # no match -> null struct (left join)
+
+
+def test_geoip_processor(spark):
+    from elasticsearch_spark.ops import ingest as ing
+
+    db = spark.createDataFrame(
+        [("10.0.0.0/8", "XA", "Privateland"),
+         ("192.168.4.0/22", "XB", "Subnetia"),
+         ("203.0.113.0/24", "XC", "Testrange")],
+        "network string, country_iso_code string, country_name string")
+    ing.register_geoip_database("default", db)
+    docs = spark.createDataFrame(
+        [(1, "10.200.3.4"),      # inside the /8 (spans many /16 buckets)
+         (2, "192.168.7.255"),   # last address of the /22
+         (3, "192.168.8.0"),     # first address PAST the /22
+         (4, "203.0.113.77"),
+         (5, "8.8.8.8")],        # no network
+        "id int, ip string")
+    out = ing.apply_pipeline(docs, [
+        {"geoip": {"field": "ip"}},
+    ]).orderBy("id").collect()
+    got = [r["geoip"]["country_iso_code"] if r["geoip"] else None
+           for r in out]
+    assert got == ["XA", "XB", None, "XC", None]
+
+
+def test_user_agent_processor(spark):
+    from elasticsearch_spark.ops import ingest as ing
+
+    uas = [
+        (1, "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+        (2, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 "
+            "Safari/605.1.15"),
+        (3, "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 "
+            "Firefox/119.0"),
+        (4, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like "
+            "Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+        (5, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_5 like Mac OS X) "
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.5 "
+            "Mobile/15E148 Safari/604.1"),
+        (6, "Mozilla/5.0 (compatible; Googlebot/2.1; "
+            "+http://www.google.com/bot.html)"),
+    ]
+    docs = spark.createDataFrame(uas, "id int, ua string")
+    out = ing.apply_pipeline(docs, [
+        {"user_agent": {"field": "ua"}},
+    ]).orderBy("id").collect()
+    ua = [r["user_agent"] for r in out]
+    assert [u["name"] for u in ua] == [
+        "Chrome", "Safari", "Firefox", "Edge", "Safari", "Other"]
+    assert ua[0]["version"] == "120.0.0.0"
+    assert ua[0]["os_name"] == "Windows" and ua[0]["os_version"] == "10.0"
+    assert ua[1]["os_version"] == "10.15.7"
+    assert ua[3]["version"].startswith("120.")
+    assert ua[4]["os_name"] == "iOS" and ua[4]["os_version"] == "17.5"
+    assert [u["device"] for u in ua] == [
+        "Desktop", "Desktop", "Desktop", "Desktop", "Phone", "Spider"]

@@ -41,12 +41,14 @@ for _ in range(2):
     for ts in terms:
         match_topk(idx, "content", ts, k=10).collect()
 N = 60
-# closed-loop load scaled to capacity: 4 in-flight queries per core at
-# BOTH levels (a fixed worker count saturates the small level while
-# starving the big one of queueing headroom — the per-core ratio is the
-# like-for-like load model)
+# fixed queue depth of 8 in-flight queries at BOTH levels: each job is
+# internally data-parallel (62 scan tasks), so one in-flight job can
+# already saturate either level and the worker count only sets queue
+# depth. A per-core depth (4*cores = 32 at local[8]) was A/B-tested and
+# LOST (best 1.818 vs 2.27 QPS): 32 concurrent py4j submitters + their
+# job stages thrash the single local-mode scheduler thread.
 t0 = time.time()
-with ThreadPoolExecutor(max_workers=4 * cores) as ex:
+with ThreadPoolExecutor(max_workers=8) as ex:
     futs = [ex.submit(lambda ts=terms[i % len(terms)]:
                       match_topk(idx, "content", ts, k=10).collect())
             for i in range(N)]
