@@ -29,7 +29,9 @@ from elasticsearch_spark.aggs.translate import top_hits
 from elasticsearch_spark.analysis import analyze
 from elasticsearch_spark.index.builder import InvertedIndex, build_index, load_index
 from elasticsearch_spark.ops import dedup, similarity, text as text_ops
-from elasticsearch_spark.oracle.sql_oracle import bm25_topk_sql, phrase_topk_sql
+from elasticsearch_spark.oracle.sql_oracle import (
+    bm25_ctes, bm25_topk_sql, phrase_topk_sql,
+)
 from elasticsearch_spark.search.api import search
 from elasticsearch_spark.search.bm25 import BM25Params
 from elasticsearch_spark.search.dsl import filter_query
@@ -219,6 +221,10 @@ UA_STRINGS = [
     "Safari/604.1",
     "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
 ]
+
+# inference-model fixture: 64 deterministic regression weights shared
+# by the Spark registration and the DuckDB dot-product twin
+INFER_W = [((i * 7) % 13 - 6) / 10.0 for i in range(64)]
 
 # stored percolator queries (PercolateQueryBuilder.java:83): decomposed
 # into requirement rows on both engines — see search/percolate.py
@@ -2137,6 +2143,184 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ingest_user_agent"] = ingest_user_agent_q
 
+    # -- knn search section (KnnSearchBuilder): exact gather, filtered
+    # gather, and the knn+query sum-combine
+
+    def _qvec(s: SparkSession, d: str, vid: int) -> list[float]:
+        emb = _t(s, d, "embeddings")
+        return [float(x) for x in
+                emb.filter(F.col("vec_id") == vid).first()["embedding"]]
+
+    def knn_cosine_q(s: SparkSession, d: str) -> DataFrame:
+        out = similarity.knn_search(
+            _t(s, d, "embeddings"), _qvec(s, d, 3), k=10)
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    q["knn_search_cosine"] = knn_cosine_q
+
+    def knn_l2_filtered_q(s: SparkSession, d: str) -> DataFrame:
+        # pre-filter applied DURING candidate collection: only even
+        # labels compete for the k slots (not a post-filter of them)
+        out = similarity.knn_search(
+            _t(s, d, "embeddings"), _qvec(s, d, 3), k=10,
+            similarity="l2_norm",
+            filter_cond=F.pmod(F.col("label"), F.lit(2)) == 0)
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    q["knn_search_l2_filtered"] = knn_l2_filtered_q
+
+    def knn_query_combined_q(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("spark query data", "ascii_word")]
+        qhits = match_topk(idx, "text", terms, k=10, params=_EXACT)
+        khits = (similarity.knn_search(
+                     _t(s, d, "embeddings"), _qvec(s, d, 3), k=10,
+                     boost=2.0)
+                 .withColumnRenamed("vec_id", "doc_id"))
+        out = similarity.combine_knn_query(
+            qhits.select("doc_id", "score"), khits, k=10)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["knn_query_combined"] = knn_query_combined_q
+
+    # -- embedding-cosine near-dup pairs (exact within-block scorer)
+
+    def dedup_embedding_q(s: SparkSession, d: str) -> DataFrame:
+        out = dedup.embedding_cosine_pairs(
+            _t(s, d, "embeddings"), threshold=0.25, block_col="label")
+        return out.select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    q["dedup_embedding_cosine"] = dedup_embedding_q
+
+    # -- inference + attachment ingest processors
+
+    def ingest_inference_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        ing.register_inference_model(
+            "len_clf", kind="classification",
+            weights=[0.001], intercept=-0.5,
+            feature_fields=["n_chars"],
+            classification_labels=["short", "long"])
+        docs = _t(s, d, "documents").select("doc_id", "n_chars")
+        out = ing.apply_pipeline(docs, [
+            {"inference": {"model_id": "len_clf", "target_field": "ml"}},
+        ])
+        return (out.select(
+            "doc_id",
+            F.col("ml.predicted_value").alias("predicted"),
+            F.round(F.col("ml.prediction_probability"), 6).alias("prob"))
+            .orderBy("doc_id").limit(300))
+
+    q["ingest_inference"] = ingest_inference_q
+
+    def ingest_inference_vector_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        ing.register_inference_model(
+            "emb_reg", kind="regression", weights=INFER_W,
+            intercept=0.25, vector_field="embedding")
+        emb = _t(s, d, "embeddings").select("vec_id", "embedding")
+        out = ing.apply_pipeline(emb, [
+            {"inference": {"model_id": "emb_reg", "target_field": "ml"}},
+        ])
+        return (out.select(
+            "vec_id",
+            F.round(F.col("ml.predicted_value"), 6).alias("predicted"))
+            .orderBy("vec_id"))
+
+    q["ingest_inference_vector"] = ingest_inference_vector_q
+
+    def ingest_attachment_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        m = F.pmod(F.col("doc_id"), F.lit(3))
+        payload = (
+            F.when(m == 0, F.concat(
+                F.lit("<html><body><h1>"),
+                F.substring("text", 1, 40),
+                F.lit("</h1> &amp; more</body></html>")))
+            .when(m == 1, F.substring("text", 1, 60))
+            .otherwise(F.concat(F.lit("%PDF-1.4 "),
+                                F.substring("text", 1, 20)))
+        )
+        docs = _t(s, d, "documents").select(
+            "doc_id", F.base64(payload.cast("binary")).alias("data"))
+        out = ing.apply_pipeline(docs, [
+            {"attachment": {"field": "data"}},
+        ])
+        return (out.select(
+            "doc_id",
+            F.col("attachment.content").alias("content"),
+            F.col("attachment.content_type").alias("content_type"),
+            F.col("attachment.content_length").alias("content_length"))
+            .orderBy("doc_id").limit(300))
+
+    q["ingest_attachment"] = ingest_attachment_q
+
+    # -- graph explore (x-pack graph): significant-vertex hops + edges
+
+    def graph_vertices_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.graph import graph_vertices
+
+        out = graph_vertices(
+            _t(s, d, "documents"), F.col("n_chars") >= 400, "source",
+            size=5, min_doc_count=1)
+        return out.select("term", "fg_count", "bg_count",
+                          "jlh_num", "jlh_den")
+
+    q["graph_explore_vertices"] = graph_vertices_q
+
+    def graph_connections_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.graph import graph_explore
+
+        out = graph_explore(
+            _t(s, d, "documents"), F.col("n_chars") >= 400,
+            vertex_field="source", connection_field="lang",
+            size=5, min_doc_count=1)
+        return out.select("source", "target", "doc_count")
+
+    q["graph_explore_connections"] = graph_connections_q
+
+    # -- _search_mvt aggs layer (grid cells; tile encode is pytest-side)
+
+    def search_mvt_grid_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.mvt import mvt_grid
+
+        out = mvt_grid(_geo_docs(s, d), z=2, x=1, y=1, grid_precision=6)
+        return out.select("cell_x", "cell_y", "count")
+
+    q["search_mvt_grid"] = search_mvt_grid_q
+
+    # -- _terms_enum over the index term dictionary
+
+    def terms_enum_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import terms_enum
+
+        idx = _doc_index(s, d)
+        return terms_enum(idx, "text", prefix="s", size=10)
+
+    q["terms_enum"] = terms_enum_q
+
+    # -- search template: mustache render -> DSL -> filter plan
+
+    def search_template_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import render_search_template
+
+        body = render_search_template(
+            '{"bool": {"filter": [{"term": {"lang": "{{lang}}"}},'
+            ' {"range": {"n_chars": {"gte": {{min_chars}}}}}'
+            '{{#cap}}, {"range": {"n_chars": {"lte": {{cap}}}}}{{/cap}}]}}',
+            {"lang": "en", "min_chars": 300, "cap": 900},
+        )
+        docs = _t(s, d, "documents")
+        return (filter_query(docs, body)
+                .select("doc_id", "lang", "n_chars")
+                .orderBy("doc_id").limit(200))
+
+    q["search_template"] = search_template_q
+
     return _rotate_checked(q)
 
 
@@ -3858,6 +4042,227 @@ SELECT doc_id,
        WHEN regexp_matches(ua, 'Mobile|iPhone|Android') THEN 'Phone'
        ELSE 'Desktop' END AS device
 FROM u
+ORDER BY doc_id ASC LIMIT 200
+"""
+
+    # knn section: the similarity→score transforms stated directly;
+    # the filtered variant's predicate prunes candidates BEFORE the
+    # top-k (same as the engine's filter-below-sort plan)
+    _KNN_COS = """
+SELECT vec_id,
+       (1.0 + list_dot_product(embedding::DOUBLE[], q.qv)
+          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * sqrt(list_dot_product(q.qv, q.qv)))) / 2 AS score
+FROM embeddings, q"""
+
+    o["knn_search_cosine"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+s AS ({_KNN_COS})
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+    o["knn_search_l2_filtered"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+s AS (
+  SELECT vec_id,
+         1.0 / (1.0 + list_sum(list_transform(
+           list_zip(embedding::DOUBLE[], q.qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])))) AS score
+  FROM embeddings, q
+  WHERE (label % 2 + 2) % 2 = 0)
+SELECT vec_id, round(score, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+    _comb_terms = [t for t, _ in analyze("spark query data", "ascii_word")]
+    o["knn_query_combined"] = f"""
+WITH {bm25_ctes(_comb_terms)},
+qk AS (
+  SELECT doc_id, score FROM scored WHERE matched >= 1
+  ORDER BY score DESC, doc_id ASC LIMIT 10),
+kv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+kk AS (
+  SELECT vec_id AS doc_id,
+         2.0 * (1.0 + list_dot_product(embedding::DOUBLE[], kv.qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]))
+              * sqrt(list_dot_product(kv.qv, kv.qv)))) / 2 AS score
+  FROM embeddings, kv
+  ORDER BY score DESC, vec_id ASC LIMIT 10),
+comb AS (
+  SELECT coalesce(qk.doc_id, kk.doc_id) AS doc_id,
+         coalesce(qk.score, 0) + coalesce(kk.score, 0) AS score
+  FROM qk FULL OUTER JOIN kk ON qk.doc_id = kk.doc_id)
+SELECT doc_id, round(score, 4) AS score
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # embedding-cosine near-dup: within-block (label) exact pairs
+    o["dedup_embedding_cosine"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+    >= 0.25
+"""
+
+    # inference: the registered coefficients restated as arithmetic —
+    # expression shape mirrored exactly (intercept + col * w) so both
+    # engines produce bit-identical doubles before rounding
+    o["ingest_inference"] = """
+WITH s AS (
+  SELECT doc_id, -0.5 + n_chars * 0.001 AS raw FROM documents),
+p AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-raw)) AS prob1 FROM s)
+SELECT doc_id,
+       CASE WHEN prob1 >= 0.5 THEN 'long' ELSE 'short' END AS predicted,
+       round(greatest(prob1, 1.0 - prob1), 6) AS prob
+FROM p ORDER BY doc_id ASC LIMIT 300
+"""
+
+    _w_list = ", ".join(repr(w) for w in INFER_W)
+    o["ingest_inference_vector"] = f"""
+SELECT vec_id,
+       round(0.25 + list_sum(list_transform(
+         list_zip(embedding::DOUBLE[], [{_w_list}]::DOUBLE[]),
+         p -> p[1] * p[2])), 6) AS predicted
+FROM embeddings ORDER BY vec_id ASC
+"""
+
+    # attachment: payload construction + sniff + text/html extraction
+    # restated; pdf-typed rows keep NULL content (parser stubbed on
+    # the engine side, stated as NULL here)
+    o["ingest_attachment"] = """
+WITH pay AS (
+  SELECT doc_id,
+         CASE (doc_id % 3 + 3) % 3
+           WHEN 0 THEN '<html><body><h1>' || substr(text, 1, 40)
+                    || '</h1> &amp; more</body></html>'
+           WHEN 1 THEN substr(text, 1, 60)
+           ELSE '%PDF-1.4 ' || substr(text, 1, 20) END AS payload,
+         (doc_id % 3 + 3) % 3 AS m
+  FROM documents),
+typed AS (
+  SELECT doc_id, payload,
+         CASE WHEN m = 2 THEN 'application/pdf'
+              WHEN m = 0 THEN 'text/html'
+              ELSE 'text/plain' END AS content_type,
+         CASE WHEN m = 0 THEN
+           replace(replace(replace(replace(replace(
+             trim(regexp_replace(regexp_replace(payload,
+               '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+             '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+             '&quot;', '"'), '&#39;', chr(39))
+           WHEN m = 1 THEN payload END AS content
+  FROM pay)
+SELECT doc_id, content, content_type, length(content) AS content_length
+FROM typed ORDER BY doc_id ASC LIMIT 300
+"""
+
+    # graph explore: each hop is the significant_terms JLH rational
+    # (exact BIGINT num/den, ordered by one correctly-rounded division)
+    # and edges count co-occurrences between the two In-list vertex sets
+    _GRAPH_HOP1 = """tot AS (
+  SELECT count(*)::BIGINT AS n_all,
+         sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS n_fg
+  FROM documents),
+c1 AS (
+  SELECT source AS term,
+         sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM documents GROUP BY source),
+j1 AS (
+  SELECT term, fg_count, bg_count,
+         (fg_count * (fg_count * tot.n_all - bg_count * tot.n_fg))::BIGINT
+           AS jlh_num,
+         ((bg_count * tot.n_fg) * tot.n_fg)::BIGINT AS jlh_den
+  FROM c1, tot
+  WHERE fg_count >= 1 AND bg_count > 0 AND
+        fg_count * (fg_count * tot.n_all - bg_count * tot.n_fg) > 0),
+src AS (
+  SELECT term, fg_count, bg_count, jlh_num, jlh_den FROM j1
+  ORDER BY jlh_num::DOUBLE / jlh_den::DOUBLE DESC, term ASC LIMIT 5)"""
+
+    o["graph_explore_vertices"] = f"""
+WITH {_GRAPH_HOP1}
+SELECT term, fg_count, bg_count, jlh_num, jlh_den FROM src
+"""
+
+    o["graph_explore_connections"] = f"""
+WITH {_GRAPH_HOP1},
+tot2 AS (
+  SELECT count(*)::BIGINT AS n_all,
+         sum(CASE WHEN source IN (SELECT term FROM src)
+             THEN 1 ELSE 0 END)::BIGINT AS n_fg
+  FROM documents),
+c2 AS (
+  SELECT lang AS term,
+         sum(CASE WHEN source IN (SELECT term FROM src)
+             THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM documents GROUP BY lang),
+j2 AS (
+  SELECT term, fg_count, bg_count,
+         (fg_count * (fg_count * tot2.n_all - bg_count * tot2.n_fg))::BIGINT
+           AS jlh_num,
+         ((bg_count * tot2.n_fg) * tot2.n_fg)::BIGINT AS jlh_den
+  FROM c2, tot2
+  WHERE fg_count >= 1 AND bg_count > 0 AND
+        fg_count * (fg_count * tot2.n_all - bg_count * tot2.n_fg) > 0),
+tgt AS (
+  SELECT term FROM j2
+  ORDER BY jlh_num::DOUBLE / jlh_den::DOUBLE DESC, term ASC LIMIT 5)
+SELECT d.source AS source, d.lang AS target, count(*)::BIGINT AS doc_count
+FROM documents d
+WHERE d.source IN (SELECT term FROM src)
+  AND d.lang IN (SELECT term FROM tgt)
+GROUP BY d.source, d.lang
+"""
+
+    # _search_mvt aggs grid: the WebMercator -> fine-tile -> in-tile
+    # cell arithmetic stated directly (z=2, x=1, y=1, precision 6 ->
+    # 256 fine tiles per axis, tile covers fine range [64, 128))
+    o["search_mvt_grid"] = """
+WITH pts AS (
+  SELECT ((doc_id % 171 + 171) % 171 - 85)::DOUBLE AS lat,
+         ((doc_id * 7 % 360 + 360) % 360 - 180)::DOUBLE AS lon
+  FROM documents),
+f AS (
+  SELECT least(floor((lon + 180.0) / 360.0 * 256)::BIGINT, 255) AS fx,
+         least(floor((1.0 - ln(tan(radians(greatest(least(lat, 85.05112878),
+                 -85.05112878)))
+               + 1.0 / cos(radians(greatest(least(lat, 85.05112878),
+                 -85.05112878)))) / pi()) / 2.0 * 256)::BIGINT, 255) AS fy
+  FROM pts)
+SELECT fx - 64 AS cell_x, fy - 64 AS cell_y, count(*)::BIGINT AS count
+FROM f
+WHERE fx // 64 = 1 AND fy // 64 = 1
+GROUP BY fx, fy
+"""
+
+    # _terms_enum: the term dictionary's prefix slice == distinct-doc
+    # frequencies of the analyzed tokens
+    o["terms_enum"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY term ASC LIMIT 10
+"""
+
+    # search template: the rendered mustache -> bool filter restated
+    o["search_template"] = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE lang = 'en' AND n_chars >= 300 AND n_chars <= 900
 ORDER BY doc_id ASC LIMIT 200
 """
 

@@ -489,3 +489,52 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold — the exact counterpart of
+    similarity.ann_self_join's LSH candidates.
+
+    block_col names a deterministic blocking key (a cluster id, a
+    coarse partition label, an IVF assignment): pairs are searched
+    WITHIN blocks only, so the self-join is a shuffle hash join on the
+    block key, never a cartesian. Without a block the all-pairs compare
+    is refused above a small bound — at 100 TB the candidate generator
+    must be LSH (ann_self_join) or IVF assignments; this function is
+    the exact within-block scorer/verifier those paths feed."""
+    from .similarity import with_norm
+
+    d = with_norm(df, vec_col)
+    cols = [F.col(id_col), F.col("_vec"), F.col("_norm")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("_blk"))
+    elif df.limit(20_001).count() > 20_000:
+        raise ValueError(
+            "all-pairs cosine over >20k rows: pass block_col (or use "
+            "similarity.ann_self_join) — refusing the cartesian")
+    d = d.select(*cols)
+    a = d.select(*[F.col(c).alias(f"{c}_a") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"{c}_b") for c in d.columns])
+    on = [F.col(f"{id_col}_a") < F.col(f"{id_col}_b")]
+    if block_col is not None:
+        on.insert(0, F.col("_blk_a") == F.col("_blk_b"))
+    cos = F.aggregate(
+        F.zip_with(F.col("_vec_a"), F.col("_vec_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ) / (F.col("_norm_a") * F.col("_norm_b"))
+    joined = a.join(b, on[0] if len(on) == 1 else on[0] & on[1])
+    return (
+        joined.select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

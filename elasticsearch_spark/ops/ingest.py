@@ -14,7 +14,9 @@ Supported processors (same names/fields as the reference JSON):
   script (a Spark SQL expression), append, html_strip, and the
   lookup-backed tier: enrich (registered policy table -> broadcast
   hash join), geoip (registered CIDR table -> /16-bucketed broadcast
-  join), user_agent (inline RE2-safe ua-parser subset).
+  join), user_agent (inline RE2-safe ua-parser subset), inference
+  (registered coefficient model -> one codegen expression), attachment
+  (magic-byte sniff + text/html extraction; binary parsers stubbed).
 """
 
 from __future__ import annotations
@@ -65,6 +67,40 @@ def register_geoip_database(name: str, db: DataFrame) -> None:
     """db: columns `network` (IPv4 CIDR string) + attribute columns.
     Networks must be non-overlapping (MaxMind GeoLite shape)."""
     _GEOIP_DATABASES[name] = db
+
+
+_INFERENCE_MODELS: dict[str, dict[str, Any]] = {}
+
+
+def register_inference_model(
+    model_id: str,
+    *,
+    kind: str = "regression",
+    weights: list[float],
+    intercept: float = 0.0,
+    feature_fields: list[str] | None = None,
+    vector_field: str | None = None,
+    classification_labels: list[str] | None = None,
+) -> None:
+    """The model-deployment analogue of PUT _ml/trained_models: the
+    inference processor (x-pack/plugin/ml/.../inference/ingest/
+    InferenceProcessor.java) runs a TRAINED model that was loaded onto
+    every node; here the trained model is its coefficient vector,
+    evaluated as one Catalyst expression (no Python in the hot path).
+    kind: "regression" (linear) or "classification" (logistic over
+    classification_labels, binary)."""
+    if (feature_fields is None) == (vector_field is None):
+        raise ValueError("exactly one of feature_fields/vector_field")
+    if kind == "classification" and not classification_labels:
+        raise ValueError("classification needs classification_labels")
+    _INFERENCE_MODELS[model_id] = {
+        "kind": kind,
+        "weights": [float(w) for w in weights],
+        "intercept": float(intercept),
+        "feature_fields": feature_fields,
+        "vector_field": vector_field,
+        "labels": classification_labels,
+    }
 
 
 def _ipv4_num(c):
@@ -466,6 +502,79 @@ def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 name.alias("name"), version.alias("version"),
                 os_name.alias("os_name"), os_version.alias("os_version"),
                 device.alias("device"),
+            ),
+        )
+    if kind == "inference":
+        # InferenceProcessor: the registered model's coefficients fold
+        # into a single codegen expression — the Spark analogue of the
+        # reference evaluating a loaded model node-locally per doc.
+        m = _INFERENCE_MODELS[p["model_id"]]
+        w, b = m["weights"], m["intercept"]
+        if m["vector_field"] is not None:
+            wcol = F.array(*[F.lit(x) for x in w])
+            vec = F.transform(F.col(m["vector_field"]),
+                              lambda x: x.cast("double"))
+            raw = F.aggregate(
+                F.zip_with(vec, wcol, lambda x, y: x * y),
+                F.lit(b), lambda acc, x: acc + x)
+        else:
+            raw = F.lit(b)
+            for f, x in zip(m["feature_fields"], w):
+                raw = raw + F.col(f).cast("double") * F.lit(x)
+        tgt = p.get("target_field", "ml_inference")
+        if m["kind"] == "regression":
+            out = F.struct(raw.alias("predicted_value"))
+        elif m["kind"] == "classification":
+            prob1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+            lab = F.when(prob1 >= 0.5, F.lit(m["labels"][1])) \
+                .otherwise(F.lit(m["labels"][0]))
+            conf = F.greatest(prob1, F.lit(1.0) - prob1)
+            out = F.struct(lab.alias("predicted_value"),
+                           conf.alias("prediction_probability"))
+        else:
+            raise ValueError(f"unknown model kind {m['kind']!r}")
+        return df.withColumn(tgt, out)
+    if kind == "attachment":
+        # AttachmentProcessor (ingest-attachment plugin over Tika):
+        # base64/binary payload -> {content, content_type,
+        # content_length}. Type detection is the same magic-byte
+        # sniffing Tika leads with; content extraction is implemented
+        # for the text/html/plain family (tag strip + entity decode).
+        # Binary formats (pdf/zip/rtf) are TYPED but their content
+        # extraction needs Tika's parsers (absent here, documented):
+        # content stays NULL for them — the plumbing (decode, sniff,
+        # dispatch, struct shape) is the real part.
+        src = F.col(p["field"])
+        if dict(df.dtypes)[p["field"]] == "binary":
+            data = src
+        else:
+            data = F.unbase64(src)
+        text = data.cast("string")
+        lead = F.ltrim(text)
+        ctype = (
+            F.when(text.startswith("%PDF-"), F.lit("application/pdf"))
+            .when(F.substring(data, 1, 4) == F.lit(b"PK\x03\x04"),
+                  F.lit("application/zip"))
+            .when(text.startswith("{\\rtf"), F.lit("application/rtf"))
+            .when(F.lower(lead).rlike(r"^<(!doctype\s+html|html)"),
+                  F.lit("text/html"))
+            .otherwise(F.lit("text/plain"))
+        )
+        stripped = F.trim(F.regexp_replace(
+            F.regexp_replace(text, "<[^>]*>", " "), r"\s+", " "))
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"),
+                        ("&quot;", '"'), ("&#39;", "'")):
+            stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+        content = (
+            F.when(ctype == "text/html", stripped)
+            .when(ctype == "text/plain", text)
+        )
+        tgt = p.get("target_field", "attachment")
+        return df.withColumn(
+            tgt,
+            F.struct(
+                content.alias("content"), ctype.alias("content_type"),
+                F.length(content).alias("content_length"),
             ),
         )
     raise ValueError(f"unsupported processor: {kind}")

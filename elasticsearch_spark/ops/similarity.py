@@ -340,3 +340,106 @@ def ann_self_join(
         .filter(F.col("_rn") <= k)
         .select("id_a", "id_b", "cosine", F.col("_rn").alias("rank"))
     )
+
+
+def knn_search(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    num_candidates: int = 100,
+    similarity: str = "cosine",
+    filter_cond=None,
+    boost: float = 1.0,
+    strategy: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """The top-level `knn` search section (reference:
+    server/.../search/vectors/KnnSearchBuilder.java wrapping Lucene's
+    KnnFloatVectorQuery): gather candidates per shard, merge to a
+    global top-k, with the pre-filter applied DURING candidate
+    collection rather than to the finished hit list.
+
+    Spark shape: scoring is one Catalyst fold over the (filtered)
+    vector scan and TakeOrderedAndProject IS the reference's
+    per-shard-gather + coordinator-merge — each partition emits its
+    local top-k, the driver merges; the filter sits below the sort so
+    it prunes candidates exactly like the reference's filtered knn.
+    `strategy="ivf"` routes through ivf_topk (nprobe =
+    ceil(num_candidates / (n/n_clusters)) inverted lists probed) — the
+    ANN path where num_candidates is a real recall knob; on the exact
+    path the gather is already exact so num_candidates is a no-op.
+
+    Scores use the dense_vector similarity→score transforms
+    (DenseVectorFieldMapper.VectorSimilarityType): cosine →
+    (1 + cos) / 2, l2_norm → 1 / (1 + d²), dot_product →
+    (1 + dot) / 2, max_inner_product → piecewise 1/(1-mip) | mip+1.
+    """
+    q = [float(x) for x in query_vector]
+    if strategy == "ivf":
+        if similarity != "cosine":
+            raise ValueError("ivf strategy supports cosine only")
+        base = df if filter_cond is None else df.filter(filter_cond)
+        per_list = max(1, base.count() // max(n_clusters, 1))
+        nprobe = min(n_clusters,
+                     max(1, -(-num_candidates // per_list)))
+        hits = ivf_topk(base, q, k=k, n_clusters=n_clusters,
+                        nprobe=nprobe, iters=iters, vec_col=vec_col,
+                        id_col=id_col)
+        score = (F.lit(1.0) + F.col("cosine")) / 2
+        return (hits.select(F.col(id_col),
+                            (score * F.lit(float(boost))).alias("score"))
+                .orderBy(F.desc("score"), F.asc(id_col)))
+    d = with_norm(df, vec_col)
+    if filter_cond is not None:
+        d = d.filter(filter_cond)
+    qcol = F.array(*[F.lit(x) for x in q])
+    dot = _dot(F.col("_vec"), qcol)
+    if similarity == "cosine":
+        qn = float(np.sqrt(np.dot(q, q)))
+        score = (F.lit(1.0) + dot / (F.col("_norm") * F.lit(qn))) / 2
+    elif similarity == "dot_product":
+        score = (F.lit(1.0) + dot) / 2
+    elif similarity == "l2_norm":
+        d2 = F.aggregate(
+            F.zip_with(F.col("_vec"), qcol, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        score = F.lit(1.0) / (F.lit(1.0) + d2)
+    elif similarity == "max_inner_product":
+        score = F.when(dot < 0, F.lit(1.0) / (F.lit(1.0) - dot)) \
+            .otherwise(dot + F.lit(1.0))
+    else:
+        raise ValueError(f"unknown knn similarity {similarity!r}")
+    return (
+        d.select(F.col(id_col), (score * F.lit(float(boost))).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def combine_knn_query(
+    query_hits: DataFrame,
+    knn_hits: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """knn + query in one _search (reference: SearchSourceBuilder knn
+    section compiled alongside the query, DfsQueryPhase merging both
+    top-docs sets): the union of the two hit sets ranks by the SUM of
+    scores, a hit missing from one side contributing 0 from it. Both
+    inputs are already top-k (≤ k rows each), so the full-outer join is
+    a driver-trivial merge wherever it lands."""
+    a = query_hits.select(F.col(id_col), F.col("score").alias("_qs"))
+    b = knn_hits.select(F.col(id_col), F.col("score").alias("_ks"))
+    return (
+        a.join(b, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("_qs"), F.lit(0.0))
+             + F.coalesce(F.col("_ks"), F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

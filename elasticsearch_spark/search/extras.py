@@ -805,3 +805,70 @@ def significant_text(
             F.count("*").alias("bg_count"),
         )
     return _rank_jlh(counts, n_all, n_fg, min_doc_count, size)
+
+
+def terms_enum(
+    index,
+    field: str,
+    prefix: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """_terms_enum API (reference: x-pack/plugin/... TermsEnumAction;
+    RestTermsEnumAction): autocomplete over the index's term
+    dictionary — terms of ``field`` starting with ``prefix``, sorted,
+    first ``size``. The term dictionary is already one row per term
+    with its doc frequency, so this is a pushed-down prefix filter +
+    TakeOrdered over the tiny dict table — no postings touched."""
+    t = F.col("term")
+    p = F.lit(prefix)
+    cond = (F.lower(t).startswith(F.lower(p)) if case_insensitive
+            else t.startswith(p))
+    return (
+        index.term_dict
+        .filter((F.col("field") == field) & cond)
+        .groupBy("term").agg(F.sum("df").alias("doc_count"))
+        .orderBy(F.asc("term"))
+        .limit(size)
+    )
+
+
+_MUSTACHE_VAR = re.compile(r"\{\{([#^/])?\s*([\w.]+)\s*\}\}")
+
+
+def render_search_template(source: str, params: dict) -> dict:
+    """Search templates (reference: modules/lang-mustache/.../
+    MustacheScriptEngine.java driving TransportSearchTemplateAction):
+    render the mustache source with ``params``, parse the result as
+    the query JSON. Supported subset: {{var}} substitution
+    (JSON-encoded for non-string values), {{#var}}…{{/var}} truthy
+    sections and {{^var}}…{{/var}} inverted sections."""
+    import json as _json
+
+    def render(src: str) -> str:
+        out, i = [], 0
+        while True:
+            m = _MUSTACHE_VAR.search(src, i)
+            if not m:
+                out.append(src[i:])
+                return "".join(out)
+            out.append(src[i:m.start()])
+            kind, name = m.group(1), m.group(2)
+            if kind in ("#", "^"):
+                close = re.compile(
+                    r"\{\{/\s*" + re.escape(name) + r"\s*\}\}")
+                c = close.search(src, m.end())
+                if not c:
+                    raise ValueError(f"unclosed section {{{{#{name}}}}}")
+                truthy = bool(params.get(name))
+                if (kind == "#") == truthy:
+                    out.append(render(src[m.end():c.start()]))
+                i = c.end()
+            elif kind == "/":
+                raise ValueError(f"unmatched {{{{/{name}}}}}")
+            else:
+                v = params.get(name, "")
+                out.append(v if isinstance(v, str) else _json.dumps(v))
+                i = m.end()
+
+    return _json.loads(render(source))

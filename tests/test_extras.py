@@ -173,3 +173,127 @@ def test_highlight_multi_fragment_options(spark):
     one = extras.highlight(
         hits, ["table"], fragment_size=10, n_fragments=1).collect()[0]
     assert len(one["highlights"]) == 1 and "<em>table</em>" in one["highlights"][0]
+
+
+# --- graph explore (round 4) -----------------------------------------
+
+
+def test_graph_vertices_significance_and_count_ranking(spark):
+    from elasticsearch_spark.search.graph import graph_vertices
+
+    # cat 'a' is 3/4 fg, 'b' 1/4 fg, 'c' 0 fg (dropped: jlh_num <= 0)
+    rows = [(i, "a" if i < 4 else ("b" if i < 8 else "c"), i in (0, 1, 2, 4))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, cat string, hit boolean")
+    out = graph_vertices(df, F.col("hit"), "cat", size=5).collect()
+    # 'b' (fg 1/4 vs bg 4/12) is UNDER-represented -> jlh_num < 0,
+    # dropped; 'c' has zero fg
+    assert [r["term"] for r in out] == ["a"]
+    # exact JLH rational: fg*(fg*n_all - bg*n_fg) / (bg*n_fg*n_fg)
+    a = out[0]
+    assert (a["fg_count"], a["bg_count"]) == (3, 4)
+    assert a["jlh_num"] == 3 * (3 * 12 - 4 * 4)
+    assert a["jlh_den"] == 4 * 4 * 4
+    by_count = graph_vertices(df, F.col("hit"), "cat", size=2,
+                              use_significance=False).collect()
+    assert [r["term"] for r in by_count] == ["a", "b"]
+    assert [r["fg_count"] for r in by_count] == [3, 1]
+
+
+def test_graph_explore_edges(spark):
+    from elasticsearch_spark.search.graph import graph_explore
+
+    # seed hits only group 'x'; hop-2 finds langs significant among
+    # x-docs; edges count (group, lang) co-occurrence over x-docs
+    rows = [
+        (0, "x", "en", True), (1, "x", "en", True), (2, "x", "de", True),
+        (3, "y", "fr", False), (4, "y", "fr", False), (5, "y", "en", False),
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, lang string, hit boolean")
+    edges = {(r["source"], r["target"]): r["doc_count"]
+             for r in graph_explore(df, F.col("hit"), "grp", "lang",
+                                    size=3).collect()}
+    # 'y' never enters: zero fg in hop 1; 'fr' never enters: zero fg
+    # among hop-2 (grp='x') docs
+    assert edges == {("x", "en"): 2, ("x", "de"): 1}
+
+
+# --- terms_enum / search template / mvt (round 4) --------------------
+
+
+def test_terms_enum_prefix(index, docs):
+    import duckdb
+
+    out = extras.terms_enum(index, "text", prefix="s", size=10).collect()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z0-9_]+')) AS term FROM documents)
+        SELECT term, count(DISTINCT doc_id) AS doc_count FROM tok
+        WHERE term LIKE 's%' GROUP BY term ORDER BY term LIMIT 10
+    """).fetchall()
+    assert [(r["term"], r["doc_count"]) for r in out] == want
+
+
+def test_render_search_template():
+    body = extras.render_search_template(
+        '{"bool": {"filter": [{"term": {"lang": "{{lang}}"}}'
+        '{{#max}}, {"range": {"n": {"lte": {{max}}}}}{{/max}}'
+        '{{^max}}, {"match_all": {}}{{/max}}]}}',
+        {"lang": "en", "max": 500})
+    assert body == {"bool": {"filter": [
+        {"term": {"lang": "en"}}, {"range": {"n": {"lte": 500}}}]}}
+    body2 = extras.render_search_template(
+        '{"a": "{{x}}"{{#flag}}, "b": 1{{/flag}}}', {"x": "v"})
+    assert body2 == {"a": "v"}  # falsy section dropped
+    lst = extras.render_search_template(
+        '{"terms": {"ids": {{ids}}}}', {"ids": [1, 2, 3]})
+    assert lst == {"terms": {"ids": [1, 2, 3]}}
+
+
+def test_mvt_grid_and_encode(spark):
+    import math as m
+
+    from elasticsearch_spark.search import mvt
+
+    pts = [(5.0, 0.0), (10.0, 10.0), (10.2, 10.2), (-40.0, 100.0),
+           (85.0, 179.0), (-85.0, -179.0), (40.0, -100.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    # z=1, tile (1, 0): lon >= 0, lat >= 0 (upper-right world quadrant)
+    rows = mvt.mvt_grid(df, z=1, x=1, y=0, grid_precision=4).collect()
+    got = {(r["cell_x"], r["cell_y"]): r["count"] for r in rows}
+
+    def cell(lat, lon):
+        n = 1 << 5
+        fx = min(int((lon + 180) / 360 * n), n - 1)
+        r = m.radians(max(min(lat, 85.05112878), -85.05112878))
+        fy = min(int((1 - m.log(m.tan(r) + 1 / m.cos(r)) / m.pi) / 2 * n),
+                 n - 1)
+        assert fx >> 4 == 1 and fy >> 4 == 0
+        return fx - 1 * 16, fy - 0 * 16  # minus the tile origin (x=1, y=0)
+    want = {}
+    for lat, lon in [(5.0, 0.0), (10.0, 10.0), (10.2, 10.2),
+                     (85.0, 179.0)]:
+        want[cell(lat, lon)] = want.get(cell(lat, lon), 0) + 1
+    assert got == want
+
+    blob = mvt.encode_mvt([(0, 0, 3), (5, 7, 1)], grid_precision=4)
+    assert isinstance(blob, bytes) and len(blob) > 20
+    # decode the outer frame: field 3 (layer), wire type 2
+    assert blob[0] == (3 << 3) | 2
+    # layer contains the name and the extent marker
+    assert b"aggs" in blob and b"count" in blob
+
+
+def test_search_mvt_cell_count_bounded(spark):
+    from elasticsearch_spark.search import mvt
+
+    df = spark.range(0, 2000).select(
+        ((F.col("id") % 171) - 85).cast("double").alias("lat"),
+        ((F.col("id") * 7 % 360) - 180).cast("double").alias("lon"))
+    blob = mvt.search_mvt(df, z=0, x=0, y=0, grid_precision=3)
+    n_cells = mvt.mvt_grid(df, 0, 0, 0, grid_precision=3).count()
+    assert n_cells <= 64  # 4^3 grid bound regardless of doc count
+    assert isinstance(blob, bytes) and len(blob) > 0

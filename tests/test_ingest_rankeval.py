@@ -289,3 +289,71 @@ def test_user_agent_processor(spark):
     assert ua[4]["os_name"] == "iOS" and ua[4]["os_version"] == "17.5"
     assert [u["device"] for u in ua] == [
         "Desktop", "Desktop", "Desktop", "Desktop", "Phone", "Spider"]
+
+
+def test_inference_processor_regression(spark):
+    from elasticsearch_spark.ops import ingest as ing
+
+    ing.register_inference_model(
+        "reg", kind="regression", weights=[2.0, -1.0], intercept=0.5,
+        feature_fields=["x1", "x2"])
+    docs = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 0.0, 3.0)], "id int, x1 double, x2 double")
+    out = ing.apply_pipeline(docs, [
+        {"inference": {"model_id": "reg", "target_field": "ml"}},
+    ]).orderBy("id").collect()
+    assert out[0]["ml"]["predicted_value"] == 1.5   # .5 + 2 - 1
+    assert out[1]["ml"]["predicted_value"] == -2.5  # .5 + 0 - 3
+
+
+def test_inference_processor_classification_vector(spark):
+    import math as m
+
+    from elasticsearch_spark.ops import ingest as ing
+
+    ing.register_inference_model(
+        "clf", kind="classification", weights=[1.0, 1.0], intercept=-1.0,
+        vector_field="vec", classification_labels=["no", "yes"])
+    docs = spark.createDataFrame(
+        [(1, [2.0, 1.0]), (2, [0.0, 0.5])],
+        "id int, vec array<double>")
+    out = ing.apply_pipeline(docs, [
+        {"inference": {"model_id": "clf", "target_field": "ml"}},
+    ]).orderBy("id").collect()
+    assert out[0]["ml"]["predicted_value"] == "yes"   # raw=2 -> p=.88
+    p1 = 1 / (1 + m.exp(-2.0))
+    assert abs(out[0]["ml"]["prediction_probability"] - p1) < 1e-12
+    assert out[1]["ml"]["predicted_value"] == "no"    # raw=-.5 -> p=.38
+    p2 = 1 / (1 + m.exp(0.5))
+    assert abs(out[1]["ml"]["prediction_probability"] - (1 - p2)) < 1e-12
+
+
+def test_attachment_processor(spark):
+    import base64
+
+    from elasticsearch_spark.ops import ingest as ing
+
+    def b64(s):
+        return base64.b64encode(s.encode()).decode()
+
+    docs = spark.createDataFrame(
+        [(1, b64("<html><body><p>Hello &amp; welcome</p></body></html>")),
+         (2, b64("plain text body")),
+         (3, b64("%PDF-1.7 binarystuff")),
+         (4, b64("  <!DOCTYPE html><html>x</html>")),
+         (5, b64("{\\rtf1 sample"))],
+        "id int, data string")
+    out = ing.apply_pipeline(docs, [
+        {"attachment": {"field": "data"}},
+    ]).orderBy("id").collect()
+    att = [r["attachment"] for r in out]
+    assert att[0]["content_type"] == "text/html"
+    assert att[0]["content"] == "Hello & welcome"
+    assert att[0]["content_length"] == 15
+    assert att[1]["content_type"] == "text/plain"
+    assert att[1]["content"] == "plain text body"
+    assert att[2]["content_type"] == "application/pdf"
+    assert att[2]["content"] is None  # parser stubbed: typed, no text
+    assert att[3]["content_type"] == "text/html"
+    assert att[3]["content"] == "x"
+    assert att[4]["content_type"] == "application/rtf"

@@ -307,3 +307,105 @@ def test_pii_scrub(spark):
     assert "<EMAIL>" in out and "<IP>" in out and "<CARD>" in out \
         and "<PHONE>" in out
     assert "clean 42" in out  # short digits untouched
+
+
+# --- knn search section + embedding-cosine near-dup (round 4) --------
+
+
+def _emb_matrix(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return rows, ids, m
+
+
+def test_knn_search_cosine_matches_numpy(emb):
+    rows, ids, m = _emb_matrix(emb)
+    q = m[3]
+    scores = (1 + (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))) / 2
+    order = np.lexsort((ids, -scores))[:10]
+    got = similarity.knn_search(emb, list(q), k=10).collect()
+    assert [r["vec_id"] for r in got] == [int(ids[i]) for i in order]
+    for r, i in zip(got, order):
+        assert math.isclose(r["score"], scores[i], rel_tol=1e-9)
+
+
+def test_knn_search_filter_prunes_candidates(emb):
+    # pre-filter semantics: the k slots are contested ONLY by rows
+    # passing the filter (not a post-filter of the unfiltered top-k)
+    rows, ids, m = _emb_matrix(emb)
+    q = m[3]
+    labels = np.array([r["label"] for r in rows])
+    keep = labels % 2 == 0
+    d2 = ((m - q) ** 2).sum(axis=1)
+    scores = np.where(keep, 1.0 / (1.0 + d2), -np.inf)
+    order = np.lexsort((ids, -scores))[:5]
+    got = similarity.knn_search(
+        emb, list(q), k=5, similarity="l2_norm",
+        filter_cond=F.pmod(F.col("label"), F.lit(2)) == 0).collect()
+    assert [r["vec_id"] for r in got] == [int(ids[i]) for i in order]
+    assert all(labels[np.where(ids == r["vec_id"])[0][0]] % 2 == 0
+               for r in got)
+
+
+def test_knn_search_similarity_transforms(emb):
+    rows, ids, m = _emb_matrix(emb)
+    q = m[0]
+    for sim, fn in [
+        ("dot_product", lambda s: (1 + s) / 2),
+        ("max_inner_product",
+         lambda s: np.where(s < 0, 1.0 / (1.0 - s), s + 1.0)),
+    ]:
+        dots = m @ q
+        scores = fn(dots)
+        order = np.lexsort((ids, -scores))[:5]
+        got = similarity.knn_search(emb, list(q), k=5, similarity=sim).collect()
+        assert [r["vec_id"] for r in got] == [int(ids[i]) for i in order], sim
+
+
+def test_knn_search_ivf_full_probe_exact(emb):
+    exact = similarity.knn_search(emb.limit(100), [1.0] * 64, k=5).collect()
+    ivf = similarity.knn_search(
+        emb.limit(100), [1.0] * 64, k=5, strategy="ivf",
+        num_candidates=100, n_clusters=4).collect()
+    # num_candidates >= n rows forces nprobe == n_clusters == exact
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in exact]
+
+
+def test_combine_knn_query_sums_scores(spark):
+    a = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0), (3, 1.0)], "doc_id int, score double")
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id int, score double")
+    got = {r["doc_id"]: r["score"]
+           for r in similarity.combine_knn_query(a, b, k=10).collect()}
+    assert got == {1: 5.0, 2: 3.9, 3: 1.0, 4: 0.8}
+
+
+def test_embedding_cosine_pairs_vs_numpy(emb):
+    sub = emb.filter(F.col("vec_id") < 120)
+    rows, ids, m = _emb_matrix(sub)
+    labels = np.array([r["label"] for r in rows])
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if (ids[i] < ids[j] and labels[i] == labels[j]
+                    and sims[i, j] >= 0.2):
+                want.add((int(ids[i]), int(ids[j])))
+    got = dedup.embedding_cosine_pairs(
+        sub, threshold=0.2, block_col="label").collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == want
+    for r in got:
+        i = np.where(ids == r["id_a"])[0][0]
+        j = np.where(ids == r["id_b"])[0][0]
+        assert math.isclose(r["cosine"], sims[i, j], rel_tol=1e-9)
+
+
+def test_embedding_cosine_pairs_refuses_unblocked_cartesian(spark):
+    big = spark.range(25_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="cartesian"):
+        dedup.embedding_cosine_pairs(big)

@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, {repo!r})
 from elasticsearch_spark.session import get_spark
@@ -28,7 +28,11 @@ from elasticsearch_spark.search.executor import match_topk
 from elasticsearch_spark.analysis import analyze
 
 cores, idx_dir = int(sys.argv[1]), sys.argv[2]
-spark = get_spark(f"qps{{cores}}", cores=cores, shuffle_partitions=128)
+# identical plan shape at both levels; SHUFFLE_PARTS is an experiment
+# knob (the scorer exchange carries k rows/shard, so narrower is
+# mostly a scheduling-overhead lever)
+parts = int(os.environ.get("SHUFFLE_PARTS", "128"))
+spark = get_spark(f"qps{{cores}}", cores=cores, shuffle_partitions=parts)
 idx = load_index(spark, idx_dir).cache()
 queries = ["import return static", "parseIndex scanBuffer", "def lambda yield",
            "public class void", "read_buf_cfg token"]
