@@ -2321,6 +2321,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_template"] = search_template_q
 
+    # -- version field type (mapper-version): semver-aware ordering
+
+    def version_sort_q(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        ver = F.concat(
+            F.pmod(did, F.lit(3)).cast("string"), F.lit("."),
+            F.pmod(did * 7, F.lit(12)).cast("string"), F.lit("."),
+            F.pmod(did, F.lit(5)).cast("string"),
+            F.when(F.pmod(did, F.lit(4)) == 0, F.lit("-alpha.1"))
+            .otherwise(F.lit("")),
+        )
+        docs = _t(s, d, "documents").select("doc_id", ver.alias("version"))
+        return (docs
+                .orderBy(F.asc(text_ops.version_sort_key("version")),
+                         F.asc("doc_id"))
+                .limit(150))
+
+    q["version_sort"] = version_sort_q
+
     return _rotate_checked(q)
 
 
@@ -4256,6 +4275,24 @@ WITH tok AS (
 SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count
 FROM tok WHERE term LIKE 's%'
 GROUP BY term ORDER BY term ASC LIMIT 10
+"""
+
+    # version field (mapper-version): the semver key restated via the
+    # shared SQL twin builder
+    from elasticsearch_spark.ops.text import version_sort_key_sql
+
+    o["version_sort"] = f"""
+WITH v AS (
+  SELECT doc_id,
+         (doc_id % 3 + 3) % 3 || '.' || (doc_id * 7 % 12 + 12) % 12
+           || '.' || (doc_id % 5 + 5) % 5
+           || CASE WHEN (doc_id % 4 + 4) % 4 = 0
+                   THEN '-alpha.1' ELSE '' END AS version
+  FROM documents)
+SELECT doc_id, version
+FROM v
+ORDER BY {version_sort_key_sql('version')} ASC, doc_id ASC
+LIMIT 150
 """
 
     # search template: the rendered mustache -> bool filter restated

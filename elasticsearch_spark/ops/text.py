@@ -145,3 +145,55 @@ def pii_scrub_sql(table: str = "documents", text_col: str = "text") -> str:
         p = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
     return f"SELECT doc_id, {expr} AS text_scrubbed FROM {table}"
+
+
+def version_sort_key(col) -> Column:
+    """Semver-aware sort key for `version`-mapped fields (reference:
+    x-pack/plugin/mapper-version — VersionStringFieldMapper encodes
+    versions so that "1.10.0" sorts after "1.2.0" and any pre-release
+    sorts before its release). The key is one codegen expression:
+
+      release part: each dot segment zero-padded to 10 digits
+                    (non-numeric segments sort after numeric ones,
+                    matching the semver rule)
+      + '-' boundary marker: a version WITH a pre-release suffix gets
+        the suffix appended after '0', a release gets '1' — so
+        1.0.0-alpha < 1.0.0 < 1.0.1 under plain string ordering.
+
+    Sort/compare on the returned key; keep the original string for
+    display.
+    Pre-release suffixes compare as whole strings (the reference
+    additionally splits them into dot identifiers; both engines here
+    share the simpler rule, stated for parity).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    release = F.get(F.split(c, "-", 2), 0)
+    pre = F.get(F.split(c, "-", 2), 1)
+    seg = F.transform(
+        F.split(release, r"\."),
+        lambda s: F.when(
+            s.rlike(r"^[0-9]+$"), F.lpad(s, 10, "0")
+        ).otherwise(F.concat(F.lit("~"), s)),  # '~' > '9': after numerics
+    )
+    key = F.array_join(seg, ".")
+    return F.concat(
+        key,
+        F.when(pre.isNull(), F.lit(".1")).otherwise(
+            F.concat(F.lit(".0-"), pre)),
+    )
+
+
+def version_sort_key_sql(version_expr: str) -> str:
+    """DuckDB twin of version_sort_key (same segment padding, same
+    pre-release boundary markers)."""
+    release = f"split_part({version_expr}, '-', 1)"
+    pre = f"nullif(split_part({version_expr}, '-', 2), '')"
+    seg = (
+        f"list_transform(string_split({release}, '.'), "
+        "s -> CASE WHEN regexp_matches(s, '^[0-9]+$') "
+        "THEN lpad(s, 10, '0') ELSE '~' || s END)"
+    )
+    return (
+        f"array_to_string({seg}, '.') || "
+        f"CASE WHEN {pre} IS NULL THEN '.1' ELSE '.0-' || {pre} END"
+    )

@@ -409,3 +409,29 @@ def test_embedding_cosine_pairs_refuses_unblocked_cartesian(spark):
         F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
     with pytest.raises(ValueError, match="cartesian"):
         dedup.embedding_cosine_pairs(big)
+
+
+def test_version_sort_key_semver_order(spark):
+    import duckdb
+
+    vs = ["1.2.0", "1.10.0", "1.2.0-alpha", "1.2.0-beta", "0.9.9",
+          "2.0.0", "1.2.0-alpha-2", "10.0.0", "1.2.x"]
+    df = spark.createDataFrame([(v,) for v in vs], "version string")
+    got = [r["version"] for r in df.orderBy(
+        F.asc(text.version_sort_key("version"))).collect()]
+    # prereleases before their release; numeric segments numeric;
+    # non-numeric segment ('x') after numerics
+    assert got.index("1.2.0-alpha") < got.index("1.2.0")
+    assert got.index("1.2.0") < got.index("1.10.0") < got.index("2.0.0")
+    assert got.index("2.0.0") < got.index("10.0.0")
+    # non-numeric segment sorts after any numeric AT THE SAME position
+    # (1.2.x > 1.2.0); earlier segments still dominate (1.2.x < 1.10.0)
+    assert got.index("1.2.0") < got.index("1.2.x") < got.index("1.10.0")
+    # DuckDB twin produces the identical total order
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(version VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?)", [(v,) for v in vs])
+    want = [r[0] for r in con.execute(
+        "SELECT version FROM v ORDER BY "
+        + text.version_sort_key_sql("version") + " ASC").fetchall()]
+    assert got == want

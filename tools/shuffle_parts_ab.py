@@ -2,7 +2,7 @@
 vs 32 over the same on-disk index. Per the host-noise protocol the two
 variants alternate (fresh JVM each sample) so drift hits both equally.
 
-Usage: python tools/shuffle_parts_ab.py [n_docs] [repeats]
+Usage: python tools/shuffle_parts_ab.py [n_docs] [repeats] [partsA] [partsB]
 """
 
 from __future__ import annotations
@@ -35,6 +35,8 @@ def one(cores: int, idx_dir: str, parts: int) -> float:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    pa = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    pb = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
     from elasticsearch_spark.corpus import generate_corpus
     from elasticsearch_spark.index.builder import build_index
@@ -52,16 +54,16 @@ def main() -> None:
 
     a, b = [], []
     for i in range(repeats):
-        a.append(one(8, idx_dir, 128))
-        b.append(one(8, idx_dir, 32))
+        a.append(one(8, idx_dir, pa))
+        b.append(one(8, idx_dir, pb))
         sys.stderr.write(
-            f"round {i + 1}/{repeats}: parts128={a[-1]:.3f} "
-            f"parts32={b[-1]:.3f}\n")
+            f"round {i + 1}/{repeats}: parts{pa}={a[-1]:.3f} "
+            f"parts{pb}={b[-1]:.3f}\n")
     print(json.dumps({
         "n_docs": n_docs,
-        "qps_parts128": sorted(round(v, 3) for v in a),
-        "qps_parts32": sorted(round(v, 3) for v in b),
-        "best_128": max(a), "best_32": max(b),
+        f"qps_parts{pa}": sorted(round(v, 3) for v in a),
+        f"qps_parts{pb}": sorted(round(v, 3) for v in b),
+        f"best_{pa}": max(a), f"best_{pb}": max(b),
     }))
 
 
