@@ -206,6 +206,11 @@ GEO_SHAPE_WKT = (
 )
 GEO_SHAPE_ENVELOPE = "ENVELOPE (150, -120, 60, -20)"
 
+# sparse_vector query (dim -> weight) and the wildcard-field pattern:
+# shared constants so the Spark query and the SQL twin can't drift
+SPARSE_QUERY = {0: 1.0, 5: 0.5, 10: 0.25, 20: 1.5}
+WILDCARD_PATTERN = "src1*-e?-1*"
+
 # user_agent processor fixtures: both engines pick the same UA string
 # by doc_id arithmetic and run the identical RE2-safe pattern chain
 UA_STRINGS = [
@@ -2340,6 +2345,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["version_sort"] = version_sort_q
 
+    # -- script_fields fetch subphase (ScriptFieldsPhase.java): derived
+    #    per-hit values as Catalyst exprs over the fetched columns
+
+    def script_fields_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import script_fields
+
+        hits = _bm25(s, d, "table scan", k=10)
+        joined = hits.join(_t(s, d, "documents"), "doc_id")
+        out = script_fields(joined, {
+            "chars_x2": "n_chars * 2",
+            "src_up": F.upper(F.col("source")),
+        })
+        return out.select("doc_id", "score", "chars_x2", "src_up")
+
+    q["script_fields"] = script_fields_q
+
+    # -- sparse_vector field + script_score (x-pack vectors
+    #    ScoreScriptUtils cosineSimilaritySparse): map<int,double>
+    #    vectors synthesized deterministically from the embeddings table
+
+    def sparse_vector_cosine_q(s: SparkSession, d: str) -> DataFrame:
+        emb = _t(s, d, "embeddings")
+        dims = F.sequence(F.lit(0), F.size("embedding") - 1)
+        ent = F.filter(
+            F.zip_with(dims, F.col("embedding").cast("array<double>"),
+                       lambda i, v: F.struct(i.alias("key"),
+                                             v.alias("value"))),
+            lambda st: F.pmod(st["key"] + F.col("vec_id"), F.lit(5)) == 0)
+        sparse = emb.select(
+            "vec_id", F.map_from_entries(ent).alias("sparse"))
+        out = similarity.sparse_score_topk(
+            sparse, SPARSE_QUERY, fn="cosine", k=10)
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    q["sparse_vector_cosine"] = sparse_vector_cosine_q
+
+    # -- wildcard field type (x-pack wildcard WildcardFieldMapper):
+    #    anchored-3-gram candidate pruning + rlike verification ==
+    #    the full-scan answer
+
+    def wildcard_field_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search import wildcard_field as wfld
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat_ws("-", "source", "lang",
+                        F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+                        ).alias("v"))
+        postings = wfld.wildcard_postings(docs, "v")
+        out = wfld.wildcard_field_search(postings, docs, "v",
+                                         WILDCARD_PATTERN)
+        return out.select("doc_id", "v")
+
+    q["wildcard_field"] = wildcard_field_q
+
+    # -- annotated_text mapper (mapper-annotated-text plugin):
+    #    [anchor](VALUE) injects VALUE at the anchor's first position
+
+    def annotated_terms_q(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(F.lit("["), F.col("source"), F.lit("](SRC_"),
+                     F.upper("lang"), F.lit(") "), F.col("text")
+                     ).alias("ann"))
+
+        def run(batches):
+            import pandas as pd
+
+            from elasticsearch_spark.analysis import ANALYZERS
+
+            fn = ANALYZERS["annotated_text"]
+            for pdf in batches:
+                toks = [fn(t) for t in pdf["ann"].fillna("")]
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    # the injected annotation shares position 0 with the
+                    # anchor token; total count = anchor + value + text
+                    "ann_token": [next((t for t, p in zip(*tp)
+                                        if t.startswith("SRC_")), None)
+                                  for tp in toks],
+                    "n_tokens": [len(tp[0]) for tp in toks],
+                })
+
+        out = docs.mapInPandas(
+            run, "doc_id long, ann_token string, n_tokens long")
+        return (out.groupBy("ann_token")
+                .agg(F.count("*").alias("doc_count"),
+                     F.sum("n_tokens").alias("sum_tokens"))
+                .orderBy("ann_token"))
+
+    q["annotated_terms"] = annotated_terms_q
+
     return _rotate_checked(q)
 
 
@@ -4293,6 +4390,58 @@ SELECT doc_id, version
 FROM v
 ORDER BY {version_sort_key_sql('version')} ASC, doc_id ASC
 LIMIT 150
+"""
+
+    # script_fields: derived per-hit values over the fetched columns
+    o["script_fields"] = f"""
+WITH hits AS ({_bm25_oracle('table scan', k=10)})
+SELECT h.doc_id, h.score, d.n_chars * 2 AS chars_x2,
+       upper(d.source) AS src_up
+FROM hits h JOIN documents d USING (doc_id)
+"""
+
+    # sparse_vector cosine: the map<dim,val> vectors restated as
+    # (vec_id, dim, val) rows — a relational dot product + norms
+    _sq_vals = ", ".join(f"({d}, {v})" for d, v in sorted(SPARSE_QUERY.items()))
+    _sq_norm = sum(v * v for v in SPARSE_QUERY.values())
+    o["sparse_vector_cosine"] = f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+sp AS (SELECT vec_id, dim, val FROM e WHERE (vec_id + dim) % 5 = 0),
+q(dim, qv) AS (VALUES {_sq_vals}),
+dotp AS (SELECT sp.vec_id, sum(sp.val * q.qv) AS dp
+         FROM sp JOIN q USING (dim) GROUP BY sp.vec_id),
+nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS dn FROM sp GROUP BY vec_id)
+SELECT n.vec_id,
+       round(coalesce(d.dp, 0) / (n.dn * sqrt({_sq_norm!r})), 6) AS score
+FROM nrm n LEFT JOIN dotp d ON n.vec_id = d.vec_id
+ORDER BY coalesce(d.dp, 0) / (n.dn * sqrt({_sq_norm!r})) DESC, n.vec_id ASC
+LIMIT 10
+"""
+
+    # wildcard field: the ngram-accelerated match must equal the plain
+    # full-scan regex answer
+    from elasticsearch_spark.search.wildcard_field import wildcard_regex
+
+    o["wildcard_field"] = f"""
+SELECT doc_id,
+       source || '-' || lang || '-' || (doc_id % 50)::VARCHAR AS v
+FROM documents
+WHERE regexp_matches(source || '-' || lang || '-' || (doc_id % 50)::VARCHAR,
+                     '{wildcard_regex(WILDCARD_PATTERN)}')
+"""
+
+    # annotated_text: [source](SRC_LANG) text — one annotation doc
+    # count per injected value; token total = anchor + value + text
+    o["annotated_terms"] = """
+SELECT 'SRC_' || upper(lang) AS ann_token,
+       count(*)::BIGINT AS doc_count,
+       sum(2 + len(regexp_extract_all(lower(text), '[a-z0-9_]+')))::BIGINT
+         AS sum_tokens
+FROM documents
+GROUP BY 1 ORDER BY 1
 """
 
     # search template: the rendered mustache -> bool filter restated

@@ -666,6 +666,26 @@ def letter_tokenizer(text: str) -> TokenStream:
     return terms, list(range(len(terms)))
 
 
+def fingerprint_token_filter(max_output_size: int = 255, sep: str = " "):
+    """Lucene FingerprintFilter semantics (reference: analysis-common
+    CommonAnalysisPlugin `fingerprint` registrations — the analyzer is
+    standard tokenize -> lowercase -> asciifold -> this filter): emit
+    ONE token at position 0 holding the sorted, deduplicated input
+    tokens joined by `sep`; emit nothing when the joined output would
+    exceed `max_output_size` (FingerprintFilter.java skips oversized
+    outputs rather than truncating)."""
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        if not terms:
+            return [], []
+        joined = sep.join(sorted(set(terms)))
+        if len(joined) > max_output_size:
+            return [], []
+        return [joined], [0]
+
+    return fn
+
+
 def register_extras() -> None:
     from elasticsearch_spark.analysis.analyzers import ANALYZERS
 
@@ -676,6 +696,13 @@ def register_extras() -> None:
     ANALYZERS.setdefault("standard_asciifolding", compose(base, asciifolding))
     ANALYZERS.setdefault("edge_ngram", compose(base, edge_ngram_filter(1, 10)))
     ANALYZERS.setdefault("trigram", compose(base, shingle_filter(3, 3)))
+    ANALYZERS.setdefault(
+        "fingerprint",
+        compose(compose(base, asciifolding), fingerprint_token_filter()),
+    )
+    # imported here (not only via the package __init__) so Spark
+    # workers that import analyzers directly still see the mapper
+    import elasticsearch_spark.analysis.annotated  # noqa: F401
 
 
 register_extras()

@@ -443,3 +443,56 @@ def combine_knn_query(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def sparse_score_topk(
+    df: DataFrame,
+    query_vec: dict[int, float],
+    fn: str = "cosine",
+    k: int = 10,
+    vec_col: str = "sparse",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """script_score functions over a sparse_vector field (reference:
+    x-pack/plugin/vectors/.../query/ScoreScriptUtils.java —
+    cosineSimilaritySparse, dotProductSparse, l1normSparse,
+    l2normSparse over SparseVectorFieldMapper's dim->value map). The
+    Spark-native encoding is a map<int,double> column; the query vector
+    is a tiny literal map, so every function is one JVM-side
+    map_zip_with (keys UNION — absent dims read as 0.0, exactly the
+    reference's sorted-dimension two-pointer walk) folded with
+    aggregate. No shuffle before the global top-k
+    (TakeOrderedAndProject); distance fns rank ascending."""
+    items = sorted((int(d), float(v)) for d, v in query_vec.items())
+    if not items:
+        raise ValueError("empty sparse query vector")
+    qmap = F.map_from_arrays(
+        F.array(*[F.lit(d) for d, _ in items]),
+        F.array(*[F.lit(v) for _, v in items]),
+    )
+    vec = F.col(vec_col)
+    zipped = lambda combine: F.aggregate(  # noqa: E731
+        F.map_values(F.map_zip_with(vec, qmap, combine)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    z = lambda c: F.coalesce(c.cast("double"), F.lit(0.0))  # noqa: E731
+    if fn == "dot_product":
+        col = zipped(lambda _, x, y: z(x) * z(y))
+        asc = False
+    elif fn == "cosine":
+        qn = float(np.sqrt(sum(v * v for _, v in items)))
+        dnorm = F.sqrt(F.aggregate(
+            F.map_values(vec), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        col = zipped(lambda _, x, y: z(x) * z(y)) / (dnorm * F.lit(qn))
+        asc = False
+    elif fn == "l1norm":
+        col = zipped(lambda _, x, y: F.abs(z(x) - z(y)))
+        asc = True
+    elif fn == "l2norm":
+        col = F.sqrt(zipped(lambda _, x, y: (z(x) - z(y)) * (z(x) - z(y))))
+        asc = True
+    else:
+        raise ValueError(f"unknown sparse vector score fn {fn!r}")
+    out = df.select(F.col(id_col), col.alias("score"))
+    order = [F.asc("score") if asc else F.desc("score"), F.asc(id_col)]
+    return out.orderBy(*order).limit(k)

@@ -872,3 +872,19 @@ def render_search_template(source: str, params: dict) -> dict:
                 i = m.end()
 
     return _json.loads(render(source))
+
+
+def script_fields(hits: DataFrame, fields: dict[str, Any]) -> DataFrame:
+    """Fetch-subphase script fields (reference: server/.../search/fetch/
+    subphase/ScriptFieldsPhase.java; request parsing in
+    SearchService.java `script_fields`). Each entry computes a derived
+    value per hit from the fetched doc columns. The reference runs a
+    painless script per hit; the Spark analogue of `doc['f'].value`
+    arithmetic is a Catalyst expression, so script fields stay inside
+    whole-stage codegen instead of a per-hit interpreter. Values accept
+    a SQL expression string or a Column."""
+    out = hits
+    for name, expr in fields.items():
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        out = out.withColumn(name, col)
+    return out
