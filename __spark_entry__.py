@@ -2437,6 +2437,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["annotated_terms"] = annotated_terms_q
 
+    # -- aggregate_metric_double (mapper-aggregate-metric): aggs over
+    #    pre-aggregated sub-metric structs == aggs over raw rows
+
+    def aggregate_metric_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import fields
+
+        li = _t(s, d, "lineitem").withColumn(
+            "g", F.pmod("l_suppkey", F.lit(7)))
+        pre = fields.pre_aggregate(li, ["l_suppkey", "g"], "l_quantity")
+        out = fields.aggregate_metric_agg(pre, ["g"])
+        return out.select(
+            "g", "min_v", "max_v", F.round("sum_v", 3).alias("sum_v"),
+            "value_count", F.round("avg_v", 6).alias("avg_v"))
+
+    q["aggregate_metric_double"] = aggregate_metric_q
+
+    # -- constant_keyword (mapper-constant-keyword): the term filter
+    #    resolves against partition directories (PartitionFilters),
+    #    zero bytes of non-matching partitions read
+
+    def constant_keyword_q(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+
+        from elasticsearch_spark.ops import fields
+
+        out_dir = tempfile.mkdtemp(prefix="es_ck_")
+        docs = _t(s, d, "documents")
+        fields.write_constant_keyword(docs, out_dir, "lang")
+        hit = fields.constant_keyword_term(s, out_dir, "lang", "de")
+        return hit.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"))
+
+    q["constant_keyword_prune"] = constant_keyword_q
+
+    # -- unsigned_long (mapper-unsigned-long): sort + range under the
+    #    unsigned reinterpretation of raw signed-64 bits
+
+    def unsigned_long_q(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from elasticsearch_spark.ops import fields
+
+        did = F.col("doc_id")
+        h = F.when(F.pmod(did, F.lit(3)) == 0,
+                   -(did * 1234567 + 1)).otherwise(did * 7654321)
+        docs = _t(s, d, "documents").select(
+            "doc_id", h.cast("long").alias("h"))
+        key = fields.unsigned_long_key("h")
+        w = Window.orderBy(key.asc(), F.asc("doc_id"))
+        return (docs
+                .where(fields.unsigned_range("h", gte=2 ** 63))
+                .select("doc_id", "h", key.cast("string").alias("ukey"),
+                        F.row_number().over(w).alias("rk"))
+                .orderBy("rk").limit(100))
+
+    q["unsigned_long_sort"] = unsigned_long_q
+
+    # -- phonetic (analysis-phonetic, soundex encoder): group doc
+    #    tokens by phonetic class, codegen expression on both engines
+
+    def phonetic_match_q(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(text_ops.tokens("text")).alias("token"))
+        return (toks
+                .where(text_ops.soundex_expr("token") ==
+                       text_ops.soundex("merge"))
+                .groupBy("token")
+                .agg(F.count_distinct("doc_id").alias("n_docs"))
+                .orderBy("token"))
+
+    q["phonetic_match"] = phonetic_match_q
+
     return _rotate_checked(q)
 
 
@@ -4431,6 +4505,56 @@ SELECT doc_id,
 FROM documents
 WHERE regexp_matches(source || '-' || lang || '-' || (doc_id % 50)::VARCHAR,
                      '{wildcard_regex(WILDCARD_PATTERN)}')
+"""
+
+    # aggregate_metric_double: the identical two-level aggregation
+    o["aggregate_metric_double"] = """
+WITH pre AS (
+  SELECT l_suppkey, l_suppkey % 7 AS g,
+         min(l_quantity) AS mn, max(l_quantity) AS mx,
+         sum(l_quantity) AS sm, count(l_quantity) AS vc
+  FROM lineitem GROUP BY 1, 2)
+SELECT g, min(mn) AS min_v, max(mx) AS max_v,
+       round(sum(sm), 3) AS sum_v, sum(vc)::BIGINT AS value_count,
+       round(sum(sm) / sum(vc), 6) AS avg_v
+FROM pre GROUP BY g
+"""
+
+    # constant_keyword: partition-pruned term == plain filter
+    o["constant_keyword_prune"] = """
+SELECT count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents WHERE lang = 'de'
+"""
+
+    # unsigned_long: HUGEINT twin of the decimal(20,0) unsigned key
+    from elasticsearch_spark.ops.fields import unsigned_long_key_sql
+
+    _ul_h = ("CASE WHEN doc_id % 3 = 0 THEN -(doc_id * 1234567 + 1) "
+             "ELSE doc_id * 7654321 END")
+    _ul_key = unsigned_long_key_sql("h")
+    o["unsigned_long_sort"] = f"""
+WITH v AS (SELECT doc_id, ({_ul_h})::BIGINT AS h FROM documents),
+r AS (
+  SELECT doc_id, h, ({_ul_key})::VARCHAR AS ukey,
+         row_number() OVER (ORDER BY {_ul_key} ASC, doc_id ASC) AS rk
+  FROM v
+  WHERE {_ul_key} >= 9223372036854775808)
+SELECT doc_id, h, ukey, rk::INT AS rk FROM r ORDER BY rk LIMIT 100
+"""
+
+    # phonetic: the soundex chain restated via the shared SQL builder
+    from elasticsearch_spark.ops.text import soundex as _soundex
+    from elasticsearch_spark.ops.text import soundex_sql as _soundex_sql
+
+    o["phonetic_match"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+           AS token
+  FROM documents)
+SELECT token, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM tok
+WHERE {_soundex_sql('token')} = '{_soundex('merge')}'
+GROUP BY token ORDER BY token
 """
 
     # annotated_text: [source](SRC_LANG) text — one annotation doc

@@ -686,6 +686,30 @@ def fingerprint_token_filter(max_output_size: int = 255, sep: str = " "):
     return fn
 
 
+def phonetic_filter(encoder: str = "soundex", replace: bool = True):
+    """analysis-phonetic plugin (PhoneticTokenFilterFactory): encode
+    each token; `replace=False` emits the original alongside the code
+    at the same position, as the plugin's `replace` option does."""
+    if encoder != "soundex":
+        raise ValueError(f"unsupported phonetic encoder {encoder!r}")
+    from elasticsearch_spark.ops.text import soundex
+
+    def fn(terms: list[str], positions: list[int]) -> TokenStream:
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(terms, positions):
+            code = soundex(t)
+            if not replace:
+                out_t.append(t)
+                out_p.append(p)
+            if code:
+                out_t.append(code)
+                out_p.append(p)
+        return out_t, out_p
+
+    return fn
+
+
 def register_extras() -> None:
     from elasticsearch_spark.analysis.analyzers import ANALYZERS
 
@@ -700,6 +724,7 @@ def register_extras() -> None:
         "fingerprint",
         compose(compose(base, asciifolding), fingerprint_token_filter()),
     )
+    ANALYZERS.setdefault("phonetic", compose(base, phonetic_filter()))
     # imported here (not only via the package __init__) so Spark
     # workers that import analyzers directly still see the mapper
     import elasticsearch_spark.analysis.annotated  # noqa: F401

@@ -1,0 +1,140 @@
+"""x-pack mapper-family field types, Spark-first.
+
+  - aggregate_metric_double (x-pack/plugin/mapper-aggregate-metric
+    AggregateDoubleMetricFieldMapper): a struct<min,max,sum,
+    value_count> column holding PRE-AGGREGATED sub-metrics; metric
+    aggregations read the sub-metric instead of raw data (min of mins,
+    max of maxs, sum of sums, count = sum of value_counts, avg =
+    sum/count). This is the rollup-index fast path: at 100 TB an agg
+    over the pre-aggregated table touches one row per (group, day)
+    instead of one per event.
+  - constant_keyword (x-pack/plugin/mapper-constant-keyword): a field
+    whose value is identical for every doc of an index. The reference
+    answers term queries on it at REWRITE time (match_all/match_none,
+    no doc access — ConstantKeywordFieldMapper query rewrite). The
+    Spark analogue is a partition directory column: filtering on it is
+    resolved by PartitionFilters at planning, reading zero bytes of
+    non-matching partitions.
+  - unsigned_long (x-pack/plugin/mapper-unsigned-long): 64-bit
+    unsigned values stored in a signed long by bit reinterpretation
+    (the mapper shifts by Long.MIN_VALUE); ordering/range semantics
+    recover the unsigned view. Spark longs are signed too, so the
+    same trick applies: the sort/compare key adds 2^64 to negative
+    raw bits (decimal(20,0) — exact, no float rounding).
+  - murmur3 (plugins/mapper-murmur3): index-time hash of the value
+    for cheap cardinality estimation. Spark's built-in JVM hashes are
+    murmur3_32 (`hash`) and xxhash64; the mapper here uses xxhash64
+    for 64-bit spread — same role, different constants than the
+    reference's x64_128-low-64 (documented divergence; approx_
+    count_distinct consumes it identically).
+  - _size (plugins/mapper-size): byte length of the serialized source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TWO_POW_64 = 18446744073709551616  # 2**64
+
+
+# ---- aggregate_metric_double -----------------------------------------
+
+def aggregate_metric_struct(
+    min_col: Column, max_col: Column, sum_col: Column, count_col: Column
+) -> Column:
+    return F.struct(
+        min_col.alias("min"), max_col.alias("max"),
+        sum_col.alias("sum"), count_col.alias("value_count"))
+
+
+def pre_aggregate(
+    df: DataFrame, group_cols: list[str], value_col: str,
+    out: str = "metric",
+) -> DataFrame:
+    """Build the aggregate_metric_double column: one struct row per
+    group (what a rollup job writes)."""
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        aggregate_metric_struct(
+            F.min(v), F.max(v), F.sum(v), F.count(v)).alias(out))
+
+
+def aggregate_metric_agg(
+    df: DataFrame, group_cols: list[str], metric_col: str = "metric"
+) -> DataFrame:
+    """min/max/sum/value_count/avg over an aggregate_metric_double
+    column — reads sub-metrics only; results are EXACTLY the raw-data
+    aggregation (floating-point sum association aside)."""
+    m = F.col(metric_col)
+    return (df.groupBy(*group_cols)
+            .agg(F.min(m["min"]).alias("min_v"),
+                 F.max(m["max"]).alias("max_v"),
+                 F.sum(m["sum"]).alias("sum_v"),
+                 F.sum(m["value_count"]).alias("value_count"))
+            .withColumn("avg_v", F.col("sum_v") / F.col("value_count")))
+
+
+# ---- constant_keyword -------------------------------------------------
+
+def write_constant_keyword(
+    docs: DataFrame, out_dir: str, col: str
+) -> None:
+    """Persist with the constant_keyword field as a partition
+    directory: every value becomes one directory, so a term filter on
+    the field prunes at planning time (PartitionFilters), the
+    reference's match_all/match_none rewrite."""
+    docs.write.mode("overwrite").partitionBy(col).parquet(out_dir)
+
+
+def constant_keyword_term(
+    spark, dir_path: str, col: str, value: str
+) -> DataFrame:
+    df = spark.read.parquet(dir_path)
+    return df.where(F.col(col) == value)
+
+
+# ---- unsigned_long ----------------------------------------------------
+
+def _dec20(v: int) -> Column:
+    # ints beyond signed-64 can't ride through py4j's lit(); a string
+    # cast keeps the literal exact
+    return F.lit(str(v)).cast("decimal(20,0)")
+
+
+def unsigned_long_key(col) -> Column:
+    """Unsigned view of raw signed-64 bits: negatives shift up by 2^64.
+    decimal(20,0) holds the full range exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("decimal(20,0)")
+    return F.when(c < 0, d + _dec20(TWO_POW_64)).otherwise(d) \
+            .cast("decimal(20,0)")
+
+
+def unsigned_long_key_sql(expr: str) -> str:
+    """DuckDB twin (HUGEINT arithmetic)."""
+    return (f"CASE WHEN {expr} < 0 THEN {expr}::HUGEINT + {TWO_POW_64} "
+            f"ELSE {expr}::HUGEINT END")
+
+
+def unsigned_range(col, gte: int | None = None, lte: int | None = None) -> Column:
+    """Range query with unsigned semantics over raw signed bits."""
+    k = unsigned_long_key(col)
+    cond = F.lit(True)
+    if gte is not None:
+        cond = cond & (k >= _dec20(gte))
+    if lte is not None:
+        cond = cond & (k <= _dec20(lte))
+    return cond
+
+
+# ---- murmur3 / _size --------------------------------------------------
+
+def murmur3_field(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(c)
+
+
+def size_field(docs: DataFrame, out: str = "_size") -> DataFrame:
+    """_size: octet length of the JSON-serialized source document."""
+    src = F.to_json(F.struct(*[F.col(c) for c in docs.columns]))
+    return docs.withColumn(out, F.octet_length(src))

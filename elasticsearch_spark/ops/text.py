@@ -197,3 +197,59 @@ def version_sort_key_sql(version_expr: str) -> str:
         f"array_to_string({seg}, '.') || "
         f"CASE WHEN {pre} IS NULL THEN '.1' ELSE '.0-' || {pre} END"
     )
+
+
+# ---- phonetic (analysis-phonetic plugin) --------------------------------
+
+_SOUNDEX_FROM = "BFPVCGJKQSXZDTLMNRAEIOUY"
+_SOUNDEX_TO = "111122222222334556000000"
+
+
+def soundex_expr(col) -> Column:
+    """American Soundex as ONE codegen expression chain (reference:
+    plugins/analysis-phonetic — PhoneticTokenFilterFactory with the
+    commons-codec Soundex encoder). Rules: keep first letter; H/W do
+    not separate codes (stripped before coding); vowels separate but
+    emit nothing; adjacent equal codes collapse; 3 digits, 0-padded.
+    translate() does the letter->digit map and seven digit-wise
+    regexp_replace passes do the adjacent-dedup (RE2-safe: no
+    backreferences)."""
+    c = F.col(col) if isinstance(col, str) else col
+    up = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))
+    first = F.substring(up, 1, 1)
+    tail = F.regexp_replace(F.substring(up, 2, 1 << 30), "[HW]", "")
+    codes = F.translate(F.concat(first, tail), _SOUNDEX_FROM, _SOUNDEX_TO)
+    for d in "0123456":
+        codes = F.regexp_replace(codes, d + "+", d)
+    digits = F.regexp_replace(F.substring(codes, 2, 1 << 30), "0", "")
+    out = F.concat(first, F.rpad(F.substring(digits, 1, 3), 3, "0"))
+    return F.when(up == "", F.lit("")).otherwise(out)
+
+
+def soundex_sql(expr: str) -> str:
+    """DuckDB twin of soundex_expr — identical pass structure."""
+    up = f"upper(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    first = f"{up}[1:1]"
+    tail = f"regexp_replace({up}[2:], '[HW]', '', 'g')"
+    codes = f"translate({first} || {tail}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    for d in "0123456":
+        codes = f"regexp_replace({codes}, '{d}+', '{d}', 'g')"
+    digits = f"regexp_replace({codes}[2:], '0', '', 'g')"
+    return (f"CASE WHEN {up} = '' THEN '' "
+            f"ELSE {first} || rpad({digits}[1:3], 3, '0') END")
+
+
+def soundex(token: str) -> str:
+    """Scalar twin for the _analyze token-filter path."""
+    up = "".join(ch for ch in token.upper() if ch.isalpha() and ch.isascii())
+    if not up:
+        return ""
+    tail = up[1:].replace("H", "").replace("W", "")
+    table = str.maketrans(_SOUNDEX_FROM, _SOUNDEX_TO)
+    codes = (up[0] + tail).translate(table)
+    dedup = []
+    for ch in codes:
+        if not dedup or dedup[-1] != ch:
+            dedup.append(ch)
+    digits = "".join(ch for ch in dedup[1:] if ch != "0")
+    return up[0] + (digits[:3]).ljust(3, "0")

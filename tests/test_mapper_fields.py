@@ -1,0 +1,104 @@
+"""x-pack mapper family: aggregate_metric_double, constant_keyword
+(partition pruning), unsigned_long, murmur3/_size, phonetic soundex."""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis import analyze
+from elasticsearch_spark.ops import fields, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_aggregate_metric_double_matches_raw(spark, li):
+    pre = fields.pre_aggregate(
+        li.withColumn("g", F.pmod("l_suppkey", F.lit(7))),
+        ["l_suppkey", "g"], "l_quantity")
+    got = {r["g"]: r for r in
+           fields.aggregate_metric_agg(pre, ["g"]).collect()}
+    raw = {r["g"]: r for r in
+           li.withColumn("g", F.pmod("l_suppkey", F.lit(7)))
+           .groupBy("g")
+           .agg(F.min("l_quantity").alias("min_v"),
+                F.max("l_quantity").alias("max_v"),
+                F.sum("l_quantity").alias("sum_v"),
+                F.count("l_quantity").alias("value_count")).collect()}
+    assert set(got) == set(raw)
+    for g in raw:
+        assert got[g]["min_v"] == raw[g]["min_v"]
+        assert got[g]["max_v"] == raw[g]["max_v"]
+        assert got[g]["value_count"] == raw[g]["value_count"]
+        assert got[g]["sum_v"] == pytest.approx(raw[g]["sum_v"], rel=1e-12)
+        assert got[g]["avg_v"] == pytest.approx(
+            raw[g]["sum_v"] / raw[g]["value_count"], rel=1e-12)
+
+
+def test_constant_keyword_partition_pruning(spark, docs):
+    out = tempfile.mkdtemp(prefix="ck_")
+    fields.write_constant_keyword(docs, out, "lang")
+    q = fields.constant_keyword_term(spark, out, "lang", "de")
+    want = docs.where(F.col("lang") == "de").count()
+    assert q.count() == want
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the term resolves at planning: a PartitionFilters entry, no
+    # post-scan Filter on lang
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_unsigned_long_order_and_range(spark):
+    raws = [0, 1, -1, -2, 2, 9_223_372_036_854_775_807,
+            -9_223_372_036_854_775_808]
+    df = spark.createDataFrame([(v,) for v in raws], "h long")
+    got = [r["h"] for r in
+           df.orderBy(fields.unsigned_long_key("h").asc()).collect()]
+    # unsigned order: 0,1,2,MAX, MIN(=2^63), -2(=2^64-2), -1(=2^64-1)
+    assert got == [0, 1, 2, 9_223_372_036_854_775_807,
+                   -9_223_372_036_854_775_808, -2, -1]
+    hi = [r["h"] for r in
+          df.where(fields.unsigned_range("h", gte=2 ** 63)).collect()]
+    assert sorted(hi) == [-9_223_372_036_854_775_808, -2, -1]
+    # DuckDB twin produces the identical unsigned keys
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(
+        "SELECT h FROM (SELECT unnest(?::BIGINT[]) AS h) ORDER BY "
+        + fields.unsigned_long_key_sql("h"), [raws]).fetchall()]
+    assert got == want
+
+
+def test_murmur3_and_size_fields(spark, docs):
+    d = fields.size_field(docs.limit(10)).withColumn(
+        "h", fields.murmur3_field("text"))
+    rows = d.select("n_chars", "_size", "h").collect()
+    for r in rows:
+        assert r["_size"] > r["n_chars"]  # JSON wrapper adds bytes
+        assert isinstance(r["h"], int)
+
+
+def test_phonetic_analyzer_chain():
+    toks = analyze("Robert merged", "phonetic")
+    assert toks == [("R163", 0), ("M623", 1)]
+
+
+def test_soundex_spark_expr_matches_scalar(spark):
+    words = ["Robert", "Ashcraft", "Tymczak", "Pfister", "merge",
+             "a", "h2o", "", "Washington"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["s"] for r in
+           df.select("w", text.soundex_expr("w").alias("s")).collect()}
+    for w in words:
+        assert got[w] == text.soundex(w), w
