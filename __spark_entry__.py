@@ -2511,6 +2511,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phonetic_match"] = phonetic_match_q
 
+    # -- data stream + rollover (x-pack data-streams / ILM): writes
+    #    land in the open generation; each forced rollover closes it
+
+    def data_stream_q(s: SparkSession, d: str) -> DataFrame:
+        import tempfile
+
+        from elasticsearch_spark.ops.datastream import DataStream
+
+        ev = _t(s, d, "events")
+        ds = DataStream(tempfile.mkdtemp(prefix="es_ds_"))
+        for i in range(4):
+            ds.append(ev.where(F.pmod(F.col("event_id"), F.lit(4)) == i))
+            if i < 3:
+                ds.rollover(force=True)
+        return (ds.read(s)
+                .groupBy("_generation")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 3).alias("sum_value"),
+                     F.min("event_id").alias("min_id"),
+                     F.max("event_id").alias("max_id"))
+                .orderBy("_generation"))
+
+    q["data_stream_rollover"] = data_stream_q
+
     return _rotate_checked(q)
 
 
@@ -4555,6 +4579,15 @@ SELECT token, count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM tok
 WHERE {_soundex_sql('token')} = '{_soundex('merge')}'
 GROUP BY token ORDER BY token
+"""
+
+    # data stream: generation g holds the event_id % 4 == g-1 slice
+    o["data_stream_rollover"] = """
+SELECT (event_id % 4 + 1)::INT AS _generation,
+       count(*)::BIGINT AS n,
+       round(sum(value), 3) AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY 1 ORDER BY 1
 """
 
     # annotated_text: [source](SRC_LANG) text — one annotation doc
