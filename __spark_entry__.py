@@ -211,6 +211,14 @@ GEO_SHAPE_ENVELOPE = "ENVELOPE (150, -120, 60, -20)"
 SPARSE_QUERY = {0: 1.0, 5: 0.5, 10: 0.25, 20: 1.5}
 WILDCARD_PATTERN = "src1*-e?-1*"
 
+# ES SQL statement shared by the Spark endpoint and the DuckDB oracle
+# (the dialect overlap the reference's x-pack sql plugin supports)
+ESSQL_STATEMENT = (
+    "SELECT lang, source, count(*) AS n, round(avg(n_chars), 3) AS avg_c, "
+    "max(n_chars) AS max_c FROM documents WHERE n_chars >= 100 "
+    "GROUP BY lang, source HAVING count(*) > 1 ORDER BY lang, source"
+)
+
 # user_agent processor fixtures: both engines pick the same UA string
 # by doc_id arithmetic and run the identical RE2-safe pattern chain
 UA_STRINGS = [
@@ -2535,6 +2543,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["data_stream_rollover"] = data_stream_q
 
+    # -- ES SQL endpoint (x-pack sql): the statement runs on the
+    #    native planner; pushdown is Catalyst's, not a translator's
+
+    def essql_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql
+
+        return essql(s, ESSQL_STATEMENT, d)
+
+    q["essql"] = essql_q
+
+    # -- ML single-metric anomaly detection (x-pack ml, MAD analogue):
+    #    bucket -> median/MAD broadcast -> per-bucket score
+
+    def ml_single_metric_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import single_metric_anomalies
+
+        ev = _t(s, d, "events")
+        out = single_metric_anomalies(ev, span="day")
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("metric", 3).alias("metric"),
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("bucket")
+
+    q["ml_single_metric"] = ml_single_metric_q
+
     return _rotate_checked(q)
 
 
@@ -4579,6 +4613,19 @@ SELECT token, count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM tok
 WHERE {_soundex_sql('token')} = '{_soundex('merge')}'
 GROUP BY token ORDER BY token
+"""
+
+    # ES SQL: the statement itself is the oracle
+    o["essql"] = ESSQL_STATEMENT
+
+    # ML single-metric: the shared MAD pipeline builder, day buckets
+    from elasticsearch_spark.ops.anomaly import single_metric_anomalies_sql
+
+    o["ml_single_metric"] = f"""
+WITH r AS ({single_metric_anomalies_sql(span='day')})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
+FROM r ORDER BY bucket
 """
 
     # data stream: generation g holds the event_id % 4 == g-1 slice

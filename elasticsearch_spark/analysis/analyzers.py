@@ -788,6 +788,16 @@ def _register_default_languages() -> None:
     _register_light_language("bengali_light", BENGALI_STOPWORDS,
                              bengali_light_stem, base="beng_word")
 
+    from elasticsearch_spark.analysis.stem import (
+        polish_light_stem,
+        ukrainian_light_stem,
+    )
+
+    _register_light_language("polish_light", POLISH_STOPWORDS,
+                             polish_light_stem)
+    _register_light_language("ukrainian_light", UKRAINIAN_STOPWORDS,
+                             ukrainian_light_stem)
+
 
 # Native-form stopword lists for the r4 tier (same sourcing note as the
 # Nordic lists: written as Lucene's snowball/plugin stopword files are,
@@ -891,6 +901,16 @@ SORANI_STOPWORDS = frozenset(
 BENGALI_STOPWORDS = frozenset(
     """এবং ও এই সে তা আমি তুমি আমরা তারা যে কি না হয় ছিল করে থেকে
     জন্য সাথে এক আর কিন্তু বা তার এটা এখন আছে যদি কেন""".split()
+)
+POLISH_STOPWORDS = frozenset(
+    """i w na z do nie się jest że to co jak ale po o od za przez dla
+    tak który która które być był była było są oraz lub czy gdy ten
+    ta te ich jego jej nas was""".split()
+)
+UKRAINIAN_STOPWORDS = frozenset(
+    """і в на з до не що це як та але по від за для так який яка яке
+    є був була було бути ми ви вони він вона воно його її їх у же ж
+    чи коли або""".split()
 )
 THAI_STOPWORDS = frozenset(
     """และ ที่ ใน ของ มี ไม่ เป็น การ ได้ ให้ จะ มา ว่า กับ แล้ว ก็ เรา

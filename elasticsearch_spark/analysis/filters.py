@@ -686,6 +686,19 @@ def fingerprint_token_filter(max_output_size: int = 255, sep: str = " "):
     return fn
 
 
+def icu_folding(terms: list[str], positions: list[int]) -> TokenStream:
+    """analysis-icu ICUFoldingFilter analogue: NFKD + combining marks
+    stripped for EVERY script (asciifolding only folds into ASCII and
+    leaves non-Latin text alone), then full case folding (ß -> ss,
+    final sigma, etc.)."""
+    out = []
+    for t in terms:
+        d = unicodedata.normalize("NFKD", t)
+        d = "".join(ch for ch in d if not unicodedata.combining(ch))
+        out.append(d.casefold())
+    return out, positions
+
+
 def phonetic_filter(encoder: str = "soundex", replace: bool = True):
     """analysis-phonetic plugin (PhoneticTokenFilterFactory): encode
     each token; `replace=False` emits the original alongside the code
@@ -725,6 +738,7 @@ def register_extras() -> None:
         compose(compose(base, asciifolding), fingerprint_token_filter()),
     )
     ANALYZERS.setdefault("phonetic", compose(base, phonetic_filter()))
+    ANALYZERS.setdefault("icu_folding", compose(base, icu_folding))
     # imported here (not only via the package __init__) so Spark
     # workers that import analyzers directly still see the mapper
     import elasticsearch_spark.analysis.annotated  # noqa: F401

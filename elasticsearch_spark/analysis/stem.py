@@ -434,6 +434,23 @@ BENGALI_LIGHT_RULES: list[tuple[str, str]] = [
     (r"(..)[ের]$", r"\1"),                           # residual
 ]
 
+# Polish (reference plugins/analysis-stempel registers the `polish`
+# analyzer; this is a light-cascade analogue of its statistical
+# stemmer's most common inflection classes) and Ukrainian
+# (plugins/analysis-ukrainian UkrainianAnalyzerProvider).
+POLISH_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(...)(?:iach|iami|iom|ach|ami|om)$", r"\1"),   # noun plural cases
+    (r"(...)(?:ego|emu|ych|ich|ej|ym|im|ów)$", r"\1"),  # adjective cases
+    (r"(...)(?:ie|ią|ię|ia|iu)$", r"\1"),             # soft-stem cases
+    (r"(...)(?:y|i|e|a|o|u|ą|ę)$", r"\1"),            # single-vowel
+]
+
+UKRAINIAN_LIGHT_RULES: list[tuple[str, str]] = [
+    (r"(...)(?:ами|ями|ові|еві|ого|ому|ими|іми)$", r"\1"),  # instr/dat/gen
+    (r"(...)(?:ах|ях|ам|ям|ій|ий|ої|ою|ею|их|іх|ів|їв)$", r"\1"),
+    (r"(...)(?:а|я|о|е|у|ю|и|і|ї|ь)$", r"\1"),        # single-vowel
+]
+
 brazilian_light_stem = make_cascade_stemmer(BRAZILIAN_LIGHT_RULES)
 catalan_light_stem = make_cascade_stemmer(CATALAN_LIGHT_RULES)
 galician_light_stem = make_cascade_stemmer(GALICIAN_LIGHT_RULES)
@@ -445,6 +462,8 @@ lithuanian_light_stem = make_cascade_stemmer(LITHUANIAN_LIGHT_RULES)
 armenian_light_stem = make_cascade_stemmer(ARMENIAN_LIGHT_RULES)
 sorani_light_stem = make_cascade_stemmer(SORANI_LIGHT_RULES)
 bengali_light_stem = make_cascade_stemmer(BENGALI_LIGHT_RULES)
+polish_light_stem = make_cascade_stemmer(POLISH_LIGHT_RULES)
+ukrainian_light_stem = make_cascade_stemmer(UKRAINIAN_LIGHT_RULES)
 
 
 # ---------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""x-pack tail: essql, ML single-metric anomalies, async search,
+find_structure, polish/ukrainian analyzers, icu_folding."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis import analyze
+from elasticsearch_spark.ops import anomaly, essql, textstruct
+from elasticsearch_spark.search import async_api
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_essql_matches_duckdb(spark):
+    sql = ("SELECT lang, count(*) AS n, round(avg(n_chars), 3) AS avg_c "
+           "FROM documents GROUP BY lang ORDER BY lang")
+    got = [tuple(r) for r in essql.essql(spark, sql, SF).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(sql).fetchall()
+    assert got == want
+
+
+def test_essql_translate_shows_pushdown(spark):
+    df = essql.essql(
+        spark, "SELECT doc_id FROM documents WHERE lang = 'de'", SF)
+    plan = essql.essql_translate(df)
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_single_metric_anomalies_matches_duckdb(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r["bucket"]: (round(r["score"], 6), r["is_anomaly"])
+           for r in anomaly.single_metric_anomalies(ev).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = {r[0]: (round(r[2], 6), r[3]) for r in con.execute(
+        anomaly.single_metric_anomalies_sql()).fetchall()}
+    assert got == want and len(got) > 3
+
+
+def test_async_search_contract(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").groupBy("lang").count()
+    st = async_api.submit(df)
+    assert set(st) == {"id", "is_running", "is_partial"}
+    res = async_api.get(st["id"], wait_sec=120)
+    assert not res["is_running"] and not res["is_partial"]
+    assert len(res["hits"]) == df.count()
+
+
+def test_find_structure_ndjson():
+    s = '{"ts": "2026-01-01T00:00:00Z", "v": 1}\n{"ts": "x", "v": 2}'
+    out = textstruct.find_structure(s)
+    assert out["format"] == "ndjson"
+    assert out["column_names"] == ["ts", "v"]
+    assert out["timestamp_field"] == "ts"
+
+
+def test_find_structure_delimited_with_header():
+    s = "time,host,value\n2026-01-01T00:00:00Z,a,1\n2026-01-01T01:00:00Z,b,2"
+    out = textstruct.find_structure(s)
+    assert out["format"] == "delimited" and out["delimiter"] == ","
+    assert out["has_header_row"] and out["column_names"][0] == "time"
+    assert out["timestamp_format"] == "ISO8601"
+
+
+def test_find_structure_semi_structured_and_reject():
+    s = "Jan  5 12:00:01 host proc[1]: msg\nJan  5 12:00:02 host proc[2]: msg"
+    assert textstruct.find_structure(s)["format"] == "semi_structured_text"
+    with pytest.raises(ValueError):
+        textstruct.find_structure("no structure here\nat all")
+
+
+def test_polish_ukrainian_icu_analyzers():
+    assert [t for t, _ in analyze("koty kotami i", "polish_light")] == \
+        ["kot", "kot"]
+    assert [t for t, _ in analyze("книгами і книга", "ukrainian_light")] == \
+        ["книг", "книг"]
+    assert [t for t, _ in analyze("Grüße Ωμέγα", "icu_folding")] == \
+        ["grusse", "ωμεγα"]
