@@ -2569,6 +2569,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_single_metric"] = ml_single_metric_q
 
+    # -- scaled_float (mapper-extras): integer-exact aggregation over
+    #    the scaled longs, one division at the end
+
+    def scaled_float_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import fields
+
+        li = _t(s, d, "lineitem").select(
+            "l_returnflag",
+            fields.scaled_float_store("l_extendedprice", 100).alias("sp"))
+        return (li.groupBy("l_returnflag")
+                .agg((F.sum("sp") / 100.0).alias("sum_price"),
+                     F.count("*").alias("n"))
+                .select("l_returnflag",
+                        F.round("sum_price", 2).alias("sum_price"), "n")
+                .orderBy("l_returnflag"))
+
+    q["scaled_float_agg"] = scaled_float_q
+
+    # -- histogram field (x-pack analytics): percentiles/metrics over
+    #    pre-aggregated (values, counts) doc values
+
+    def histogram_field_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import fields
+
+        li = _t(s, d, "lineitem")
+        per = (li.groupBy("l_suppkey", "l_quantity").count()
+               .groupBy("l_suppkey")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("l_quantity", "count"))).alias("p"))
+               .select("l_suppkey", fields.histogram_struct(
+                   F.col("p.l_quantity"), F.col("p.count")).alias("hist"))
+               .withColumn("g", F.pmod("l_suppkey", F.lit(5))))
+        out = fields.histogram_agg(per, ["g"])
+        return out.select(
+            "g", "min_v", "max_v", F.round("sum_v", 3).alias("sum_v"),
+            "value_count", F.round("avg_v", 6).alias("avg_v"),
+            "pct_v").orderBy("g")
+
+    q["histogram_field_pct"] = histogram_field_q
+
     return _rotate_checked(q)
 
 
@@ -4626,6 +4666,36 @@ WITH r AS ({single_metric_anomalies_sql(span='day')})
 SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
 FROM r ORDER BY bucket
+"""
+
+    # scaled_float: identical integer-exact pipeline
+    o["scaled_float_agg"] = """
+SELECT l_returnflag,
+       round(sum(round(l_extendedprice * 100))::BIGINT / 100.0, 2)
+         AS sum_price,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+    # histogram field: raw-row twin of the merged-histogram metrics +
+    # the lower-bound weighted median
+    o["histogram_field_pct"] = """
+WITH m AS (
+  SELECT l_suppkey % 5 AS g, l_quantity AS v, count(*) AS c
+  FROM lineitem GROUP BY 1, 2),
+w AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY g) AS total
+  FROM m),
+p AS (SELECT g, min(v) AS pct_v FROM w WHERE cum >= 0.5 * total GROUP BY g),
+b AS (
+  SELECT g, min(v) AS min_v, max(v) AS max_v,
+         round(sum(v * c), 3) AS sum_v, sum(c)::BIGINT AS value_count,
+         round(sum(v * c) / sum(c), 6) AS avg_v
+  FROM m GROUP BY g)
+SELECT b.g::INT AS g, min_v, max_v, sum_v, value_count, avg_v, pct_v
+FROM b JOIN p ON b.g = p.g ORDER BY b.g
 """
 
     # data stream: generation g holds the event_id % 4 == g-1 slice

@@ -138,3 +138,63 @@ def size_field(docs: DataFrame, out: str = "_size") -> DataFrame:
     """_size: octet length of the JSON-serialized source document."""
     src = F.to_json(F.struct(*[F.col(c) for c in docs.columns]))
     return docs.withColumn(out, F.octet_length(src))
+
+
+# ---- scaled_float (mapper-extras ScaledFloatFieldMapper) ---------------
+
+def scaled_float_store(col, factor: int) -> Column:
+    """Index-time encoding: round(value * scaling_factor) stored as a
+    long — aggregations then run on exact integer arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * factor).cast("long")
+
+
+def scaled_float_read(col, factor: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("double") / factor
+
+
+# ---- histogram field (x-pack analytics HistogramFieldMapper) -----------
+
+def histogram_struct(values: Column, counts: Column) -> Column:
+    """The pre-aggregated histogram doc value: parallel (values,
+    counts) arrays, values ascending — what a rollup/metrics pipeline
+    writes once so percentile/avg queries never rescan raw rows."""
+    return F.struct(values.alias("values"), counts.alias("counts"))
+
+
+def histogram_agg(
+    df, group_cols: list[str], hist_col: str = "hist",
+    percentile: float = 0.5,
+) -> DataFrame:
+    """min/max/sum/value_count/avg + a weighted percentile over
+    histogram doc values. Pairs are exploded once, partial-aggregated
+    map-side; the percentile uses the exact lower-bound rule (smallest
+    value whose cumulative count reaches p * total) — deterministic
+    where the reference's TDigest is approximate (documented
+    divergence; identical on both engines here).
+    Reference: x-pack/plugin/analytics/.../aggregations/metrics/
+    (HistoBackedSumAggregator etc.)."""
+    from pyspark.sql import Window
+
+    h = F.col(hist_col)
+    ex = df.select(
+        *group_cols,
+        F.explode(F.arrays_zip(h["values"], h["counts"])).alias("e"),
+    ).select(
+        *group_cols,
+        F.col("e.values").alias("v"), F.col("e.counts").alias("c"),
+    ).where(F.col("c") > 0)
+    base = ex.groupBy(*group_cols).agg(
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+        F.sum(F.col("v") * F.col("c")).alias("sum_v"),
+        F.sum("c").alias("value_count"))
+    base = base.withColumn("avg_v", F.col("sum_v") / F.col("value_count"))
+    # lower-bound weighted percentile: per-group merge of (v, c) pairs
+    merged = ex.groupBy(*group_cols, "v").agg(F.sum("c").alias("c"))
+    w = Window.partitionBy(*group_cols).orderBy("v")
+    cum = merged.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy(*group_cols)))
+    pct = (cum.where(F.col("cum") >= F.lit(percentile) * F.col("total"))
+           .groupBy(*group_cols).agg(F.min("v").alias("pct_v")))
+    return base.join(pct, group_cols)

@@ -102,3 +102,61 @@ def test_soundex_spark_expr_matches_scalar(spark):
            df.select("w", text.soundex_expr("w").alias("s")).collect()}
     for w in words:
         assert got[w] == text.soundex(w), w
+
+
+def test_scaled_float_roundtrip_and_agg(spark, li):
+    d = li.select(
+        "l_suppkey",
+        fields.scaled_float_store("l_extendedprice", 100).alias("sf"))
+    got = (d.groupBy("l_suppkey")
+           .agg((F.sum("sf") / 100.0).alias("s"))
+           .orderBy("l_suppkey").limit(5).collect())
+    want = (li.groupBy("l_suppkey")
+            .agg(F.sum(F.round(F.col("l_extendedprice") * 100) / 100.0)
+                 .alias("s"))
+            .orderBy("l_suppkey").limit(5).collect())
+    for g, w in zip(got, want):
+        # the scaled path is EXACT (one long sum, one division); the
+        # raw-double comparison accumulates fp error per row
+        assert g["s"] == pytest.approx(w["s"], abs=1e-6)
+
+
+def test_histogram_field_agg_matches_raw(spark, li):
+    # build per-suppkey histograms of quantity, re-aggregate by bucket
+    per = (li.groupBy("l_suppkey", "l_quantity").count()
+           .groupBy("l_suppkey")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("l_quantity", "count"))).alias("p"))
+           .select("l_suppkey", fields.histogram_struct(
+               F.col("p.l_quantity"), F.col("p.count")).alias("hist"))
+           .withColumn("g", F.pmod("l_suppkey", F.lit(5))))
+    got = {r["g"]: r for r in
+           fields.histogram_agg(per, ["g"]).collect()}
+    raw = li.withColumn("g", F.pmod("l_suppkey", F.lit(5)))
+    want = {r["g"]: r for r in
+            raw.groupBy("g").agg(
+                F.min("l_quantity").alias("min_v"),
+                F.max("l_quantity").alias("max_v"),
+                F.sum("l_quantity").alias("sum_v"),
+                F.count("l_quantity").alias("value_count"),
+                F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            ).collect()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g]["min_v"] == want[g]["min_v"]
+        assert got[g]["max_v"] == want[g]["max_v"]
+        assert got[g]["value_count"] == want[g]["value_count"]
+        assert got[g]["sum_v"] == pytest.approx(want[g]["sum_v"], rel=1e-12)
+        # lower-bound weighted percentile vs interpolating percentile:
+        # same order of magnitude sanity + exact rule check below
+        assert got[g]["pct_v"] <= want[g]["max_v"]
+    # exact rule: smallest v with cum >= 0.5 * total
+    one = raw.where(F.col("g") == 0).groupBy("l_quantity").count() \
+        .orderBy("l_quantity").collect()
+    total = sum(r["count"] for r in one)
+    cum = 0
+    for r in one:
+        cum += r["count"]
+        if cum >= 0.5 * total:
+            assert got[0]["pct_v"] == r["l_quantity"]
+            break
