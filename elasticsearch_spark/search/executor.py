@@ -66,23 +66,21 @@ class TermStats:
     #                  SUMS them, so a repeated term scores `weight` times
 
 
-def _lookup_terms(
-    index: InvertedIndex, field: str, terms: list[str], params: BM25Params
-) -> tuple[list[TermStats], float, float]:
-    """DFS phase: global term + collection statistics (driver-side)."""
-    coll = index.collection_stats().get(field)
-    if coll is None or not coll["n_docs"]:
-        return [], 0.0, 1.0  # unknown/empty field -> no matches
-    n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+def _stats_from_rows(
+    terms: list[str],
+    by_term: dict,
+    n_docs: float,
+    avgdl: float,
+    params: BM25Params,
+) -> list[TermStats]:
+    """TermStats for one query given already-fetched term_dict rows."""
     from collections import Counter
 
     mult = Counter(terms)
     seen: set[str] = set()
-    terms = [t for t in terms if not (t in seen or seen.add(t))]
-    rows = index.term_stats(field, terms)
-    by_term = {r["term"]: r for r in rows}
+    uniq = [t for t in terms if not (t in seen or seen.add(t))]
     out = []
-    for t in terms:
+    for t in uniq:
         r = by_term.get(t)
         if r is None:
             continue
@@ -98,7 +96,20 @@ def _lookup_terms(
         )
         w = int(mult[t])
         out.append(TermStats(t, df, term_idf, w * term_idf * tfn_ub, w))
-    return out, n_docs, avgdl
+    return out
+
+
+def _lookup_terms(
+    index: InvertedIndex, field: str, terms: list[str], params: BM25Params
+) -> tuple[list[TermStats], float, float]:
+    """DFS phase: global term + collection statistics (driver-side)."""
+    coll = index.collection_stats().get(field)
+    if coll is None or not coll["n_docs"]:
+        return [], 0.0, 1.0  # unknown/empty field -> no matches
+    n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+    rows = index.term_stats(field, terms)
+    by_term = {r["term"]: r for r in rows}
+    return _stats_from_rows(terms, by_term, n_docs, avgdl, params), n_docs, avgdl
 
 
 def _make_scorer(
@@ -140,8 +151,15 @@ def _make_scorer(
         pruning stays SAFE because every accumulated doc is then a true
         candidate, so theta remains a lower bound of the final k-th
         score (the reference intersects the filter bitset inside the
-        collector the same way: TopDocsCollectorContext.java:202-206)."""
-        by_term = dict(tuple(pdf.groupby("term", sort=False)))
+        collector the same way: TopDocsCollectorContext.java:202-206).
+
+        ``pdf`` may also be a prebuilt {term: sub-frame} dict — the
+        batched multi-query scorer splits the partition's blocks by
+        term ONCE and shares the split across every query."""
+        by_term = (
+            pdf if isinstance(pdf, dict)
+            else dict(tuple(pdf.groupby("term", sort=False)))
+        )
         acc_ids = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         acc_counts = np.empty(0, dtype=np.int64)
@@ -467,6 +485,101 @@ def match_topk(
     if k is None:
         return local
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+BATCH_TOPK_SCHEMA = "query_id int, doc_id long, score double, matched int"
+
+
+def match_topk_batch(
+    index: InvertedIndex,
+    field: str,
+    queries: list[list[str]],
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    params: BM25Params | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k BM25 for MANY analyzed queries in ONE Spark job.
+
+    Per-query results are identical to ``match_topk`` (same scorer
+    code, parity-tested) but the physical plan amortizes everything
+    that is per-JOB in the one-at-a-time path: ONE term-dict stats
+    lookup for the union of query terms, ONE postings scan with a
+    pushed ``In(term, ...)`` filter, ONE applyInPandas pass in which
+    each partition splits its blocks by term once and scores every
+    query against the shared split, then ONE per-query window top-k
+    over the (n_shards x Q x k)-row local results.
+
+    This is the throughput shape for a query STREAM at cluster scale —
+    the reference's `_msearch` endpoint batches searches into one
+    round trip for the same reason (action/search/
+    TransportMultiSearchAction.java batches per-node shard requests);
+    here the batching also turns Q scheduler round-trips into one job
+    whose tasks each carry Q queries' worth of CPU work, which is what
+    lets query throughput scale with executors instead of being capped
+    by driver/scheduler fixed costs.
+
+    Returns DataFrame(query_id int, doc_id long, score double,
+    matched int): top-k per query_id (the position of the query in
+    ``queries``), ordered within each query by (score desc, doc_id
+    asc). Queries with no indexed terms simply emit no rows.
+    """
+    params = params or BM25Params()
+    spark = index.spark
+    coll = index.collection_stats().get(field)
+    if coll is None or not coll["n_docs"]:
+        return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
+    n_docs, avgdl = coll["n_docs"], coll["avgdl"]
+    union_terms = sorted({t for q in queries for t in q})
+    rows = index.term_stats(field, union_terms)
+    by_row = {r["term"]: r for r in rows}
+    scorers: list[tuple[int, object]] = []
+    known_terms: set[str] = set()
+    for qid, qterms in enumerate(queries):
+        stats = _stats_from_rows(qterms, by_row, n_docs, avgdl, params)
+        if not stats or (
+            operator == "and" and len(stats) < len(set(qterms))
+        ):
+            continue
+        scorers.append((qid, _make_scorer(
+            stats, avgdl, params, k, operator, minimum_should_match, prune
+        )))
+        known_terms.update(s.term for s in stats)
+    if not scorers:
+        return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
+    blocks = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(sorted(known_terms))
+    ).select("part_id", "term", "doc_ids", "tfs", "dls",
+             "max_tf", "min_dl", "first_doc", "last_doc")
+
+    def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = dict(tuple(pdf.groupby("term", sort=False)))
+        outs = []
+        for qid, sc in scorers:
+            res = sc.with_allowed(by_term, None)
+            if not res.empty:
+                res.insert(0, "query_id", np.int32(qid))
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+                "matched": pd.Series([], dtype="int32"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    local = blocks.groupBy("part_id").applyInPandas(
+        score_batch, schema=BATCH_TOPK_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k).drop("_rn")
+    )
 
 
 def phrase_topk(

@@ -101,6 +101,32 @@ def test_prune_equals_exhaustive(index):
         ]
 
 
+def test_batch_matches_single_query_path(index):
+    """match_topk_batch == per-query match_topk for every slot (one
+    scan + one applyInPandas for the whole batch vs Q separate jobs)."""
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.search.executor import match_topk_batch
+
+    queries = [
+        "import return def",
+        "public class void static",
+        "read_buf_cfg",
+        "zzznonexistent",
+        "import",
+    ]
+    term_lists = [[t for t, _ in analyze(q, "code")] for q in queries]
+    batch = match_topk_batch(index, "content", term_lists, k=10).collect()
+    by_slot: dict[int, list] = {}
+    for r in batch:
+        by_slot.setdefault(r["query_id"], []).append(r)
+    for qid, terms in enumerate(term_lists):
+        single = match_topk(index, "content", terms, k=10).collect()
+        got = by_slot.get(qid, [])
+        assert [(r["doc_id"], round(r["score"], 9), r["matched"]) for r in got] == [
+            (r["doc_id"], round(r["score"], 9), r["matched"]) for r in single
+        ], f"slot {qid} diverged"
+
+
 def test_doc_stats_and_collection_stats(index, corpus_docs):
     from elasticsearch_spark.analysis import ANALYZERS
 

