@@ -2609,6 +2609,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["histogram_field_pct"] = histogram_field_q
 
+    # -- flattened field (server/.../mapper/flattened/
+    #    FlattenedFieldMapper.java): whole-JSON-object keyed pairs;
+    #    the nested object is built from event columns so both engines
+    #    see the identical JSON
+
+    def _flattened_pairs(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search import flattened as fl
+
+        ev = _t(s, d, "events")
+        j = F.concat(F.lit('{"et":"'), F.col("event_type"),
+                     F.lit('","nest":'), F.col("props"), F.lit("}"))
+        return ev.select("event_id", fl.flattened(j).alias("f"))
+
+    def flattened_keyed_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search import flattened as fl
+
+        df = _flattened_pairs(s, d)
+        return (df.where(fl.keyed_term("f", "nest.k", "12"))
+                .select("event_id",
+                        fl.keyed_value("f", "et").alias("et"))
+                .orderBy("event_id"))
+
+    q["flattened_keyed_term"] = flattened_keyed_q
+
+    def flattened_terms_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search import flattened as fl
+
+        df = _flattened_pairs(s, d)
+        # root term "7" matches ANY leaf — here only nest.k can be "7"
+        return fl.keyed_terms_agg(
+            df.where(fl.root_term("f", "7")), "f", "et", size=10)
+
+    q["flattened_terms_agg"] = flattened_terms_q
+
+    # -- _msearch as ONE job: the batched scorer shares the postings
+    #    scan and per-partition term split across every slot
+
+    def msearch_batch_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import match_topk_batch
+
+        idx = _doc_index(s, d)
+        tls = [[t for t, _ in analyze(x, "ascii_word")]
+               for x in ("table scan", "window merge", "spark query data")]
+        out = match_topk_batch(idx, "text", tls, k=5, params=_EXACT)
+        return out.select("query_id", "doc_id",
+                          F.round("score", 4).alias("score"))
+
+    q["msearch_batch"] = msearch_batch_q
+
     return _rotate_checked(q)
 
 
@@ -4724,6 +4773,46 @@ SELECT doc_id, lang, n_chars
 FROM documents
 WHERE lang = 'en' AND n_chars >= 300 AND n_chars <= 900
 ORDER BY doc_id ASC LIMIT 200
+"""
+
+    # flattened field: keyed term on nest.k + doc-values read of et;
+    # the JSON object is {"et": event_type, "nest": props}
+    o["flattened_keyed_term"] = """
+SELECT event_id, event_type AS et
+FROM events
+WHERE json_extract_string(props, '$.k') = '12'
+ORDER BY event_id
+"""
+
+    # flattened root term "7" can only hit the nest.k leaf; terms agg
+    # on the et leaf path over the matching docs
+    o["flattened_terms_agg"] = """
+SELECT event_type AS value, count(*)::BIGINT AS doc_count
+FROM events
+WHERE json_extract_string(props, '$.k') = '7' OR event_type = '7'
+GROUP BY event_type
+ORDER BY doc_count DESC, value ASC
+LIMIT 10
+"""
+
+    from elasticsearch_spark.oracle.sql_oracle import bm25_ctes as _bctes
+
+    _mb = [[t for t, _ in analyze(x, "ascii_word")]
+           for x in ("table scan", "window merge", "spark query data")]
+    o["msearch_batch"] = f"""
+WITH {_bctes(_mb[0], prefix="a_")},
+{_bctes(_mb[1], prefix="b_")},
+{_bctes(_mb[2], prefix="c_")},
+ta AS (SELECT 0 AS query_id, doc_id, round(score, 4) AS score
+       FROM a_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5),
+tb AS (SELECT 1 AS query_id, doc_id, round(score, 4) AS score
+       FROM b_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5),
+tc AS (SELECT 2 AS query_id, doc_id, round(score, 4) AS score
+       FROM c_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT * FROM ta UNION ALL SELECT * FROM tb UNION ALL SELECT * FROM tc
 """
 
     return _rotate_checked(o)
