@@ -2658,6 +2658,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["msearch_batch"] = msearch_batch_q
 
+    # -- token_count field (mapper-extras TokenCountFieldMapper):
+    #    index-time analyzed-token count, range-queried like any int
+
+    def token_count_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.fields import token_count_field
+
+        docs = _t(s, d, "documents")
+        tc = docs.select(
+            "doc_id", token_count_field("text", "ascii_word").alias("n_tokens"))
+        return (tc.where((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 25))
+                .orderBy("doc_id"))
+
+    q["token_count_range"] = token_count_q
+
+    # -- rank_features field (mapper-extras RankFeaturesFieldMapper):
+    #    sparse feature map, per-feature saturation scoring, top-k
+
+    def rank_features_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import rank_features_score
+
+        ev = _t(s, d, "events")
+        feats = ev.select(
+            "event_id",
+            F.create_map(
+                F.lit("engagement"), F.col("value").cast("double"),
+                F.lit("spam"),
+                F.get_json_object("props", "$.k").cast("double"),
+            ).alias("feats"))
+        scored = feats.select(
+            "event_id",
+            (rank_features_score("feats", "engagement",
+                                 saturation_pivot=50.0)
+             + rank_features_score("feats", "spam",
+                                   positive_score_impact=False,
+                                   saturation_pivot=10.0)).alias("score"))
+        return (scored.where(F.col("score").isNotNull())
+                .select("event_id", F.round("score", 6).alias("score"))
+                .orderBy(F.desc("score"), F.asc("event_id")).limit(20))
+
+    q["rank_features_topk"] = rank_features_q
+
     return _rotate_checked(q)
 
 
@@ -4813,6 +4854,27 @@ tc AS (SELECT 2 AS query_id, doc_id, round(score, 4) AS score
        FROM c_scored WHERE matched >= 1
        ORDER BY score DESC, doc_id ASC LIMIT 5)
 SELECT * FROM ta UNION ALL SELECT * FROM tb UNION ALL SELECT * FROM tc
+"""
+
+    # token_count over the ascii_word analyzer == the SQL twin tokenizer
+    o["token_count_range"] = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::INT AS n_tokens
+FROM documents
+WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) BETWEEN 20 AND 25
+ORDER BY doc_id
+"""
+
+    # rank_features: saturation on engagement + negative-impact spam
+    o["rank_features_topk"] = """
+SELECT event_id,
+       round(value / (value + 50.0)
+             + 10.0 / (json_extract_string(props, '$.k')::DOUBLE + 10.0),
+             6) AS score
+FROM events
+WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+ORDER BY score DESC, event_id ASC
+LIMIT 20
 """
 
     return _rotate_checked(o)

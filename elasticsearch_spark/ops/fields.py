@@ -32,6 +32,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 TWO_POW_64 = 18446744073709551616  # 2**64
@@ -198,3 +199,51 @@ def histogram_agg(
     pct = (cum.where(F.col("cum") >= F.lit(percentile) * F.col("total"))
            .groupBy(*group_cols).agg(F.min("v").alias("pct_v")))
     return base.join(pct, group_cols)
+
+
+# ---- token_count (modules/mapper-extras TokenCountFieldMapper) -------
+
+
+def token_count_field(
+    col: Column | str,
+    analyzer: str = "standard",
+    enable_position_increments: bool = True,
+    null_value: int | None = None,
+) -> Column:
+    """Index-time token count of an analyzed text field.
+
+    Reference: TokenCountFieldMapper.countPositions (mapper-extras,
+    TokenCountFieldMapper.java:141): the analyzer chain runs over the
+    value and position increments are summed, so stop-removed tokens
+    still count when ``enable_position_increments`` (gaps in the
+    position stream are counted via last-position+1; TRAILING removed
+    stopwords are not visible in the position list — documented
+    divergence, ES adds end-of-stream increments). With increments
+    disabled the count is the emitted-token count.
+
+    Vectorized: one Arrow batch per call, the same analyzer registry
+    the index builder uses — Zipf memoization in the code analyzers
+    applies here too.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _count(s: pd.Series) -> pd.Series:
+        from elasticsearch_spark.analysis import analyze
+
+        out = []
+        for v in s:
+            if v is None:
+                out.append(null_value)
+                continue
+            toks = analyze(v, analyzer)
+            if not toks:
+                out.append(0)
+            elif enable_position_increments:
+                out.append(toks[-1][1] + 1)
+            else:
+                out.append(len(toks))
+        return pd.Series(out, dtype="Int32")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)

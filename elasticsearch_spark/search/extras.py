@@ -386,6 +386,44 @@ def rank_feature_score(field: str, *, saturation_pivot: float | None = None,
     return F.lit(boost) * col / (col + F.lit(pivot))
 
 
+def rank_features_score(
+    map_col: Column | str,
+    feature: str,
+    *,
+    positive_score_impact: bool = True,
+    saturation_pivot: float = 1.0,
+    log_scaling_factor: float | None = None,
+    sigmoid: tuple[float, float] | None = None,
+    boost: float = 1.0,
+) -> Column:
+    """rank_feature query addressing one feature of a rank_features
+    field (mapper-extras RankFeaturesFieldMapper: the field is a sparse
+    feature->weight map; a rank_feature query targets ``field.feature``
+    with the same saturation/log/sigmoid scoring as rank_feature).
+
+    Spark shape: the rank_features field is a ``map<string,float>``
+    column; the lookup plus the scoring formula stay one Catalyst
+    expression. ``positive_score_impact=False`` flips saturation to
+    pivot/(x+pivot) (reference: negative-impact features store 1/x and
+    score with the positive formula — algebraically identical).
+    Docs missing the feature yield NULL (the query does not match
+    them) — filter ``.isNotNull()`` or coalesce per the bool context.
+    """
+    m = F.col(map_col) if isinstance(map_col, str) else map_col
+    x = F.try_element_at(m, F.lit(feature)).cast("double")
+    if log_scaling_factor is not None:
+        score = F.log(F.lit(log_scaling_factor) + x)
+    elif sigmoid is not None:
+        pivot, exp = sigmoid
+        xe = F.pow(x, F.lit(exp))
+        score = xe / (xe + F.lit(pivot ** exp))
+    elif positive_score_impact:
+        score = x / (x + F.lit(saturation_pivot))
+    else:
+        score = F.lit(saturation_pivot) / (x + F.lit(saturation_pivot))
+    return F.lit(boost) * score
+
+
 def distance_feature_score(field: str, origin: float, pivot: float,
                             boost: float = 1.0):
     """distance_feature query (DistanceFeatureQueryBuilder, reg.

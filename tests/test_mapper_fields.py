@@ -160,3 +160,52 @@ def test_histogram_field_agg_matches_raw(spark, li):
         if cum >= 0.5 * total:
             assert got[0]["pct_v"] == r["l_quantity"]
             break
+
+
+def test_token_count_field(spark):
+    from elasticsearch_spark.ops.fields import token_count_field
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a the an"), (3, ""), (4, None)],
+        "id int, t string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_field("t", "standard").alias("n")).collect()}
+    assert got == {1: 4, 2: 3, 3: 0, 4: None}
+    # stop analyzer drops "the"/"a" but position increments still count
+    # leading/inner gaps: "the quick brown fox" -> quick@1..fox@3 -> 4
+    inc = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_field("t", "stop").alias("n")).collect()}
+    assert inc[1] == 4
+    noinc = {r["id"]: r["n"] for r in df.select(
+        "id", token_count_field(
+            "t", "stop", enable_position_increments=False).alias("n")
+    ).collect()}
+    assert noinc[1] == 3
+    nv = df.select(token_count_field(
+        "t", "standard", null_value=7).alias("n")).collect()
+    assert {r["n"] for r in nv} == {4, 3, 0, 7}
+
+
+def test_rank_features_score(spark):
+    from elasticsearch_spark.search.extras import rank_features_score
+
+    df = spark.createDataFrame(
+        [(1, {"pagerank": 8.0, "spam": 4.0}),
+         (2, {"pagerank": 2.0}),
+         (3, {"spam": 1.0})],
+        "id int, feats map<string,float>")
+    sat = {r["id"]: r["s"] for r in df.select("id", rank_features_score(
+        "feats", "pagerank", saturation_pivot=2.0).alias("s")).collect()}
+    assert sat[1] == pytest.approx(8.0 / 10.0)
+    assert sat[2] == pytest.approx(2.0 / 4.0)
+    assert sat[3] is None  # missing feature -> no match
+    neg = {r["id"]: r["s"] for r in df.select("id", rank_features_score(
+        "feats", "spam", positive_score_impact=False,
+        saturation_pivot=2.0).alias("s")).collect()}
+    assert neg[1] == pytest.approx(2.0 / 6.0)
+    assert neg[3] == pytest.approx(2.0 / 3.0)
+    logd = df.select(rank_features_score(
+        "feats", "pagerank", log_scaling_factor=1.0).alias("s"))
+    import math
+    vals = {round(r["s"], 6) for r in logd.collect() if r["s"] is not None}
+    assert round(math.log(9.0), 6) in vals
