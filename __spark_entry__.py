@@ -2699,6 +2699,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_features_topk"] = rank_features_q
 
+    # -- watcher (x-pack/plugin/watcher): input search -> array_compare
+    #    condition over the agg buckets -> index-action alert rows
+
+    def watcher_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.watcher import Watch, compare, execute_watch
+
+        def input_fn(spark: SparkSession) -> DataFrame:
+            return (_t(spark, d, "events")
+                    .groupBy(F.date_trunc("day", "ts").alias("day"),
+                             "event_type")
+                    .agg(F.count("*").alias("doc_count"),
+                         F.round(F.avg("value"), 3).alias("avg_value")))
+
+        w = Watch("daily_spike", input_fn,
+                  compare("doc_count", "gte", 80), "some")
+        out = execute_watch(s, w)
+        return (out.select("watch_id",
+                           F.col("day").cast("date").cast("string")
+                           .alias("day"),
+                           "event_type", "doc_count", "avg_value")
+                .orderBy("day", "event_type"))
+
+    q["watcher_alerts"] = watcher_q
+
     return _rotate_checked(q)
 
 
@@ -4875,6 +4899,21 @@ FROM events
 WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
 ORDER BY score DESC, event_id ASC
 LIMIT 20
+"""
+
+    # watcher: agg-bucket payload, array_compare(some, doc_count>=80),
+    # index action = matching buckets tagged with the watch id
+    o["watcher_alerts"] = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         count(*)::BIGINT AS doc_count,
+         round(avg(value), 3) AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT 'daily_spike' AS watch_id, day::VARCHAR AS day, event_type,
+       doc_count, avg_value
+FROM b
+WHERE doc_count >= 80
+ORDER BY day, event_type
 """
 
     return _rotate_checked(o)

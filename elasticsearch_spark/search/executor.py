@@ -425,6 +425,16 @@ def match_topk(
         (F.col("field") == field) & F.col("term").isin(qterms)
     ).select("part_id", "term", "doc_ids", "tfs", "dls",
              "max_tf", "min_dl", "first_doc", "last_doc")
+    # Pin the scorer stage's parallelism to the SHARD count. The
+    # scoring applyInPandas is CPU-bound, not byte-bound: AQE's
+    # byte-targeted partition coalescing (64 MB advisory) would fuse
+    # these small-but-expensive groups into a few fat tasks and leave
+    # most cores idle (measured: 4.8/8 busy cores coalesced vs 7.4/8
+    # pinned, a 1.4x round-time win at local[8] / 500k docs —
+    # BENCH/BASELINE.md). An explicit repartition is exempt from AQE
+    # coalescing and satisfies the groupBy's required distribution, so
+    # the plan still carries exactly ONE exchange.
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
     scorer = _make_scorer(
         term_stats, avgdl, params, k, operator, minimum_should_match, prune
     )
@@ -552,6 +562,9 @@ def match_topk_batch(
         (F.col("field") == field) & F.col("term").isin(sorted(known_terms))
     ).select("part_id", "term", "doc_ids", "tfs", "dls",
              "max_tf", "min_dl", "first_doc", "last_doc")
+    # shard-count parallelism for the CPU-bound scorer stage (see
+    # match_topk: AQE byte-coalescing would serialize it)
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
 
     def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = dict(tuple(pdf.groupby("term", sort=False)))

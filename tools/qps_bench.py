@@ -138,19 +138,21 @@ def main() -> None:
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else lo * 4
     repeats = int(os.environ.get("QPS_REPEATS", "5"))
 
-    from elasticsearch_spark.corpus import generate_corpus
-    from elasticsearch_spark.index.builder import build_index
-    from elasticsearch_spark.session import get_spark
+    idx_dir = os.environ.get("QPS_IDX_DIR")  # reuse a prior build
+    if not idx_dir:
+        from elasticsearch_spark.corpus import generate_corpus
+        from elasticsearch_spark.index.builder import build_index
+        from elasticsearch_spark.session import get_spark
 
-    shards = max(32, n_docs // 8000)
-    spark = get_spark("qpsbuild", cores=16, shuffle_partitions=2 * shards)
-    corpus = generate_corpus(spark, n_docs, seed=42,
-                             partitions=2 * shards).cache()
-    idx_dir = tempfile.mkdtemp(prefix="qps_idx_")
-    build_index(corpus, idx_dir, fields={"content": "code"},
-                num_partitions=shards, id_cols=["repo", "path", "commit"],
-                input_snapshot="qps")
-    spark.stop()
+        shards = max(32, n_docs // 8000)
+        spark = get_spark("qpsbuild", cores=16, shuffle_partitions=2 * shards)
+        corpus = generate_corpus(spark, n_docs, seed=42,
+                                 partitions=2 * shards).cache()
+        idx_dir = tempfile.mkdtemp(prefix="qps_idx_")
+        build_index(corpus, idx_dir, fields={"content": "code"},
+                    num_partitions=shards, id_cols=["repo", "path", "commit"],
+                    input_snapshot="qps")
+        spark.stop()
 
     lo_vals, hi_vals = qps_interleaved(lo, hi, idx_dir, repeats)
     eff = max(hi_vals) / ((hi / lo) * max(lo_vals))
