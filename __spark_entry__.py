@@ -2723,6 +2723,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["watcher_alerts"] = watcher_q
 
+    # -- ML data-frame analytics outlier detection (x-pack/plugin/
+    #    core/.../dataframe/analyses/OutlierDetection.java): mean-kNN-
+    #    distance scores over the embedding table
+
+    def ml_outlier_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import outlier_detection
+
+        emb = _t(s, d, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias(
+                "embedding"))
+        out = outlier_detection(emb, n_neighbors=5, method="distance_knn")
+        return (out.select("vec_id",
+                           F.round("outlier_score", 6).alias("outlier_score"))
+                .orderBy(F.desc("outlier_score"), F.asc("vec_id")).limit(20))
+
+    q["ml_outlier_knn"] = ml_outlier_q
+
     return _rotate_checked(q)
 
 
@@ -4914,6 +4931,26 @@ SELECT 'daily_spike' AS watch_id, day::VARCHAR AS day, event_type,
 FROM b
 WHERE doc_count >= 80
 ORDER BY day, event_type
+"""
+
+    # outlier_detection distance_knn: mean distance to the 5 nearest
+    # neighbors, exact all-pairs at this scale
+    o["ml_outlier_knn"] = """
+WITH d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sqrt(list_sum(list_transform(
+           list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+           p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT ia, dist,
+         row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+  FROM d)
+SELECT ia AS vec_id, round(avg(dist), 6) AS outlier_score
+FROM r WHERE rn <= 5
+GROUP BY ia
+ORDER BY outlier_score DESC, vec_id ASC
+LIMIT 20
 """
 
     return _rotate_checked(o)

@@ -1,0 +1,158 @@
+"""ML data-frame analytics: outlier detection.
+
+Reference: x-pack/plugin/core/.../ml/dataframe/analyses/
+OutlierDetection.java (config: n_neighbors, method enum
+OutlierDetection.java:288-289 LOF | LDOF | DISTANCE_KTH_NN |
+DISTANCE_KNN) — the actual scoring runs in the reference's native
+analytics process, so the published method definitions are
+implemented here directly:
+
+  - distance_kth_nn   distance to the k-th nearest neighbor
+  - distance_knn      mean distance to the k nearest neighbors
+  - ldof              mean kNN distance / mean pairwise distance
+                      among the kNN set (Zhang et al. 2009)
+  - lof               classic local outlier factor (Breunig et al.
+                      2000): mean(lrd(neighbor)/lrd(x)) with
+                      reachability distances
+
+(The reference additionally ensemble-normalizes scores into [0,1]
+inside the native process; raw method scores are returned here and
+rank identically.)
+
+Spark shape — two strategies:
+
+  - ``broadcast`` (default): the (id, vector) matrix is collected once
+    (bounded by ``max_broadcast`` rows, raises beyond) and broadcast;
+    a mapInPandas pass then scores each partition's rows against the
+    full matrix with chunked numpy — O(N^2) total FLOPs spread across
+    the cluster, no driver-side loop, one job. Right whenever the
+    vector table fits a broadcast (tens of millions of rows of small
+    vectors).
+  - at 100 TB the corpus is NOT broadcastable: bucket candidates first
+    with the existing ANN machinery (ops/similarity.py hyperplane-LSH
+    or IVF), compute neighbor pairs within buckets, then aggregate
+    per-point scores over the pair table — the same aggregation this
+    module performs after its distance step. The broadcast strategy is
+    deliberately the exact-oracle path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+METHODS = ("distance_kth_nn", "distance_knn", "ldof", "lof")
+
+
+def _knn_of(chunk: np.ndarray, mat: np.ndarray, self_idx: np.ndarray | None,
+            k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k nearest neighbors of each chunk row against the full matrix.
+    Returns (dists[c,k], idx[c,k]) sorted ascending by distance with
+    index tie-break; self matches (exact id) are excluded."""
+    # (c, N) squared euclidean via the expansion trick, clipped for fp
+    d2 = (
+        (chunk * chunk).sum(axis=1)[:, None]
+        + (mat * mat).sum(axis=1)[None, :]
+        - 2.0 * chunk @ mat.T
+    )
+    np.clip(d2, 0.0, None, out=d2)
+    if self_idx is not None:
+        d2[np.arange(chunk.shape[0]), self_idx] = np.inf
+    # argsort on (distance, index) for deterministic ties
+    order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    rows = np.arange(chunk.shape[0])[:, None]
+    return np.sqrt(d2[rows, order]), order
+
+
+def outlier_detection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_neighbors: int = 5,
+    method: str = "distance_knn",
+    max_broadcast: int = 2_000_000,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Per-row outlier score. Returns DataFrame(id_col, outlier_score
+    double)."""
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}")
+    k = int(n_neighbors)
+    if k <= 0:
+        raise ValueError("n_neighbors must be a positive integer")
+    spark = df.sparkSession
+    head = df.select(id_col, vec_col).limit(max_broadcast + 1).toPandas()
+    if len(head) > max_broadcast:
+        raise ValueError(
+            "corpus exceeds max_broadcast; bucket candidates with "
+            "ops.similarity LSH/IVF first (see module docstring)")
+    ids = head[id_col].to_numpy()
+    mat = np.stack(head[vec_col].to_numpy()).astype(np.float64)
+    n = len(ids)
+    if k >= n:
+        raise ValueError("n_neighbors must be < corpus size")
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    # LOF needs every point's k-distance and lrd; both are global
+    # N-vectors computed once here (one more O(N^2/chunk) numpy sweep,
+    # still driver-free at execution: the arrays ride the broadcast).
+    if method == "lof":
+        kd = np.empty(n)
+        knn_d = np.empty((n, k))
+        knn_i = np.empty((n, k), dtype=np.int64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            d, o = _knn_of(mat[s:e], mat, np.arange(s, e), k)
+            knn_d[s:e], knn_i[s:e] = d, o
+            kd[s:e] = d[:, -1]
+        reach = np.maximum(knn_d, kd[knn_i])
+        lrd = 1.0 / np.maximum(reach.mean(axis=1), 1e-300)
+        bc = spark.sparkContext.broadcast((ids, mat, lrd, kd))
+
+    def score_part(batches):
+        if method == "lof":
+            b_ids, b_mat, b_lrd, b_kd = bc.value
+        else:
+            b_ids, b_mat = bc.value
+        lookup = {v: i for i, v in enumerate(b_ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_scores = [], []
+            for s in range(0, len(pdf), chunk):
+                part = pdf.iloc[s:s + chunk]
+                cids = part[id_col].to_numpy()
+                cvec = np.stack(part[vec_col].to_numpy()).astype(np.float64)
+                self_idx = np.array([lookup[v] for v in cids])
+                d, o = _knn_of(cvec, b_mat, self_idx, k)
+                if method == "distance_kth_nn":
+                    sc = d[:, -1]
+                elif method == "distance_knn":
+                    sc = d.mean(axis=1)
+                elif method == "ldof":
+                    inner = np.empty(len(cids))
+                    for j in range(len(cids)):
+                        nb = b_mat[o[j]]
+                        dd = np.sqrt(np.maximum(
+                            (nb * nb).sum(1)[:, None]
+                            + (nb * nb).sum(1)[None, :]
+                            - 2.0 * nb @ nb.T, 0.0))
+                        m = dd[np.triu_indices(k, 1)].mean() if k > 1 else 0.0
+                        inner[j] = max(m, 1e-300)
+                    sc = d.mean(axis=1) / inner
+                else:  # lof
+                    # reach(x, o) = max(d(x, o), kdist(o))
+                    reach_x = np.maximum(d, b_kd[o])
+                    lrd_x = 1.0 / np.maximum(reach_x.mean(axis=1), 1e-300)
+                    sc = b_lrd[o].mean(axis=1) / lrd_x
+                out_ids.append(cids)
+                out_scores.append(sc)
+            yield pd.DataFrame({
+                id_col: np.concatenate(out_ids),
+                "outlier_score": np.concatenate(out_scores),
+            })
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        score_part, schema=f"{id_col} {id_type}, outlier_score double")
