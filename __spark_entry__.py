@@ -2740,6 +2740,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_outlier_knn"] = ml_outlier_q
 
+    # -- trained-model tree-ensemble inference (x-pack/plugin/core/
+    #    .../inference/trainedmodel/ensemble/Ensemble.java): the model
+    #    folds into CASE WHEN codegen; bucketized predictions
+
+    def ml_tree_infer_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import ensemble_infer
+
+        model = {
+            "trained_models": [
+                {"nodes": [
+                    {"node_index": 0, "split_feature": 0,
+                     "threshold": 100.0, "left_child": 1, "right_child": 2},
+                    {"leaf_value": 1.0},
+                    {"node_index": 2, "split_feature": 1,
+                     "threshold": 50.0, "left_child": 3, "right_child": 4},
+                    {"leaf_value": 2.0},
+                    {"leaf_value": 3.0},
+                ]},
+                {"nodes": [
+                    {"node_index": 0, "split_feature": 1,
+                     "threshold": 25.0, "left_child": 1, "right_child": 2,
+                     "default_left": False},
+                    {"leaf_value": 10.0},
+                    {"leaf_value": 20.0},
+                ]},
+            ],
+            "aggregate_output": {"weighted_sum": {"weights": [0.5, 1.0]}},
+        }
+        ev = _t(s, d, "events").select(
+            F.col("value").alias("f0"),
+            F.get_json_object("props", "$.k").cast("double").alias("f1"))
+        pred = ensemble_infer(model, ["f0", "f1"])["predicted_value"]
+        return (ev.select(pred.alias("predicted_value"))
+                .groupBy("predicted_value")
+                .agg(F.count("*").alias("n"))
+                .orderBy("predicted_value"))
+
+    q["ml_tree_infer"] = ml_tree_infer_q
+
     return _rotate_checked(q)
 
 
@@ -4951,6 +4990,19 @@ FROM r WHERE rn <= 5
 GROUP BY ia
 ORDER BY outlier_score DESC, vec_id ASC
 LIMIT 20
+"""
+
+    # tree-ensemble inference restated as the same CASE WHEN algebra
+    o["ml_tree_infer"] = """
+SELECT p AS predicted_value, count(*)::BIGINT AS n
+FROM (
+  SELECT 0.5 * (CASE WHEN value < 100.0 THEN 1.0
+                     WHEN json_extract_string(props, '$.k')::DOUBLE < 50.0
+                       THEN 2.0 ELSE 3.0 END)
+       + 1.0 * (CASE WHEN json_extract_string(props, '$.k')::DOUBLE < 25.0
+                       THEN 10.0 ELSE 20.0 END) AS p
+  FROM events)
+GROUP BY p ORDER BY p
 """
 
     return _rotate_checked(o)

@@ -156,3 +156,113 @@ def outlier_detection(
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
         score_part, schema=f"{id_col} {id_type}, outlier_score double")
+
+
+# ---- trained-model inference: tree ensembles --------------------------
+
+
+def compile_tree(nodes: list[dict], feature_cols: list[str]):
+    """Compile one decision tree to a single Catalyst expression.
+
+    Reference model format: x-pack/plugin/core/.../ml/inference/
+    trainedmodel/tree/ (Tree.java / TreeNode.java): nodes hold
+    ``split_feature`` (index into the feature list), ``threshold``,
+    ``left_child``/``right_child`` (< goes left), ``default_left``
+    (null routing), leaves hold ``leaf_value``.
+
+    Spark shape: the tree folds into nested CASE WHEN — the whole
+    ensemble evaluates inside whole-stage codegen with zero Python and
+    zero shuffles, the exact analogue of the reference evaluating a
+    loaded model node-locally per doc (InferenceProcessor.java).
+    """
+
+    def build(i: int):
+        node = nodes[i]
+        if "leaf_value" in node:
+            return F.lit(float(node["leaf_value"]))
+        feat = F.col(feature_cols[int(node["split_feature"])]).cast("double")
+        thr = F.lit(float(node["threshold"]))
+        left = build(int(node["left_child"]))
+        right = build(int(node["right_child"]))
+        default = left if node.get("default_left", True) else right
+        return (
+            F.when(feat.isNull(), default)
+            .when(feat < thr, left)
+            .otherwise(right)
+        )
+
+    return build(0)
+
+
+def ensemble_infer(
+    model: dict,
+    feature_cols: list[str],
+    classification_labels: list[str] | None = None,
+):
+    """Tree-ensemble inference column(s).
+
+    ``model``: {"trained_models": [{"nodes": [...]}, ...],
+    "aggregate_output": one of
+      {"weighted_sum": {"weights": [...]}}          (regression)
+      {"exponent": {"weights": [...]}}              (regression)
+      {"logistic_regression": {"weights": [...]}}   (binary classes)
+      {"weighted_mode": {"weights": [...], "num_classes": C}}
+    } — mirroring Ensemble.java's output aggregators (ensemble/
+    WeightedSum.java, Exponent.java, LogisticRegression.java,
+    WeightedMode.java).
+
+    Returns a dict of named Columns: ``predicted_value`` always;
+    ``prediction_probability`` for classification outputs.
+    """
+    trees = [compile_tree(t["nodes"], feature_cols)
+             for t in model["trained_models"]]
+    agg = model["aggregate_output"]
+    kind, cfg = next(iter(agg.items()))
+    weights = [float(w) for w in cfg.get(
+        "weights", [1.0] * len(trees))]
+    if len(weights) != len(trees):
+        raise ValueError("one weight per tree required")
+    wsum = None
+    for t, w in zip(trees, weights):
+        term = t * F.lit(w)
+        wsum = term if wsum is None else wsum + term
+    if kind == "weighted_sum":
+        return {"predicted_value": wsum}
+    if kind == "exponent":
+        return {"predicted_value": F.exp(wsum)}
+    if kind == "logistic_regression":
+        prob1 = F.lit(1.0) / (F.lit(1.0) + F.exp(-wsum))
+        labels = classification_labels or ["false", "true"]
+        pred = F.when(prob1 >= 0.5, F.lit(labels[1])) \
+            .otherwise(F.lit(labels[0]))
+        return {"predicted_value": pred,
+                "prediction_probability": F.greatest(
+                    prob1, F.lit(1.0) - prob1)}
+    if kind == "weighted_mode":
+        n_classes = int(cfg["num_classes"])
+        votes = []
+        for c in range(n_classes):
+            v = None
+            for t, w in zip(trees, weights):
+                term = F.when(t.cast("int") == c, F.lit(w)) \
+                    .otherwise(F.lit(0.0))
+                v = term if v is None else v + term
+            votes.append(v)
+        arr = F.array(*votes)
+        best = F.array_max(arr)
+        # first class index reaching the max vote (deterministic ties):
+        # a reversed WHEN chain leaves the LOWEST matching index on top
+        idx = None
+        for c in reversed(range(n_classes)):
+            cond = votes[c] == best
+            idx = F.when(cond, F.lit(c)) if idx is None else \
+                F.when(cond, F.lit(c)).otherwise(idx)
+        total = None
+        for v in votes:
+            total = v if total is None else total + v
+        labels = classification_labels
+        pv = idx if labels is None else F.element_at(
+            F.array(*[F.lit(x) for x in labels]), idx + 1)
+        return {"predicted_value": pv,
+                "prediction_probability": best / total}
+    raise ValueError(f"unknown aggregate_output {kind!r}")

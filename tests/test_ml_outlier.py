@@ -80,3 +80,99 @@ def test_validation(data, spark):
         outlier_detection(df, n_neighbors=80)  # k >= corpus size
     with pytest.raises(ValueError):
         outlier_detection(df, max_broadcast=10)
+
+
+# ---- tree-ensemble inference ------------------------------------------
+
+TREE_A = {"nodes": [
+    {"node_index": 0, "split_feature": 0, "threshold": 2.0,
+     "left_child": 1, "right_child": 2, "default_left": True},
+    {"leaf_value": 1.0},
+    {"node_index": 2, "split_feature": 1, "threshold": 5.0,
+     "left_child": 3, "right_child": 4},
+    {"leaf_value": 2.0},
+    {"leaf_value": 3.0},
+]}
+TREE_B = {"nodes": [
+    {"node_index": 0, "split_feature": 1, "threshold": 4.0,
+     "left_child": 1, "right_child": 2, "default_left": False},
+    {"leaf_value": 10.0},
+    {"leaf_value": 20.0},
+]}
+
+
+@pytest.fixture(scope="module")
+def feat_df(spark):
+    return spark.createDataFrame(
+        [(1, 1.0, 3.0), (2, 3.0, 3.0), (3, 3.0, 7.0), (4, None, 6.0)],
+        "id int, f0 double, f1 double")
+
+
+def test_tree_weighted_sum(spark, feat_df):
+    from elasticsearch_spark.ops.ml import ensemble_infer
+
+    model = {"trained_models": [TREE_A, TREE_B],
+             "aggregate_output": {"weighted_sum": {"weights": [0.5, 1.0]}}}
+    out = ensemble_infer(model, ["f0", "f1"])
+    got = {r["id"]: r["p"] for r in feat_df.select(
+        "id", out["predicted_value"].alias("p")).collect()}
+    # id=1: A=1.0 (f0<2), B=10 (f1<4) -> 0.5+10; id=2: A: f0>=2,f1<5 -> 2, B=10
+    # id=3: A: f0>=2,f1>=5 -> 3, B: f1>=4 -> 20; id=4: f0 null -> default_left A=1, B: f1>=4 -> 20
+    assert got == {1: 10.5, 2: 11.0, 3: 21.5, 4: 20.5}
+
+
+def test_tree_logistic_and_exponent(spark, feat_df):
+    import math
+
+    from elasticsearch_spark.ops.ml import ensemble_infer
+
+    model = {"trained_models": [TREE_A],
+             "aggregate_output": {"logistic_regression": {"weights": [1.0]}}}
+    out = ensemble_infer(model, ["f0", "f1"],
+                         classification_labels=["lo", "hi"])
+    r1 = feat_df.where("id = 1").select(
+        out["predicted_value"].alias("v"),
+        out["prediction_probability"].alias("p")).first()
+    p1 = 1.0 / (1.0 + math.exp(-1.0))
+    assert r1["v"] == "hi" and r1["p"] == pytest.approx(p1)
+    exp_model = {"trained_models": [TREE_A],
+                 "aggregate_output": {"exponent": {"weights": [1.0]}}}
+    got = feat_df.where("id = 3").select(ensemble_infer(
+        exp_model, ["f0", "f1"])["predicted_value"].alias("p")).first()
+    assert got["p"] == pytest.approx(math.exp(3.0))
+
+
+def test_tree_weighted_mode(spark):
+    from elasticsearch_spark.ops.ml import ensemble_infer
+
+    # three stumps voting classes {0,1}: class = f0 >= t for varied t
+    def stump(t, lo, hi):
+        return {"nodes": [
+            {"node_index": 0, "split_feature": 0, "threshold": t,
+             "left_child": 1, "right_child": 2},
+            {"leaf_value": lo}, {"leaf_value": hi}]}
+
+    model = {"trained_models": [stump(1.0, 0, 1), stump(2.0, 0, 1),
+                                stump(3.0, 0, 1)],
+             "aggregate_output": {"weighted_mode": {
+                 "weights": [1.0, 1.0, 1.0], "num_classes": 2}}}
+    df = spark.createDataFrame([(1, 0.5), (2, 2.5), (3, 9.0)],
+                               "id int, f0 double")
+    out = ensemble_infer(model, ["f0"], classification_labels=["no", "yes"])
+    got = {r["id"]: (r["v"], round(r["p"], 6)) for r in df.select(
+        "id", out["predicted_value"].alias("v"),
+        out["prediction_probability"].alias("p")).collect()}
+    assert got[1] == ("no", 1.0)       # 0 votes yes
+    assert got[2] == ("yes", round(2 / 3, 6))  # 2 of 3 vote yes
+    assert got[3] == ("yes", 1.0)
+
+
+def test_tree_plan_is_codegen_only(spark, feat_df):
+    from elasticsearch_spark.ops.ml import ensemble_infer
+
+    model = {"trained_models": [TREE_A, TREE_B],
+             "aggregate_output": {"weighted_sum": {}}}
+    out = feat_df.select(ensemble_infer(
+        model, ["f0", "f1"])["predicted_value"].alias("p"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
