@@ -52,6 +52,9 @@ def ingest_batch(
     the streaming checkpoint commit) rewrites that directory instead of
     appending a duplicate segment — df/tf/n_docs can never inflate.
     The batch manifest is observability only, not a correctness gate."""
+    from elasticsearch_spark.ops.ccr import assert_writable
+
+    assert_writable(index_dir)
     docs = batch_df.withColumn(
         "part_id",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)).cast("int"),
@@ -151,6 +154,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     cleanup, not a correctness step."""
     from elasticsearch_spark.search.executor import decoded_postings
     from elasticsearch_spark.index.builder import InvertedIndex
+    from elasticsearch_spark.ops.ccr import assert_writable
+
+    assert_writable(index_dir)
 
     idx = InvertedIndex(index_dir, spark)
     meta = index_meta(index_dir)
