@@ -164,7 +164,7 @@ def main() -> None:
     }
     print(json.dumps(out))
     proto = (
-        "each sample is a fresh JVM running 3 batched rounds of the "
+        "each sample is a fresh JVM running 2 batched rounds of the "
         "same 60 queries through match_topk_batch — one job per round, "
         "every task scores all 60 queries"
         if MODE == "batch" else
