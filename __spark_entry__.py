@@ -2779,6 +2779,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_tree_infer"] = ml_tree_infer_q
 
+    # -- _termvectors (server/.../action/termvectors/
+    #    TermVectorsService.java): one doc's (term, term_freq,
+    #    positions) — part_id + block-range pruned single-doc lookup
+
+    def termvectors_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import termvectors
+
+        idx = _doc_index(s, d)
+        return termvectors(idx, "text", 42).select(
+            "term", "term_freq", "positions")
+
+    q["termvectors"] = termvectors_q
+
+    # -- significance heuristics beyond JLH (SearchModule.java:711-714)
+
+    def sig_chi2_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import significant_terms
+
+        docs = _t(s, d, "documents")
+        out = significant_terms(
+            docs, "lang", F.col("n_chars") >= 300, size=10,
+            min_doc_count=3, heuristic="chi_square",
+            include_negatives=True)
+        return out.select("term", "fg_count", "bg_count",
+                          F.round("score", 6).alias("score"))
+
+    q["significant_terms_chi2"] = sig_chi2_q
+
+    def sig_pct_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import significant_terms
+
+        docs = _t(s, d, "documents")
+        out = significant_terms(
+            docs, "source", F.col("lang") == "en", size=10,
+            min_doc_count=3, heuristic="percentage")
+        return out.select("term", "fg_count", "bg_count",
+                          F.round("score", 6).alias("score"))
+
+    q["significant_terms_pct"] = sig_pct_q
+
     return _rotate_checked(q)
 
 
@@ -5003,6 +5043,56 @@ FROM (
                        THEN 10.0 ELSE 20.0 END) AS p
   FROM events)
 GROUP BY p ORDER BY p
+"""
+
+    # _termvectors: re-tokenize doc 42 with the same ascii_word twin,
+    # positions are 0-based emission order
+    o["termvectors"] = """
+WITH toks AS (
+  SELECT unnest(ts) AS term, unnest(range(0, len(ts))) AS pos
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+        FROM documents WHERE doc_id = 42))
+SELECT term, count(*)::INT AS term_freq,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM toks GROUP BY term ORDER BY term
+"""
+
+    # chi_square significance (background_is_superset contingency),
+    # identical association order to the Spark expression
+    o["significant_terms_chi2"] = """
+WITH t AS (
+  SELECT lang AS term,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::DOUBLE AS fg,
+         count(*)::DOUBLE AS bg
+  FROM documents GROUP BY lang),
+g AS (
+  SELECT count(*)::DOUBLE AS n_all,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::DOUBLE AS n_fg
+  FROM documents)
+SELECT term, fg::BIGINT AS fg_count, bg::BIGINT AS bg_count,
+       round(n_all
+             * (fg * (n_all - bg - (n_fg - fg)) - (n_fg - fg) * (bg - fg))
+             * (fg * (n_all - bg - (n_fg - fg)) - (n_fg - fg) * (bg - fg))
+             / (n_fg * bg * (n_all - bg) * (n_all - n_fg)), 6) AS score
+FROM t, g
+WHERE fg >= 3 AND bg > 0
+ORDER BY score DESC, term ASC
+LIMIT 10
+"""
+
+    # percentage significance: subsetFreq / supersetFreq
+    o["significant_terms_pct"] = """
+WITH t AS (
+  SELECT source AS term,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS fg,
+         count(*)::DOUBLE AS bg
+  FROM documents GROUP BY source)
+SELECT term, fg::BIGINT AS fg_count, bg::BIGINT AS bg_count,
+       round(fg / bg, 6) AS score
+FROM t
+WHERE fg >= 3 AND bg > 0
+ORDER BY score DESC, term ASC
+LIMIT 10
 """
 
     return _rotate_checked(o)

@@ -27,6 +27,7 @@ HEADLINE = [
     "match_and",
     "match_phrase",
     "match_k50",
+    "msearch_batch",
     "bool_match_filter",
     "agg_terms_metrics",
     "agg_date_histogram",

@@ -228,3 +228,28 @@ def terms_lookup(
     decides)."""
     keys = lookup.select(F.col(lookup_field).alias("_lk")).distinct()
     return df.join(keys, df[field] == keys["_lk"], "left_semi")
+
+
+def validate_query(
+    df: DataFrame, query: dict[str, Any], id_col: str = "doc_id",
+    explain: bool = False,
+) -> dict[str, Any]:
+    """_validate/query API (server/.../action/admin/indices/validate/
+    query/TransportValidateQueryAction.java): compile the DSL without
+    executing it; return {"valid": bool} plus, with ``explain``, either
+    the rewritten query (here: the optimized Catalyst plan for the
+    compiled predicate — the engine's canonical rewrite) or the parse
+    error message. Zero jobs run either way."""
+    try:
+        pred = compile_filter(query, id_col=id_col)
+    except Exception as e:  # noqa: BLE001 - the API reports any parse error
+        out: dict[str, Any] = {"valid": False}
+        if explain:
+            out["error"] = f"{type(e).__name__}: {e}"
+        return out
+    out = {"valid": True}
+    if explain:
+        out["explanation"] = (
+            df.where(pred)._jdf.queryExecution().optimizedPlan().toString()
+        )
+    return out

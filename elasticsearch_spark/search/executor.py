@@ -813,18 +813,37 @@ def decoded_postings(
     field: str,
     terms: list[str] | None = None,
     with_positions: bool = False,
+    doc_id: int | None = None,
 ) -> DataFrame:
     """Decode posting blocks back to rows (part_id, term, doc_id, tf, dl
     [, positions]).
 
     Debug/verification path and building block for non-top-k operators
-    (more_like_this term vectors, significant_text, segment compaction).
+    (more_like_this term vectors, significant_text, segment compaction,
+    the _termvectors API).
+
+    ``doc_id`` prunes BEFORE decode: the doc's shard is known from the
+    builder's hash routing (one part_id survives the scan filter) and
+    blocks whose [first_doc, last_doc] range excludes the id are never
+    read — a single-doc lookup touches a handful of blocks, not the
+    index. Rows of other docs sharing those blocks still decode;
+    callers filter the exact id.
     """
     blocks = index.postings.filter(
         (F.col("field") == field) & F.col("term").isNotNull()
     )
     if terms is not None:
         blocks = blocks.filter(F.col("term").isin(terms))
+    if doc_id is not None:
+        part_expr = F.pmod(
+            F.xxhash64(F.lit(int(doc_id)).cast("long")),
+            F.lit(index.num_partitions()),
+        ).cast("int")
+        blocks = blocks.filter(
+            (F.col("part_id") == part_expr)
+            & (F.col("first_doc") <= int(doc_id))
+            & (F.col("last_doc") >= int(doc_id))
+        )
     cols = ["part_id", "term", "n", "doc_ids", "tfs", "dls"]
     if with_positions:
         cols.append("positions")

@@ -739,12 +739,31 @@ def significant_terms(
     size: int = 10,
     min_doc_count: int = 3,
     background_filter=None,
+    heuristic: str = "jlh",
+    include_negatives: bool = False,
 ) -> DataFrame:
     """significant_terms over a keyword field (SearchModule.java:400):
-    values over-represented in the foreground vs the background, JLH
-    heuristic — the keyword sibling of significant_text.
+    values over-represented in the foreground vs the background.
     ``background_filter`` narrows the background set (the reference's
-    background_filter option); default is the whole table."""
+    background_filter option); default is the whole table.
+
+    ``heuristic``: "jlh" (default, integer-exact rational — see
+    _rank_jlh) or one of the other registered significance heuristics
+    (SearchModule.java:711-714, all with background_is_superset
+    semantics over the N11/N01/N10/N00 contingency of
+    NXYSignificanceHeuristic.computeNxys):
+
+      - "chi_square"          N * (N11*N00 - N01*N10)^2 / (N_1*N1_*N0_*N_0)
+                              (ChiSquare.java:65; include_negatives
+                              drops under-represented terms)
+      - "mutual_information"  sum of the four Nxy MI terms / ln 2
+                              (MutualInformation.java:61-96)
+      - "gnd"                 exp(-(max(ln fx, ln fy) - ln fxy) /
+                              (ln N - min(ln fx, ln fy)))
+                              (GND.java:68-89)
+      - "percentage"          subsetFreq / supersetFreq
+                              (PercentageScore.java:64-71)
+    """
     bg = F.lit(True) if background_filter is None else background_filter
     totals = df.select(
         F.sum(bg.cast("long")).alias("n_all"),
@@ -755,7 +774,67 @@ def significant_terms(
         F.sum(fg_filter.cast("long")).alias("fg_count"),
         F.sum(bg.cast("long")).alias("bg_count"),
     )
-    return _rank_jlh(counts, n_all, n_fg, min_doc_count, size)
+    if heuristic == "jlh":
+        return _rank_jlh(counts, n_all, n_fg, min_doc_count, size)
+    return _rank_nxy(counts, n_all, n_fg, min_doc_count, size,
+                     heuristic, include_negatives)
+
+
+def _rank_nxy(counts: DataFrame, n_all: int, n_fg: int,
+              min_doc_count: int, size: int, heuristic: str,
+              include_negatives: bool) -> DataFrame:
+    """The non-JLH significance heuristics as Catalyst expressions over
+    the background-is-superset contingency (computeNxys):
+    N11=fg, N01=n_fg-fg, N10=bg-fg, N00=n_all-bg-(n_fg-fg),
+    N1_=bg, N_1=n_fg, N0_=n_all-bg, N_0=n_all-n_fg, N=n_all."""
+    fg = F.col("fg_count").cast("double")
+    bg = F.col("bg_count").cast("double")
+    n11, n01, n10 = fg, F.lit(float(n_fg)) - fg, bg - fg
+    n00 = F.lit(float(n_all)) - bg - (F.lit(float(n_fg)) - fg)
+    n1_, n_1 = bg, F.lit(float(n_fg))
+    n0_, n_0 = F.lit(float(n_all)) - bg, F.lit(float(n_all - n_fg))
+    n = F.lit(float(n_all))
+    if heuristic == "chi_square":
+        # square spelled d*d (not pow): correctly-rounded IEEE ops in
+        # the same association order on any engine
+        diff = n11 * n00 - n01 * n10
+        score = n * diff * diff / (n_1 * n1_ * n0_ * n_0)
+    elif heuristic == "mutual_information":
+        def mi_term(nxy, nx_, n_y):
+            # MutualInformation.getMITerm: 0 when Nxy ~ 0 (0*log0)
+            return F.when(
+                nxy < F.lit(1e-7),
+                F.lit(0.0),
+            ).otherwise((nxy / n) * F.log((n * nxy) / (nx_ * n_y)))
+
+        score = (mi_term(n00, n0_, n_0) + mi_term(n01, n0_, n_1)
+                 + mi_term(n10, n1_, n_0) + mi_term(n11, n1_, n_1)
+                 ) / F.lit(math.log(2.0))
+    elif heuristic == "gnd":
+        raw = (F.greatest(F.log(n1_), F.log(n_1)) - F.log(n11)) / (
+            F.log(n) - F.least(F.log(n1_), F.log(n_1)))
+        score = (
+            F.when(n11 == 0, F.lit(0.0))
+            .when((n1_ == n_1) & (n1_ == n11), F.lit(1.0))
+            .otherwise(F.exp(F.lit(-1.0) * raw))
+        )
+    elif heuristic == "percentage":
+        score = F.when(bg == 0, F.lit(0.0)).otherwise(fg / bg)
+    else:
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
+    out = counts.filter(
+        (F.col("fg_count") >= min_doc_count) & (F.col("bg_count") > 0)
+    )
+    if not include_negatives and heuristic in (
+            "chi_square", "mutual_information"):
+        # drop terms whose in-class rate is below their out-of-class
+        # rate (the reference returns -inf for them)
+        out = out.filter(n11 / n_1 >= n10 / n_0)
+    return (
+        out.withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
 
 
 def _rank_jlh(counts: DataFrame, n_all: int, n_fg: int,
@@ -926,3 +1005,45 @@ def script_fields(hits: DataFrame, fields: dict[str, Any]) -> DataFrame:
         col = F.expr(expr) if isinstance(expr, str) else expr
         out = out.withColumn(name, col)
     return out
+
+
+def termvectors(
+    index: InvertedIndex,
+    field: str,
+    doc_id: int,
+    term_statistics: bool = False,
+) -> DataFrame:
+    """_termvectors API — the term vector of one stored document.
+
+    Reference: server/.../action/termvectors/TermVectorsService.java:
+    per (doc, field) return each term with its term_freq and positions;
+    with term_statistics=true also doc_freq and ttf from the term
+    dictionary (the same global stats the DFS phase reads).
+
+    Physical shape: the doc-hash routing pins ONE part_id and the
+    per-block [first_doc, last_doc] skip metadata prunes to the blocks
+    that can hold the doc — a single-doc lookup reads a handful of
+    blocks, never the index (see decoded_postings(doc_id=...)).
+    Positions are rendered as a comma-joined string (stable across
+    engines for the oracle hash).
+    """
+    from elasticsearch_spark.search.executor import decoded_postings
+
+    rows = decoded_postings(
+        index, field, with_positions=True, doc_id=int(doc_id)
+    ).where(F.col("doc_id") == int(doc_id))
+    out = rows.select(
+        "term",
+        F.col("tf").alias("term_freq"),
+        F.array_join(F.transform(
+            "positions", lambda p: p.cast("string")), ",").alias("positions"),
+    )
+    if term_statistics:
+        dict_rows = index.term_dict.filter(
+            F.col("field") == field
+        ).select("term", F.col("df").alias("doc_freq"),
+                 F.col("cf").alias("ttf"))
+        # the doc's term list is tiny; the dictionary side stays an
+        # ordinary (pushed-filter) scan feeding a broadcast-able join
+        out = out.join(dict_rows, "term", "left")
+    return out.orderBy("term")

@@ -297,3 +297,117 @@ def test_search_mvt_cell_count_bounded(spark):
     n_cells = mvt.mvt_grid(df, 0, 0, 0, grid_precision=3).count()
     assert n_cells <= 64  # 4^3 grid bound regardless of doc count
     assert isinstance(blob, bytes) and len(blob) > 0
+
+
+def test_termvectors_matches_reanalysis(index, docs):
+    """_termvectors: per-doc (term, term_freq, positions) == a direct
+    re-analysis of the stored text; term_statistics joins df/ttf."""
+    from collections import Counter
+
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.search.extras import termvectors
+
+    row = docs.where("doc_id = 7").select("text").first()
+    toks = analyze(row["text"], "ascii_word")
+    want_tf = Counter(t for t, _ in toks)
+    want_pos: dict[str, list[int]] = {}
+    for t, p in toks:
+        want_pos.setdefault(t, []).append(p)
+    got = termvectors(index, "text", 7).collect()
+    assert {r["term"]: r["term_freq"] for r in got} == dict(want_tf)
+    for r in got:
+        assert r["positions"] == ",".join(str(p) for p in want_pos[r["term"]])
+    stats = termvectors(index, "text", 7, term_statistics=True).collect()
+    dict_rows = {r["term"]: (r["df"], r["cf"]) for r in
+                 index.term_dict.where("field = 'text'").collect()}
+    for r in stats:
+        assert (r["doc_freq"], r["ttf"]) == dict_rows[r["term"]]
+
+
+def test_validate_query(docs):
+    from elasticsearch_spark.search.dsl import validate_query
+
+    ok = validate_query(docs, {"bool": {"filter": [
+        {"term": {"lang": "en"}}, {"range": {"n_chars": {"gte": 10}}}]}},
+        explain=True)
+    assert ok["valid"] and "Filter" in ok["explanation"]
+    bad = validate_query(docs, {"noSuchQuery": {"x": 1}}, explain=True)
+    assert bad["valid"] is False and "error" in bad
+    # no explain -> no explanation keys either way
+    assert set(validate_query(docs, {"match_all": {}})) == {"valid"}
+
+
+def test_significance_heuristics_match_reference_formulas(spark):
+    """chi_square / mutual_information / gnd / percentage vs direct
+    python evaluation of the reference formulas (ChiSquare.java:65,
+    MutualInformation.java:61-96, GND.java:68-89,
+    PercentageScore.java:64-71; background_is_superset)."""
+    import math as m
+
+    rows = [(i, "a" if i < 40 else ("b" if i < 70 else "c"), i % 2 == 0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, cat string, fg boolean")
+    fg_n = 50
+    n_all = 100
+    by_cat = {"a": (20, 40), "b": (15, 30), "c": (15, 30)}
+
+    def nxys(fgc, bgc):
+        n11, n01, n10 = fgc, fg_n - fgc, bgc - fgc
+        n00 = n_all - bgc - (fg_n - fgc)
+        return n11, n01, n10, n00, bgc, fg_n, n_all - bgc, n_all - fg_n
+
+    def chi2(fgc, bgc):
+        n11, n01, n10, n00, n1_, n_1, n0_, n_0 = nxys(fgc, bgc)
+        d = n11 * n00 - n01 * n10
+        return n_all * d * d / (n_1 * n1_ * n0_ * n_0)
+
+    def mi(fgc, bgc):
+        n11, n01, n10, n00, n1_, n_1, n0_, n_0 = nxys(fgc, bgc)
+
+        def t(nxy, nx_, n_y):
+            return 0.0 if nxy < 1e-7 else (
+                nxy / n_all) * m.log(n_all * nxy / (nx_ * n_y))
+        return (t(n00, n0_, n_0) + t(n01, n0_, n_1)
+                + t(n10, n1_, n_0) + t(n11, n1_, n_1)) / m.log(2)
+
+    def gnd(fgc, bgc):
+        fx, fy, fxy = bgc, fg_n, fgc
+        if fxy == 0:
+            return 0.0
+        if fx == fy == fxy:
+            return 1.0
+        raw = (max(m.log(fx), m.log(fy)) - m.log(fxy)) / (
+            m.log(n_all) - min(m.log(fx), m.log(fy)))
+        return m.exp(-raw)
+
+    from elasticsearch_spark.search.extras import significant_terms
+
+    for heur, ref in (("chi_square", chi2), ("mutual_information", mi),
+                      ("gnd", gnd), ("percentage",
+                                     lambda f, b: f / b)):
+        got = {r["term"]: r["score"] for r in significant_terms(
+            df, "cat", F.col("fg"), size=10, min_doc_count=1,
+            heuristic=heur, include_negatives=True).collect()}
+        for cat, (fgc, bgc) in by_cat.items():
+            assert got[cat] == pytest.approx(ref(fgc, bgc),
+                                             rel=1e-12), (heur, cat)
+    with pytest.raises(ValueError):
+        significant_terms(df, "cat", F.col("fg"), heuristic="tfidf")
+
+
+def test_significance_include_negatives_filter(spark):
+    """include_negatives=False drops under-represented terms (the
+    reference scores them -inf)."""
+    rows = [(i, "over" if i < 30 else "under", i < 35) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, cat string, fg boolean")
+    from elasticsearch_spark.search.extras import significant_terms
+
+    # 'over': fg 30/35 in-class vs 0/65 out; 'under': fg 5/35 vs 60/65
+    got = [r["term"] for r in significant_terms(
+        df, "cat", F.col("fg"), min_doc_count=1,
+        heuristic="chi_square").collect()]
+    assert got == ["over"]
+    both = [r["term"] for r in significant_terms(
+        df, "cat", F.col("fg"), min_doc_count=1, heuristic="chi_square",
+        include_negatives=True).collect()]
+    assert sorted(both) == ["over", "under"]
