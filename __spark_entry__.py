@@ -2819,6 +2819,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["significant_terms_pct"] = sig_pct_q
 
+    # -- geo_line agg (x-pack spatial GeoLineAggregationBuilder):
+    #    per-bucket sort-ordered LineString, truncated at size
+
+    def geo_line_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import geo_line_agg
+
+        docs = _t(s, d, "documents").withColumn(
+            "lat", (F.pmod(F.col("doc_id"), F.lit(171)) - 85).cast("double")
+        ).withColumn(
+            "lon", (F.pmod(F.col("doc_id") * 7, F.lit(360)) - 180)
+            .cast("double"))
+        return geo_line_agg(
+            docs, ["lang"], "lat", "lon", "doc_id", size=5).orderBy("lang")
+
+    q["agg_geo_line"] = geo_line_q
+
+    # -- terms agg include regex (bucket/terms/IncludeExclude.java:
+    #    whole-term-anchored pattern)
+
+    def terms_include_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import aggregate
+
+        docs = _t(s, d, "documents")
+        spec = {"t": {"terms": {"field": "lang", "size": 10,
+                                "include": "e.*|d.*"}}}
+        return aggregate(docs, spec)
+
+    q["agg_terms_include"] = terms_include_q
+
+    # -- bucket_correlation pipeline agg (x-pack ml
+    #    CountCorrelationFunction): indicator = value-histogram keys,
+    #    correlating counts = clicks per bucket
+
+    def ml_bucket_corr_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.analytics import bucket_count_correlation
+
+        ev = _t(s, d, "events")
+        buckets = (
+            ev.groupBy((F.floor(F.col("value") / 50) * 50)
+                       .cast("double").alias("x"))
+            .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                       .otherwise(0)).cast("double").alias("y")))
+        n = ev.count()
+        out = bucket_count_correlation(buckets, "x", "y", n)
+        return out.select(F.round("correlation", 6).alias("correlation"))
+
+    q["ml_bucket_correlation"] = ml_bucket_corr_q
+
     return _rotate_checked(q)
 
 
@@ -5093,6 +5141,56 @@ FROM t
 WHERE fg >= 3 AND bg > 0
 ORDER BY score DESC, term ASC
 LIMIT 10
+"""
+
+    # geo_line: per-lang LineString over the synthetic coordinates,
+    # first 5 points in doc_id order
+    o["agg_geo_line"] = """
+WITH g AS (
+  SELECT lang, doc_id,
+         (doc_id % 171 - 85)::DOUBLE AS lat,
+         ((doc_id * 7) % 360 - 180)::DOUBLE AS lon
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM g)
+SELECT lang, max(cnt)::BIGINT AS doc_count, count(*)::INT AS n_points,
+       'LINESTRING (' || string_agg(lon::VARCHAR || ' ' || lat::VARCHAR,
+                                    ', ' ORDER BY doc_id) || ')' AS geometry
+FROM r WHERE rn <= 5
+GROUP BY lang ORDER BY lang
+"""
+
+    # terms agg include regex, whole-term anchored
+    o["agg_terms_include"] = """
+SELECT lang AS key, count(*)::BIGINT AS doc_count
+FROM documents
+WHERE regexp_full_match(lang, 'e.*|d.*')
+GROUP BY lang
+ORDER BY doc_count DESC, key ASC
+LIMIT 10
+"""
+
+    # bucket_correlation: CountCorrelationFunction restated (uniform
+    # fractions 1/n_buckets, Bernoulli y side)
+    o["ml_bucket_correlation"] = """
+WITH b AS (
+  SELECT (floor(value / 50) * 50)::DOUBLE AS x,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE AS y
+  FROM events GROUP BY 1),
+s AS (SELECT avg(x) AS xm, var_pop(x) AS xv, sum(y) AS ys,
+             count(*)::DOUBLE AS n FROM b),
+g AS (SELECT count(*)::DOUBLE AS N FROM events),
+c AS (
+  SELECT sum(-(g.N * (1.0 / s.n) - b.y) * (b.x - s.xm) * (s.ys / g.N)
+             + b.y * (b.x - s.xm) * (1 - s.ys / g.N)) / max(g.N) AS cov
+  FROM b, s, g)
+SELECT round(c.cov / sqrt(s.xv
+         * ((1 - s.ys / g.N) * (s.ys / g.N) * (s.ys / g.N)
+            + (s.ys / g.N) * (1 - s.ys / g.N) * (1 - s.ys / g.N))),
+       6) AS correlation
+FROM c, s, g
 """
 
     return _rotate_checked(o)

@@ -434,3 +434,101 @@ def normalize_agg(
     else:
         raise ValueError(method)
     return per.select("bucket", "value", norm.alias("normalized")).orderBy("bucket")
+
+
+def geo_line_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    size: int = 10_000,
+    sort_order: str = "asc",
+) -> DataFrame:
+    """geo_line agg (x-pack/plugin/spatial/.../aggregations/
+    GeoLineAggregationBuilder.java, MAX_PATH_SIZE=10000): per bucket,
+    the points ordered by the sort field joined into a LineString,
+    truncated to ``size``.
+
+    Spark shape: ONE partial/final aggregation — collect (sort, lon,
+    lat) structs, sort_array on the struct's leading sort key (JVM-
+    side), slice to size, render WKT. No window, no second shuffle;
+    the per-bucket array is bounded by ``size`` exactly like the
+    reference's bucketed sort.
+    """
+    pts = F.sort_array(
+        F.collect_list(F.struct(
+            F.col(sort_col).alias("s"),
+            F.col(lon_col).alias("x"),
+            F.col(lat_col).alias("y"),
+        )),
+        asc=(sort_order == "asc"),
+    )
+    pts = F.slice(pts, 1, size)
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count("*").alias("doc_count"), pts.alias("_pts"))
+        .select(*group_cols, "doc_count",
+                F.size("_pts").alias("n_points"),
+                F.concat(
+                    F.lit("LINESTRING ("),
+                    F.array_join(F.transform(
+                        F.col("_pts"),
+                        lambda p: F.concat(p["x"].cast("string"), F.lit(" "),
+                                           p["y"].cast("string"))), ", "),
+                    F.lit(")"),
+                ).alias("geometry"))
+    )
+
+
+def bucket_count_correlation(
+    buckets: DataFrame,
+    x_col: str,
+    y_col: str,
+    indicator_doc_count: int,
+) -> DataFrame:
+    """bucket_correlation pipeline agg, count_correlation function
+    (x-pack/plugin/ml/.../aggs/correlation/CountCorrelationFunction.
+    java:100-170): correlation between an indicator's per-bucket
+    expectation ``x_col`` and a sibling agg's per-bucket doc count
+    ``y_col``, where ``indicator_doc_count`` is the indicator's total
+    count (>= sum of y). The y side is treated as a Bernoulli draw per
+    indicator doc (yMean = sum(y)/doc_count), giving the reference's
+    point-biserial form with uniform fractions 1/n_buckets.
+
+    Spark shape: one 1-row mean pass, one covariance pass — pipeline
+    aggs run over already-reduced coordinator buckets, so both jobs
+    touch n_buckets rows. Returns one row (correlation double), NULL
+    when either variance is zero (the reference's NaN).
+    """
+    import math
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    stats = buckets.agg(
+        F.avg(x).alias("x_mean"),
+        F.var_pop(x).alias("x_var"),
+        F.sum(y).alias("y_sum"),
+        F.count("*").alias("n_buckets"),
+    ).collect()[0]
+    x_mean, x_var = float(stats["x_mean"]), float(stats["x_var"])
+    n = int(stats["n_buckets"])
+    doc_count = float(indicator_doc_count)
+    weight = float(stats["y_sum"]) / doc_count
+    if weight > 1.0:
+        raise ValueError(
+            "indicator doc_count must cover the correlating counts")
+    y_mean = weight
+    y_var = (1 - weight) * y_mean * y_mean + weight * (1 - y_mean) * (1 - y_mean)
+    frac = 1.0 / n
+    term = (
+        -(F.lit(doc_count * frac) - y) * (x - F.lit(x_mean)) * F.lit(y_mean)
+        + y * (x - F.lit(x_mean)) * F.lit(1 - y_mean)
+    )
+    out = buckets.agg(
+        (F.sum(term) / F.lit(doc_count)).alias("xy_cov"))
+    denom = x_var * y_var
+    if denom <= 0:  # the reference returns NaN
+        return out.select(F.lit(None).cast("double").alias("correlation"))
+    return out.select(
+        (F.col("xy_cov") / F.lit(math.sqrt(denom))).alias("correlation"))

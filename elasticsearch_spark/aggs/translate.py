@@ -251,6 +251,30 @@ def aggregate(
     grouped = df.groupBy(key_expr.alias(key_name)).agg(*metric_cols)
 
     if kind == "terms":
+        # include / exclude / partitioned fetch (bucket/terms/
+        # IncludeExclude.java): regex strings are WHOLE-term anchored
+        # (Lucene RegExp), lists are exact values, and
+        # include={partition, num_partitions} splits the term space
+        # deterministically so huge cardinalities page across requests
+        # (hash constants differ from the reference's — documented;
+        # the contract is disjoint-exhaustive determinism, not a
+        # specific assignment).
+        inc, exc = conf.get("include"), conf.get("exclude")
+        if isinstance(inc, dict):
+            p, nparts = int(inc["partition"]), int(inc["num_partitions"])
+            grouped = grouped.filter(F.pmod(
+                F.xxhash64(F.col(key_name).cast("string")),
+                F.lit(nparts)) == p)
+        elif isinstance(inc, list):
+            grouped = grouped.filter(F.col(key_name).isin(inc))
+        elif isinstance(inc, str):
+            grouped = grouped.filter(
+                F.col(key_name).cast("string").rlike(f"^(?:{inc})$"))
+        if isinstance(exc, list):
+            grouped = grouped.filter(~F.col(key_name).isin(exc))
+        elif isinstance(exc, str):
+            grouped = grouped.filter(
+                ~F.col(key_name).cast("string").rlike(f"^(?:{exc})$"))
         min_dc = int(conf.get("min_doc_count", 1))
         if min_dc > 1:
             grouped = grouped.filter(F.col("doc_count") >= min_dc)

@@ -689,7 +689,15 @@ def build_index(
             from pyspark import StorageLevel
 
             tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
-        blocks = tokenized.groupBy("part_id", "field").applyInPandas(
+        # Pin the encode stage's parallelism to (shard x field) groups:
+        # like the query scorer, _encode_blocks is CPU-bound (numpy
+        # VByte + sorts), so AQE's byte-targeted coalescing of this
+        # exchange under-parallelizes it; an explicit repartition is
+        # exempt and still leaves ONE exchange in the plan.
+        enc_parts = max(len(todo_parts), 1) * max(len(fields), 1)
+        blocks = tokenized.repartition(
+            enc_parts, "part_id", "field"
+        ).groupBy("part_id", "field").applyInPandas(
             _encode_blocks, schema=BLOCKS_SCHEMA
         )
         # dynamic partition overwrite: ONLY the part_id directories this

@@ -117,3 +117,92 @@ def test_normalize_methods(spark):
     mean = [r["normalized"] for r in A.normalize_agg(
         df, "ts", "v", method="mean").collect()]
     assert [round(x, 6) for x in mean] == [0.3, 0.9, 1.8]
+
+
+def test_geo_line_agg(spark):
+    """geo_line (x-pack spatial GeoLineAggregationBuilder): per-bucket
+    sort-ordered LineString, truncated at size."""
+    from elasticsearch_spark.aggs.analytics import geo_line_agg
+
+    rows = [("a", 3, 30.0, 3.0), ("a", 1, 10.0, 1.0), ("a", 2, 20.0, 2.0),
+            ("b", 1, 5.0, 50.0), ("b", 2, 6.0, 60.0)]
+    df = spark.createDataFrame(rows, "g string, t int, lon double, lat double")
+    out = {r["g"]: r for r in geo_line_agg(
+        df, ["g"], "lat", "lon", "t").collect()}
+    assert out["a"]["geometry"] == "LINESTRING (10.0 1.0, 20.0 2.0, 30.0 3.0)"
+    assert out["a"]["n_points"] == 3 and out["a"]["doc_count"] == 3
+    assert out["b"]["geometry"] == "LINESTRING (5.0 50.0, 6.0 60.0)"
+    # size truncation keeps the FIRST points in sort order
+    trunc = {r["g"]: r for r in geo_line_agg(
+        df, ["g"], "lat", "lon", "t", size=2).collect()}
+    assert trunc["a"]["geometry"] == "LINESTRING (10.0 1.0, 20.0 2.0)"
+    assert trunc["a"]["n_points"] == 2 and trunc["a"]["doc_count"] == 3
+    desc = geo_line_agg(df, ["g"], "lat", "lon", "t",
+                        sort_order="desc").collect()
+    assert {r["g"]: r["geometry"] for r in desc}["a"].startswith(
+        "LINESTRING (30.0 3.0")
+
+
+def test_terms_include_exclude_partition(spark):
+    """terms agg include/exclude regex + list + partitioned fetch
+    (IncludeExclude.java semantics: whole-term regex, disjoint-
+    exhaustive partitions)."""
+    from elasticsearch_spark.aggs.translate import aggregate
+
+    rows = [(i, ["apple", "apricot", "banana", "cherry"][i % 4])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, fruit string")
+
+    def terms(**conf):
+        spec = {"t": {"terms": {"field": "fruit", "size": 10, **conf}}}
+        return sorted(r["key"] for r in aggregate(df, spec).collect())
+
+    assert terms(include="ap.*") == ["apple", "apricot"]
+    assert terms(include="ap") == []  # whole-term anchored
+    assert terms(exclude="a.*") == ["banana", "cherry"]
+    assert terms(include=["banana", "cherry"], exclude=["cherry"]) == ["banana"]
+    # partitions are disjoint and exhaustive
+    parts = [terms(include={"partition": p, "num_partitions": 3})
+             for p in range(3)]
+    flat = [k for ks in parts for k in ks]
+    assert sorted(flat) == ["apple", "apricot", "banana", "cherry"]
+    assert len(flat) == len(set(flat))
+
+
+def test_bucket_count_correlation(spark):
+    """bucket_correlation/count_correlation vs a direct evaluation of
+    CountCorrelationFunction.java:100-170 (uniform fractions)."""
+    import math as m
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 6.0, 8.0, 10.0]  # monotone with x -> strong +corr
+    doc_count = 100
+    buckets = spark.createDataFrame(
+        list(zip(xs, ys)), "x double, y double")
+
+    def ref(xs, ys, N):
+        n = len(xs)
+        xm = sum(xs) / n
+        xv = sum((v - xm) ** 2 for v in xs) / n
+        w = sum(ys) / N
+        ym = w
+        yv = (1 - w) * ym * ym + w * (1 - ym) * (1 - ym)
+        frac = 1.0 / n
+        cov = sum(-(N * frac - y) * (x - xm) * ym + y * (x - xm) * (1 - ym)
+                  for x, y in zip(xs, ys)) / N
+        return cov / m.sqrt(xv * yv)
+
+    from elasticsearch_spark.aggs.analytics import bucket_count_correlation
+
+    got = bucket_count_correlation(buckets, "x", "y", doc_count).first()
+    assert got["correlation"] == pytest.approx(ref(xs, ys, doc_count),
+                                               rel=1e-12)
+    # positive association (the Bernoulli y side caps the magnitude:
+    # with only 30% of indicator docs carried by y, r ~ 0.31 here)
+    assert got["correlation"] > 0.25
+    # zero variance -> NULL (reference NaN)
+    flat = spark.createDataFrame([(1.0, 5.0), (1.0, 5.0)], "x double, y double")
+    assert bucket_count_correlation(
+        flat, "x", "y", 100).first()["correlation"] is None
+    with pytest.raises(ValueError):
+        bucket_count_correlation(buckets, "x", "y", 10)  # weight > 1
