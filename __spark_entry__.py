@@ -2867,6 +2867,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_bucket_correlation"] = ml_bucket_corr_q
 
+    # -- match_only_text similarity (mapper-extras
+    #    MatchOnlyTextFieldMapper: freqs + norms omitted, score =
+    #    sum of matched terms' BM25 idf)
+
+    def match_only_text_q(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+        out = match_topk(
+            idx, "text", terms, k=15,
+            params=BM25Params(quantize_norms=False,
+                              similarity="match_only_text"))
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["match_only_text"] = match_only_text_q
+
+    # -- index sorting (index.sort.field / IndexSortConfig): a sorted
+    #    index over documents.text with n_chars as the sort key; a
+    #    range filter on n_chars becomes a doc-id range the scorer
+    #    skips blocks against (Lucene sorted-index early termination)
+
+    def _sorted_doc_index(s: SparkSession, d: str):
+        from elasticsearch_spark.index.builder import assign_sorted_doc_ids
+
+        tag = os.path.abspath(d).strip("/").replace("/", "_")
+        path = os.path.join(_SCRATCH, f"sorted_docindex_{tag}_v1")
+        map_path = os.path.join(path, "docmap")
+        if not os.path.exists(os.path.join(path, "index_meta.json")):
+            docs = _t(s, d, "documents").withColumnRenamed(
+                "doc_id", "orig_id")
+            ranked = assign_sorted_doc_ids(
+                docs, "n_chars", ["orig_id"], num_ranges=8)
+            ranked.select("doc_id", "orig_id", "n_chars").write.mode(
+                "overwrite").parquet(map_path)
+            build_index(ranked, path, fields={"text": "ascii_word"},
+                        num_partitions=8, input_snapshot="sorted-v1")
+        return load_index(s, path), s.read.parquet(map_path)
+
+    def sorted_range_match_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.executor import doc_id_range_for
+
+        idx, mapping = _sorted_doc_index(s, d)
+        lo, hi = doc_id_range_for(mapping, "n_chars", 300, 900)
+        terms = [t for t, _ in analyze("table scan data", "ascii_word")]
+        out = match_topk(idx, "text", terms, k=None, params=_EXACT,
+                         allowed_range=(lo, hi))
+        res = out.join(mapping, "doc_id").select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 4).alias("score"))
+        return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+    q["sorted_index_range_match"] = sorted_range_match_q
+
     return _rotate_checked(q)
 
 
@@ -5191,6 +5243,39 @@ SELECT round(c.cov / sqrt(s.xv
             + (s.ys / g.N) * (1 - s.ys / g.N) * (1 - s.ys / g.N))),
        6) AS correlation
 FROM c, s, g
+"""
+
+    # match_only_text: score = sum of matched DISTINCT terms' BM25 idf
+    # (tf=1, no norms; (k1+1)/(1+k1) == 1)
+    o["match_only_text"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS term
+  FROM documents),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM toks GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+m AS (
+  SELECT t.doc_id, ln(1 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS idf
+  FROM toks t, dfreq, n
+  WHERE t.term = dfreq.term AND t.term IN ('table', 'scan', 'merge'))
+SELECT doc_id, round(sum(idf), 6) AS score
+FROM m GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+    # index sorting: same BM25 (full-corpus stats) + n_chars range;
+    # doc ids in the oracle are the table's — the entry maps its sort
+    # ranks back before returning
+    _ts_sr = [t for t, _ in analyze("table scan data", "ascii_word")]
+    o["sorted_index_range_match"] = f"""
+WITH {_ctes(_ts_sr)}
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+WHERE s.matched >= 1 AND dd.n_chars BETWEEN 300 AND 900
+ORDER BY score DESC, s.doc_id ASC
+LIMIT 15
 """
 
     return _rotate_checked(o)

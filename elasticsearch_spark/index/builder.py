@@ -633,6 +633,71 @@ def assign_doc_ids(df: DataFrame, id_cols: list[str]) -> DataFrame:
     return df.withColumn("doc_id", F.xxhash64(*[F.col(c) for c in id_cols]))
 
 
+def assign_sorted_doc_ids(
+    df: DataFrame,
+    sort_col: str,
+    tiebreak_cols: list[str] | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """INDEX SORTING: doc ids assigned in sort-key order.
+
+    Reference: ES ``index.sort.field`` (index/IndexSortConfig.java) /
+    Lucene IndexWriterConfig.setIndexSort — docs are renumbered so doc
+    order == sort order, which turns a range filter on the sort field
+    into a doc-id RANGE; posting blocks outside it skip via their
+    (first_doc, last_doc) metadata without decoding (Lucene's
+    sorted-index early termination). Pair with
+    ``match_topk(allowed_range=...)``.
+
+    Distributed rank without a single-reducer sort: ONE range-exchange
+    (repartitionByRange on the sort key) + sortWithinPartitions, then
+    per-partition counts (P tiny numbers) collected once and cumulative
+    offsets broadcast back; each task numbers its rows
+    offset + ordinal in a narrow mapInPandas pass. The persisted frame
+    pins the sampled range boundaries so both passes see one
+    partitioning.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    tiebreak_cols = tiebreak_cols or []
+    nparts = num_ranges or spark.sparkContext.defaultParallelism
+    key = [F.col(sort_col)] + [F.col(c) for c in tiebreak_cols]
+    ranged = (
+        df.repartitionByRange(nparts, *key)
+        .sortWithinPartitions(*key)
+        .persist()
+    )
+    counts = {
+        int(r["pid"]): int(r["c"])
+        for r in ranged.select(
+            F.spark_partition_id().alias("pid")
+        ).groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def number(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.assign(doc_id=np.arange(
+                base + seen, base + seen + len(pdf), dtype="int64"))
+            seen += len(pdf)
+            yield pdf
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in ranged.schema.fields)
+    return ranged.mapInPandas(number, schema=f"{fields}, doc_id long")
+
+
 def build_index(
     docs: DataFrame,
     out_dir: str,
@@ -694,10 +759,13 @@ def build_index(
         # VByte + sorts), so AQE's byte-targeted coalescing of this
         # exchange under-parallelizes it; an explicit repartition is
         # exempt and still leaves ONE exchange in the plan.
-        enc_parts = max(len(todo_parts), 1) * max(len(fields), 1)
-        blocks = tokenized.repartition(
-            enc_parts, "part_id", "field"
-        ).groupBy("part_id", "field").applyInPandas(
+        # ES_SPARK_PIN_ENCODE=0 restores the coalescible groupBy for
+        # interleaved A/B (tools/encode_pin_ab.py).
+        src = tokenized
+        if os.environ.get("ES_SPARK_PIN_ENCODE", "1") != "0":
+            enc_parts = max(len(todo_parts), 1) * max(len(fields), 1)
+            src = tokenized.repartition(enc_parts, "part_id", "field")
+        blocks = src.groupBy("part_id", "field").applyInPandas(
             _encode_blocks, schema=BLOCKS_SCHEMA
         )
         # dynamic partition overwrite: ONLY the part_id directories this

@@ -159,6 +159,13 @@ def tfn_eff(tf: np.ndarray, dl_eff: np.ndarray, avgdl: float,
         return np.sqrt(tf) / np.sqrt(np.maximum(dl_eff, 1.0))
     if params.similarity == "boolean":
         return np.ones_like(tf)
+    if params.similarity == "match_only_text":
+        # mapper-extras MatchOnlyTextFieldMapper: freqs and norms are
+        # not indexed, so every match scores as BM25 with tf=1 and no
+        # length normalization — (k1+1)*1/(1+k1) == 1, i.e. score =
+        # sum of matched terms' idf. Constant per posting, so the
+        # (max_tf, min_dl) block bound stays valid trivially.
+        return np.ones_like(tf)
     return (params.k1 + 1.0) * tf / (
         tf + params.k1 * (1.0 - params.b + params.b * dl_eff / avgdl)
     )

@@ -144,7 +144,9 @@ def _make_scorer(
     impact_ordering = IMPACT_ORDERING
 
     def _score_group_impl(
-        pdf: pd.DataFrame, allowed: np.ndarray | None
+        pdf: pd.DataFrame,
+        allowed: np.ndarray | None,
+        allowed_range: tuple[int, int] | None = None,
     ) -> pd.DataFrame:
         """Score one partition's blocks; ``allowed`` (sorted int64 doc
         ids) restricts scoring to docs that passed a filter clause —
@@ -306,6 +308,13 @@ def _make_scorer(
                     hi = np.searchsorted(allowed, row.last_doc, "right")
                     if lo == hi:
                         continue
+                elif allowed_range is not None:
+                    # index-sort range skip: doc ids ARE sort ranks, so
+                    # a block outside [lo, hi] never decodes (Lucene
+                    # sorted-index early termination)
+                    if (row.last_doc < allowed_range[0]
+                            or row.first_doc > allowed_range[1]):
+                        continue
                 d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
                 if restricted:
                     pos = np.searchsorted(acc_ids, d)
@@ -323,6 +332,11 @@ def _make_scorer(
                         pos = np.searchsorted(allowed, d)
                         pos[pos >= allowed.size] = allowed.size - 1
                         mask = allowed[pos] == d
+                        if not mask.any():
+                            continue
+                        d, tfv, dlv = d[mask], tfv[mask], dlv[mask]
+                    elif allowed_range is not None:
+                        mask = (d >= allowed_range[0]) & (d <= allowed_range[1])
                         if not mask.any():
                             continue
                         d, tfv, dlv = d[mask], tfv[mask], dlv[mask]
@@ -382,8 +396,17 @@ def match_topk(
     allowed: DataFrame | None = None,
     allowed_strategy: str = "cogroup",
     broadcast_allowed_max: int = 2_000_000,
+    allowed_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 for analyzed query ``terms``.
+
+    ``allowed_range=(lo, hi)`` restricts scoring to a doc-id RANGE —
+    the index-sorting fast path (assign_sorted_doc_ids: doc ids are
+    sort ranks, so a range filter on the sort field IS a doc-id
+    range). The range predicate is pushed to the posting scan
+    (first_doc/last_doc parquet min/max stats prune row groups) and
+    blocks outside it never decode; theta pruning stays valid because
+    every accumulated doc is a true candidate.
 
     Returns DataFrame(doc_id long, score double, matched int), globally
     ordered by (score desc, doc_id asc), limited to k.
@@ -434,10 +457,29 @@ def match_topk(
     # BENCH/BASELINE.md). An explicit repartition is exempt from AQE
     # coalescing and satisfies the groupBy's required distribution, so
     # the plan still carries exactly ONE exchange.
+    if allowed_range is not None:
+        lo_id, hi_id = int(allowed_range[0]), int(allowed_range[1])
+        if lo_id > hi_id:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        # scan-level block pruning: parquet row-group min/max stats on
+        # the pushed first_doc/last_doc predicates
+        blocks = blocks.filter(
+            (F.col("last_doc") >= lo_id) & (F.col("first_doc") <= hi_id))
     blocks = blocks.repartition(index.num_partitions(), "part_id")
     scorer = _make_scorer(
         term_stats, avgdl, params, k, operator, minimum_should_match, prune
     )
+    if allowed_range is not None and allowed is None:
+        rng = (lo_id, hi_id)
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            return scorer.with_allowed(pdf, None, allowed_range=rng)
+
+        local = blocks.groupBy("part_id").applyInPandas(
+            score_range, schema=TOPK_SCHEMA)
+        if k is None:
+            return local
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if allowed is not None:
         strategy = allowed_strategy
         ids = None
@@ -495,6 +537,31 @@ def match_topk(
     if k is None:
         return local
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def doc_id_range_for(
+    docs_with_ids: DataFrame,
+    sort_col: str,
+    lo=None,
+    hi=None,
+) -> tuple[int, int]:
+    """Translate a sort-field range [lo, hi] into the doc-id range of
+    an index built with ``assign_sorted_doc_ids`` (doc ids are sort
+    ranks): lo_id = #docs with sort < lo, hi_id = #docs with sort <=
+    hi, minus one. ONE aggregate job; at scale the comparisons push to
+    the parquet scan, where file min/max stats answer most files
+    without reading rows. Returns an empty range as (0, -1)."""
+    c = F.col(sort_col)
+    lo_expr = (
+        F.lit(0).cast("long") if lo is None
+        else F.coalesce(F.sum((c < F.lit(lo)).cast("long")), F.lit(0))
+    )
+    hi_expr = (
+        F.count("*").cast("long") if hi is None
+        else F.coalesce(F.sum((c <= F.lit(hi)).cast("long")), F.lit(0))
+    )
+    row = docs_with_ids.agg(lo_expr.alias("lo"), hi_expr.alias("hi")).first()
+    return int(row["lo"]), int(row["hi"]) - 1
 
 
 BATCH_TOPK_SCHEMA = "query_id int, doc_id long, score double, matched int"

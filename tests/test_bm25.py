@@ -69,3 +69,19 @@ def test_similarity_dispatch_scores():
     got = bm25.tfn_eff(np.array([2.0]), np.array([5.0]), 5.0, pd_)
     want = (pd_.k1 + 1) * 2.0 / (2.0 + pd_.k1 * (1 - pd_.b + pd_.b * 1.0))
     assert abs(got[0] - want) < 1e-12
+
+
+def test_match_only_text_similarity():
+    """match_only_text (mapper-extras MatchOnlyTextFieldMapper): tf and
+    dl are ignored; tfn == 1 so score == idf per matched term."""
+    import numpy as np
+
+    from elasticsearch_spark.search import bm25
+
+    p = bm25.BM25Params(quantize_norms=False, similarity="match_only_text")
+    tf = np.array([1.0, 7.0, 100.0])
+    dl = np.array([5, 500, 50000])
+    assert np.allclose(bm25.tf_norm_sim(tf, dl, 100.0, p), 1.0)
+    # idf stays the BM25 form
+    assert bm25.idf_sim(10, 1000, p) == bm25.idf_sim(
+        10, 1000, bm25.BM25Params())

@@ -229,3 +229,45 @@ def test_empty_corpus_build_and_query(spark, tmp_path):
     assert idx.collection_stats() == {}
     assert match_topk(idx, "text", ["x"], k=5).count() == 0
     assert match_topk(idx, "unknown_field", ["x"], k=5).count() == 0
+
+
+def test_sorted_index_range_pruning(spark, corpus, tmp_path_factory):
+    """Index sorting (index.sort.field / IndexSortConfig): doc ids are
+    sort ranks; a sort-field range == a doc-id range, and
+    match_topk(allowed_range=...) equals the allowed-id-set path."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.index.builder import (
+        assign_sorted_doc_ids, build_index,
+    )
+    from elasticsearch_spark.search.executor import doc_id_range_for
+
+    docs = corpus.withColumn("clen", F.length("content"))
+    ranked = assign_sorted_doc_ids(
+        docs, "clen", ["repo", "path", "commit"], num_ranges=4).cache()
+    rows = ranked.select("doc_id", "clen").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+    lens = [r["clen"] for r in rows]
+    assert lens == sorted(lens)  # ids ARE sort ranks
+
+    out = str(tmp_path_factory.mktemp("sorted_idx"))
+    idx = build_index(ranked, out, fields={"content": "code"},
+                      num_partitions=4, input_snapshot="sorted")
+    lo_len = sorted(lens)[len(lens) // 4]
+    hi_len = sorted(lens)[3 * len(lens) // 4]
+    lo, hi = doc_id_range_for(ranked, "clen", lo_len, hi_len)
+    assert 0 <= lo <= hi < len(lens)
+    terms = [t for t, _ in analyze("import return def", "code")]
+    got = match_topk(idx, "content", terms, k=10,
+                     allowed_range=(lo, hi)).collect()
+    ids_df = ranked.where(
+        (F.col("clen") >= lo_len) & (F.col("clen") <= hi_len)
+    ).select("doc_id")
+    want = match_topk(idx, "content", terms, k=10, allowed=ids_df).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want]
+    assert got and all(lo <= r["doc_id"] <= hi for r in got)
+    # empty range short-circuits
+    assert match_topk(idx, "content", terms, k=10,
+                      allowed_range=(5, 4)).count() == 0
