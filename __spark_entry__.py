@@ -2919,6 +2919,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sorted_index_range_match"] = sorted_range_match_q
 
+    # -- painless script_score (modules/lang-painless: the default
+    #    script lang, compiled to Catalyst by scripts.compile_painless)
+
+    def script_score_painless_q(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"function_score": {
+                "query": {"match": {"text": "table"}},
+                "functions": [
+                    {"script_score": {"script": {
+                        "source": ("Math.log(1 + doc['n_chars'].value)"
+                                   " * params.w"
+                                   " + (doc['lang'].value == 'en'"
+                                   " ? 0.5 : 0.0)"),
+                        "params": {"w": 0.25},
+                    }}},
+                ],
+                "boost_mode": "sum",
+            }},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["script_score_painless"] = script_score_painless_q
+
+    # -- moving_fn full MovingFunctions model set
+    #    (MovingFunctions.java; window excludes the current bucket)
+
+    def agg_moving_fn_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.movefn import moving_fn
+
+        buckets = aggregate(
+            _t(s, d, "orders"),
+            {"m": {"date_histogram": {"field": "o_orderdate",
+                                        "calendar_interval": "month"},
+                    "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}},
+        )
+        out = moving_fn(buckets, "rev", "ewma", window=4, alpha=0.3)
+        out = moving_fn(out, "rev", "linear_weighted_avg", window=4)
+        out = moving_fn(out, "rev", "std_dev", window=4)
+        return out.select(
+            "key", "doc_count",
+            F.round("rev", 4).alias("rev"),
+            F.round("rev_ewma", 4).alias("ewma"),
+            F.round("rev_linear_weighted_avg", 4).alias("lin"),
+            F.round("rev_std_dev", 4).alias("sd"),
+        )
+
+    q["agg_moving_fn"] = agg_moving_fn_q
+
+    # -- ML log categorization (ml_classic tokenizer + default
+    #    stopwords; category = analyzed token sequence)
+
+    def ml_categorize_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import categorize_messages
+
+        ev = _t(s, d, "events")
+        msgs = ev.select(
+            F.concat(
+                F.lit("Task "), F.col("event_type"),
+                F.lit(" finished in "),
+                F.floor(F.abs(F.col("value"))).cast("long").cast("string"),
+                F.lit(" ms"),
+            ).alias("message"))
+        return categorize_messages(msgs, "message")
+
+    q["ml_categorize"] = ml_categorize_q
+
     return _rotate_checked(q)
 
 
@@ -5276,6 +5346,85 @@ FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
 WHERE s.matched >= 1 AND dd.n_chars BETWEEN 300 AND 900
 ORDER BY score DESC, s.doc_id ASC
 LIMIT 15
+"""
+
+    # painless script_score: hand-written SQL equivalent (independent
+    # of the transpiler, so it checks the compiled Catalyst text too)
+    o["script_score_painless"] = f"""
+WITH {bm25_ctes(['table'])}
+SELECT c.doc_id,
+       round(c.score + ln(1 + d.n_chars) * 0.25
+             + (CASE WHEN d.lang = 'en' THEN 0.5 ELSE 0.0 END), 4) AS score
+FROM scored c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.score + ln(1 + d.n_chars) * 0.25
+         + (CASE WHEN d.lang = 'en' THEN 0.5 ELSE 0.0 END) DESC,
+         c.doc_id ASC
+LIMIT 10
+"""
+
+    # moving_fn models over monthly buckets; window = 4 PRECEDING to
+    # 1 PRECEDING (excludes current, MovFnPipelineAggregator.java:100).
+    # ewma via list_reduce (acc starts at the first value, as in
+    # MovingFunctions.ewma); linear weights are 1..n with totalWeight
+    # starting at 1 (reference quirk); std_dev is population.
+    o["agg_moving_fn"] = """
+WITH b AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS key,
+         count(*) AS doc_count, sum(o_totalprice)::DOUBLE AS rev
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT key, doc_count, rev,
+         list(rev) OVER (ORDER BY key
+                         ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS arr
+  FROM b)
+SELECT key, doc_count, round(rev, 4) AS rev,
+       round(list_reduce(arr, (a, v) -> v * 0.3 + a * 0.7), 4) AS ewma,
+       CASE WHEN arr IS NULL OR len(arr) = 0 THEN NULL
+            ELSE round(list_sum(list_transform(arr, (x, i) -> x * i))
+                       / (1 + list_sum(list_transform(arr, (x, i) -> i * 1.0))), 4)
+       END AS lin,
+       CASE WHEN arr IS NULL OR len(arr) = 0 THEN NULL
+            ELSE round(sqrt(list_sum(list_transform(
+                     arr, x -> (x - list_avg(arr)) * (x - list_avg(arr))))
+                     / len(arr)), 4)
+       END AS sd
+FROM w
+"""
+
+    # ML log categorization: the same ml_classic tokenizer pipeline in
+    # DuckDB (regexp_extract_all + list_filter); variable numeric parts
+    # drop, so one category per event_type remains
+    _ml_stop = ", ".join(
+        f"'{w}'" for w in
+        ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+         "Saturday", "Sunday", "Mon", "Tue", "Wed", "Thu", "Fri",
+         "Sat", "Sun", "January", "February", "March", "April", "May",
+         "June", "July", "August", "September", "October", "November",
+         "December", "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug",
+         "Sep", "Oct", "Nov", "Dec", "GMT", "UTC"])
+    o["ml_categorize"] = f"""
+WITH m AS (
+  SELECT 'Task ' || event_type || ' finished in '
+         || CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR)
+         || ' ms' AS message
+  FROM events),
+t AS (
+  SELECT message,
+         array_to_string(list_filter(
+           regexp_extract_all(message,
+             '[a-zA-Z0-9](?:[a-zA-Z0-9._-]*[a-zA-Z0-9])?'),
+           t -> NOT regexp_matches(t, '^[0-9a-fA-F.-]+$')
+                AND NOT regexp_matches(t, '^[0-9]')
+                AND NOT list_contains([{_ml_stop}], t)), ' ') AS key
+  FROM m),
+g AS (
+  SELECT key AS category_key, count(*) AS doc_count,
+         [min(message)] AS examples
+  FROM t WHERE key <> '' GROUP BY 1)
+SELECT row_number() OVER (ORDER BY doc_count DESC, category_key ASC)
+         AS mlcategory,
+       category_key, doc_count, examples
+FROM g
 """
 
     return _rotate_checked(o)

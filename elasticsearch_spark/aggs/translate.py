@@ -509,14 +509,24 @@ def auto_date_histogram(
     )
 
 
-def bucket_script(buckets: DataFrame, expr: str, out_name: str) -> DataFrame:
-    """bucket_script pipeline agg: arithmetic over sibling metrics."""
-    return buckets.withColumn(out_name, F.expr(expr))
+def bucket_script(buckets: DataFrame, expr: str, out_name: str,
+                  params: dict | None = None) -> DataFrame:
+    """bucket_script pipeline agg: arithmetic over sibling metrics.
+    Accepts painless (``params.x`` / ternaries / ``Math.*`` — bare
+    names are bucket-path references, as in the reference) or raw
+    SQL."""
+    from elasticsearch_spark.scripts import maybe_painless
+
+    return buckets.withColumn(out_name, F.expr(maybe_painless(expr, params)))
 
 
-def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
-    """bucket_selector: drop buckets failing the predicate."""
-    return buckets.filter(F.expr(predicate))
+def bucket_selector(buckets: DataFrame, predicate: str,
+                    params: dict | None = None) -> DataFrame:
+    """bucket_selector: drop buckets failing the predicate (painless or
+    raw SQL)."""
+    from elasticsearch_spark.scripts import maybe_painless
+
+    return buckets.filter(F.expr(maybe_painless(predicate, params)))
 
 
 def bucket_sort(

@@ -50,10 +50,16 @@ def is_follower(index_dir: str) -> bool:
 
 def assert_writable(index_dir: str) -> None:
     """Writers (ingest_batch / compact) call this: a following index is
-    read-only, like the reference's follower shards."""
+    read-only, like the reference's follower shards — and so is a
+    mounted snapshot (x-pack searchable-snapshots: the blob store is
+    immutable; writes would corrupt every mount sharing it)."""
     if is_follower(index_dir):
         raise ValueError(
             f"{index_dir} is a follower index (read-only); unfollow first")
+    if os.path.exists(os.path.join(index_dir, "snapshot.json")):
+        raise ValueError(
+            f"{index_dir} is a snapshot (read-only); restore_index to a "
+            "new directory to write")
 
 
 def _leader_batches(leader_dir: str) -> list[int]:

@@ -110,3 +110,17 @@ def sequence(
             "left_anti",
         )
     return cur.withColumnRenamed("k", by)
+
+
+def pipe(matches: DataFrame, kind: str, n: int,
+         ts_col: str = "ts_0", id_col: str = "id_0") -> DataFrame:
+    """EQL pipes ``| head n`` / ``| tail n`` (reference:
+    x-pack/plugin/eql/.../plan/logical/Head.java, Tail.java; the only
+    pipes the language ships). Ordering is the sequence's first-event
+    time with the event id as tie-break, ascending for head and
+    descending for tail — one TakeOrderedAndProject, no full sort."""
+    if kind == "head":
+        return matches.orderBy(F.asc(ts_col), F.asc(id_col)).limit(n)
+    if kind == "tail":
+        return matches.orderBy(F.desc(ts_col), F.desc(id_col)).limit(n)
+    raise ValueError(f"unknown EQL pipe {kind!r}")

@@ -266,3 +266,118 @@ def ensemble_infer(
         return {"predicted_value": pv,
                 "prediction_probability": best / total}
     raise ValueError(f"unknown aggregate_output {kind!r}")
+
+
+def inference_bucket_agg(
+    buckets,
+    model: dict,
+    bucket_paths: dict[str, str],
+    classification_labels: list[str] | None = None,
+    out_prefix: str = "inference",
+):
+    """``inference`` pipeline aggregation (reference: x-pack/plugin/ml/
+    .../aggs/inference/InferencePipelineAggregationBuilder.java): run a
+    trained model over each bucket's metric values, at reduce time.
+
+    ``bucket_paths``: {model_feature_name: bucket_column} — the
+    reference's ``buckets_path`` map resolving model features to
+    sibling aggregation results. The compiled model is the same
+    CASE-WHEN codegen as :func:`ensemble_infer`, so the "pipeline"
+    variant costs one projection over the (coordinator-small) bucket
+    frame — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    feature_cols = list(bucket_paths.keys())
+    renamed = buckets
+    for feat, col in bucket_paths.items():
+        if feat != col:
+            renamed = renamed.withColumn(feat, F.col(col))
+    cols = ensemble_infer(model, feature_cols, classification_labels)
+    out = renamed
+    for name, col in cols.items():
+        out = out.withColumn(f"{out_prefix}_{name}", col)
+    return out.drop(*[f for f in feature_cols
+                      if f not in buckets.columns])
+
+
+_ML_DATE_STOPWORDS = [
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+    "Sunday", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun",
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+    "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Oct",
+    "Nov", "Dec", "GMT", "UTC",
+]
+
+# ml_classic tokenizer (MlClassicTokenizer.java): [A-Za-z0-9]+ runs
+# allowing _ . - in the middle, trailing ._- stripped (the regex
+# requires the last char alphanumeric, which IS the strip)
+_ML_TOKEN_RE = "[a-zA-Z0-9](?:[a-zA-Z0-9._-]*[a-zA-Z0-9])?"
+# drop: all-hex tokens (dots and dashes count as hex per the
+# tokenizer's haveNonHex rule) and tokens starting with a digit
+_ML_HEX_RE = "^[0-9a-fA-F.-]+$"
+
+
+def categorize_messages(
+    df,
+    text_col: str = "message",
+    categorization_filters: list[str] | None = None,
+    examples: int = 1,
+):
+    """ML log categorization (reference: x-pack/plugin/ml/.../job/
+    categorization/{MlClassicTokenizer,CategorizationAnalyzer}.java +
+    CategorizationAnalyzerConfig.buildDefaultCategorizationAnalyzer:
+    ml_classic tokenizer + weekday/month/GMT/UTC stopwords, with
+    optional pattern_replace char filters first).
+
+    The C++ categorizer assigns a category per distinct analyzed token
+    sequence (variable parts — numbers, hex ids, timestamps — are
+    dropped by the tokenizer, so log lines differing only in those
+    collapse together). Re-expressed order-independently: the category
+    KEY is the analyzed token sequence; ``mlcategory`` numbers are
+    assigned by (doc_count DESC, key ASC) instead of first-seen order
+    (a stream-order concept with no distributed meaning — documented
+    divergence).
+
+    Everything is Catalyst: regexp_extract_all + filter/array ops, one
+    hash aggregation. Returns (mlcategory, category_key, doc_count,
+    examples array<string>).
+
+    Scale note: the integer ``mlcategory`` ranking is a global window
+    (one-task sort over the CATEGORY frame — fine while categories ≪
+    docs, which is the point of categorization); at extreme category
+    cardinality drop the id and key on ``category_key`` directly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    for pat in categorization_filters or []:
+        c = F.regexp_replace(c, pat, "")
+    prepared = df.withColumn("_cat_txt", c)
+    stop_arr = ", ".join(f"'{w}'" for w in _ML_DATE_STOPWORDS)
+    toks = F.expr(
+        "filter(regexp_extract_all(_cat_txt, '" + _ML_TOKEN_RE + "', 0),"
+        " t -> NOT t rlike '" + _ML_HEX_RE + "'"
+        " AND NOT t rlike '^[0-9]'"
+        " AND NOT array_contains(array(" + stop_arr + "), t))"
+    )
+    grouped = (
+        prepared.withColumn("_key", F.concat_ws(" ", toks))
+        .filter(F.col("_key") != "")
+        .groupBy(F.col("_key").alias("category_key"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            # examples=1 (default) keeps the aggregation state BOUNDED
+            # (a single min, scale-safe); >1 collects the distinct
+            # message set per category first — fine for log corpora
+            # where categories have few distinct variants, documented
+            # as unbounded otherwise
+            (F.array(F.min(F.col(text_col))) if examples == 1 else
+             F.slice(F.sort_array(F.collect_set(F.col(text_col))),
+                     1, examples)).alias("examples"),
+        )
+    )
+    w = Window.orderBy(F.desc("doc_count"), F.asc("category_key"))
+    return grouped.withColumn("mlcategory", F.row_number().over(w)).select(
+        "mlcategory", "category_key", "doc_count", "examples"
+    )

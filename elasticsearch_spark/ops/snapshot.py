@@ -106,3 +106,29 @@ def field_caps(index_path: str) -> list[dict]:
         }
         for fld, analyzer in sorted(meta.get("fields", {}).items())
     ]
+
+
+def mount_snapshot(spark, repo_path: str, name: str):
+    """Searchable snapshot: query an index STRAIGHT from the snapshot
+    repository, zero copy (x-pack searchable-snapshots
+    SearchableSnapshotsService — the reference mounts blob-store
+    segment files as a read-only shard instead of restoring them).
+
+    Here a snapshot already holds the index's immutable parquet
+    segments, so mounting is just ``load_index`` on the snapshot dir:
+    scans read the repository files directly (on a cluster, straight
+    from the object store). The mounted index is READ-ONLY —
+    ``assert_writable`` refuses ingest/compaction on any directory
+    carrying a ``snapshot.json`` manifest; ``restore_index`` is the
+    write-me-back path."""
+    from elasticsearch_spark.index.builder import load_index
+
+    src = os.path.join(repo_path, name)
+    mpath = os.path.join(src, "snapshot.json")
+    if not os.path.exists(mpath):
+        raise ValueError(f"no snapshot {name!r} in {repo_path}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("state") != "SUCCESS":
+        raise ValueError(f"snapshot {name!r} is not mountable")
+    return load_index(spark, src)

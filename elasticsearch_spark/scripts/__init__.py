@@ -1,0 +1,8 @@
+"""Scripting: the painless-expression-subset -> SQL transpiler.
+
+Reference: modules/lang-painless (PainlessScriptEngine) — the default
+script language everywhere a request carries ``"script": {...}``.
+"""
+from .painless import compile_painless, maybe_painless, painless_column
+
+__all__ = ["compile_painless", "maybe_painless", "painless_column"]

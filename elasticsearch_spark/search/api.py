@@ -90,7 +90,13 @@ def _function_value(fn_spec: dict[str, Any]):
         ) * F.lit(float(s.get("factor", 1.0)))
         val = _FVF_MODIFIERS[s.get("modifier", "none")](c)
     elif "script_score" in fn_spec:
-        val = F.expr(fn_spec["script_score"]["source"])
+        # default lang is painless, as in the reference
+        # (Script.DEFAULT_SCRIPT_LANG); raw SQL passes through
+        from elasticsearch_spark.scripts import maybe_painless
+
+        s = fn_spec["script_score"].get("script", fn_spec["script_score"])
+        val = F.expr(maybe_painless(
+            s["source"], s.get("params"), score_col="score"))
     elif any(k in fn_spec for k in ("gauss", "exp", "linear")):
         kind = next(k for k in ("gauss", "exp", "linear") if k in fn_spec)
         field, s = next(iter(fn_spec[kind].items()))

@@ -884,6 +884,7 @@ def significant_text(
     min_doc_count: int = 3,
     index=None,
     field: str = "text",
+    filter_duplicate_text: bool = False,
 ) -> DataFrame:
     """significant_text agg with the JLH heuristic:
     score = (fg_pct - bg_pct) * (fg_pct / bg_pct), terms over-represented
@@ -894,13 +895,27 @@ def significant_text(
     dictionary (df = number of docs containing the term, exactly the
     distinct-token count) instead of re-tokenizing the whole corpus —
     at 100 TB the bg side is then a metadata read, and only the
-    (usually small) foreground partition is tokenized. Same result."""
+    (usually small) foreground partition is tokenized. Same result.
+
+    ``filter_duplicate_text``: the reference's boilerplate guard
+    (SignificantTextAggregationBuilder ``filter_duplicate_text``,
+    backed by DeDuplicatingTokenFilter's 6-gram sequence trie).
+    Re-expressed order-independently: duplicated ``text_col`` values
+    contribute ONCE to term counts (one dropDuplicates on the text
+    hash before counting — map-side combine makes it a partial-agg,
+    not an extra shuffle of content). Granularity divergence vs the
+    reference (whole-field duplicates, not intra-field 6-gram runs)
+    is documented here."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
     totals = docs.select(
         F.count("*").alias("n_all"),
         F.sum(fg_filter.cast("long")).alias("n_fg"),
     ).collect()[0]
     n_all, n_fg = int(totals["n_all"]), int(totals["n_fg"])
+    if filter_duplicate_text:
+        # totals keep every doc (as in the reference — a duplicate doc
+        # still counts toward set sizes); only TERM counts dedup
+        docs = docs.dropDuplicates([text_col])
     if index is not None:
         fg_counts = (
             docs.filter(fg_filter)
@@ -999,10 +1014,22 @@ def script_fields(hits: DataFrame, fields: dict[str, Any]) -> DataFrame:
     painless script per hit; the Spark analogue of `doc['f'].value`
     arithmetic is a Catalyst expression, so script fields stay inside
     whole-stage codegen instead of a per-hit interpreter. Values accept
-    a SQL expression string or a Column."""
+    a painless expression (``doc['f'].value`` / ``params.x`` /
+    ``Math.*`` route through scripts.compile_painless — the default
+    lang, as in the reference), a raw SQL expression string, a Column,
+    or an ES-shaped ``{"script": {"source": ..., "params": ...}}``
+    dict."""
+    from elasticsearch_spark.scripts import maybe_painless
+
     out = hits
     for name, expr in fields.items():
-        col = F.expr(expr) if isinstance(expr, str) else expr
+        if isinstance(expr, dict):
+            s = expr.get("script", expr)
+            col = F.expr(maybe_painless(s["source"], s.get("params")))
+        elif isinstance(expr, str):
+            col = F.expr(maybe_painless(expr))
+        else:
+            col = expr
         out = out.withColumn(name, col)
     return out
 

@@ -106,6 +106,27 @@ def test_significant_text(docs):
     assert jlhs == sorted(jlhs, reverse=True)
 
 
+def test_significant_text_filter_duplicate(spark):
+    """filter_duplicate_text: a boilerplate doc duplicated many times
+    inflates its terms' significance without the filter and not with
+    it (duplicate field values count once; totals keep every doc)."""
+    rows = [(i, "spam boilerplate advert", "en") for i in range(8)]
+    rows += [(100 + i, f"real signal content variant{i}", "en")
+             for i in range(4)]
+    rows += [(200 + i, f"background words everywhere variant{i}", "fr")
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fg = F.col("lang") == "en"
+    plain = {r["term"]: r["fg_count"] for r in extras.significant_text(
+        df, fg, size=20, min_doc_count=1).collect()}
+    dedup = {r["term"]: r["fg_count"] for r in extras.significant_text(
+        df, fg, size=20, min_doc_count=1,
+        filter_duplicate_text=True).collect()}
+    assert plain["spam"] == 8      # every duplicate counted
+    assert dedup["spam"] == 1      # duplicates collapsed
+    assert dedup["signal"] == plain["signal"] == 4  # uniques unchanged
+
+
 def test_geo_distance(spark):
     import math
 

@@ -176,3 +176,59 @@ def test_tree_plan_is_codegen_only(spark, feat_df):
         model, ["f0", "f1"])["predicted_value"].alias("p"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_inference_pipeline_agg(spark):
+    """inference pipeline agg (InferencePipelineAggregationBuilder):
+    model runs over bucket metrics via buckets_path renames; bucket
+    columns stay intact."""
+    from elasticsearch_spark.ops.ml import inference_bucket_agg
+
+    buckets = spark.createDataFrame(
+        [("a", 1.0, 3.0), ("b", 3.0, 7.0)],
+        "key string, avg_x double, max_y double")
+    model = {"trained_models": [TREE_A, TREE_B],
+             "aggregate_output": {"weighted_sum": {"weights": [0.5, 1.0]}}}
+    out = inference_bucket_agg(
+        buckets, model, {"f0": "avg_x", "f1": "max_y"})
+    got = {r["key"]: r["inference_predicted_value"]
+           for r in out.collect()}
+    assert got == {"a": 10.5, "b": 21.5}
+    assert set(out.columns) == {"key", "avg_x", "max_y",
+                                "inference_predicted_value"}
+
+
+def test_categorize_messages(spark):
+    """ML log categorization: numeric/hex variable parts collapse, date
+    stopwords drop, categories rank by doc_count then key."""
+    from elasticsearch_spark.ops.ml import categorize_messages
+
+    rows = (
+        [(f"Failed login from 10.0.0.{i} port {1000 + i}",) for i in range(5)]
+        + [(f"Disk full on /dev/sda at 9{i}%",) for i in range(3)]
+        + [("Service started on Monday GMT",)]
+        + [("deadbeef cafe 123abc",)]  # all hex / digit-led -> no category
+    )
+    df = spark.createDataFrame(rows, "message string")
+    out = categorize_messages(df, "message").collect()
+    got = [(r["mlcategory"], r["category_key"], r["doc_count"],
+            r["examples"][0]) for r in out]
+    assert got == [
+        (1, "Failed login from port", 5, "Failed login from 10.0.0.0 port 1000"),
+        (2, "Disk full on dev sda at", 3, "Disk full on /dev/sda at 90%"),
+        (3, "Service started on", 1, "Service started on Monday GMT"),
+    ]
+
+
+def test_categorize_messages_char_filters(spark):
+    """categorization_filters run as pattern_replace char filters
+    BEFORE tokenization (CategorizationAnalyzerConfig charFilters)."""
+    from elasticsearch_spark.ops.ml import categorize_messages
+
+    df = spark.createDataFrame(
+        [("ERROR found in module alpha",),
+         ("WARN found in module beta",)], "message string")
+    out = categorize_messages(
+        df, "message", categorization_filters=["^(ERROR|WARN)"]).collect()
+    keys = sorted(r["category_key"] for r in out)
+    assert keys == ["found in module alpha", "found in module beta"]

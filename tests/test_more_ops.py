@@ -78,6 +78,23 @@ def test_eql_three_steps_ordered(events):
         assert r["ts_0"] < r["ts_1"] < r["ts_2"]
 
 
+def test_eql_pipes(events):
+    from elasticsearch_spark.ops.eql import pipe
+
+    types = sorted(
+        r["event_type"] for r in
+        events.select("event_type").distinct().collect())[:2]
+    m = sequence(events, types, maxspan_seconds=10**9)
+    all_rows = sorted((r["ts_0"], r["id_0"]) for r in m.collect())
+    head = pipe(m, "head", 3).collect()
+    assert [(r["ts_0"], r["id_0"]) for r in head] == all_rows[:3]
+    tail = pipe(m, "tail", 3).collect()
+    assert [(r["ts_0"], r["id_0"]) for r in tail] == all_rows[::-1][:3]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pipe(m, "nope", 1)
+
+
 def test_eql_hot_key_no_quadratic_blowup(spark):
     """One bot-like key with 10^5 events per step: the as-of window scan
     must complete in seconds (the old equi-join materialized 10^10
@@ -345,3 +362,17 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         snapshot_index(src, repo, "snap1")  # duplicate name refused
+
+    # searchable snapshot: mount queries the repo files directly
+    # (zero copy) with identical ranks, and the mount is read-only
+    from elasticsearch_spark.ops.ccr import assert_writable
+    from elasticsearch_spark.ops.snapshot import mount_snapshot
+
+    mounted = match_topk(mount_snapshot(spark, repo, "snap1"),
+                         "text", terms, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in mounted] == \
+           [(r["doc_id"], round(r["score"], 6)) for r in a]
+    with _pytest.raises(ValueError):
+        assert_writable(str(tmp_path / "repo" / "snap1"))
+    with _pytest.raises(ValueError):
+        mount_snapshot(spark, repo, "nope")

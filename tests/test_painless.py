@@ -1,0 +1,81 @@
+"""Painless expression-subset transpiler (modules/lang-painless
+analogue: compile-to-Catalyst instead of compile-to-bytecode)."""
+
+import duckdb
+import pytest
+
+from elasticsearch_spark.scripts import compile_painless, maybe_painless
+from elasticsearch_spark.scripts.painless import PainlessError
+
+
+def test_doc_access_and_arithmetic():
+    assert compile_painless("doc['n_chars'].value * 2") == "(n_chars * 2)"
+    assert compile_painless("doc['a'].value + doc['b'].value") == "(a + b)"
+    assert compile_painless("doc['f'].empty") == "(f IS NULL)"
+    assert compile_painless("doc['v'].size()") == "size(v)"
+    assert compile_painless("doc['v'].size()", dialect="duckdb") == "len(v)"
+
+
+def test_params_inline_as_literals():
+    assert compile_painless("params.w * doc['x'].value",
+                            {"w": 2.5}) == "(2.5 * x)"
+    assert compile_painless("params['name']", {"name": "a'b"}) == "'a''b'"
+    assert compile_painless("params.flag ? 1 : 0", {"flag": True}) == \
+        "CASE WHEN TRUE THEN 1 ELSE 0 END"
+    with pytest.raises(PainlessError):
+        compile_painless("params.missing", {})
+
+
+def test_math_and_score():
+    assert compile_painless("Math.log(1 + doc['x'].value)") == "ln((1 + x))"
+    assert compile_painless("Math.max(_score, 1.0)") == "greatest(score, 1.0)"
+    assert compile_painless("Math.pow(doc['x'].value, 2)") == "power(x, 2)"
+    assert compile_painless("_score", score_col="s2") == "s2"
+    with pytest.raises(PainlessError):
+        compile_painless("Math.random()")
+
+
+def test_operators_precedence_ternary():
+    got = compile_painless(
+        "doc['a'].value > 3 && doc['b'].value != 'x' ? 1 : -2")
+    assert got == ("CASE WHEN ((a > 3) AND (b <> 'x')) "
+                   "THEN 1 ELSE (- 2) END")
+    assert compile_painless("1 + 2 * 3") == "(1 + (2 * 3))"
+    assert compile_painless("(1 + 2) * 3") == "(((1 + 2)) * 3)"
+    assert compile_painless("!(doc['a'].value == null)") == \
+        "(NOT ((a = NULL)))"
+
+
+def test_maybe_painless_routing():
+    # painless markers route through the transpiler
+    assert maybe_painless("doc['x'].value + 1") == "(x + 1)"
+    # raw SQL (the engine's native dialect) passes through untouched
+    assert maybe_painless("x + 1") == "x + 1"
+    assert maybe_painless("ln(1 + n_chars)") == "ln(1 + n_chars)"
+
+
+def test_subset_boundary_errors():
+    for bad in ["doc[x].value", "for (int i = 0;;) {}", "doc['x'].values",
+                "new int[3]", "doc['x'].value +"]:
+        with pytest.raises(PainlessError):
+            compile_painless(bad)
+
+
+def test_spark_duckdb_parity(spark):
+    """The SAME compiled text runs in both engines with equal results —
+    the property the correctness oracle relies on."""
+    rows = [(1, 10.0, "abc"), (2, 3.5, "zz"), (3, 0.0, "q'q")]
+    df = spark.createDataFrame(rows, "id long, x double, s string")
+    src = ("Math.log(1 + doc['x'].value) * params.w"
+           " + (doc['s'].value == 'zz' ? 100 : 0)")
+    expr = compile_painless(src, {"w": 3})
+    got = sorted(
+        (r["id"], round(r["v"], 9))
+        for r in df.selectExpr("id", f"{expr} AS v").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, x DOUBLE, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        (i, round(v, 9))
+        for i, v in con.execute(f"SELECT id, {expr} FROM t").fetchall())
+    assert got == want

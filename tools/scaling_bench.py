@@ -70,25 +70,26 @@ print(json.dumps({{"cores": cores, "build_sec": build_sec,
 """
 
 
-def run(cores: int, n_docs: int, repeats: int = 1) -> dict:
-    """Best-of-``repeats`` fresh-JVM runs: single-box noise (page cache,
-    compaction, cron) only ever SLOWS a run, so max throughput is the
-    honest capacity estimate at each level.  Each metric's best is
-    tracked SEPARATELY and every repeat's full row is kept under
-    ``runs`` so each headline number's provenance is explicit (build
-    and qps bests may come from different JVM runs)."""
-    runs: list[dict] = []
-    for _ in range(repeats):
-        code = CHILD.format(repo=REPO)
-        proc = subprocess.run(
-            [sys.executable, "-c", code, str(cores), str(n_docs)],
-            capture_output=True, text=True, timeout=1800,
-            env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError(f"child (cores={cores}) failed")
-        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+def one(cores: int, n_docs: int) -> dict:
+    code = CHILD.format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_docs)],
+        capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"child (cores={cores}) failed")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def best_of(runs: list[dict], cores: int) -> dict:
+    """Best-of fresh-JVM runs: single-box noise (page cache, compaction,
+    cron) only ever SLOWS a run, so max throughput is the honest
+    capacity estimate at each level.  Each metric's best is tracked
+    SEPARATELY and every repeat's full row is kept under ``runs`` so
+    each headline number's provenance is explicit (build and qps bests
+    may come from different JVM runs)."""
     best_build = max(runs, key=lambda r: r["docs_per_sec"])
     return {
         "cores": cores,
@@ -104,8 +105,19 @@ def main() -> None:
     lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else lo_cores * 4
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
-    lo = run(lo_cores, n_docs, repeats)
-    hi = run(hi_cores, n_docs, repeats)
+    # ALTERNATE levels each round: host throughput drifts 2-5x over
+    # minutes, so running all lo then all hi lets a drift masquerade as
+    # a scaling ratio; interleaving exposes both levels to the same
+    # noise window.
+    lo_runs, hi_runs = [], []
+    for i in range(repeats):
+        lo_runs.append(one(lo_cores, n_docs))
+        hi_runs.append(one(hi_cores, n_docs))
+        sys.stderr.write(
+            f"round {i + 1}/{repeats}: lo {lo_runs[-1]['build_sec']:.1f}s "
+            f"hi {hi_runs[-1]['build_sec']:.1f}s\n")
+    lo = best_of(lo_runs, lo_cores)
+    hi = best_of(hi_runs, hi_cores)
     ratio = hi_cores / lo_cores
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     qeff = hi["qps"] / (ratio * lo["qps"])
