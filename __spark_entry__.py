@@ -2989,6 +2989,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_categorize"] = ml_categorize_q
 
+    # -- _mtermvectors (TransportMultiTermVectorsAction: one scan
+    #    serves every requested id)
+
+    def mtermvectors_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import mtermvectors
+
+        idx = _doc_index(s, d)
+        return mtermvectors(idx, "text", [7, 42, 99]).select(
+            "doc_id", "term", "term_freq", "positions")
+
+    q["mtermvectors"] = mtermvectors_q
+
     return _rotate_checked(q)
 
 
@@ -5423,8 +5435,21 @@ g AS (
   FROM t WHERE key <> '' GROUP BY 1)
 SELECT row_number() OVER (ORDER BY doc_count DESC, category_key ASC)
          AS mlcategory,
-       category_key, doc_count, examples
+       category_key,
+       '.*?' || replace(category_key, ' ', '.+?') || '.*?' AS regex,
+       doc_count, examples
 FROM g
+"""
+
+    o["mtermvectors"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(ts) AS term, unnest(range(0, len(ts))) AS pos
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+        FROM documents WHERE doc_id IN (7, 42, 99)))
+SELECT doc_id, term, count(*)::INT AS term_freq,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM toks GROUP BY doc_id, term ORDER BY doc_id, term
 """
 
     return _rotate_checked(o)

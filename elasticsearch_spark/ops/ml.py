@@ -378,6 +378,17 @@ def categorize_messages(
         )
     )
     w = Window.orderBy(F.desc("doc_count"), F.asc("category_key"))
-    return grouped.withColumn("mlcategory", F.row_number().over(w)).select(
-        "mlcategory", "category_key", "doc_count", "examples"
+    # the category regex the reference's results carry
+    # (CategorizerState / GrokPatternCreator.java builds the same
+    # ".*?tok.+?tok.*?" shape from the category's fixed tokens)
+    regex = F.concat(
+        F.lit(".*?"),
+        F.regexp_replace(F.col("category_key"), " ", ".+?"),
+        F.lit(".*?"),
+    )
+    return (
+        grouped.withColumn("mlcategory", F.row_number().over(w))
+        .withColumn("regex", regex)
+        .select("mlcategory", "category_key", "regex", "doc_count",
+                "examples")
     )

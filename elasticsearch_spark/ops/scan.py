@@ -71,13 +71,38 @@ def reindex(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     query=None,
     mode: str = "overwrite",
+    script: dict | None = None,
 ) -> None:
-    """Reindex / update-by-query: scan -> (filter) -> transform -> write."""
+    """Reindex / update-by-query: scan -> (filter) -> transform -> write.
+
+    ``script``: the _update_by_query request's ``script`` object —
+    ``{"source": <painless or SQL>, "params": {...}, "fields":
+    {col: expr, ...}}``. The reference runs painless per doc
+    (TransportUpdateByQueryAction); here each target column compiles
+    ONCE through scripts.maybe_painless into the projection, so the
+    update executes inside whole-stage codegen. ``source`` alone
+    updates the conventional single column named by
+    ``script["target"]`` (default "value")."""
     df = source
     if query is not None:
         from elasticsearch_spark.search.dsl import compile_filter
 
         df = df.filter(compile_filter(query))
+    if script is not None:
+        from pyspark.sql import functions as F
+
+        from elasticsearch_spark.scripts import maybe_painless
+
+        params = script.get("params")
+        fields = script.get("fields")
+        if fields is None:
+            fields = {script.get("target", "value"): script["source"]}
+        # ONE withColumns: every expression reads the ORIGINAL doc
+        # (painless doc['f'] snapshot semantics), not earlier updates
+        df = df.withColumns({
+            col: F.expr(maybe_painless(src, params))
+            for col, src in fields.items()
+        })
     if transform is not None:
         df = transform(df)
     df.write.mode(mode).parquet(dest_path)

@@ -880,7 +880,7 @@ def decoded_postings(
     field: str,
     terms: list[str] | None = None,
     with_positions: bool = False,
-    doc_id: int | None = None,
+    doc_id: int | list[int] | None = None,
 ) -> DataFrame:
     """Decode posting blocks back to rows (part_id, term, doc_id, tf, dl
     [, positions]).
@@ -902,15 +902,24 @@ def decoded_postings(
     if terms is not None:
         blocks = blocks.filter(F.col("term").isin(terms))
     if doc_id is not None:
-        part_expr = F.pmod(
-            F.xxhash64(F.lit(int(doc_id)).cast("long")),
-            F.lit(index.num_partitions()),
-        ).cast("int")
-        blocks = blocks.filter(
-            (F.col("part_id") == part_expr)
-            & (F.col("first_doc") <= int(doc_id))
-            & (F.col("last_doc") >= int(doc_id))
-        )
+        ids = [int(doc_id)] if isinstance(doc_id, int) else sorted(
+            {int(i) for i in doc_id})
+        # per id: its shard (the builder's hash routing) + block range
+        # containment; the OR folds constant (literal xxhash64) at
+        # planning, so the scan still sees pushable comparisons
+        def one(i: int):
+            part_expr = F.pmod(
+                F.xxhash64(F.lit(i).cast("long")),
+                F.lit(index.num_partitions()),
+            ).cast("int")
+            return ((F.col("part_id") == part_expr)
+                    & (F.col("first_doc") <= i)
+                    & (F.col("last_doc") >= i))
+
+        cond = one(ids[0])
+        for i in ids[1:]:
+            cond = cond | one(i)
+        blocks = blocks.filter(cond)
     cols = ["part_id", "term", "n", "doc_ids", "tfs", "dls"]
     if with_positions:
         cols.append("positions")

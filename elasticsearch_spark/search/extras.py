@@ -1074,3 +1074,43 @@ def termvectors(
         # ordinary (pushed-filter) scan feeding a broadcast-able join
         out = out.join(dict_rows, "term", "left")
     return out.orderBy("term")
+
+
+def mtermvectors(
+    index: InvertedIndex,
+    field: str,
+    doc_ids: list[int],
+    term_statistics: bool = False,
+) -> DataFrame:
+    """_mtermvectors (reference: server/.../action/termvectors/
+    TransportMultiTermVectorsAction.java — shard-grouped multi-doc
+    termvectors). One decoded-postings scan serves EVERY requested doc:
+    the id set pushes into the posting scan as an In() filter plus the
+    per-block [first_doc, last_doc] skip, so the request costs one job
+    regardless of how many ids it carries (the reference's
+    shard-grouping collapses round-trips the same way).
+
+    Returns (doc_id, term, term_freq, positions [, doc_freq, ttf]),
+    ordered by (doc_id, term)."""
+    from elasticsearch_spark.search.executor import decoded_postings
+
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        raise ValueError("_mtermvectors needs at least one doc id")
+    rows = decoded_postings(
+        index, field, with_positions=True, doc_id=ids
+    ).where(F.col("doc_id").isin(ids))
+    out = rows.select(
+        "doc_id",
+        "term",
+        F.col("tf").alias("term_freq"),
+        F.array_join(F.transform(
+            "positions", lambda p: p.cast("string")), ",").alias("positions"),
+    )
+    if term_statistics:
+        dict_rows = index.term_dict.filter(
+            F.col("field") == field
+        ).select("term", F.col("df").alias("doc_freq"),
+                 F.col("cf").alias("ttf"))
+        out = out.join(dict_rows, "term", "left")
+    return out.orderBy("doc_id", "term")

@@ -345,6 +345,28 @@ def test_termvectors_matches_reanalysis(index, docs):
         assert (r["doc_freq"], r["ttf"]) == dict_rows[r["term"]]
 
 
+def test_mtermvectors_matches_singles(index, docs):
+    """_mtermvectors: one scan serving many ids == per-id termvectors
+    unioned (TransportMultiTermVectorsAction shard-grouping shape)."""
+    from elasticsearch_spark.search.extras import mtermvectors, termvectors
+
+    ids = [3, 7, 11]
+    got = mtermvectors(index, "text", ids, term_statistics=True).collect()
+    want = []
+    for i in ids:
+        for r in termvectors(index, "text", i,
+                             term_statistics=True).collect():
+            want.append((i, r["term"], r["term_freq"], r["positions"],
+                         r["doc_freq"], r["ttf"]))
+    got_t = [(r["doc_id"], r["term"], r["term_freq"], r["positions"],
+              r["doc_freq"], r["ttf"]) for r in got]
+    assert sorted(got_t) == sorted(want)
+    assert {r["doc_id"] for r in got} == set(ids)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mtermvectors(index, "text", [])
+
+
 def test_validate_query(docs):
     from elasticsearch_spark.search.dsl import validate_query
 

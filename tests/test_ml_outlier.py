@@ -218,6 +218,11 @@ def test_categorize_messages(spark):
         (2, "Disk full on dev sda at", 3, "Disk full on /dev/sda at 90%"),
         (3, "Service started on", 1, "Service started on Monday GMT"),
     ]
+    # the reference-style category regex matches its own examples
+    import re as _re
+    for r in out:
+        assert _re.search(r["regex"], r["examples"][0])
+    assert out[0]["regex"] == ".*?Failed.+?login.+?from.+?port.*?"
 
 
 def test_categorize_messages_char_filters(spark):

@@ -163,6 +163,28 @@ def test_reindex(docs, tmp_path, spark):
     assert "text_len" in out.columns
 
 
+def test_update_by_query_painless_script(docs, tmp_path, spark):
+    """_update_by_query with a painless script compiles to one
+    projection (no per-doc interpreter)."""
+    dest = str(tmp_path / "updated")
+    reindex(
+        docs, dest,
+        query={"term": {"lang": "en"}},
+        script={"fields": {
+            "n_chars": "doc['n_chars'].value + params.bump",
+            "flagged": "doc['n_chars'].value > 500 ? 'long' : 'short'",
+        }, "params": {"bump": 7}},
+    )
+    out = spark.read.parquet(dest)
+    src = docs.filter(F.col("lang") == "en")
+    want = {r["doc_id"]: r["n_chars"] + 7 for r in src.collect()}
+    got = {r["doc_id"]: r["n_chars"] for r in out.collect()}
+    assert got == want
+    for r in out.collect():
+        assert r["flagged"] == ("long" if want[r["doc_id"]] - 7 > 500
+                                else "short")
+
+
 def test_adjacency_matrix(events, duck):
     out = adjacency_matrix(
         events,
