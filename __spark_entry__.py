@@ -265,6 +265,11 @@ PERCOLATE_STORED = [
                    {"prefix": {"text": "merg"}},
                    {"terms": {"lang": ["fr", "de"]}}],
         "minimum_should_match": 2}}),
+    # round-4 continuation: phrase groups (slop=0 position check)
+    (10, {"match_phrase": {"text": "table scan"}}),
+    (11, {"bool": {"must": [
+        {"match_phrase": {"text": "the index"}},
+        {"term": {"lang": "en"}}]}}),
 ]
 
 

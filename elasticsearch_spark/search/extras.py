@@ -535,6 +535,8 @@ def phrase_suggest(
     backoff: float = 0.4,
     index=None,
     field: str = "text",
+    collate: bool = False,
+    collate_prune: bool = True,
 ) -> DataFrame:
     """phrase suggester ("did-you-mean",
     search/suggest/phrase/PhraseSuggester.java + the StupidBackoff
@@ -679,7 +681,29 @@ def phrase_suggest(
                 score = score * (backoff * (uni_c[b] / total))
         results.append((" ".join(combo), score))
     results.sort(key=lambda x: (-x[1], x[0]))
-    return spark.createDataFrame(results[:size], "text string, score double")
+    top = results[:size]
+    if collate:
+        # collate (PhraseSuggester.java collate/prune): verify each
+        # surviving suggestion actually matches documents — the
+        # reference fires the collate template per suggestion per
+        # shard; here one AND match per suggestion (<= size of them)
+        # against the index, k=1 short-circuit. collate_prune=False
+        # keeps non-matching suggestions flagged instead of dropped.
+        if index is None:
+            raise ValueError("collate requires the index")
+        from elasticsearch_spark.search.executor import match_topk
+
+        flagged = []
+        for phrase, sc in top:
+            hit = bool(match_topk(
+                index, field, phrase.split(" "), k=1, operator="and",
+            ).take(1))
+            flagged.append((phrase, sc, hit))
+        if collate_prune:
+            flagged = [r for r in flagged if r[2]]
+        return spark.createDataFrame(
+            flagged, "text string, score double, collate_match boolean")
+    return spark.createDataFrame(top, "text string, score double")
 
 
 def nested_inner_hits(

@@ -29,6 +29,11 @@ doc matches iff EVERY group is satisfied:
   {"match": {f: {"query": text, "minimum_should_match"}}} -> msm=k
   {"prefix":   {f: v}}                   -> pattern group (v*), msm=1
   {"wildcard": {f: pat}}                 -> pattern group (*/?), msm=1
+  {"match_phrase": {f: text}}            -> phrase group (slop=0):
+      verified as contiguous-token containment on the analyzed field
+      (the reference extracts the phrase's terms for the covering
+      query and verifies positions in the MemoryIndex; here the
+      space-joined token text IS the position check)
   {"range": {f: {gte|gt|lte|lt}}}        -> numeric range group
   {"bool":  {"must"/"filter": [...]}}    -> union of the subs' groups
   {"bool":  {"should": [...], "minimum_should_match": k}}
@@ -95,19 +100,22 @@ def _wildcard_like(pattern: str) -> str:
 
 def decompose_queries(
     stored: list[tuple[Any, dict]],
-) -> tuple[list[tuple], list[tuple], list[tuple], list[tuple]]:
+) -> tuple[list[tuple], list[tuple], list[tuple], list[tuple],
+           list[tuple]]:
     """Decompose stored (query_id, dsl) pairs into requirement rows.
 
-    Returns (term_rows, pat_rows, range_rows, group_rows):
-      term_rows:  (query_id, group_id, field, term, clause)
-      pat_rows:   (query_id, group_id, field, like_pattern, clause)
-      range_rows: (query_id, group_id, field, lo, hi, lo_open, hi_open)
-      group_rows: (query_id, group_id, msm)   # msm=0 marks range groups
+    Returns (term_rows, pat_rows, phrase_rows, range_rows, group_rows):
+      term_rows:   (query_id, group_id, field, term, clause)
+      pat_rows:    (query_id, group_id, field, like_pattern, clause)
+      phrase_rows: (query_id, group_id, field, phrase)  # slop=0
+      range_rows:  (query_id, group_id, field, lo, hi, lo_open, hi_open)
+      group_rows:  (query_id, group_id, msm)  # msm=0: range, -1: phrase
     Decomposition is per-query and stateless — for a huge stored-query
     table run it inside mapInPandas; here it feeds createDataFrame.
     """
     term_rows: list[tuple] = []
     pat_rows: list[tuple] = []
+    phrase_rows: list[tuple] = []
     range_rows: list[tuple] = []
     group_rows: list[tuple] = []
 
@@ -216,6 +224,21 @@ def decompose_queries(
             pat_rows.append((
                 qid, gid, field, _wildcard_like(str(value).lower()), 0))
             group_rows.append((qid, gid, 1))
+        elif kind == "match_phrase":
+            (field, body2), = body.items()
+            if isinstance(body2, dict):
+                if int(body2.get("slop", 0)) != 0:
+                    raise ValueError(
+                        "percolator: match_phrase supports slop=0 only")
+                text = body2["query"]
+            else:
+                text = body2
+            toks = [t for t, _ in analyze(text, "ascii_word")]
+            if not toks:
+                raise ValueError(
+                    f"percolator: empty match_phrase in query {qid!r}")
+            phrase_rows.append((qid, gid, field, " ".join(toks)))
+            group_rows.append((qid, gid, -1))
         elif kind == "range":
             (field, bounds), = body.items()
             lo = bounds.get("gte", bounds.get("gt"))
@@ -236,7 +259,7 @@ def decompose_queries(
         gid = add_clause(qid, gid, dsl)
         if gid == 0:
             raise ValueError(f"query {qid!r} produced no requirement groups")
-    return term_rows, pat_rows, range_rows, group_rows
+    return term_rows, pat_rows, phrase_rows, range_rows, group_rows
 
 
 def percolate(
@@ -255,7 +278,14 @@ def percolate(
     keyword fields contribute themselves, and the resulting
     (doc, field, term) set joins the broadcast requirement tables.
     """
-    term_rows, pat_rows, range_rows, group_rows = decompose_queries(stored)
+    (term_rows, pat_rows, phrase_rows, range_rows,
+     group_rows) = decompose_queries(stored)
+    missing_phrase_fields = {r[2] for r in phrase_rows} - set(text_fields)
+    if missing_phrase_fields:
+        raise ValueError(
+            "percolator: stored match_phrase clauses reference fields "
+            f"not in text_fields: {sorted(missing_phrase_fields)}"
+        )
     # A range requirement on a field not listed in numeric_fields can
     # never be satisfied (and empty numeric_fields would crash below on
     # vals=None) — fail loudly instead of silently never-matching.
@@ -333,6 +363,36 @@ def percolate(
         )
         sat_parts.append(sat_terms)
 
+    if phrase_rows:
+        # phrase verification: contiguous-token containment on the
+        # space-joined analyzed field (slop=0 positions check); one
+        # extra projection per phrase field, broadcast requirement side
+        phr = spark.createDataFrame(
+            phrase_rows,
+            f"query_id {qid_type}, group_id int, pfield string, "
+            "phrase string")
+        pj = None
+        for fld in sorted({r[2] for r in phrase_rows}):
+            j = docs.select(
+                F.col(id_col),
+                F.lit(fld).alias("field"),
+                F.concat(
+                    F.lit(" "),
+                    F.array_join(F.regexp_extract_all(
+                        F.lower(F.col(fld)), F.lit(_TOKEN_RE), 0), " "),
+                    F.lit(" "),
+                ).alias("joined"),
+            )
+            pj = j if pj is None else pj.unionByName(j)
+        sat_phrases = (
+            pj.join(
+                F.broadcast(phr),
+                (F.col("field") == F.col("pfield"))
+                & F.expr("contains(joined, ' ' || phrase || ' ')"),
+            ).select(id_col, "query_id", "group_id")
+        )
+        sat_parts.append(sat_phrases)
+
     if range_rows:
         rreqs = spark.createDataFrame(
             range_rows,
@@ -386,7 +446,8 @@ def percolate_requirements_sql(
 ) -> str:
     """DuckDB twin of :func:`percolate` over the same stored queries —
     identical decomposition, tokenization regex, and group algebra."""
-    term_rows, pat_rows, range_rows, group_rows = decompose_queries(stored)
+    (term_rows, pat_rows, phrase_rows, range_rows,
+     group_rows) = decompose_queries(stored)
 
     def q(v: Any) -> str:
         if v is None:
@@ -439,6 +500,20 @@ def percolate_requirements_sql(
     ON g.query_id = h.query_id AND g.group_id = h.group_id AND g.msm > 0
   GROUP BY h.doc_id, h.query_id, h.group_id
   HAVING count(DISTINCT h.clause) >= any_value(g.msm)""")
+    if phrase_rows:
+        phr_v = ", ".join(
+            f"({q(a)}, {b}, {q(c)}, {q(d)})" for a, b, c, d in phrase_rows)
+        joined_selects = " UNION ALL ".join(
+            f"SELECT {id_col} AS doc_id, '{fld}' AS field, "
+            f"' ' || array_to_string(regexp_extract_all(lower({fld}), "
+            f"'{_TOKEN_RE}'), ' ') || ' ' AS joined FROM {table}"
+            for fld in sorted({r[2] for r in phrase_rows}))
+        parts.append(f"""
+  SELECT dj.doc_id, p.query_id, p.group_id
+  FROM ({joined_selects}) dj
+  JOIN (VALUES {phr_v}) AS p(query_id, group_id, field, phrase)
+    ON p.field = dj.field
+  WHERE contains(dj.joined, ' ' || p.phrase || ' ')""")
     if range_rows:
         rreqs_v = ", ".join(
             f"({q(a)}, {b}, {q(c)}, {q(lo)}, {q(hi)}, {q(lop)}, {q(hop)})"

@@ -160,6 +160,29 @@ def test_phrase_suggest_index_path_matches_text_path(index, docs):
     assert backed, "expected suggestions"
 
 
+def test_phrase_suggest_collate(index, docs):
+    """collate: every surviving suggestion matches >=1 doc with ALL its
+    terms (the reference fires the collate query per suggestion);
+    collate_prune=False keeps non-matching ones flagged."""
+    from elasticsearch_spark.search.executor import match_topk
+
+    pruned = extras.phrase_suggest(
+        docs, "dat san", size=3, index=index, field="text",
+        collate=True).collect()
+    assert pruned, "expected collated suggestions"
+    for r in pruned:
+        assert r["collate_match"] is True
+        assert match_topk(index, "text", r["text"].split(" "), k=1,
+                          operator="and").take(1)
+    flagged = extras.phrase_suggest(
+        docs, "dat san", size=3, index=index, field="text",
+        collate=True, collate_prune=False).collect()
+    assert {r["text"] for r in pruned} <= {r["text"] for r in flagged}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="index"):
+        extras.phrase_suggest(docs, "dat san", collate=True)
+
+
 def test_bigram_stats_cached_until_index_changes(index, tmp_path):
     """ensure_bigram_stats builds once per index generation: a second
     call must read the persisted table, not rebuild (same mtime)."""

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_decompose_bool_groups():
-    terms, pats, ranges, groups = decompose_queries([
+    terms, pats, _phr, ranges, groups = decompose_queries([
         ("a", {"bool": {"must": [
             {"term": {"lang": "EN"}},
             {"match": {"text": {"query": "alpha beta", "operator": "and"}}},
@@ -96,7 +96,7 @@ def test_decompose_rejects_must_not_and_filter_maps_to_groups():
             "must_not": [{"term": {"lang": "fr"}}]}})])
     # bool.filter participates exactly like must (filter context has
     # identical matching semantics for percolation)
-    t, _pt, r, g = decompose_queries([(1, {"bool": {
+    t, _pt, _phr, r, g = decompose_queries([(1, {"bool": {
         "filter": [{"term": {"lang": "en"}},
                    {"range": {"n": {"gte": 5}}}]}})])
     assert len(g) == 2 and len(t) == 1 and len(r) == 1
@@ -121,7 +121,7 @@ def test_percolate_validates_numeric_fields(spark):
 
 
 def test_decompose_prefix_wildcard_and_should_msm():
-    t, p, r, g = decompose_queries([
+    t, p, _phr, r, g = decompose_queries([
         (1, {"prefix": {"text": "tab"}}),
         (2, {"wildcard": {"text": "sc*n_?"}}),
         (3, {"bool": {
@@ -170,3 +170,38 @@ def test_percolate_prefix_wildcard_should(spark):
         stored, table="d", text_fields=["text"], keyword_fields=["lang"],
     )).fetchall()))
     assert got == want
+
+
+def test_percolate_match_phrase(spark):
+    """match_phrase stored queries: contiguous analyzed-token
+    containment (slop=0), verified against the DuckDB twin."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "quick brown dog"),
+         (3, "brown quick fox"),          # terms present, order wrong
+         (4, "a QUICK, brown: fox here")],  # analyzer normalizes
+        "doc_id long, text string")
+    stored = [
+        (1, {"match_phrase": {"text": "quick brown fox"}}),
+        (2, {"bool": {"must": [
+            {"match_phrase": {"text": "brown fox"}},
+            {"term": {"text": "jumps"}}]}}),
+    ]
+    out = percolate(spark, docs, stored, text_fields=["text"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (4, 1)]
+
+    import duckdb as _dd
+    con = _dd.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(map(tuple, con.execute(percolate_requirements_sql(
+        stored)).fetchall()))
+    assert got == [(int(a), int(b)) for a, b in want]
+
+    with pytest.raises(ValueError, match="slop"):
+        decompose_queries([(1, {"match_phrase": {
+            "text": {"query": "a b", "slop": 1}}})])
+    with pytest.raises(ValueError, match="text_fields"):
+        percolate(spark, docs,
+                  [(1, {"match_phrase": {"title": "x y"}})],
+                  text_fields=["text"])

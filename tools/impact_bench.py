@@ -36,7 +36,12 @@ def main() -> None:
     from elasticsearch_spark.search.executor import match_topk
     from elasticsearch_spark.session import get_spark
 
-    shards = max(32, n_docs // 8000)
+    # overridable: FAT shards (fewer, longer posting lists) put the
+    # query in the decode+score-bound regime where pruning can show a
+    # wall-clock win; the default ~8k-docs/shard sizing is the BUILD
+    # sweet spot but leaves queries overhead-bound at sandbox scale
+    shards = (int(sys.argv[3]) if len(sys.argv) > 3
+              else max(32, n_docs // 8000))
     spark = get_spark("impact", cores=cores, shuffle_partitions=2 * shards)
     corpus = generate_corpus(spark, n_docs, seed=42,
                              partitions=2 * shards).cache()
