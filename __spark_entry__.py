@@ -3006,6 +3006,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mtermvectors"] = mtermvectors_q
 
+    # -- EQL pipes (Head.java / Tail.java): TakeOrderedAndProject over
+    #    the matched-sequence frame
+
+    def eql_head_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.eql import pipe, sequence
+
+        ev = _t(s, d, "events")
+        m = sequence(ev, ["click", "purchase"], maxspan_seconds=86400)
+        return pipe(m, "head", 5).select(
+            "user_id", "id_0", "id_1",
+            F.col("ts_0").cast("string").alias("ts0"))
+
+    q["eql_pipe_head"] = eql_head_q
+
+    # -- explain API (fetch/subphase/ExplainPhase.java): per-(doc,
+    #    term) BM25 component breakdown for chosen hits
+
+    def explain_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import explain_scores
+
+        idx = _doc_index(s, d)
+        out = explain_scores(idx, "text", ["table", "scan"],
+                             [7, 42, 99], params=_EXACT)
+        return out.select(
+            "doc_id", "term",
+            F.round("contribution", 6).alias("contribution"))
+
+    q["explain_api"] = explain_q
+
     return _rotate_checked(q)
 
 
@@ -5455,6 +5484,39 @@ WITH toks AS (
 SELECT doc_id, term, count(*)::INT AS term_freq,
        string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
 FROM toks GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+
+    # EQL | head 5 — same as-of sequence, ordered by (first-event ts,
+    # first-event id) ascending, first 5
+    o["eql_pipe_head"] = """
+WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.user_id, a.ts AS ts_0, a.event_id AS id_0, b.event_id AS id_1,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY b.ts ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
+SELECT user_id, id_0, id_1, CAST(ts_0 AS VARCHAR) AS ts0
+FROM j WHERE rn = 1
+ORDER BY ts_0 ASC, id_0 ASC LIMIT 5
+"""
+
+    # explain API: per-(doc, term) contribution from the same CTE
+    # components the top-k twin sums
+    o["explain_api"] = f"""
+WITH {bm25_ctes(['table', 'scan'])}
+SELECT tf.doc_id, tf.term,
+       round((1.2 + 1.0)
+             * ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+             6) AS contribution
+FROM tf JOIN df ON tf.term = df.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats s
+WHERE tf.doc_id IN (7, 42, 99)
+ORDER BY tf.doc_id, tf.term
 """
 
     return _rotate_checked(o)
