@@ -547,3 +547,90 @@ FROM (
   FROM sat GROUP BY doc_id, query_id
 ) s JOIN need n ON n.query_id = s.query_id AND s.got = n.need_groups
 """
+
+
+def decompose_queries_df(stored_df: DataFrame) -> dict[str, DataFrame]:
+    """Distributed decomposition for a HUGE stored-query table.
+
+    ``stored_df``: (query_id long|string, dsl string) — one stored
+    query per row, DSL as JSON text (how a real percolator index would
+    persist them). Each partition decomposes its queries independently
+    (decompose_queries is per-query and stateless), so a billion stored
+    queries become ordinary DataFrames of requirement rows — persist
+    them once and every percolate() call joins against them without
+    re-parsing.
+
+    Returns {"terms": df, "patterns": df, "phrases": df, "ranges": df,
+    "groups": df} with the same columns percolate() builds from the
+    in-memory lists. Queries that fail decomposition (unsupported
+    kinds) surface in "errors" (query_id, error) instead of raising —
+    at this scale a poison query must not kill the job.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    qid_type = dict(stored_df.dtypes)["query_id"]
+
+    def part(batches):
+        for pdf in batches:
+            t_rows, p_rows, ph_rows, r_rows, g_rows, errs = \
+                [], [], [], [], [], []
+            for qid, dsl in zip(pdf["query_id"], pdf["dsl"]):
+                try:
+                    t, p, ph, r, g = decompose_queries(
+                        [(qid, _json.loads(dsl))])
+                except (ValueError, KeyError) as ex:
+                    errs.append((qid, str(ex)))
+                    continue
+                t_rows += t
+                p_rows += p
+                ph_rows += ph
+                r_rows += r
+                g_rows += g
+            def enc(row: tuple) -> str:
+                # stringify every element (None stays null) so the
+                # payload parses as array<string> and unpack() casts
+                return _json.dumps(
+                    [None if v is None else str(v) for v in row])
+
+            yield pd.DataFrame({
+                "kind": (["t"] * len(t_rows) + ["p"] * len(p_rows)
+                         + ["h"] * len(ph_rows) + ["r"] * len(r_rows)
+                         + ["g"] * len(g_rows) + ["e"] * len(errs)),
+                "payload": [enc(x) for x in
+                            t_rows + p_rows + ph_rows + r_rows
+                            + g_rows + errs],
+            })
+
+    tagged = stored_df.mapInPandas(
+        part, schema="kind string, payload string").cache()
+
+    def unpack(kind: str, schema: str) -> DataFrame:
+        sel = tagged.where(F.col("kind") == kind).select(
+            F.from_json("payload", "array<string>").alias("a"))
+        # positional unpack with casts per schema
+        fields = [f.strip() for f in schema.split(",")]
+        cols = []
+        for i, fld in enumerate(fields):
+            name, typ = fld.split(" ", 1)
+            cols.append(F.element_at("a", i + 1).cast(typ).alias(name))
+        return sel.select(*cols)
+
+    return {
+        "terms": unpack(
+            "t", f"query_id {qid_type}, group_id int, field string, "
+                 "term string, clause int"),
+        "patterns": unpack(
+            "p", f"query_id {qid_type}, group_id int, field string, "
+                 "pattern string, clause int"),
+        "phrases": unpack(
+            "h", f"query_id {qid_type}, group_id int, field string, "
+                 "phrase string"),
+        "ranges": unpack(
+            "r", f"query_id {qid_type}, group_id int, field string, "
+                 "lo double, hi double, lo_open boolean, hi_open boolean"),
+        "groups": unpack(
+            "g", f"query_id {qid_type}, group_id int, msm int"),
+        "errors": unpack("e", f"query_id {qid_type}, error string"),
+    }

@@ -205,3 +205,38 @@ def test_percolate_match_phrase(spark):
         percolate(spark, docs,
                   [(1, {"match_phrase": {"title": "x y"}})],
                   text_fields=["text"])
+
+
+def test_decompose_queries_df_distributed(spark):
+    """Distributed decomposition: DataFrame-in, requirement
+    DataFrames out; equals the in-memory decomposition; poison
+    queries land in errors instead of killing the job."""
+    import json
+
+    from elasticsearch_spark.search.percolate import (
+        decompose_queries, decompose_queries_df,
+    )
+
+    stored = [
+        (1, {"match": {"text": "alpha beta"}}),
+        (2, {"bool": {"must": [
+            {"term": {"lang": "en"}},
+            {"range": {"n": {"gte": 1.5, "lt": 9}}}]}}),
+        (3, {"match_phrase": {"text": "quick fox"}}),
+        (4, {"prefix": {"text": "tab"}}),
+    ]
+    rows = [(qid, json.dumps(dsl)) for qid, dsl in stored]
+    rows.append((99, json.dumps({"fancy": {"x": 1}})))  # poison
+    df = spark.createDataFrame(rows, "query_id long, dsl string")
+    out = decompose_queries_df(df.repartition(3))
+
+    t, p, ph, r, g = decompose_queries(stored)
+    assert sorted(map(tuple, (tuple(x) for x in
+                              out["terms"].collect()))) == sorted(t)
+    assert sorted(tuple(x) for x in out["patterns"].collect()) == sorted(p)
+    assert sorted(tuple(x) for x in out["phrases"].collect()) == sorted(ph)
+    assert sorted(tuple(x) for x in out["ranges"].collect()) == sorted(r)
+    assert sorted(tuple(x) for x in out["groups"].collect()) == sorted(g)
+    errs = out["errors"].collect()
+    assert len(errs) == 1 and errs[0]["query_id"] == 99
+    assert "fancy" in errs[0]["error"]
