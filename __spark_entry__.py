@@ -3035,6 +3035,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["explain_api"] = explain_q
 
+    # -- request sort section (ScriptSortBuilder / FieldSortBuilder)
+
+    def sort_section_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.api import sort_hits
+
+        docs = _t(s, d, "documents").where(F.col("lang") == "en")
+        out = sort_hits(
+            docs,
+            [{"_script": {"script": {
+                "source": "Math.log(1 + doc['n_chars'].value) * params.w",
+                "params": {"w": 2.5}}, "order": "desc"}},
+             {"source": {"order": "asc"}}],
+            k=15)
+        return out.select("doc_id", "n_chars", "source")
+
+    q["sort_section"] = sort_section_q
+
     return _rotate_checked(q)
 
 
@@ -5517,6 +5534,15 @@ JOIN dl ON tf.doc_id = dl.doc_id
 CROSS JOIN stats s
 WHERE tf.doc_id IN (7, 42, 99)
 ORDER BY tf.doc_id, tf.term
+"""
+
+    # request sort section: painless script sort + field sort + the
+    # engine's always-appended doc_id tie-break
+    o["sort_section"] = """
+SELECT doc_id, n_chars, source
+FROM documents WHERE lang = 'en'
+ORDER BY ln(1 + n_chars) * 2.5 DESC, source ASC, doc_id ASC
+LIMIT 15
 """
 
     return _rotate_checked(o)

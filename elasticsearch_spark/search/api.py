@@ -605,3 +605,54 @@ def search(
     return docs.join(F.broadcast(topk), on=id_col, how="inner").orderBy(
         F.desc("score"), F.asc(id_col)
     )
+
+
+def sort_hits(
+    hits: DataFrame,
+    sort: list,
+    k: int | None = None,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The request ``sort`` section (search/sort/SortBuilder.java
+    hierarchy: FieldSortBuilder, ScoreSortBuilder, ScriptSortBuilder;
+    GeoDistanceSortBuilder lives in search/geo.py) applied to a hit
+    frame.
+
+    Each element: ``"_score"`` | ``"field"`` |
+    ``{"field": {"order": "asc"|"desc", "missing": "_first"|"_last"}}``
+    | ``{"_script": {"script": {"source", "params"}, "order"}}``
+    (painless or raw SQL — compiled ONCE to a Catalyst expression).
+    A trailing ``id_col`` ascending tie-break is always appended (the
+    engine's stable _shard_doc analogue). ``k`` bounds the result via
+    TakeOrderedAndProject — sorts never materialize a global order
+    beyond the k requested."""
+    from elasticsearch_spark.scripts import maybe_painless
+
+    cols = []
+    for spec in sort:
+        if isinstance(spec, str):
+            spec = {spec: {}}
+        (key, opts), = spec.items()
+        opts = opts or {}
+        if key == "_script":
+            s = opts.get("script", opts)
+            col = F.expr(maybe_painless(
+                s["source"], s.get("params"), score_col=score_col))
+            order = opts.get("order", "asc")
+        elif key == "_score":
+            col = F.col(score_col)
+            order = opts.get("order", "desc")
+        else:
+            col = F.col(key)
+            order = opts.get("order", "asc")
+        missing = opts.get("missing", "_last")
+        if order == "desc":
+            cols.append(col.desc_nulls_first() if missing == "_first"
+                        else col.desc_nulls_last())
+        else:
+            cols.append(col.asc_nulls_first() if missing == "_first"
+                        else col.asc_nulls_last())
+    cols.append(F.col(id_col).asc())
+    out = hits.orderBy(*cols)
+    return out.limit(k) if k is not None else out

@@ -398,3 +398,32 @@ def test_snapshot_restore_roundtrip(spark, tmp_path):
         assert_writable(str(tmp_path / "repo" / "snap1"))
     with _pytest.raises(ValueError):
         mount_snapshot(spark, repo, "nope")
+
+
+def test_sort_hits_section(spark):
+    """Request sort section (FieldSortBuilder / ScoreSortBuilder /
+    ScriptSortBuilder): field order + missing placement, _score,
+    painless _script sort; id tie-break always appended."""
+    from elasticsearch_spark.search.api import sort_hits
+
+    hits = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, 2.0, None), (3, 1.0, 5.0), (4, 3.0, 7.0)],
+        "doc_id long, score double, price double")
+    # field asc, missing last (default), then id tie-break
+    got = [r["doc_id"] for r in sort_hits(hits, ["price"]).collect()]
+    assert got == [3, 4, 1, 2]
+    got = [r["doc_id"] for r in sort_hits(
+        hits, [{"price": {"order": "desc", "missing": "_first"}}],
+        k=3).collect()]
+    assert got == [2, 1, 4]
+    # _score desc default with id tie-break (1 before 2 at 2.0)
+    got = [r["doc_id"] for r in sort_hits(hits, ["_score"]).collect()]
+    assert got == [4, 1, 2, 3]
+    # painless script sort: _score * params.w - price
+    got = [r["doc_id"] for r in sort_hits(
+        hits, [{"_script": {
+            "script": {"source": "_score * params.w - doc['price'].value",
+                       "params": {"w": 10}},
+            "order": "desc"}}]).collect()]
+    # values: d1 10, d2 null, d3 5, d4 23 -> desc nulls last: 4,1,3,2
+    assert got == [4, 1, 3, 2]
