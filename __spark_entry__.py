@@ -3052,6 +3052,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sort_section"] = sort_section_q
 
+    # -- dataset assembly: deterministic split + sequence packing
+    #    (training-data pipeline ops; portable md5 bucketing)
+
+    def dataset_split_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.dataset import dataset_split
+
+        out = dataset_split(_t(s, d, "documents"), seed="r4")
+        return out.groupBy("split").agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").alias("chars"))
+
+    q["dataset_split"] = dataset_split_q
+
+    def pack_sequences_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.dataset import pack_sequences
+
+        docs = _t(s, d, "documents").withColumn(
+            "n_tokens", F.size(F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")))
+        packed = pack_sequences(docs, "n_tokens", 512,
+                                partition_col="lang")
+        return packed.groupBy("lang", "pack_id").agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"))
+
+    q["pack_sequences"] = pack_sequences_q
+
     return _rotate_checked(q)
 
 
@@ -5543,6 +5570,31 @@ SELECT doc_id, n_chars, source
 FROM documents WHERE lang = 'en'
 ORDER BY ln(1 + n_chars) * 2.5 DESC, source ASC, doc_id ASC
 LIMIT 15
+"""
+
+    from elasticsearch_spark.ops.dataset import (
+        dataset_split_sql as _split_sql,
+        pack_sequences_sql as _pack_sql,
+    )
+
+    o["dataset_split"] = f"""
+SELECT {_split_sql(seed='r4')} AS split,
+       count(*) AS doc_count, sum(n_chars) AS chars
+FROM documents GROUP BY 1
+"""
+
+    o["pack_sequences"] = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT lang,
+         {_pack_sql('n_tokens', 512, partition_col='lang')} AS pack_id,
+         n_tokens
+  FROM t)
+SELECT lang, pack_id, count(*) AS docs, sum(n_tokens) AS tokens
+FROM p GROUP BY 1, 2
 """
 
     return _rotate_checked(o)

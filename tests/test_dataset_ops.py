@@ -1,0 +1,76 @@
+"""Dataset assembly ops: deterministic splits + sequence packing."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.ops.dataset import (
+    dataset_split, dataset_split_sql, pack_sequences, pack_sequences_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_split_deterministic_and_stable(docs, spark):
+    out = dataset_split(docs, id_col="doc_id", seed="s1")
+    counts = {r["split"]: r["c"] for r in
+              out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    n = docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > 0.8 * n
+    # stability: membership is a pure function of (id, seed) — a
+    # subset of the corpus gets identical assignments
+    sub = dataset_split(docs.limit(50), id_col="doc_id", seed="s1")
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+    # different seed -> different partitioning (overwhelmingly likely)
+    other = dataset_split(docs, id_col="doc_id", seed="s2")
+    diff = out.alias("a").join(other.alias("b"), "doc_id").where(
+        F.col("a.split") != F.col("b.split")).count()
+    assert diff > 0
+    with pytest.raises(ValueError):
+        dataset_split(docs, weights={"train": 0.5, "val": 0.1})
+
+
+def test_split_matches_duckdb_twin(docs):
+    got = {r["doc_id"]: r["split"]
+           for r in dataset_split(docs, seed="x").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = dict(con.execute(
+        f"SELECT doc_id, {dataset_split_sql(seed='x')} FROM documents"
+    ).fetchall())
+    assert got == want
+
+
+def test_pack_sequences(spark):
+    rows = [(i, t) for i, t in enumerate([400, 500, 300, 900, 100,
+                                          2500, 50, 60])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", 1000).collect()
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    # exclusive cumsum: 0,400,900,1200,2100,2200,4700,4750
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 4, 7: 4}
+    # per-partition packing never crosses the partition key
+    df2 = df.withColumn("day", (F.col("doc_id") % 2).cast("int"))
+    packed = pack_sequences(df2, "n_tokens", 1000, partition_col="day")
+    sums = packed.groupBy("day", "pack_id").agg(
+        F.sum("n_tokens").alias("s"),
+        F.count("*").alias("c")).collect()
+    for r in sums:
+        # a bin exceeds max only via its LAST doc (overshoot <= 1 doc)
+        assert r["s"] < 1000 + 2500
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = dict(con.execute(
+        f"SELECT doc_id, {pack_sequences_sql('n_tokens', 1000)} FROM t"
+    ).fetchall())
+    assert got == want
