@@ -3079,6 +3079,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_q
 
+    def repetition_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.text import repetition_signals
+
+        return repetition_signals(_t(s, d, "documents")).select(
+            "doc_id", "dup_line_frac", "dup_line_char_frac",
+            "dup_word_frac", "top_bigram_share")
+
+    q["text_repetition_signals"] = repetition_q
+
     return _rotate_checked(q)
 
 
@@ -5595,6 +5604,54 @@ p AS (
   FROM t)
 SELECT lang, pack_id, count(*) AS docs, sum(n_tokens) AS tokens
 FROM p GROUP BY 1, 2
+"""
+
+    # Gopher repetition heuristics: lines via split+trim, bigrams via
+    # position self-join; identical rounding
+    o["text_repetition_signals"] = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(string_split(text, chr(10)), s -> trim(s)),
+           s -> len(s) > 0)) AS line
+  FROM documents),
+lc AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT line) AS d,
+         sum(len(line)) AS tc
+  FROM l GROUP BY 1),
+ld AS (
+  SELECT doc_id, sum(len(line)) AS dc
+  FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY 1),
+tk AS (
+  SELECT doc_id,
+         generate_subscripts(ts, 1) AS ord, unnest(ts) AS term
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+        FROM documents)),
+wc AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT term) AS d,
+         sum(len(term)) AS tc
+  FROM tk GROUP BY 1),
+bg AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS g,
+         count(*) AS c, len(a.term || b.term) AS glen
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  GROUP BY 1, 2, 4),
+tb AS (SELECT doc_id, max(c * glen) AS top_chars FROM bg GROUP BY 1)
+SELECT d.doc_id,
+       round(coalesce((lc.n - lc.d) * 1.0 / nullif(lc.n, 0), 0), 6)
+         AS dup_line_frac,
+       round(coalesce((lc.tc - ld.dc) * 1.0 / nullif(lc.tc, 0), 0), 6)
+         AS dup_line_char_frac,
+       round(coalesce((wc.n - wc.d) * 1.0 / nullif(wc.n, 0), 0), 6)
+         AS dup_word_frac,
+       round(coalesce(tb.top_chars * 1.0 / nullif(wc.tc, 0), 0), 6)
+         AS top_bigram_share
+FROM documents d
+LEFT JOIN lc ON lc.doc_id = d.doc_id
+LEFT JOIN ld ON ld.doc_id = d.doc_id
+LEFT JOIN wc ON wc.doc_id = d.doc_id
+LEFT JOIN tb ON tb.doc_id = d.doc_id
 """
 
     return _rotate_checked(o)

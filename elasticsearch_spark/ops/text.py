@@ -253,3 +253,83 @@ def soundex(token: str) -> str:
             dedup.append(ch)
     digits = "".join(ch for ch in dedup[1:] if ch != "0")
     return up[0] + (digits[:3]).ljust(3, "0")
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A quality heuristics —
+    published rules widely reused in C4/RefinedWeb-style pipelines):
+
+      dup_line_frac      fraction of lines that are duplicates
+                         (1 - distinct/total, blank lines dropped)
+      dup_line_char_frac fraction of characters sitting in duplicated
+                         lines (repeated occurrences beyond the first)
+      top_bigram_share   characters in the most frequent word 2-gram /
+                         total token characters
+      dup_word_frac      1 - distinct/total over word tokens
+
+    All pure Catalyst (split + higher-order array folds), one
+    projection, no shuffle — the filter thresholds (e.g. Gopher drops
+    docs with dup_line_frac > 0.3) stay the caller's policy."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n_lines = F.size(lines)
+    d_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - d_lines) / n_lines).otherwise(F.lit(0.0))
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda a, s: a + F.length(s))
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, s: a + F.length(s))
+    dup_line_char_frac = F.when(
+        total_line_chars > 0,
+        (total_line_chars - distinct_line_chars) / total_line_chars,
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    dup_word_frac = F.when(
+        n_tok > 0,
+        (n_tok - F.size(F.array_distinct(toks))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    # most frequent word bigram's character share: build the bigram
+    # list with zip_with over the shifted array, then fold a max of
+    # (count * bigram-char-length) over the distinct bigrams
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_tok - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # linear-time max-run fold over the SORTED bigram array (a
+    # distinct×filter scan would be quadratic per doc): track
+    # (prev, run-length, best count*(chars-minus-space))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def brun(a, g):
+        run = F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(a["best"],
+                       (run * (F.length(g) - 1)).cast("int")).alias("best"),
+        )
+
+    top_bigram_chars = F.aggregate(
+        F.array_sort(bigrams), acc0, brun, lambda a: a["best"])
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    top_bigram_share = F.when(
+        tok_chars > 0, top_bigram_chars / tok_chars).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dup_line_frac", F.round(dup_line_frac, 6))
+        .withColumn("dup_line_char_frac", F.round(dup_line_char_frac, 6))
+        .withColumn("dup_word_frac", F.round(dup_word_frac, 6))
+        .withColumn("top_bigram_share", F.round(top_bigram_share, 6))
+    )

@@ -74,3 +74,28 @@ def test_pack_sequences(spark):
         f"SELECT doc_id, {pack_sequences_sql('n_tokens', 1000)} FROM t"
     ).fetchall())
     assert got == want
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition heuristics: hand-checkable values."""
+    from elasticsearch_spark.ops.text import repetition_signals
+
+    rows = [
+        (1, "spam line\nspam line\nunique line\n\nspam line"),
+        (2, "all fresh words here today"),
+        (3, "go go go go"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    # doc 1: 4 non-blank lines, 2 distinct -> dup_line_frac = 0.5;
+    # chars: total 4 lines (9+9+11+9=38), distinct (9+11=20) -> 18/38
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == round(18 / 38, 6)
+    # doc 3: tokens [go x4] -> dup_word_frac 3/4; bigrams 'go go' x3,
+    # top bigram chars = 3 * 4 ('gogo') over tok_chars 8 -> 1.5
+    assert got[3]["dup_word_frac"] == 0.75
+    assert got[3]["top_bigram_share"] == round(12 / 8, 6)
+    # doc 2: no repetition anywhere
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
