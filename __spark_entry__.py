@@ -3088,6 +3088,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition_signals"] = repetition_q
 
+    # -- near-dup clusters: connected components over the
+    #    deterministic Jaccard pair table, then keep-best dedup
+
+    def dedup_components_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.dedup import connected_components
+
+        pairs = dedup.ngram_jaccard_pairs(
+            _t(s, d, "documents"), k=2, threshold=0.5)
+        comps = connected_components(pairs, "id_a", "id_b")
+        return comps.groupBy("component").agg(
+            F.count("*").alias("members"),
+            F.max("node").alias("max_node"))
+
+    q["dedup_components"] = dedup_components_q
+
     return _rotate_checked(q)
 
 
@@ -5652,6 +5667,40 @@ LEFT JOIN lc ON lc.doc_id = d.doc_id
 LEFT JOIN ld ON ld.doc_id = d.doc_id
 LEFT JOIN wc ON wc.doc_id = d.doc_id
 LEFT JOIN tb ON tb.doc_id = d.doc_id
+"""
+
+    # connected components over the same pair table via recursive-CTE
+    # transitive closure (fine at oracle scale; the engine runs the
+    # SoCC'14 alternating algorithm instead)
+    o["dedup_components"] = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(ts) - 1),
+                   i -> array_to_string(ts[i:i+1], ' '))) AS shingle
+  FROM tok WHERE len(ts) >= 2),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM cp
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component, count(*) AS members, max(node) AS max_node
+FROM comp GROUP BY component
 """
 
     return _rotate_checked(o)

@@ -538,3 +538,102 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair table: connected components
+    via alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    standard O(log^2 n)-round distributed CC algorithm).
+
+    A dedup pipeline needs this step between pair generation
+    (minhash_lsh_pairs / simhash_pairs / embedding_cosine_pairs) and
+    keep-one-per-cluster: pairs only witness edges; the component id
+    is what dedup keys on. Returns (node, component) with component =
+    the minimum node id in each connected component (deterministic).
+
+    Each round is two self-joins on ids only (longs — never content);
+    convergence is checked with one count per round and the loop stops
+    early at fixpoint. ``max_iter`` bounds pathological chains (a
+    20-round cap covers components of diameter ~2^20 under the
+    alternation's doubling).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # undirected: keep both directions for the star operations
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    # label = current parent pointer; init: parent = min(self, min nbr)
+    lab = (
+        sym.groupBy("u").agg(F.min("v").alias("m"))
+        .select(F.col("u").alias("node"),
+                F.least("u", "m").alias("comp"))
+    )
+    for _ in range(max_iter):
+        # propagate: comp(node) <- min(comp(node), min over neighbors
+        # of comp(nbr)) — one join pass (label propagation on the
+        # shrinking label table; the star variants' hook-compress
+        # effect comes from relabeling through the CURRENT labels)
+        nbr_min = (
+            sym.join(lab.withColumnRenamed("node", "v"), "v")
+            .groupBy("u").agg(F.min("comp").alias("nc"))
+            .withColumnRenamed("u", "node")
+        )
+        new_lab = (
+            lab.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least("comp", F.coalesce("nc", "comp")).alias("comp"))
+        )
+        # pointer jumping: comp <- comp(comp) where comp is a node
+        jumped = (
+            new_lab.alias("x")
+            .join(new_lab.select(F.col("node").alias("comp"),
+                                 F.col("comp").alias("cc")).alias("y"),
+                  "comp", "left")
+            .select(F.col("node"),
+                    F.least(F.col("comp"),
+                            F.coalesce("cc", "comp")).alias("comp"))
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            lab.withColumnRenamed("comp", "old")
+            .join(jumped, "node")
+            .where(F.col("old") != F.col("comp"))
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    return lab.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_clusters_keep_best(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE doc per near-duplicate cluster: the highest
+    ``score_col`` (ties -> lowest id), or the lowest id when no score.
+    Docs without a component row are singletons and always survive.
+    One broadcast-able join + one window over the (small) clustered
+    subset — the full corpus never shuffles."""
+    joined = docs.join(
+        components.withColumnRenamed("node", id_col), id_col, "left")
+    singles = joined.where(F.col("component").isNull()).drop("component")
+    clustered = joined.where(F.col("component").isNotNull())
+    order = ([F.desc(score_col)] if score_col else []) + [F.asc(id_col)]
+    w = Window.partitionBy("component").orderBy(*order)
+    best = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn", "component")
+    )
+    return singles.unionByName(best)

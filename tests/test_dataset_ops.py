@@ -99,3 +99,66 @@ def test_repetition_signals(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[2]["dup_word_frac"] == 0.0
     assert got[2]["dup_line_char_frac"] == 0.0
+
+
+def _py_components(edges):
+    """Independent union-find for the property check."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id per component
+    out = {}
+    for x in list(parent):
+        r = find(x)
+        out[x] = min(out.get(r, r), r)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from elasticsearch_spark.ops.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(300, 340)]  # a 41-node chain
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = _py_components([(a, b) for a, b in edges if a != b])
+    assert got == want
+    # component ids are the min node id of each component
+    for n, c in got.items():
+        assert c <= n and got[c] == c
+
+
+def test_dedup_clusters_keep_best(spark):
+    from elasticsearch_spark.ops.dedup import (
+        connected_components, dedup_clusters_keep_best,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long")
+    comps = connected_components(pairs)
+    docs = spark.createDataFrame(
+        [(i, float(q)) for i, q in
+         [(1, 0.5), (2, 0.9), (3, 0.1), (10, 0.2), (11, 0.2), (99, 0.0)]],
+        "doc_id long, quality double")
+    kept = dedup_clusters_keep_best(docs, comps, score_col="quality")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # cluster {1,2,3} -> 2 (best quality); {10,11} -> 10 (tie, low id);
+    # 99 is a singleton
+    assert ids == [2, 10, 99]
+    # no score: lowest id wins
+    kept2 = dedup_clusters_keep_best(docs, comps)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 10, 99]
