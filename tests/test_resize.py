@@ -1,0 +1,53 @@
+"""_shrink API: factor-rule shrink is a zero-rehash regroup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis import analyze
+from elasticsearch_spark.index.builder import build_index, load_index
+from elasticsearch_spark.ops.resize import shrink_index
+from elasticsearch_spark.search.executor import match_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def src_idx(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path_factory.mktemp("shrink_src"))
+    build_index(docs.select("doc_id", "text"), out,
+                fields={"text": "ascii_word"}, num_partitions=8,
+                input_snapshot="shrinktest")
+    return out
+
+
+def test_shrink_rank_identity(spark, src_idx, tmp_path):
+    from elasticsearch_spark.search.extras import termvectors
+
+    dst = str(tmp_path / "shrunk")
+    meta = shrink_index(spark, src_idx, dst, 4)
+    assert meta["num_partitions"] == 4
+    terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+    a = match_topk(load_index(spark, src_idx), "text", terms, k=10).collect()
+    b = match_topk(load_index(spark, dst), "text", terms, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in b]
+    # the single-doc routed lookup (pmod(xxhash64(id), P)) still finds
+    # its doc under the NEW partition count — the factor rule at work
+    tv = termvectors(load_index(spark, dst), "text", 42).collect()
+    assert tv
+    # routing invariant: every block row sits in part_id == old % 4
+    parts = load_index(spark, dst).postings.select(
+        F.max("part_id").alias("m")).first()
+    assert parts["m"] <= 3
+
+
+def test_shrink_validation(spark, src_idx, tmp_path):
+    with pytest.raises(ValueError, match="factor"):
+        shrink_index(spark, src_idx, str(tmp_path / "x"), 3)
+    with pytest.raises(ValueError, match="factor"):
+        shrink_index(spark, src_idx, str(tmp_path / "y"), 0)
+    dst = str(tmp_path / "ok")
+    shrink_index(spark, src_idx, dst, 2)
+    with pytest.raises(ValueError, match="already holds"):
+        shrink_index(spark, src_idx, dst, 2)
