@@ -3103,6 +3103,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = dedup_components_q
 
+    # -- multi-index search (GET idx_a,idx_b/_search): two half-corpus
+    #    indexes, cross-index DFS stats == one corpus-wide BM25 space
+
+    def _split_indices(s: SparkSession, d: str):
+        from elasticsearch_spark.index.builder import load_indices
+
+        tag = os.path.abspath(d).strip("/").replace("/", "_")
+        paths = []
+        for par in (0, 1):
+            path = os.path.join(_SCRATCH, f"multiidx_{tag}_p{par}_v1")
+            if not os.path.exists(os.path.join(path, "index_meta.json")):
+                docs = _t(s, d, "documents").where(
+                    F.pmod(F.col("doc_id"), F.lit(2)) == par)
+                build_index(docs.select("doc_id", "text"), path,
+                            fields={"text": "ascii_word"},
+                            num_partitions=4,
+                            input_snapshot=f"multi-{par}")
+            paths.append(path)
+        return load_indices(s, paths)
+
+    def multi_index_q(s: SparkSession, d: str) -> DataFrame:
+        multi = _split_indices(s, d)
+        terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+        out = match_topk(multi, "text", terms, k=12, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["multi_index_search"] = multi_index_q
+
     return _rotate_checked(q)
 
 
@@ -5702,5 +5730,10 @@ comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT component, count(*) AS members, max(node) AS max_node
 FROM comp GROUP BY component
 """
+
+    # multi-index search: cross-index DFS statistics make two
+    # half-corpus indexes score IDENTICALLY to one whole-corpus BM25
+    # space — the oracle is the ordinary single-table twin
+    o["multi_index_search"] = _bm25_oracle("table scan merge", k=12)
 
     return _rotate_checked(o)

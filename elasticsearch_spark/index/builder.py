@@ -863,3 +863,123 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
 def index_meta(path: str) -> dict:
     with open(os.path.join(path, "index_meta.json")) as f:
         return json.load(f)
+
+
+class MultiIndex:
+    """Search across SEVERAL indices in one query — the reference's
+    everyday ``GET idx1,idx2,logs-*/_search`` multi-index request
+    (resolved in TransportSearchAction; shards from every matched
+    index join one search, term/collection statistics combine across
+    them in DFS mode).
+
+    Duck-typed to the InvertedIndex surface the scorer uses:
+
+      - ``postings``: unionByName of every member's blocks. part_id
+        values COLLIDE across members by design — the scorer's
+        groupBy(part_id) only needs each doc's blocks co-grouped, and
+        doc ids (xxhash64 of the natural key) stay distinct, so
+        accumulation is per-doc correct; colliding groups just share a
+        task.
+      - ``term_stats`` / ``collection_stats``: df/cf/n_docs/sum_ttf
+        SUM across members, max_tf maxes, min_dl mins — exactly the
+        cross-index DFS statistics, so one BM25 score space spans all
+        members (a doc ranks identically to a single merged index).
+      - ``num_partitions``: max member P (the scorer's repartition
+        width only controls task granularity).
+
+    Routing-dependent ops (route_ids, allowed-id pushdown, single-doc
+    lookups) need ONE routing modulus; they raise unless every member
+    was built with the same num_partitions.
+    """
+
+    def __init__(self, indices: list["InvertedIndex"]):
+        if not indices:
+            raise ValueError("MultiIndex needs at least one index")
+        self.indices = list(indices)
+        self.spark = indices[0].spark
+        self.path = ",".join(i.path for i in indices)
+        self._coll_cache: dict | None = None
+
+    @property
+    def postings(self) -> DataFrame:
+        df = self.indices[0].postings
+        for i in self.indices[1:]:
+            df = df.unionByName(i.postings)
+        return df
+
+    @property
+    def stats_rows(self) -> DataFrame:
+        return self.postings.filter(F.col("term").isNull())
+
+    @property
+    def term_dict(self) -> DataFrame:
+        df = self.indices[0].term_dict
+        for i in self.indices[1:]:
+            df = df.unionByName(i.term_dict)
+        return df.groupBy("field", "term").agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+
+    @property
+    def coll_stats(self) -> DataFrame:
+        df = self.indices[0].coll_stats
+        for i in self.indices[1:]:
+            df = df.unionByName(i.coll_stats)
+        return df.groupBy("field").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_ttf").alias("sum_ttf"),
+            F.sum("sum_dl").alias("sum_dl"),
+        ).withColumn("avgdl", F.col("sum_ttf") / F.col("n_docs"))
+
+    def collection_stats(self) -> dict:
+        if self._coll_cache is None:
+            self._coll_cache = {
+                r["field"]: {
+                    "n_docs": float(r["n_docs"]),
+                    "sum_ttf": float(r["sum_ttf"]),
+                    "sum_dl": float(r["sum_dl"]),
+                    "avgdl": float(r["avgdl"]),
+                }
+                for r in self.coll_stats.collect()
+            }
+        return self._coll_cache
+
+    def term_stats(self, field: str, terms: list[str]) -> list:
+        combined: dict[str, dict] = {}
+        for i in self.indices:
+            for r in i.term_stats(field, terms):
+                c = combined.setdefault(r["term"], {
+                    "field": field, "term": r["term"], "df": 0, "cf": 0,
+                    "max_tf": 0, "min_dl": 1 << 62})
+                c["df"] += int(r["df"])
+                c["cf"] += int(r["cf"])
+                c["max_tf"] = max(c["max_tf"], int(r["max_tf"]))
+                c["min_dl"] = min(c["min_dl"], int(r["min_dl"]))
+        return [combined[t] for t in terms if t in combined]
+
+    def num_partitions(self) -> int:
+        return max(i.num_partitions() for i in self.indices)
+
+    def _uniform_parts(self) -> int:
+        ps = {i.num_partitions() for i in self.indices}
+        if len(ps) != 1:
+            raise ValueError(
+                "routing across a MultiIndex needs every member built "
+                f"with the same num_partitions; got {sorted(ps)}")
+        return ps.pop()
+
+    def route_ids(self, ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        p = self._uniform_parts()
+        return ids_df.select(
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(p))
+            .cast("int").alias("part_id"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+
+
+def load_indices(spark: SparkSession, paths: list[str]) -> MultiIndex:
+    """Open several indices as one searchable MultiIndex."""
+    return MultiIndex([load_index(spark, p) for p in paths])

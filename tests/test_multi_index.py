@@ -1,0 +1,61 @@
+"""Multi-index search: MultiIndex == one merged index, rank-identical
+(cross-index DFS statistics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.analysis import analyze
+from elasticsearch_spark.index.builder import (
+    MultiIndex, build_index, load_index, load_indices,
+)
+from elasticsearch_spark.search.executor import match_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def three(spark, tmp_path_factory):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    base = tmp_path_factory.mktemp("multi")
+    a, b, m = str(base / "a"), str(base / "b"), str(base / "merged")
+    left = docs.where(F.col("doc_id") % 2 == 0)
+    right = docs.where(F.col("doc_id") % 2 == 1)
+    build_index(left, a, fields={"text": "ascii_word"},
+                num_partitions=4, input_snapshot="ma")
+    build_index(right, b, fields={"text": "ascii_word"},
+                num_partitions=4, input_snapshot="mb")
+    build_index(docs, m, fields={"text": "ascii_word"},
+                num_partitions=4, input_snapshot="mm")
+    return a, b, m
+
+
+def test_multi_index_rank_identity(spark, three):
+    a, b, m = three
+    multi = load_indices(spark, [a, b])
+    terms = [t for t, _ in analyze("table scan merge data", "ascii_word")]
+    got = match_topk(multi, "text", terms, k=12).collect()
+    want = match_topk(load_index(spark, m), "text", terms, k=12).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in want]
+    # combined DFS stats equal the merged build's
+    assert multi.collection_stats()["text"] == pytest.approx(
+        load_index(spark, m).collection_stats()["text"])
+
+
+def test_multi_index_routing_guard(spark, three, tmp_path):
+    a, b, m = three
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").limit(50)
+    other = str(tmp_path / "p8")
+    build_index(docs, other, fields={"text": "ascii_word"},
+                num_partitions=8, input_snapshot="p8")
+    mixed = load_indices(spark, [a, other])
+    ids = spark.createDataFrame([(2,), (4,)], "doc_id long")
+    with pytest.raises(ValueError, match="num_partitions"):
+        mixed.route_ids(ids)
+    # uniform members route fine
+    uni = load_indices(spark, [a, b])
+    assert uni.route_ids(ids).count() == 2
+    with pytest.raises(ValueError):
+        MultiIndex([])
