@@ -59,3 +59,42 @@ def test_multi_index_routing_guard(spark, three, tmp_path):
     assert uni.route_ids(ids).count() == 2
     with pytest.raises(ValueError):
         MultiIndex([])
+
+
+def test_aliases(spark, three, tmp_path):
+    """_aliases add/remove atomic registry, filtered alias resolution,
+    write-index rule."""
+    from elasticsearch_spark.ops.alias import (
+        get_aliases, resolve_alias, update_aliases, write_index,
+    )
+
+    a, b, m = three
+    reg = str(tmp_path / "reg")
+    update_aliases(reg, [
+        {"add": {"index": a, "alias": "docs", "is_write_index": True}},
+        {"add": {"index": b, "alias": "docs"}},
+        {"add": {"index": m, "alias": "evens",
+                 "filter": {"term": {"doc_id": 42}}}},
+    ])
+    assert set(get_aliases(reg)) == {"docs", "evens"}
+
+    idx, filt = resolve_alias(spark, reg, "docs")
+    assert filt is None
+    terms = [t for t, _ in analyze("table scan", "ascii_word")]
+    merged = match_topk(load_index(spark, m), "text", terms, k=5).collect()
+    got = match_topk(idx, "text", terms, k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in merged]
+
+    # filtered alias: the compiled filter applies on the docs side
+    idx2, filt2 = resolve_alias(spark, reg, "evens")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert docs.where(filt2).count() == 1
+
+    assert write_index(reg, "docs") == a
+    update_aliases(reg, [{"remove": {"index": a, "alias": "docs"}}])
+    assert write_index(reg, "docs") == b  # single member left
+    with pytest.raises(ValueError, match="does not point"):
+        update_aliases(reg, [{"remove": {"index": a, "alias": "docs"}}])
+    with pytest.raises(ValueError, match="unknown alias"):
+        resolve_alias(spark, reg, "nope")
