@@ -3,6 +3,9 @@
 Reference: modules/lang-painless (PainlessScriptEngine) — the default
 script language everywhere a request carries ``"script": {...}``.
 """
-from .painless import compile_painless, maybe_painless, painless_column
+from .painless import (
+    compile_painless, maybe_painless, painless_column, painless_execute,
+)
 
-__all__ = ["compile_painless", "maybe_painless", "painless_column"]
+__all__ = ["compile_painless", "maybe_painless", "painless_column",
+           "painless_execute"]

@@ -45,7 +45,8 @@ import json
 import re
 from typing import Any
 
-__all__ = ["compile_painless", "maybe_painless", "painless_column"]
+__all__ = ["compile_painless", "maybe_painless", "painless_column",
+           "painless_execute"]
 
 _TOKEN_RE = re.compile(
     r"""
@@ -324,3 +325,29 @@ def painless_column(source: str, params: dict | None = None,
     from pyspark.sql import functions as F
 
     return F.expr(compile_painless(source, params, score_col))
+
+
+def painless_execute(
+    spark,
+    source: str,
+    params: dict | None = None,
+    context_row: dict | None = None,
+):
+    """The _scripts/painless/_execute API (reference:
+    modules/lang-painless/.../action/PainlessExecuteAction.java):
+    evaluate one script, optionally against a one-document context,
+    and return the value — the script-debugging endpoint.
+
+    ``context_row`` plays the role of the request's ``document``:
+    ``doc['field']`` references resolve against it. Runs as a single
+    Catalyst expression over a one-row frame (zero shuffles, one
+    collect)."""
+    from pyspark.sql import functions as F
+
+    expr = compile_painless(source, params)
+    if context_row:
+        df = spark.createDataFrame([tuple(context_row.values())],
+                                   list(context_row.keys()))
+    else:
+        df = spark.range(1)
+    return df.select(F.expr(expr).alias("result")).first()["result"]

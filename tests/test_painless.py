@@ -79,3 +79,16 @@ def test_spark_duckdb_parity(spark):
         (i, round(v, 9))
         for i, v in con.execute(f"SELECT id, {expr} FROM t").fetchall())
     assert got == want
+
+
+def test_painless_execute_api(spark):
+    """_scripts/painless/_execute: script + optional one-doc context."""
+    from elasticsearch_spark.scripts import painless_execute
+
+    assert painless_execute(spark, "1 + 2 * 3") == 7
+    assert painless_execute(
+        spark, "params.a > 2 ? 'big' : 'small'", {"a": 5}) == "big"
+    got = painless_execute(
+        spark, "Math.log(doc['x'].value) + params.b", {"b": 1.0},
+        context_row={"x": 2.718281828459045})
+    assert abs(got - 2.0) < 1e-9
