@@ -983,3 +983,29 @@ class MultiIndex:
 def load_indices(spark: SparkSession, paths: list[str]) -> MultiIndex:
     """Open several indices as one searchable MultiIndex."""
     return MultiIndex([load_index(spark, p) for p in paths])
+
+
+def index_stats(idx: "InvertedIndex") -> dict:
+    """The _stats / _cat/indices introspection surface (reference:
+    action/admin/indices/stats): per-partition lineage + metrics from
+    the build's checkpoint manifests (docs / terms / postings /
+    wall_ms / input snapshot per partition — the north-star's
+    resumability evidence) plus whole-index totals from the metadata
+    tables. Zero posting decode: manifests are JSON, totals come from
+    coll_stats/term_dict row counts."""
+    parts = idx.manifests()
+    meta = index_meta(idx.path)
+    totals = {
+        "num_partitions": meta.get("num_partitions"),
+        "fields": meta.get("fields"),
+        "docs": sum(p.get("num_docs", 0) for p in parts),
+        "terms_per_partition_sum": sum(p.get("num_terms", 0)
+                                       for p in parts),
+        "postings": sum(p.get("num_postings", 0) for p in parts),
+        "distinct_terms": int(idx.term_dict.count()),
+        "build_wall_ms": sum(p.get("wall_ms", 0) for p in parts),
+        "partitions_done": sum(1 for p in parts
+                               if p.get("status") == "done"),
+    }
+    return {"partitions": parts, "totals": totals,
+            "collection_stats": idx.collection_stats()}

@@ -51,3 +51,19 @@ def test_shrink_validation(spark, src_idx, tmp_path):
     shrink_index(spark, src_idx, dst, 2)
     with pytest.raises(ValueError, match="already holds"):
         shrink_index(spark, src_idx, dst, 2)
+
+
+def test_index_stats(spark, src_idx):
+    from elasticsearch_spark.index.builder import index_stats, load_index
+
+    st = index_stats(load_index(spark, src_idx))
+    t = st["totals"]
+    assert t["num_partitions"] == 8
+    assert t["partitions_done"] == len(st["partitions"]) > 0
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert t["docs"] == docs
+    assert t["postings"] > 0 and t["distinct_terms"] > 0
+    assert st["collection_stats"]["text"]["n_docs"] == docs
+    for p in st["partitions"]:
+        assert {"partition_id", "num_docs", "num_terms",
+                "num_postings"} <= set(p)
