@@ -585,3 +585,42 @@ def apply_pipeline(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
     for spec in pipeline:
         df = apply_processor(df, spec)
     return df
+
+
+def simulate_pipeline(
+    spark,
+    pipeline: list[dict[str, Any]],
+    docs: list[dict[str, Any]],
+    verbose: bool = False,
+) -> list[dict[str, Any]]:
+    """_ingest/pipeline/_simulate (reference: action/ingest/
+    SimulatePipelineRequest + SimulateExecutionService): run the
+    pipeline against sample documents WITHOUT indexing and return the
+    transformed docs; ``verbose`` returns each processor's intermediate
+    output per doc (the per-processor trace the endpoint emits).
+
+    The sample is driver-small by definition (the reference caps the
+    request body), so the one-row-frame per collect cost is the point:
+    it exercises the EXACT same compiled processors production ingest
+    runs."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(docs)
+    pdf["_sim_ord"] = range(len(pdf))  # pin request order across collects
+    df = spark.createDataFrame(pdf)
+
+    def rows(frame):
+        got = sorted(frame.collect(), key=lambda r: r["_sim_ord"])
+        return [{k: v for k, v in r.asDict(recursive=True).items()
+                 if k != "_sim_ord"} for r in got]
+
+    if not verbose:
+        return rows(apply_pipeline(df, pipeline))
+    out: list[list[dict]] = [[] for _ in docs]
+    cur = df
+    for spec in pipeline:
+        (kind, _), = spec.items()
+        cur = apply_processor(cur, spec)
+        for i, doc in enumerate(rows(cur)):
+            out[i].append({"processor_type": kind, "doc": doc})
+    return [{"processor_results": trace} for trace in out]

@@ -296,7 +296,10 @@ def compile_painless(
     ``dialect`` is ``"spark"`` or ``"duckdb"`` — identical output except
     for ``doc['f'].size()`` (``size`` vs ``len``). Raises
     :class:`PainlessError` outside the subset."""
-    p = _Parser(_tokenize(source), params or {}, score_col, dialect)
+    # `is not None`, not truthiness: the validation-time _AnyParams
+    # mapping is empty-but-permissive
+    p = _Parser(_tokenize(source),
+                params if params is not None else {}, score_col, dialect)
     out = p.ternary()
     if p.peek()[0] != "eof":
         raise PainlessError(
@@ -351,3 +354,92 @@ def painless_execute(
     else:
         df = spark.range(1)
     return df.select(F.expr(expr).alias("result")).first()["result"]
+
+
+# ---- stored scripts (_scripts/<id>) -------------------------------------
+# Reference: action/admin/cluster/storedscripts/ (Put/Get/Delete
+# StoredScriptAction) — scripts kept in cluster state and referenced by
+# {"id": ...} wherever an inline {"source": ...} is accepted. Here the
+# store is one JSON file committed atomically (the engine's
+# cluster-state idiom); resolve_script() is what request compilers call
+# so {"id"} and {"source"} are interchangeable.
+
+
+class _AnyParams(dict):
+    """Validation-time params: every name resolves (to 0) so a stored
+    script compiles without its runtime params, as PutStoredScript
+    validates."""
+
+    def __contains__(self, k):  # noqa: D105
+        return True
+
+    def __getitem__(self, k):  # noqa: D105
+        return 0
+
+
+def validate_painless(source: str) -> None:
+    """Parse-check a script with params unbound (PutStoredScript's
+    compile-time validation)."""
+    compile_painless(source, _AnyParams())
+
+
+def put_stored_script(registry_dir: str, script_id: str,
+                      source: str, lang: str = "painless") -> None:
+    import os
+
+    if lang == "painless":
+        validate_painless(source)
+    os.makedirs(registry_dir, exist_ok=True)
+    p = os.path.join(registry_dir, "stored_scripts.json")
+    reg = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            reg = json.load(f)
+    reg[script_id] = {"lang": lang, "source": source}
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def get_stored_script(registry_dir: str, script_id: str) -> dict:
+    import os
+
+    p = os.path.join(registry_dir, "stored_scripts.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            reg = json.load(f)
+        if script_id in reg:
+            return reg[script_id]
+    raise ValueError(f"stored script {script_id!r} not found")
+
+
+def delete_stored_script(registry_dir: str, script_id: str) -> None:
+    import os
+
+    p = os.path.join(registry_dir, "stored_scripts.json")
+    reg = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            reg = json.load(f)
+    if script_id not in reg:
+        raise ValueError(f"stored script {script_id!r} not found")
+    del reg[script_id]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def resolve_script(script: dict, registry_dir: str | None = None) -> dict:
+    """{"id": ...} -> the stored {"lang", "source"} (+ caller params);
+    {"source": ...} passes through — the Script.parse() dual form."""
+    if "id" in script:
+        if registry_dir is None:
+            raise ValueError("stored-script reference needs registry_dir")
+        stored = get_stored_script(registry_dir, script["id"])
+        out = dict(stored)
+        if "params" in script:
+            out["params"] = script["params"]
+        return out
+    return script

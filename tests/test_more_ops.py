@@ -427,3 +427,23 @@ def test_sort_hits_section(spark):
             "order": "desc"}}]).collect()]
     # values: d1 10, d2 null, d3 5, d4 23 -> desc nulls last: 4,1,3,2
     assert got == [4, 1, 3, 2]
+
+
+def test_simulate_pipeline(spark):
+    """_ingest/pipeline/_simulate: transformed sample docs, and the
+    verbose per-processor trace."""
+    from elasticsearch_spark.ops.ingest import simulate_pipeline
+
+    pipeline = [
+        {"lowercase": {"field": "name"}},
+        {"set": {"field": "tag", "value": "ok"}},
+    ]
+    docs = [{"name": "ALPHA"}, {"name": "Beta"}]
+    out = simulate_pipeline(spark, pipeline, docs)
+    assert [d["name"] for d in out] == ["alpha", "beta"]
+    assert all(d["tag"] == "ok" for d in out)
+    verbose = simulate_pipeline(spark, pipeline, docs, verbose=True)
+    t0 = verbose[0]["processor_results"]
+    assert [p["processor_type"] for p in t0] == ["lowercase", "set"]
+    assert t0[0]["doc"]["name"] == "alpha" and "tag" not in t0[0]["doc"]
+    assert t0[1]["doc"]["tag"] == "ok"

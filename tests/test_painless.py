@@ -92,3 +92,31 @@ def test_painless_execute_api(spark):
         spark, "Math.log(doc['x'].value) + params.b", {"b": 1.0},
         context_row={"x": 2.718281828459045})
     assert abs(got - 2.0) < 1e-9
+
+
+def test_stored_scripts(tmp_path, spark):
+    """_scripts/<id>: put/get/delete + {"id"} resolution feeding the
+    same compilers as inline sources."""
+    from elasticsearch_spark.scripts import painless_execute
+    from elasticsearch_spark.scripts.painless import (
+        delete_stored_script, get_stored_script, put_stored_script,
+        resolve_script,
+    )
+
+    reg = str(tmp_path / "scripts")
+    put_stored_script(reg, "boost", "doc['x'].value * params.w")
+    s = resolve_script({"id": "boost", "params": {"w": 3}}, reg)
+    assert s["source"].startswith("doc['x']")
+    assert painless_execute(spark, s["source"], s["params"],
+                            context_row={"x": 2.0}) == 6.0
+    assert get_stored_script(reg, "boost")["lang"] == "painless"
+    # invalid painless refused at PUT time (compile-on-store, as the
+    # reference validates on PutStoredScript)
+    with pytest.raises(Exception):
+        put_stored_script(reg, "bad", "for (;;) {}")
+    delete_stored_script(reg, "boost")
+    with pytest.raises(ValueError):
+        get_stored_script(reg, "boost")
+    with pytest.raises(ValueError):
+        resolve_script({"id": "boost"}, reg)
+    assert resolve_script({"source": "1 + 1"})["source"] == "1 + 1"
