@@ -98,3 +98,48 @@ def test_aliases(spark, three, tmp_path):
         update_aliases(reg, [{"remove": {"index": a, "alias": "docs"}}])
     with pytest.raises(ValueError, match="unknown alias"):
         resolve_alias(spark, reg, "nope")
+
+
+def test_index_templates(tmp_path, spark):
+    """Composable template resolution: priority wins, composed_of merge
+    order, same-priority overlap rejected, simulation drives a build."""
+    from elasticsearch_spark.index.builder import build_index, load_index
+    from elasticsearch_spark.ops.templates import (
+        put_component_template, put_index_template, simulate_index,
+    )
+
+    reg = str(tmp_path / "tpl")
+    put_component_template(reg, "base",
+                           settings={"num_partitions": 4},
+                           mappings={"text": "standard"})
+    put_component_template(reg, "code_overrides",
+                           mappings={"text": "ascii_word"})
+    put_index_template(reg, "logs", ["logs-*"], priority=10,
+                       composed_of=["base", "code_overrides"],
+                       settings={"num_partitions": 2})
+    put_index_template(reg, "catchall", ["*"], priority=0,
+                       mappings={"text": "standard"})
+
+    sim = simulate_index(reg, "logs-2026.08")
+    # composed_of order: code_overrides wins the mapping; the
+    # template's own settings merge LAST
+    assert sim["matched_template"] == "logs"
+    assert sim["mappings"] == {"text": "ascii_word"}
+    assert sim["settings"] == {"num_partitions": 2}
+    assert sim["overlapping"] == ["catchall"]
+    assert simulate_index(reg, "other")["matched_template"] == "catchall"
+    assert simulate_index(reg, "x")["mappings"] == {"text": "standard"}
+
+    with pytest.raises(ValueError, match="conflict"):
+        put_index_template(reg, "logs2", ["logs-*"], priority=10)
+    with pytest.raises(ValueError, match="unknown component"):
+        put_index_template(reg, "bad", ["b-*"], composed_of=["nope"])
+
+    # the simulated config drives a real build
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text").limit(40)
+    out = str(tmp_path / "logs-2026.08")
+    build_index(docs, out, fields=sim["mappings"],
+                num_partitions=sim["settings"]["num_partitions"],
+                input_snapshot="tpl")
+    assert load_index(spark, out).num_partitions() == 2
