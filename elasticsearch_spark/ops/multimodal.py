@@ -128,3 +128,68 @@ def generate_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def fake_decode_audio(payload: bytes, duration_ms: int,
+                      sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic fake PCM decode (hash-seeded), same contract a
+    torchaudio/librosa decoder would satisfy: 1-D float32 samples."""
+    import hashlib
+
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    n = max(int(duration_ms * sample_rate / 1000), 1)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(min(n, 160_000)).astype(np.float32)
+
+
+def audio_features(
+    df: DataFrame,
+    decode_fn=fake_decode_audio,
+    n_bands: int = 8,
+    frame: int = 512,
+) -> DataFrame:
+    """Audio feature extraction over binary payloads: decode ->
+    frame -> per-band energy (a spectrogram-shaped summary) + rms /
+    zero-crossing-rate — the torchaudio-style pipeline with the codec
+    stubbed (see module docstring), everything else real: Arrow
+    batches in, fixed-size float arrays out, vectorized numpy inside.
+
+    Returns (media_id, rms double, zcr double,
+    band_energy array<float>). Frames are grouped into ``n_bands``
+    contiguous bands by reshape+mean — no Python loops per sample."""
+    out_schema = ("media_id long, rms double, zcr double, "
+                  "band_energy array<float>")
+
+    def extract(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, rms, zcr, bands = [], [], [], []
+            for mid, payload, dur in zip(
+                    pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                x = decode_fn(bytes(payload), int(dur))
+                n = (len(x) // frame) * frame
+                if n == 0:
+                    x = np.pad(x, (0, frame - len(x)))
+                    n = frame
+                fr = x[:n].reshape(-1, frame)
+                energy = (fr * fr).mean(axis=1)
+                k = len(energy) // n_bands
+                if k == 0:
+                    energy = np.pad(energy, (0, n_bands - len(energy)))
+                    k = 1
+                be = energy[: k * n_bands].reshape(n_bands, k).mean(axis=1)
+                ids.append(mid)
+                rms.append(float(np.sqrt((x * x).mean())))
+                zcr.append(float((np.diff(np.signbit(x)) != 0).mean()))
+                bands.append(be.astype(np.float32))
+            yield pd.DataFrame({
+                "media_id": ids, "rms": rms, "zcr": zcr,
+                "band_energy": bands,
+            })
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(extract, schema=out_schema)
+    )

@@ -232,6 +232,25 @@ def test_multimodal_real_decoder_stubbed():
         multimodal.real_decode_image(b"x", 4, 4)
 
 
+def test_multimodal_audio_features(spark):
+    import numpy as np
+
+    media = multimodal.generate_media(spark, n=30)
+    auds = media.filter(F.col("kind") == "audio")
+    feats = multimodal.audio_features(auds).collect()
+    assert len(feats) == auds.count()
+    for r in feats:
+        assert len(r["band_energy"]) == 8
+        assert r["rms"] > 0 and 0 <= r["zcr"] <= 1
+    # vectorized path == a direct per-sample recomputation
+    one = auds.orderBy("media_id").first()
+    x = multimodal.fake_decode_audio(bytes(one["payload"]),
+                                     one["duration_ms"])
+    want_rms = float(np.sqrt((x * x).mean()))
+    got = {r["media_id"]: r["rms"] for r in feats}[one["media_id"]]
+    assert abs(got - want_rms) < 1e-9
+
+
 def test_frame_sample(spark):
     media = multimodal.generate_media(spark, n=30)
     frames = multimodal.frame_sample(media, every_ms=1000)
