@@ -634,3 +634,131 @@ def decompose_queries_df(stored_df: DataFrame) -> dict[str, DataFrame]:
             "g", f"query_id {qid_type}, group_id int, msm int"),
         "errors": unpack("e", f"query_id {qid_type}, error string"),
     }
+
+
+def percolate_prepared(
+    spark: SparkSession,
+    docs: DataFrame,
+    reqs: dict[str, DataFrame],
+    text_fields: list[str],
+    keyword_fields: list[str] = (),
+    numeric_fields: list[str] = (),
+    id_col: str = "doc_id",
+    broadcast_reqs: bool = True,
+) -> DataFrame:
+    """Percolate against PREPARED requirement tables — the output of
+    :func:`decompose_queries_df`, persisted once for a billion stored
+    queries and joined on every matching call without re-parsing any
+    DSL (the reference's analogue: the percolator FIELD, where
+    extracted terms live in the index, not in the request).
+
+    Same group algebra as :func:`percolate`; the requirement sides are
+    DataFrames, broadcast when ``broadcast_reqs`` (small registries) or
+    shuffled as ordinary joins when the stored-query corpus itself is
+    big data.
+    """
+    def side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_reqs else df
+
+    groups = reqs["groups"]
+    need = groups.groupBy("query_id").agg(
+        F.count("*").alias("need_groups"))
+    sat_parts: list[DataFrame] = []
+
+    per_field = []
+    for fld in text_fields:
+        per_field.append(
+            docs.select(
+                F.col(id_col),
+                F.lit(fld).alias("field"),
+                F.explode(F.array_distinct(F.regexp_extract_all(
+                    F.lower(F.col(fld)), F.lit(_TOKEN_RE), 0)),
+                ).alias("term"),
+            ))
+    for fld in keyword_fields:
+        per_field.append(
+            docs.select(
+                F.col(id_col),
+                F.lit(fld).alias("field"),
+                F.lower(F.col(fld).cast("string")).alias("term"),
+            ).where(F.col("term").isNotNull()))
+    doc_terms = per_field[0]
+    for p in per_field[1:]:
+        doc_terms = doc_terms.unionByName(p)
+
+    clause_hits = doc_terms.join(
+        side(reqs["terms"]), ["field", "term"]
+    ).select(id_col, "query_id", "group_id", "clause")
+    pat = reqs["patterns"].withColumnRenamed("field", "pfield")
+    pat_hits = doc_terms.join(
+        side(pat),
+        (F.col("field") == F.col("pfield"))
+        & F.expr("term LIKE pattern"),
+    ).select(id_col, "query_id", "group_id", "clause")
+    clause_hits = clause_hits.unionByName(pat_hits)
+    term_msm = groups.where(F.col("msm") > 0)
+    sat_parts.append(
+        clause_hits.groupBy(id_col, "query_id", "group_id")
+        .agg(F.count_distinct("clause").alias("hits"))
+        .join(side(term_msm), ["query_id", "group_id"])
+        .where(F.col("hits") >= F.col("msm"))
+        .select(id_col, "query_id", "group_id")
+    )
+
+    phr = reqs["phrases"].withColumnRenamed("field", "pfield")
+    pj = None
+    for fld in text_fields:
+        j = docs.select(
+            F.col(id_col),
+            F.lit(fld).alias("field"),
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.regexp_extract_all(
+                    F.lower(F.col(fld)), F.lit(_TOKEN_RE), 0), " "),
+                F.lit(" "),
+            ).alias("joined"),
+        )
+        pj = j if pj is None else pj.unionByName(j)
+    sat_parts.append(
+        pj.join(
+            side(phr),
+            (F.col("field") == F.col("pfield"))
+            & F.expr("contains(joined, ' ' || phrase || ' ')"),
+        ).select(id_col, "query_id", "group_id")
+    )
+
+    if numeric_fields:
+        vals = None
+        for fld in numeric_fields:
+            v = docs.select(
+                F.col(id_col),
+                F.lit(fld).alias("field"),
+                F.col(fld).cast("double").alias("val"),
+            ).where(F.col("val").isNotNull())
+            vals = v if vals is None else vals.unionByName(v)
+        lo_ok = (
+            F.col("lo").isNull()
+            | F.when(F.col("lo_open"), F.col("val") > F.col("lo"))
+               .otherwise(F.col("val") >= F.col("lo"))
+        )
+        hi_ok = (
+            F.col("hi").isNull()
+            | F.when(F.col("hi_open"), F.col("val") < F.col("hi"))
+               .otherwise(F.col("val") <= F.col("hi"))
+        )
+        sat_parts.append(
+            vals.join(side(reqs["ranges"]), "field")
+            .where(lo_ok & hi_ok)
+            .select(id_col, "query_id", "group_id")
+        )
+
+    sat = sat_parts[0]
+    for p in sat_parts[1:]:
+        sat = sat.unionByName(p)
+    return (
+        sat.groupBy(id_col, "query_id")
+        .agg(F.count_distinct("group_id").alias("got"))
+        .join(side(need), "query_id")
+        .where(F.col("got") == F.col("need_groups"))
+        .select(id_col, "query_id")
+    )

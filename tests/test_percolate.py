@@ -240,3 +240,41 @@ def test_decompose_queries_df_distributed(spark):
     errs = out["errors"].collect()
     assert len(errs) == 1 and errs[0]["query_id"] == 99
     assert "fancy" in errs[0]["error"]
+
+
+def test_percolate_prepared_matches_inline(spark):
+    """percolate_prepared over decompose_queries_df output == the
+    in-memory percolate() — the persist-once scale path end to end."""
+    import json
+
+    from elasticsearch_spark.search.percolate import (
+        decompose_queries_df, percolate_prepared,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stored = [
+        (1, {"match": {"text": "table scan"}}),
+        (2, {"bool": {"must": [
+            {"terms": {"lang": ["fr", "de"]}},
+            {"range": {"n_chars": {"gte": 100, "lte": 400}}}]}}),
+        (3, {"match_phrase": {"text": "the index"}}),
+        (4, {"prefix": {"text": "tabl"}}),
+    ]
+    reqs = decompose_queries_df(spark.createDataFrame(
+        [(q, json.dumps(d)) for q, d in stored], "query_id long, dsl string"))
+    got = percolate_prepared(
+        spark, docs, reqs, text_fields=["text"],
+        keyword_fields=["lang"], numeric_fields=["n_chars"])
+    want = percolate(
+        spark, docs, stored, text_fields=["text"],
+        keyword_fields=["lang"], numeric_fields=["n_chars"])
+    g = sorted((r["doc_id"], r["query_id"]) for r in got.collect())
+    w = sorted((r["doc_id"], r["query_id"]) for r in want.collect())
+    assert g == w and g
+    # non-broadcast (big-registry) path agrees too
+    got2 = percolate_prepared(
+        spark, docs, reqs, text_fields=["text"],
+        keyword_fields=["lang"], numeric_fields=["n_chars"],
+        broadcast_reqs=False)
+    assert sorted((r["doc_id"], r["query_id"])
+                  for r in got2.collect()) == w
