@@ -65,12 +65,54 @@ _R03_DRIVER_CHECKED = (
 )
 
 
+# Round 4's driver file certified these 48 (agg_date_range / agg_ip_range
+# were hash-red on an oracle typing bug, now fixed — they are re-queued at
+# the FRONT via _R05_PRIORITY so round 5's gate re-certifies them).
+_R04_DRIVER_CHECKED = (
+    "match_cjk", "match_stemmed_ar", "match_stemmed_hi", "match_stemmed_bn",
+    "match_thai", "pinned", "agg_date_histogram", "agg_range_buckets",
+    "agg_filters", "agg_composite_page", "agg_stats_global", "agg_top_hits",
+    "agg_pipeline_cum_deriv", "agg_cumulative_cardinality", "agg_normalize",
+    "agg_bucket_pipeline", "agg_percentile_ranks", "agg_rare_terms",
+    "agg_missing", "combined_fields", "eql_sequence", "rollup_hourly",
+    "transform_pivot", "eql_sequence_until", "slice_scan", "from_size_page",
+    "agg_adjacency_matrix", "agg_terms_order_metric", "agg_boxplot",
+    "agg_string_stats", "agg_top_metrics", "agg_t_test", "agg_rate",
+    "agg_multi_terms", "agg_moving_percentiles",
+    "agg_variable_width_histogram", "agg_mad", "agg_matrix_stats",
+    "agg_auto_date_histogram", "agg_scripted_metric", "prefix_match_indexed",
+    "wildcard_match_indexed", "fuzzy_match_indexed", "intervals_ordered",
+    "span_near", "span_first", "span_not", "intervals_any_of",
+)
+
+# Re-certify first in round 5 (r4 driver-red on oracle typing, fixed),
+# followed by this round's new operators — all ahead of the remaining
+# never-driver-checked pool.
+_R05_PRIORITY = (
+    "agg_date_range", "agg_ip_range",
+)
+
+# Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
+# driver can only record a weak rows-only check for these, so they queue
+# BEHIND the oracle-backed never-checked pool: every slot in the 50-entry
+# gate goes to a name the driver can fully hash-certify.
+_ROWS_ONLY = ("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_self_join")
+
+
 def _rotate_checked(d: dict) -> dict:
-    """Move round-3 driver-certified entries to the back (order stable)."""
-    checked = set(_R03_DRIVER_CHECKED)
-    head = {k: v for k, v in d.items() if k not in checked}
-    tail = {k: d[k] for k in _R03_DRIVER_CHECKED if k in d}
-    return {**head, **tail}
+    """Order registration so the driver's 50-entry gate certifies names it
+    has never checked: priority re-runs first, then the never-checked
+    oracle-backed pool (stable registration order), then rows-only
+    entries, then round-4-certified, then round-3."""
+    pri = [k for k in _R05_PRIORITY if k in d]
+    done = (set(_R04_DRIVER_CHECKED) | set(_R03_DRIVER_CHECKED)
+            | set(pri) | set(_ROWS_ONLY))
+    head = {k: d[k] for k in pri}
+    mid = {k: v for k, v in d.items() if k not in done}
+    rows_only = {k: d[k] for k in _ROWS_ONLY if k in d}
+    tail4 = {k: d[k] for k in _R04_DRIVER_CHECKED if k in d}
+    tail3 = {k: d[k] for k in _R03_DRIVER_CHECKED if k in d}
+    return {**head, **mid, **rows_only, **tail4, **tail3}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3911,16 +3953,16 @@ FROM bk GROUP BY bucket_id ORDER BY bucket_id
     o["agg_date_range"] = """
 SELECT key, doc_count FROM (
   SELECT '*..2024-06-01' AS key,
-         sum(CASE WHEN o_orderdate < '2024-06-01' THEN 1 ELSE 0 END) AS doc_count
+         sum(CASE WHEN o_orderdate < '2024-06-01' THEN 1 ELSE 0 END)::BIGINT AS doc_count
   FROM orders
   UNION ALL
   SELECT '2024-06-01..2025-01-01',
          sum(CASE WHEN o_orderdate >= '2024-06-01'
-                   AND o_orderdate < '2025-01-01' THEN 1 ELSE 0 END)
+                   AND o_orderdate < '2025-01-01' THEN 1 ELSE 0 END)::BIGINT
   FROM orders
   UNION ALL
   SELECT '2025-01-01..*',
-         sum(CASE WHEN o_orderdate >= '2025-01-01' THEN 1 ELSE 0 END)
+         sum(CASE WHEN o_orderdate >= '2025-01-01' THEN 1 ELSE 0 END)::BIGINT
   FROM orders)
 """
 
@@ -3933,13 +3975,13 @@ WITH e AS (
   FROM events)
 SELECT key, doc_count FROM (
   SELECT '*..10.64.0.0' AS key,
-         sum(CASE WHEN ipnum < 171966464 THEN 1 ELSE 0 END) AS doc_count FROM e
+         sum(CASE WHEN ipnum < 171966464 THEN 1 ELSE 0 END)::BIGINT AS doc_count FROM e
   UNION ALL
   SELECT '10.64.0.0..10.192.0.0',
-         sum(CASE WHEN ipnum >= 171966464 AND ipnum < 180355072 THEN 1 ELSE 0 END) FROM e
+         sum(CASE WHEN ipnum >= 171966464 AND ipnum < 180355072 THEN 1 ELSE 0 END)::BIGINT FROM e
   UNION ALL
   SELECT '10.192.0.0..*',
-         sum(CASE WHEN ipnum >= 180355072 THEN 1 ELSE 0 END) FROM e)
+         sum(CASE WHEN ipnum >= 180355072 THEN 1 ELSE 0 END)::BIGINT FROM e)
 """
 
     o["agg_adjacency_matrix"] = """

@@ -226,28 +226,43 @@ def variable_width_histogram(
     return out
 
 
+def _unpivot_counts(wide: DataFrame, keys: list[str]) -> DataFrame:
+    """Unpivot a one-row wide counter frame (columns c0..cN) into
+    (key, doc_count) rows ENTIRELY in-plan — explode over an array of
+    structs, no driver round-trip. Keeps the agg composable (usable as a
+    sub-agg / pushed downstream) and removes an avoidable collect()."""
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).alias("key"),
+            F.col(f"c{i}").cast("long").alias("doc_count"),
+        )
+        for i, k in enumerate(keys)
+    ])
+    return wide.select(F.explode(pairs).alias("kv")).select(
+        "kv.key", "kv.doc_count"
+    )
+
+
 def date_range_agg(
     df: DataFrame, ts_field: str, ranges: list[tuple[str | None, str | None]]
 ) -> DataFrame:
     """date_range buckets (from inclusive, to exclusive), ISO strings."""
     rows = []
+    keys = []
     c = F.col(ts_field)
-    for lo, hi in ranges:
+    for i, (lo, hi) in enumerate(ranges):
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (c >= F.lit(lo).cast("timestamp"))
         if hi is not None:
             cond = cond & (c < F.lit(hi).cast("timestamp"))
-        key = f"{lo or '*'}..{hi or '*'}"
+        keys.append(f"{lo or '*'}..{hi or '*'}")
         # coalesce: F.sum over ZERO rows is NULL — empty input must
-        # yield zero-count buckets, not a TypeError at int(None)
-        rows.append(F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(key))
-    wide = df.agg(*rows)
-    spark = df.sparkSession
-    r = wide.collect()[0]
-    return spark.createDataFrame(
-        [(k, int(r[k])) for k in r.asDict()], "key string, doc_count long"
-    )
+        # yield zero-count buckets, not NULL doc_counts
+        rows.append(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(f"c{i}")
+        )
+    return _unpivot_counts(df.agg(*rows), keys)
 
 
 def ip_to_long(col):
@@ -270,20 +285,18 @@ def ip_range_agg(
 
     v = ip_to_long(F.col(ip_col))
     aggs = []
-    for lo, hi in ranges:
+    keys = []
+    for i, (lo, hi) in enumerate(ranges):
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (v >= int(ipaddress.IPv4Address(lo)))
         if hi is not None:
             cond = cond & (v < int(ipaddress.IPv4Address(hi)))
-        key = f"{lo or '*'}..{hi or '*'}"
-        aggs.append(F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(key))
-    wide = df.agg(*aggs)
-    spark = df.sparkSession
-    r = wide.collect()[0]
-    return spark.createDataFrame(
-        [(k, int(r[k])) for k in r.asDict()], "key string, doc_count long"
-    )
+        keys.append(f"{lo or '*'}..{hi or '*'}")
+        aggs.append(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(f"c{i}")
+        )
+    return _unpivot_counts(df.agg(*aggs), keys)
 
 
 def geohash_grid_agg(
@@ -320,7 +333,7 @@ def geo_distance_agg(
         F.lit(float(origin[0])), F.lit(float(origin[1])))
     aggs = []
     keys = []
-    for lo, hi in ranges:
+    for i, (lo, hi) in enumerate(ranges):
         cond = F.lit(True)
         parts = []
         if lo is not None:
@@ -329,15 +342,13 @@ def geo_distance_agg(
             cond = cond & (d < F.lit(float(hi)))
         parts.append("*-" if lo is None else f"{float(lo):g}-")
         parts.append("*" if hi is None else f"{float(hi):g}")
-        key = "".join(parts)
-        keys.append(key)
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(key))
-    row = df.agg(*aggs)
-    spark = df.sparkSession
-    counts = row.collect()[0].asDict()
-    return spark.createDataFrame(
-        [(k, int(counts[k] or 0)) for k in keys],
-        "key string, doc_count long")
+        keys.append("".join(parts))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+            ).alias(f"c{i}")
+        )
+    return _unpivot_counts(df.agg(*aggs), keys)
 
 
 def geotile_grid_agg(

@@ -416,16 +416,22 @@ def adjacency_matrix(df: DataFrame, filters: dict[str, dict]) -> DataFrame:
     over boolean predicate columns."""
     from elasticsearch_spark.search.dsl import compile_filter
 
+    from elasticsearch_spark.aggs.analytics import _unpivot_counts
+
     names = list(filters)
     preds = {n: compile_filter(q).cast("long") for n, q in filters.items()}
-    aggs = [F.sum(preds[n]).alias(n) for n in names]
+    keys = list(names)
+    aggs = [F.sum(preds[n]).alias(f"c{i}") for i, n in enumerate(names)]
     for i, a in enumerate(names):
         for b in names[i + 1:]:
-            aggs.append(F.sum(preds[a] * preds[b]).alias(f"{a}&{b}"))
-    wide = df.agg(*aggs).collect()[0]
-    spark = df.sparkSession
-    rows = [(k, int(wide[k])) for k in wide.asDict() if wide[k] and int(wide[k]) > 0]
-    return spark.createDataFrame(sorted(rows), "key string, doc_count long")
+            keys.append(f"{a}&{b}")
+            aggs.append(F.sum(preds[a] * preds[b]).alias(f"c{len(aggs)}"))
+    # in-plan unpivot; ES omits empty cells, so filter zero counts
+    return (
+        _unpivot_counts(df.agg(*aggs), keys)
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
 
 
 def median_absolute_deviation(df: DataFrame, field: str, exact: bool = True) -> DataFrame:

@@ -37,10 +37,14 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str, pd.DataFrame]:
         parts = []
         for v in tup:
             if isinstance(v, float):
+                # Match the driver's canonicalization: plain str(), so an
+                # int-typed Spark column vs a float-typed oracle column
+                # hashes differently ("15000" vs "15000.0").  %.9g used to
+                # collapse exactly that divergence and masked driver reds.
                 if math.isnan(v):
                     parts.append("NaN")
                 else:
-                    parts.append(f"{v:.9g}")
+                    parts.append(str(float(v)))
             else:
                 parts.append(str(v))
         rows.append("|".join(parts))
