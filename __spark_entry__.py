@@ -90,6 +90,7 @@ _R04_DRIVER_CHECKED = (
 # never-driver-checked pool.
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
+    "essql_match", "essql_match_multi", "essql_query",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -259,6 +260,26 @@ ESSQL_STATEMENT = (
     "SELECT lang, source, count(*) AS n, round(avg(n_chars), 3) AS avg_c, "
     "max(n_chars) AS max_c FROM documents WHERE n_chars >= 100 "
     "GROUP BY lang, source HAVING count(*) > 1 ORDER BY lang, source"
+)
+
+# ES SQL fulltext statements (MATCH/QUERY predicates + SCORE(), per
+# x-pack/plugin/sql/.../predicate/fulltext/ and Score.java) — shared
+# constants so the Spark rewrite and the bm25_ctes oracle can't drift
+ESSQL_FT_MATCH = (
+    "SELECT d.doc_id, round(SCORE(), 4) AS score, d.lang FROM documents d "
+    "WHERE MATCH(text, 'spark query data') AND d.lang = 'en' "
+    "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
+)
+ESSQL_FT_MULTI = (
+    "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
+    "WHERE MATCH(text, 'spark query', 'operator=and') "
+    "AND MATCH(source, 'src5') "
+    "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
+)
+ESSQL_FT_QUERY = (
+    "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
+    "WHERE QUERY('spark AND data') "
+    "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
 )
 
 # user_agent processor fixtures: both engines pick the same UA string
@@ -2599,6 +2620,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return essql(s, ESSQL_STATEMENT, d)
 
     q["essql"] = essql_q
+
+    # -- ES SQL fulltext: MATCH()/QUERY() predicates resolved through
+    #    the BM25 engine, SCORE() as a SQL-visible column
+    #    (x-pack/plugin/sql/.../predicate/fulltext/, Score.java)
+
+    def essql_match_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql_fulltext
+
+        return essql_fulltext(
+            s, ESSQL_FT_MATCH, d, _doc_index(s, d), params=_EXACT)
+
+    q["essql_match"] = essql_match_q
+
+    def essql_match_multi_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql_fulltext
+
+        return essql_fulltext(
+            s, ESSQL_FT_MULTI, d, _doc_index(s, d), params=_EXACT)
+
+    q["essql_match_multi"] = essql_match_multi_q
+
+    def essql_query_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql_fulltext
+
+        return essql_fulltext(
+            s, ESSQL_FT_QUERY, d, _doc_index(s, d), params=_EXACT)
+
+    q["essql_query"] = essql_query_q
 
     # -- ML single-metric anomaly detection (x-pack ml, MAD analogue):
     #    bucket -> median/MAD broadcast -> per-bucket score
@@ -5221,6 +5270,39 @@ GROUP BY token ORDER BY token
 
     # ES SQL: the statement itself is the oracle
     o["essql"] = ESSQL_STATEMENT
+
+    # ES SQL fulltext: bm25_ctes twins of the resolved statements
+    _ft_terms = [t for t, _ in analyze("spark query data", "ascii_word")]
+    o["essql_match"] = f"""
+WITH {bm25_ctes(_ft_terms)}
+SELECT s.doc_id, round(s.score, 4) AS score, d.lang
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.matched >= 1 AND d.lang = 'en'
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT 10
+"""
+
+    _ftm_a = [t for t, _ in analyze("spark query", "ascii_word")]
+    _ftm_b = [t for t, _ in analyze("src5", "ascii_word")]
+    o["essql_match_multi"] = f"""
+WITH {bm25_ctes(_ftm_a, prefix="a_")},
+{bm25_ctes(_ftm_b, prefix="b_", text_col="source")}
+SELECT a.doc_id, round(a.score + b.score, 4) AS score
+FROM a_scored a JOIN b_scored b ON b.doc_id = a.doc_id
+WHERE a.matched >= {len(_ftm_a)} AND b.matched >= 1
+ORDER BY a.score + b.score DESC, a.doc_id ASC
+LIMIT 10
+"""
+
+    _ftq = [t for t, _ in analyze("spark data", "ascii_word")]
+    o["essql_query"] = f"""
+WITH {bm25_ctes(_ftq)}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+WHERE matched >= {len(_ftq)}
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
 
     # ML single-metric: the shared MAD pipeline builder, day buckets
     from elasticsearch_spark.ops.anomaly import single_metric_anomalies_sql

@@ -14,6 +14,7 @@ analogue below.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,6 +35,218 @@ def essql(
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(t)
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------
+# ES-SQL fulltext predicates: MATCH() / QUERY() / SCORE()
+# ---------------------------------------------------------------------
+# The reference resolves these through the search engine, not the SQL
+# executor: MatchQueryPredicate / MultiMatchQueryPredicate /
+# StringQueryPredicate (x-pack/plugin/sql/src/main/java/org/elasticsearch/
+# xpack/sql/expression/predicate/fulltext/) compile to match /
+# multi_match / query_string queries in the translated search request
+# (planner/QueryTranslator.java:89), and Score.java exposes _score as a
+# SQL-visible column. The Spark shape below mirrors that split: fulltext
+# predicates are pre-parsed out of the statement, resolved through the
+# BM25 engine into a scored (doc_id, _score) frame, and the statement is
+# rewritten to an inner join against that frame with SCORE() ->
+# _score — Catalyst then plans the relational remainder as usual.
+
+_FT_CALL = re.compile(r"\b(MATCH|QUERY)\s*\(", re.IGNORECASE)
+_SCORE_CALL = re.compile(r"\bSCORE\s*\(\s*\)", re.IGNORECASE)
+
+
+def _scan_call(sql: str, start: int) -> int:
+    """Index just past the balanced close-paren of a call whose open
+    paren is at ``start`` (single-quoted strings skipped)."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parens in fulltext call at {start}")
+
+
+def _split_args(argtext: str) -> list[str]:
+    """Split call args on top-level commas (quotes respected)."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(argtext):
+        ch = argtext[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(argtext) and argtext[j] != "'":
+                j += 1
+            cur.append(argtext[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    return s
+
+
+def _parse_options(opt: str) -> dict[str, str]:
+    """ES-SQL fulltext options: 'k1=v1;k2=v2' (FullTextPredicate)."""
+    out = {}
+    for pair in _unquote(opt).split(";"):
+        if pair.strip():
+            k, _, v = pair.partition("=")
+            out[k.strip()] = v.strip()
+    return out
+
+
+def _fulltext_clause(fn: str, args: list[str]) -> dict:
+    """One MATCH()/QUERY() call -> engine query dict."""
+    if fn == "QUERY":
+        if not args:
+            raise ValueError("QUERY() needs a query string")
+        opts = _parse_options(args[1]) if len(args) > 1 else {}
+        return {"_query_string": {"query": _unquote(args[0]), **opts}}
+    if len(args) < 2:
+        raise ValueError("MATCH() needs (field, query)")
+    field = _unquote(args[0])
+    opts = _parse_options(args[2]) if len(args) > 2 else {}
+    if "," in field:
+        # MultiMatchQueryPredicate: MATCH('f1,f2', 'text')
+        fields = [f.strip() for f in field.split(",")]
+        return {"multi_match": {"query": _unquote(args[1]),
+                                "fields": fields,
+                                "type": opts.pop("type", "best_fields"),
+                                **opts}}
+    spec: dict = {"query": _unquote(args[1])}
+    if "operator" in opts:
+        spec["operator"] = opts.pop("operator").lower()
+    if "minimum_should_match" in opts:
+        spec["minimum_should_match"] = int(opts.pop("minimum_should_match"))
+    spec.update(opts)
+    return {"match": {field: spec}}
+
+
+def parse_fulltext(sql: str) -> tuple[str, list[dict], bool]:
+    """Extract fulltext predicates from an ES-SQL statement.
+
+    Returns (statement with each call replaced by TRUE and SCORE() by
+    the join column, clause dicts, uses_score). AND-combination only —
+    a fulltext predicate under OR / NOT has no single scored-join
+    rewrite and raises loudly (the reference's planner folds those into
+    the query DSL tree; out of scope here, documented)."""
+    clauses: list[dict] = []
+    out: list[str] = []
+    pos = 0
+    for m in _FT_CALL.finditer(sql):
+        if m.start() < pos:
+            continue  # inside a previously-consumed call
+        end = _scan_call(sql, m.end() - 1)
+        argtext = sql[m.end():end - 1]
+        clauses.append(_fulltext_clause(m.group(1).upper(), _split_args(argtext)))
+        out.append(sql[pos:m.start()])
+        out.append("TRUE")
+        pos = end
+    out.append(sql[pos:])
+    rewritten = "".join(out)
+    if clauses:
+        where = re.search(r"\bWHERE\b(.*?)(\bGROUP\b|\bORDER\b|\bLIMIT\b|$)",
+                          sql, re.IGNORECASE | re.DOTALL)
+        wtext = where.group(1) if where else ""
+        if re.search(r"\bOR\b", wtext, re.IGNORECASE) or re.search(
+                r"\bNOT\s+(MATCH|QUERY)\s*\(", wtext, re.IGNORECASE):
+            raise ValueError(
+                "fulltext predicates support AND-combination only "
+                "(OR / NOT MATCH would need DSL-tree planning)")
+    uses_score = bool(_SCORE_CALL.search(rewritten))
+    rewritten = _SCORE_CALL.sub("_ft._score", rewritten)
+    return rewritten, clauses, uses_score
+
+
+def essql_fulltext(
+    spark: SparkSession,
+    sql: str,
+    sf_dir: str,
+    index,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    params=None,
+    tables: tuple[str, ...] = TABLES,
+) -> DataFrame:
+    """_sql with fulltext: resolve MATCH()/QUERY() through the BM25
+    engine, rewrite the statement to join the scored frame, run the
+    relational remainder on Catalyst.
+
+    Multiple fulltext predicates AND-combine like a bool must: scores
+    sum over clauses and a doc must match every clause (inner joins on
+    ``doc_id``) — BooleanQuery conjunction scoring, which commutes with
+    the relational WHERE because BM25 uses index-wide stats."""
+    from elasticsearch_spark.search.api import _scored_df
+    from elasticsearch_spark.search.bm25 import BM25Params
+    from elasticsearch_spark.search.query_string import parse_query_string
+    from pyspark.sql import functions as F
+
+    params = params or BM25Params()
+    rewritten, clauses, _ = parse_fulltext(sql)
+    if not clauses:
+        return essql(spark, sql, sf_dir, tables=tables)
+
+    resolved = []
+    for c in clauses:
+        if "_query_string" in c:
+            body = c["_query_string"]
+            qdict = parse_query_string(
+                body["query"],
+                default_field=body.get("default_field", "text"))
+            resolved.append(qdict)
+        else:
+            resolved.append(c)
+    scored = _scored_df(index, resolved[0], params)
+    for extra in resolved[1:]:
+        nxt = _scored_df(index, extra, params).withColumnRenamed("score", "s2")
+        scored = (scored.join(nxt, "doc_id")
+                  .withColumn("score", F.col("score") + F.col("s2"))
+                  .drop("s2"))
+    scored.select(F.col("doc_id").alias(id_col),
+                  F.col("score").alias("_score")
+                  ).createOrReplaceTempView("_ft")
+
+    # join the scored frame into the (single, simple) FROM table
+    frm = re.search(
+        r"\bFROM\s+([A-Za-z_][\w]*)(\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|LIMIT|JOIN|ON\b)([A-Za-z_][\w]*))?",
+        rewritten, re.IGNORECASE)
+    if not frm:
+        raise ValueError("fulltext statements need a simple FROM <table>")
+    table, alias = frm.group(1), frm.group(3) or frm.group(1)
+    joined = (f"FROM {frm.group(0)[5:].strip()} "
+              f"JOIN _ft ON {alias}.{id_col} = _ft.{id_col}")
+    rewritten = rewritten[:frm.start()] + joined + rewritten[frm.end():]
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+    return spark.sql(rewritten)
 
 
 def essql_translate(df: DataFrame) -> str:

@@ -83,3 +83,45 @@ def test_polish_ukrainian_icu_analyzers():
         ["книг", "книг"]
     assert [t for t, _ in analyze("Grüße Ωμέγα", "icu_folding")] == \
         ["grusse", "ωμεγα"]
+
+
+# --- ES SQL fulltext: MATCH() / QUERY() / SCORE() ---
+
+def test_parse_fulltext_extracts_and_rewrites():
+    from elasticsearch_spark.ops.essql import parse_fulltext
+
+    sql = ("SELECT doc_id, SCORE() FROM documents "
+           "WHERE MATCH(text, 'a b', 'operator=and') AND lang = 'en'")
+    rewritten, clauses, uses_score = parse_fulltext(sql)
+    assert clauses == [{"match": {"text": {"query": "a b",
+                                           "operator": "and"}}}]
+    assert "MATCH" not in rewritten and "TRUE" in rewritten
+    assert uses_score and "_ft._score" in rewritten
+
+
+def test_parse_fulltext_multi_field_and_query():
+    from elasticsearch_spark.ops.essql import parse_fulltext
+
+    _, clauses, _ = parse_fulltext(
+        "SELECT 1 FROM documents WHERE MATCH('text,source', 'x') "
+        "AND QUERY('a AND b')")
+    assert clauses[0] == {"multi_match": {
+        "query": "x", "fields": ["text", "source"], "type": "best_fields"}}
+    assert clauses[1] == {"_query_string": {"query": "a AND b"}}
+
+
+def test_parse_fulltext_rejects_or_and_not():
+    from elasticsearch_spark.ops.essql import parse_fulltext
+
+    with pytest.raises(ValueError, match="AND-combination"):
+        parse_fulltext("SELECT 1 FROM t WHERE MATCH(text, 'x') OR lang='en'")
+    with pytest.raises(ValueError, match="AND-combination"):
+        parse_fulltext("SELECT 1 FROM t WHERE NOT MATCH(text, 'x')")
+
+
+def test_parse_fulltext_quoted_commas_and_escapes():
+    from elasticsearch_spark.ops.essql import parse_fulltext
+
+    _, clauses, _ = parse_fulltext(
+        "SELECT 1 FROM t WHERE MATCH(text, 'a, b''s (c)')")
+    assert clauses == [{"match": {"text": {"query": "a, b's (c)"}}}]
