@@ -91,6 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
+    "eql_text_sequence", "eql_join",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -280,6 +281,19 @@ ESSQL_FT_QUERY = (
     "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
     "WHERE QUERY('spark AND data') "
     "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
+)
+
+# EQL text statements shared by the parser path and the SQL oracles
+EQL_TEXT_SEQ = (
+    'sequence by user_id with maxspan=86400s '
+    '[ any where event_type == "click" and value >= 50 ] '
+    '[ any where event_type == "purchase" ] | head 20'
+)
+EQL_TEXT_JOIN = (
+    'join by user_id '
+    '[ any where event_type == "click" and value >= 120 ] '
+    '[ any where event_type == "error" ] '
+    'until [ any where event_type == "signup" ]'
 )
 
 # user_agent processor fixtures: both engines pick the same UA string
@@ -1075,6 +1089,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("user_id", "id_0", "id_1")
 
     q["eql_sequence"] = eql_sequence_q
+
+    # -- EQL text queries through the recursive-descent parser
+    #    (x-pack/plugin/eql/.../parser/EqlParser.java) and the
+    #    non-sequenced join plan (.../plan/logical/Join.java)
+
+    def eql_text_sequence_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.eql import eql
+
+        ev = _t(s, d, "events")
+        return eql(ev, EQL_TEXT_SEQ).select("user_id", "id_0", "id_1")
+
+    q["eql_text_sequence"] = eql_text_sequence_q
+
+    def eql_join_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.eql import eql
+
+        ev = _t(s, d, "events")
+        return eql(ev, EQL_TEXT_JOIN).select("user_id", "id_0", "id_1")
+
+    q["eql_join"] = eql_join_q
 
     def rollup_hourly_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.rollup import rollup
@@ -3876,6 +3910,39 @@ j AS (
   WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
 SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
 """
+    o["eql_text_sequence"] = """
+WITH a AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click' AND value >= 50),
+b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT a.user_id, a.ts AS ts_0, a.event_id AS id_0, b.event_id AS id_1,
+         row_number() OVER (PARTITION BY a.user_id, a.event_id
+                            ORDER BY b.ts ASC, b.event_id ASC) AS rn
+  FROM a JOIN b ON a.user_id = b.user_id
+  WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
+SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
+ORDER BY ts_0 ASC, id_0 ASC LIMIT 20
+"""
+
+    o["eql_join"] = """
+WITH u AS (SELECT user_id, min(ts) AS uts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+e AS (SELECT ev.user_id, ev.ts, ev.event_id, ev.event_type, ev.value
+      FROM events ev LEFT JOIN u ON u.user_id = ev.user_id
+      WHERE u.uts IS NULL OR ev.ts < u.uts),
+s0 AS (SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+       FROM e WHERE event_type = 'click' AND value >= 120),
+s1 AS (SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+       FROM e WHERE event_type = 'error')
+SELECT s0.user_id, s0.event_id AS id_0, s1.event_id AS id_1
+FROM s0 JOIN s1 ON s1.user_id = s0.user_id
+WHERE s0.rn = 1 AND s1.rn = 1
+"""
+
     o["eql_sequence_until"] = """
 WITH a AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
 b AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),

@@ -447,3 +447,71 @@ def test_simulate_pipeline(spark):
     assert [p["processor_type"] for p in t0] == ["lowercase", "set"]
     assert t0[0]["doc"]["name"] == "alpha" and "tag" not in t0[0]["doc"]
     assert t0[1]["doc"]["tag"] == "ok"
+
+
+# --- EQL text parser + join plan ---
+
+def test_parse_eql_sequence_full():
+    from elasticsearch_spark.ops.eql import parse_eql
+
+    p = parse_eql('sequence by host with maxspan=2h '
+                  '[ login where user_id >= 5 ] [ any where true ] '
+                  'until [ logout where true ] | head 7 | tail 3')
+    assert p["kind"] == "sequence" and p["by"] == "host"
+    assert p["maxspan"] == 7200
+    assert [s["type"] for s in p["steps"]] == ["login", "any"]
+    assert p["until"]["type"] == "logout"
+    assert p["pipes"] == [("head", 7), ("tail", 3)]
+
+
+def test_parse_eql_rejects_bad_input():
+    import pytest
+    from elasticsearch_spark.ops.eql import parse_eql
+
+    with pytest.raises(ValueError, match="at least two steps"):
+        parse_eql('sequence by k [ a where true ]')
+    with pytest.raises(ValueError, match="unsupported pipe"):
+        parse_eql('a where true | sort 3')
+    with pytest.raises(ValueError, match="unsupported EQL operator"):
+        parse_eql('a where value ~ 3')
+
+
+def test_eql_event_query_and_wildcard(spark):
+    from elasticsearch_spark.ops.eql import eql
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = eql(ev, 'any where event_type : "pur*" and value >= 190')
+    rows = got.collect()
+    assert rows and all(r["event_type"] == "purchase" and r["value"] >= 190
+                        for r in rows)
+
+
+def test_eql_join_orderless_vs_sequence(spark):
+    from elasticsearch_spark.ops.eql import eql
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # join matches keys regardless of event order; sequence requires
+    # click-before-purchase — join must be a superset of sequence keys
+    seq_keys = {r["user_id"] for r in eql(
+        ev, 'sequence by user_id [ any where event_type == "click" ] '
+            '[ any where event_type == "purchase" ]').collect()}
+    join_keys_ = {r["user_id"] for r in eql(
+        ev, 'join by user_id [ any where event_type == "click" ] '
+            '[ any where event_type == "purchase" ]').collect()}
+    assert seq_keys <= join_keys_
+    assert join_keys_
+
+
+def test_eql_join_until_bounds_events(spark):
+    from pyspark.sql import functions as F
+    from elasticsearch_spark.ops.eql import join_keys
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    bounded = join_keys(ev, ["click", "error"], until="signup")
+    first_signup = (ev.filter(F.col("event_type") == "signup")
+                    .groupBy("user_id").agg(F.min("ts").alias("uts")))
+    joined = bounded.join(first_signup, "user_id", "left").collect()
+    assert joined
+    for r in joined:
+        if r["uts"] is not None:
+            assert r["ts_0"] < r["uts"] and r["ts_1"] < r["uts"]
