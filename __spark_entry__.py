@@ -3076,6 +3076,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["script_score_painless"] = script_score_painless_q
 
+    # -- painless STATEMENT subset in _update_by_query context:
+    #    locals, for-each over a params list (compile-time unroll),
+    #    if/else-if chain, ctx._source mutation, ctx.op noop/delete
+    #    (UpdateHelper.java contract; compiled to pure CASE WHEN
+    #    projections by scripts.compile_painless_update)
+
+    def update_by_query_painless_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import apply_update_script
+
+        li = _t(s, d, "lineitem")
+        script = {
+            "source": (
+                "def bump = 0.0;"
+                " for (def st : params.steps) { bump = bump + st; }"
+                " if (ctx._source.l_quantity >= params.hi) {"
+                "   ctx._source.l_extendedprice ="
+                "     ctx._source.l_extendedprice * (1.0 + bump);"
+                "   ctx._source.l_returnflag = 'H';"
+                " } else if (ctx._source.l_quantity <= params.lo) {"
+                "   ctx.op = 'delete';"
+                " } else { ctx.op = 'noop'; }"),
+            "params": {"steps": [0.05, 0.05], "hi": 45, "lo": 2},
+        }
+        out = apply_update_script(li, script)
+        return (out.select(
+                    "l_orderkey", "l_linenumber", "l_returnflag",
+                    F.round("l_extendedprice", 2).alias("price"))
+                .orderBy("l_orderkey", "l_linenumber").limit(200))
+
+    q["update_by_query_painless"] = update_by_query_painless_q
+
     # -- moving_fn full MovingFunctions model set
     #    (MovingFunctions.java; window excludes the current bucket)
 
@@ -5693,6 +5724,23 @@ ORDER BY c.score + ln(1 + d.n_chars) * 0.25
          + (CASE WHEN d.lang = 'en' THEN 0.5 ELSE 0.0 END) DESC,
          c.doc_id ASC
 LIMIT 10
+"""
+
+    # painless statement subset under _update_by_query: hand-written
+    # SQL equivalent of the symbolic execution (bump unrolls to
+    # 0.0+0.05+0.05 == the 0.1 double exactly; delete-branch rows
+    # filtered; noop keeps originals)
+    o["update_by_query_painless"] = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity >= 45 THEN 'H' ELSE l_returnflag END
+           AS l_returnflag,
+       round(CASE WHEN l_quantity >= 45
+                  THEN l_extendedprice * (1.0 + (0.0 + 0.05 + 0.05))
+                  ELSE l_extendedprice END, 2) AS price
+FROM lineitem
+WHERE NOT (l_quantity < 45 AND l_quantity <= 2)
+ORDER BY l_orderkey, l_linenumber
+LIMIT 200
 """
 
     # moving_fn models over monthly buckets; window = 4 PRECEDING to

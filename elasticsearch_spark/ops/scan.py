@@ -65,6 +65,53 @@ def terminate_after(df: DataFrame, n: int) -> DataFrame:
     return df.mapInPandas(take_n, schema=schema)
 
 
+def apply_update_script(df: DataFrame, script: dict) -> DataFrame:
+    """Apply an _update_by_query ``script`` object to a frame.
+
+    Three shapes, mirroring the reference's update-script contract
+    (server/src/main/java/org/elasticsearch/action/update/UpdateHelper.java,
+    TransportUpdateByQueryAction):
+
+    - ``{"fields": {col: expr}}`` — engine-native multi-column form;
+      every expression reads the ORIGINAL doc (one withColumns).
+    - statement painless (``ctx._source.f = ...``, if/else, for-each,
+      ctx.op) — symbolically compiled ONCE on the driver
+      (scripts.compile_painless_update); ``ctx.op = 'noop'`` keeps the
+      original values, ``'delete'`` drops the row. Per-row work runs
+      inside whole-stage codegen — no Python interpreter.
+    - expression painless with ``target`` — single-column update.
+    """
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.scripts import (
+        compile_painless_update, is_statement_script, maybe_painless)
+
+    params = script.get("params")
+    fields = script.get("fields")
+    if fields is not None:
+        return df.withColumns({
+            col: F.expr(maybe_painless(src, params))
+            for col, src in fields.items()
+        })
+    source = script["source"]
+    if is_statement_script(source):
+        plan = compile_painless_update(source, params)
+        sets = plan["set"]
+        if plan["op"] is None:
+            return df.withColumns(
+                {f: F.expr(e) for f, e in sets.items()})
+        # ctx.op: evaluate over the ORIGINAL doc, then guard every
+        # update with it — noop keeps originals, delete drops the row
+        df = df.withColumn("__op", F.expr(plan["op"]))
+        df = df.withColumns({
+            f: F.expr(f"CASE WHEN __op = 'noop' THEN {f} ELSE {e} END")
+            for f, e in sets.items()
+        })
+        return df.filter("__op <> 'delete'").drop("__op")
+    target = script.get("target", "value")
+    return df.withColumn(target, F.expr(maybe_painless(source, params)))
+
+
 def reindex(
     source: DataFrame,
     dest_path: str,
@@ -76,33 +123,15 @@ def reindex(
     """Reindex / update-by-query: scan -> (filter) -> transform -> write.
 
     ``script``: the _update_by_query request's ``script`` object —
-    ``{"source": <painless or SQL>, "params": {...}, "fields":
-    {col: expr, ...}}``. The reference runs painless per doc
-    (TransportUpdateByQueryAction); here each target column compiles
-    ONCE through scripts.maybe_painless into the projection, so the
-    update executes inside whole-stage codegen. ``source`` alone
-    updates the conventional single column named by
-    ``script["target"]`` (default "value")."""
+    see :func:`apply_update_script` (expression AND statement painless,
+    incl. ctx._source mutation + ctx.op noop/delete)."""
     df = source
     if query is not None:
         from elasticsearch_spark.search.dsl import compile_filter
 
         df = df.filter(compile_filter(query))
     if script is not None:
-        from pyspark.sql import functions as F
-
-        from elasticsearch_spark.scripts import maybe_painless
-
-        params = script.get("params")
-        fields = script.get("fields")
-        if fields is None:
-            fields = {script.get("target", "value"): script["source"]}
-        # ONE withColumns: every expression reads the ORIGINAL doc
-        # (painless doc['f'] snapshot semantics), not earlier updates
-        df = df.withColumns({
-            col: F.expr(maybe_painless(src, params))
-            for col, src in fields.items()
-        })
+        df = apply_update_script(df, script)
     if transform is not None:
         df = transform(df)
     df.write.mode(mode).parquet(dest_path)

@@ -5,7 +5,9 @@ script language everywhere a request carries ``"script": {...}``.
 """
 from .painless import (
     compile_painless, maybe_painless, painless_column, painless_execute,
+    compile_painless_update, compile_painless_program, is_statement_script,
 )
 
 __all__ = ["compile_painless", "maybe_painless", "painless_column",
-           "painless_execute"]
+           "painless_execute", "compile_painless_update",
+           "compile_painless_program", "is_statement_script"]

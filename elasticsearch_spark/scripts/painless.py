@@ -46,14 +46,15 @@ import re
 from typing import Any
 
 __all__ = ["compile_painless", "maybe_painless", "painless_column",
-           "painless_execute"]
+           "painless_execute", "compile_painless_update",
+           "compile_painless_program", "is_statement_script"]
 
 _TOKEN_RE = re.compile(
     r"""
     (?P<num>\d+\.\d+|\d+\.?(?![.\w])|\.\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\|\||&&|==|!=|<=|>=|[-+*/%<>!?:()\[\].,])
+  | (?P<op>\|\||&&|==|!=|<=|>=|\+=|-=|\*=|/=|[-+*/%<>!?:()\[\].,;{}=])
   | (?P<ws>\s+)
 """,
     re.VERBOSE,
@@ -122,12 +123,20 @@ def _lit(v: Any) -> str:
 
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]], params: dict,
-                 score_col: str, dialect: str):
+                 score_col: str, dialect: str,
+                 locals_: dict | None = None,
+                 ctx_src: dict | None = None):
         self.toks = tokens
         self.pos = 0
         self.params = params
         self.score_col = score_col
         self.dialect = dialect
+        # statement-context symbol tables: local variables (name -> SQL
+        # expr) and the ctx._source shadow (field -> SQL expr of its
+        # CURRENT value after earlier assignments). None = expression
+        # context, where locals/ctx are rejected.
+        self.locals = locals_
+        self.ctx_src = ctx_src
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.pos]
@@ -214,9 +223,34 @@ class _Parser:
             return self.score_col
         if v == "_doc_count":
             return "doc_count"
+        if v == "ctx":
+            return self._ctx_access()
+        if self.locals is not None and v in self.locals:
+            return self.locals[v]
         # bare identifier: a runtime-field/bucket-path reference
         # (bucket_script paths arrive as bare names)
         return v
+
+    def _ctx_access(self) -> str:
+        """``ctx._source.field`` read inside an update-context script.
+
+        Resolves through the shadow map so reads AFTER an assignment see
+        the assigned value (painless update scripts mutate ctx._source
+        sequentially — reference: TransportUpdateByQueryAction /
+        UpdateHelper ctx map semantics)."""
+        if self.ctx_src is None:
+            raise PainlessError(
+                "painless: ctx is only valid in update-context scripts")
+        self.expect(".")
+        k, a = self.next()
+        if a != "_source":
+            raise PainlessError(
+                f"painless: unsupported ctx accessor .{a} in an expression")
+        self.expect(".")
+        k, f = self.next()
+        if k != "name":
+            raise PainlessError("painless: ctx._source. needs a field name")
+        return self.ctx_src.get(f, f)
 
     def _doc_access(self) -> str:
         self.expect("[")
@@ -307,6 +341,373 @@ def compile_painless(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Statement subset: local declarations, if/else, for-each over params
+# lists, ctx._source mutation, ctx.op, return.
+#
+# Reference: modules/lang-painless statement grammar (PainlessParser —
+# public ANTLR surface; independent implementation) and the update-by-
+# query script contract (ctx._source / ctx.op "index"|"noop"|"delete",
+# reference server/src/main/java/org/elasticsearch/action/update/
+# UpdateHelper.java). The reference interprets statements per document
+# on the JVM; here the whole program is SYMBOLICALLY EXECUTED once on
+# the driver into pure SQL expressions — control flow becomes CASE
+# WHEN, for-each over a compile-time params list unrolls, local
+# variables substitute inline — so per-row work stays inside
+# whole-stage codegen (and the same text runs on the DuckDB oracle).
+#
+#     program ::= stmt*
+#     stmt    ::= type name ('=' expr)? ';'
+#               | 'if' '(' expr ')' block ('else' (if | block))?
+#               | 'for' '(' type name ':' params-list ')' block
+#               | target ('='|'+='|'-='|'*='|'/=') expr ';'
+#               | 'return' expr ';'
+#     target  ::= name | 'ctx' '.' '_source' '.' name | 'ctx' '.' 'op'
+#     block   ::= '{' stmt* '}' | stmt
+# ---------------------------------------------------------------------------
+
+_TYPES = {"def", "var", "int", "long", "float", "double", "boolean",
+          "String"}
+_MAX_UNROLL = 1000
+
+
+class _StmtParser:
+    """Tokens -> statement AST. Expressions stay as raw token slices so
+    they can compile later under the symbol table that is live at their
+    program point."""
+
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self, ahead: int = 0) -> tuple[str, str]:
+        i = min(self.pos + ahead, len(self.toks) - 1)
+        return self.toks[i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        k, v = self.next()
+        if v != val:
+            raise PainlessError(f"painless: expected {val!r}, got {v!r}")
+
+    def parse_program(self) -> list:
+        out = []
+        while self.peek()[0] != "eof":
+            out.append(self.stmt())
+        return out
+
+    def block(self) -> list:
+        if self.peek()[1] == "{":
+            self.next()
+            out = []
+            while self.peek()[1] != "}":
+                if self.peek()[0] == "eof":
+                    raise PainlessError("painless: unterminated block")
+                out.append(self.stmt())
+            self.next()
+            return out
+        return [self.stmt()]
+
+    def stmt(self):
+        k, v = self.peek()
+        if v == "if":
+            return self.if_()
+        if v == "for":
+            return self.for_()
+        if v == "return":
+            self.next()
+            return ("return", self.expr_until_semi())
+        if v in _TYPES and self.peek(1)[0] == "name":
+            self.next()
+            _, name = self.next()
+            if self.peek()[1] == "=":
+                self.next()
+                return ("decl", name, self.expr_until_semi())
+            self.expect(";")
+            return ("decl", name, None)
+        target = self.target()
+        _, aop = self.next()
+        if aop not in ("=", "+=", "-=", "*=", "/="):
+            raise PainlessError(
+                f"painless: expected an assignment operator, got {aop!r}")
+        return ("assign", target, aop, self.expr_until_semi())
+
+    def target(self):
+        k, v = self.next()
+        if k != "name":
+            raise PainlessError(f"painless: bad statement start {v!r}")
+        if v != "ctx":
+            return ("var", v)
+        self.expect(".")
+        _, a = self.next()
+        if a == "op":
+            return ("op",)
+        if a != "_source":
+            raise PainlessError(f"painless: unsupported ctx target .{a}")
+        self.expect(".")
+        k, f = self.next()
+        if k != "name":
+            raise PainlessError("painless: ctx._source. needs a field name")
+        return ("src", f)
+
+    def if_(self):
+        self.next()
+        self.expect("(")
+        cond = self.expr_until_close_paren()
+        then = self.block()
+        els = None
+        if self.peek()[1] == "else":
+            self.next()
+            els = [self.if_()] if self.peek()[1] == "if" else self.block()
+        return ("if", cond, then, els)
+
+    def for_(self):
+        self.next()
+        self.expect("(")
+        k, t = self.next()
+        if t not in _TYPES:
+            raise PainlessError(
+                "painless: only for-each loops are supported "
+                "(for (def x : params.list) { ... })")
+        _, var = self.next()
+        self.expect(":")
+        k, v = self.next()
+        if v != "params":
+            raise PainlessError(
+                "painless: for-each source must be a params list "
+                "(compile-time unroll)")
+        _, sep = self.next()
+        if sep == ".":
+            k, pname = self.next()
+            if k != "name":
+                raise PainlessError("painless: params. needs a name")
+        elif sep == "[":
+            k, s = self.next()
+            if k != "str":
+                raise PainlessError("painless: params[...] needs a string")
+            self.expect("]")
+            pname = s[1:-1]
+        else:
+            raise PainlessError("painless: bad for-each source")
+        self.expect(")")
+        return ("for", var, pname, self.block())
+
+    def expr_until_semi(self) -> list:
+        depth, out = 0, []
+        while True:
+            k, v = self.peek()
+            if k == "eof":
+                raise PainlessError("painless: missing ';'")
+            if depth == 0 and v == ";":
+                self.next()
+                return out
+            if v in ("(", "["):
+                depth += 1
+            elif v in (")", "]"):
+                depth -= 1
+            out.append(self.next())
+
+    def expr_until_close_paren(self) -> list:
+        depth, out = 0, []
+        while True:
+            k, v = self.next()
+            if k == "eof":
+                raise PainlessError("painless: unbalanced parentheses")
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                if depth == 0:
+                    return out
+                depth -= 1
+            out.append((k, v))
+
+
+def _merge_vals(cond: str, a: str, b: str) -> str:
+    return a if a == b else f"CASE WHEN {cond} THEN {a} ELSE {b} END"
+
+
+class _SymExec:
+    """Symbolic executor: statements -> (ctx._source shadow, ctx.op
+    expr, return expr), each a SQL string over the ORIGINAL document
+    columns. Control flow with ``return`` uses continuation passing
+    (each if-branch executes the remainder of the program), so early
+    returns and post-if assignments merge correctly."""
+
+    def __init__(self, params: dict, score_col: str, dialect: str):
+        self.params = params
+        self.score_col = score_col
+        self.dialect = dialect
+
+    def expr(self, toks: list, varz: dict, src: dict) -> str:
+        p = _Parser(toks + [("eof", "")], self.params, self.score_col,
+                    self.dialect, locals_=varz, ctx_src=src)
+        out = p.ternary()
+        if p.peek()[0] != "eof":
+            raise PainlessError(
+                f"painless: trailing input at {p.peek()[1]!r}")
+        return out
+
+    def run(self, stmts: list, varz: dict, src: dict, op: str):
+        """CPS walk; returns (src, op, ret) where ret is None when the
+        program falls off the end without a return."""
+        for i, s in enumerate(stmts):
+            if s[0] == "if":
+                cond = self.expr(s[1], varz, src)
+                rest = stmts[i + 1:]
+                st, ot, rt = self.run(
+                    list(s[2]) + rest, dict(varz), dict(src), op)
+                se, oe, re_ = self.run(
+                    list(s[3] or []) + rest, dict(varz), dict(src), op)
+                src_m = {}
+                for key in set(st) | set(se):
+                    dflt = src.get(key, key)
+                    src_m[key] = _merge_vals(
+                        cond, st.get(key, dflt), se.get(key, dflt))
+                op_m = _merge_vals(cond, ot, oe)
+                if rt is None and re_ is None:
+                    ret = None
+                else:
+                    ret = _merge_vals(cond,
+                                      rt if rt is not None else "NULL",
+                                      re_ if re_ is not None else "NULL")
+                return src_m, op_m, ret
+            if s[0] == "return":
+                return src, op, self.expr(s[1], varz, src)
+            op = self._simple(s, varz, src, op)
+        return src, op, None
+
+    def run_linear(self, stmts: list, varz: dict, src: dict, op: str):
+        """Loop-body walk: no return, if/else merges in place."""
+        for s in stmts:
+            if s[0] == "return":
+                raise PainlessError(
+                    "painless: return inside a loop is not supported")
+            if s[0] == "if":
+                cond = self.expr(s[1], varz, src)
+                vt, st = dict(varz), dict(src)
+                ot = self.run_linear(s[2], vt, st, op)
+                ve, se = dict(varz), dict(src)
+                oe = self.run_linear(s[3] or [], ve, se, op)
+                for key in list(varz):
+                    varz[key] = _merge_vals(cond, vt[key], ve[key])
+                for key in set(st) | set(se):
+                    dflt = src.get(key, key)
+                    src[key] = _merge_vals(
+                        cond, st.get(key, dflt), se.get(key, dflt))
+                op = _merge_vals(cond, ot, oe)
+            else:
+                op = self._simple(s, varz, src, op)
+        return op
+
+    def _simple(self, s, varz: dict, src: dict, op: str) -> str:
+        kind = s[0]
+        if kind == "decl":
+            _, name, toks = s
+            varz[name] = ("(" + self.expr(toks, varz, src) + ")"
+                          if toks is not None else "NULL")
+        elif kind == "assign":
+            _, target, aop, toks = s
+            val = self.expr(toks, varz, src)
+            if target[0] == "op":
+                if aop != "=":
+                    raise PainlessError("painless: ctx.op takes plain =")
+                return val
+            if target[0] == "var":
+                name = target[1]
+                if aop == "=":
+                    varz[name] = f"({val})"
+                else:
+                    if name not in varz:
+                        raise PainlessError(
+                            f"painless: {aop} on undeclared {name!r}")
+                    varz[name] = f"({varz[name]} {aop[0]} ({val}))"
+            else:  # ctx._source.field
+                f = target[1]
+                cur = src.get(f, f)
+                src[f] = (f"({val})" if aop == "="
+                          else f"({cur} {aop[0]} ({val}))")
+        elif kind == "for":
+            _, var, pname, body = s
+            if pname not in self.params:
+                raise PainlessError(f"painless: missing param {pname!r}")
+            seq = self.params[pname]
+            if not isinstance(seq, (list, tuple)):
+                raise PainlessError(
+                    f"painless: for-each param {pname!r} must be a list")
+            if len(seq) > _MAX_UNROLL:
+                raise PainlessError(
+                    f"painless: for-each over {len(seq)} elements exceeds "
+                    f"the {_MAX_UNROLL}-iteration unroll cap")
+            saved = varz.get(var)
+            had = var in varz
+            for v in seq:
+                varz[var] = _lit(v)
+                op = self.run_linear(body, varz, src, op)
+            if had:
+                varz[var] = saved
+            else:
+                varz.pop(var, None)
+        else:  # pragma: no cover - parser emits only the kinds above
+            raise PainlessError(f"painless: bad statement {kind!r}")
+        return op
+
+
+_STMT_MARKERS = re.compile(r";|\bctx\b")
+
+
+def is_statement_script(source: str) -> bool:
+    """True when a script needs the statement compiler (has ';' or
+    touches ctx)."""
+    return _STMT_MARKERS.search(source) is not None
+
+
+def compile_painless_update(
+    source: str,
+    params: dict | None = None,
+    dialect: str = "spark",
+) -> dict:
+    """Compile an update-context statement script.
+
+    Returns ``{"set": {field: sql_expr}, "op": sql_expr | None}`` —
+    ``set`` maps each assigned ctx._source field to a SQL expression
+    over the ORIGINAL columns; ``op`` evaluates to
+    'index'|'noop'|'delete' per row (None when the script never touches
+    ctx.op). Reference: update-by-query script contract,
+    server/src/main/java/org/elasticsearch/action/update/UpdateHelper.java."""
+    stmts = _StmtParser(_tokenize(source)).parse_program()
+    ex = _SymExec(params if params is not None else {}, "score", dialect)
+    src, op, _ret = ex.run(stmts, {}, {}, "'index'")
+    return {"set": src, "op": None if op == "'index'" else op}
+
+
+def compile_painless_program(
+    source: str,
+    params: dict | None = None,
+    score_col: str = "score",
+    dialect: str = "spark",
+) -> str:
+    """Compile a painless script that may contain STATEMENTS to one SQL
+    expression (its return value). Falls back to the plain expression
+    compiler when the script has no statement markers. Raises when a
+    statement script mutates ctx (use :func:`compile_painless_update`)
+    or never returns."""
+    if not is_statement_script(source):
+        return compile_painless(source, params, score_col, dialect)
+    stmts = _StmtParser(_tokenize(source)).parse_program()
+    ex = _SymExec(params if params is not None else {}, score_col, dialect)
+    src, op, ret = ex.run(stmts, {}, {}, "'index'")
+    if src or op != "'index'":
+        raise PainlessError(
+            "painless: ctx mutation is only valid in update contexts")
+    if ret is None:
+        raise PainlessError("painless: statement script must return a value")
+    return ret
+
+
 _MARKERS = re.compile(r"doc\[|params[.\[]|Math\.|_score\b|&&|\|\||\?")
 
 
@@ -379,7 +780,11 @@ class _AnyParams(dict):
 
 def validate_painless(source: str) -> None:
     """Parse-check a script with params unbound (PutStoredScript's
-    compile-time validation)."""
+    compile-time validation). Statement scripts get a structural parse
+    only — for-each unrolling needs bound params."""
+    if is_statement_script(source):
+        _StmtParser(_tokenize(source)).parse_program()
+        return
     compile_painless(source, _AnyParams())
 
 

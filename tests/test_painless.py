@@ -120,3 +120,90 @@ def test_stored_scripts(tmp_path, spark):
     with pytest.raises(ValueError):
         resolve_script({"id": "boost"}, reg)
     assert resolve_script({"source": "1 + 1"})["source"] == "1 + 1"
+
+
+# -- statement subset (modules/lang-painless statement grammar;
+#    symbolic execution -> SQL, scripts/painless.py _SymExec) ---------
+
+def test_stmt_locals_and_return():
+    from elasticsearch_spark.scripts import compile_painless_program
+
+    sql = compile_painless_program(
+        "def a = 2; def b = a * 3; return b + 1;")
+    assert duckdb.sql(f"SELECT {sql} AS v").fetchone()[0] == 7
+
+
+def test_stmt_if_else_return_merge():
+    from elasticsearch_spark.scripts import compile_painless_program
+
+    sql = compile_painless_program(
+        "def x = doc['p'].value;"
+        " if (x > params.cut) { return x * 2.0; }"
+        " return x / 2.0;", {"cut": 10})
+    rows = duckdb.sql(
+        f"SELECT {sql} AS v FROM (VALUES (4.0), (40.0)) t(p) ORDER BY p"
+    ).fetchall()
+    assert [r[0] for r in rows] == [2.0, 80.0]
+
+
+def test_stmt_for_unroll_and_compound_assign():
+    from elasticsearch_spark.scripts import compile_painless_program
+
+    sql = compile_painless_program(
+        "def t = 0; for (def s : params.xs) { t += s; } t *= 2; return t;",
+        {"xs": [1, 2, 3]})
+    assert duckdb.sql(f"SELECT {sql} AS v").fetchone()[0] == 12
+
+
+def test_stmt_update_sequential_read_after_write():
+    """ctx._source reads AFTER an assignment see the new value
+    (UpdateHelper ctx-map semantics), folded into original-column SQL."""
+    from elasticsearch_spark.scripts import compile_painless_update
+
+    plan = compile_painless_update(
+        "ctx._source.a = ctx._source.a + 1;"
+        " ctx._source.b = ctx._source.a * 2;")
+    got = duckdb.sql(
+        f"SELECT {plan['set']['a']} AS a, {plan['set']['b']} AS b"
+        " FROM (VALUES (10, 0)) t(a, b)").fetchone()
+    assert got == (11, 22)
+    assert plan["op"] is None
+
+
+def test_stmt_update_noop_delete(spark):
+    """Full update-by-query path: elif chain -> ctx.op noop/delete."""
+    from elasticsearch_spark.ops.scan import apply_update_script
+
+    df = spark.createDataFrame(
+        [(1, 50.0, 100.0), (2, 10.0, 100.0), (3, 1.0, 100.0)],
+        "id long, qty double, price double")
+    out = apply_update_script(df, {
+        "source": (
+            "if (ctx._source.qty >= params.hi)"
+            " { ctx._source.price = ctx._source.price * 2.0; }"
+            " else if (ctx._source.qty <= params.lo)"
+            " { ctx.op = 'delete'; }"
+            " else { ctx.op = 'noop'; }"),
+        "params": {"hi": 45, "lo": 2},
+    })
+    got = {r["id"]: r["price"] for r in out.collect()}
+    assert got == {1: 200.0, 2: 100.0}  # 3 deleted, 2 noop-kept
+
+
+def test_stmt_errors():
+    from elasticsearch_spark.scripts import (
+        compile_painless_program, compile_painless_update)
+
+    with pytest.raises(PainlessError):  # return inside a loop
+        compile_painless_update(
+            "for (def x : params.xs) { return 1; }", {"xs": [1]})
+    with pytest.raises(PainlessError):  # missing semicolon
+        compile_painless_program("return 1")
+    with pytest.raises(PainlessError):  # ctx outside update context
+        compile_painless_program("ctx._source.a = 1;")
+    with pytest.raises(PainlessError):  # statement script, no return
+        compile_painless_program("def a = 1;")
+    with pytest.raises(PainlessError):  # for over non-list
+        compile_painless_program(
+            "def t = 0; for (def s : params.n) { t += s; } return t;",
+            {"n": 3})
