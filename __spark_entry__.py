@@ -347,6 +347,13 @@ PERCOLATE_STORED = [
     (11, {"bool": {"must": [
         {"match_phrase": {"text": "the index"}},
         {"term": {"lang": "en"}}]}}),
+    # round-5: must_not -> complemented requirement groups (doc matches
+    # iff must-coverage AND NOT must_not-coverage)
+    (12, {"bool": {"must": [{"term": {"lang": "en"}}],
+                   "must_not": [{"match": {"text": "error"}}]}}),
+    (13, {"bool": {"must": [{"prefix": {"text": "tabl"}}],
+                   "must_not": [{"term": {"source": "src3"}},
+                                {"range": {"n_chars": {"lt": 150}}}]}}),
 ]
 
 

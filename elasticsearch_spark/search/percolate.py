@@ -109,7 +109,8 @@ def decompose_queries(
       pat_rows:    (query_id, group_id, field, like_pattern, clause)
       phrase_rows: (query_id, group_id, field, phrase)  # slop=0
       range_rows:  (query_id, group_id, field, lo, hi, lo_open, hi_open)
-      group_rows:  (query_id, group_id, msm)  # msm=0: range, -1: phrase
+      group_rows:  (query_id, group_id, msm, neg)  # msm=0: range,
+                   -1: phrase; neg: a must_not (complemented) group
     Decomposition is per-query and stateless — for a huge stored-query
     table run it inside mapInPandas; here it feeds createDataFrame.
     """
@@ -119,7 +120,8 @@ def decompose_queries(
     range_rows: list[tuple] = []
     group_rows: list[tuple] = []
 
-    def add_should_group(qid: Any, gid: int, should: list, msm: int) -> None:
+    def add_should_group(qid: Any, gid: int, should: list, msm: int,
+                         neg: bool = False) -> None:
         """One group for a should list: every clause gets a clause id;
         msm distinct clause ids must be satisfied."""
         for ci, sub in enumerate(should):
@@ -162,18 +164,24 @@ def decompose_queries(
                 raise ValueError(
                     f"percolator: unsupported should clause kind {skind!r}"
                 )
-        group_rows.append((qid, gid, int(msm)))
+        group_rows.append((qid, gid, int(msm), neg))
 
-    def add_clause(qid: Any, gid: int, clause: dict) -> int:
+    def add_clause(qid: Any, gid: int, clause: dict,
+                   neg: bool = False) -> int:
         (kind, body), = clause.items()
         if kind == "bool":
             # Conjunctive decomposition: must and filter (identical
             # matching semantics here) map to requirement groups;
             # should + minimum_should_match becomes ONE clause-counted
-            # group.  must_not would need complemented groups — reject
-            # loudly rather than over-match.  A should list WITHOUT msm
-            # alongside must is scoring-only in ES and is ignored.
+            # group.  must_not decomposes into COMPLEMENTED groups: the
+            # doc matches iff every positive group is satisfied AND no
+            # negative group is (reference modules/percolator/.../
+            # PercolateQueryBuilder.java:83 — candidate matching then
+            # verification; here verification IS the group algebra).
+            # A should list WITHOUT msm alongside must is scoring-only
+            # in ES and is ignored.
             unsupported = set(body) - {"must", "filter", "should",
+                                       "must_not",
                                        "minimum_should_match"}
             if unsupported:
                 raise ValueError(
@@ -182,7 +190,7 @@ def decompose_queries(
             should = list(body.get("should") or [])
             msm_b = body.get("minimum_should_match")
             if should and msm_b:
-                add_should_group(qid, gid, should, int(msm_b))
+                add_should_group(qid, gid, should, int(msm_b), neg)
                 gid += 1
             elif should and not body.get("must") and not body.get("filter"):
                 raise ValueError(
@@ -190,25 +198,40 @@ def decompose_queries(
                     "minimum_should_match (disjunctive group)"
                 )
             for sub in list(body.get("must", [])) + list(body.get("filter", [])):
-                gid = add_clause(qid, gid, sub)
+                gid = add_clause(qid, gid, sub, neg)
+            for sub in body.get("must_not", []):
+                (nkind,) = tuple(sub.keys())
+                if nkind == "bool" and not (
+                        set(sub["bool"]) <= {"should",
+                                             "minimum_should_match"}):
+                    # NOT(AND of groups) is not flat — only single-group
+                    # sub-clauses (incl. a pure should+msm bool) negate
+                    raise ValueError(
+                        "percolator: must_not supports single-group "
+                        "sub-clauses only (no nested must/filter bool)")
+                if neg:
+                    raise ValueError(
+                        "percolator: nested must_not (double negation) "
+                        "is not supported")
+                gid = add_clause(qid, gid, sub, True)
             return gid
         if kind == "term":
             (field, value), = body.items()
             if isinstance(value, dict):
                 value = value["value"]
             term_rows.append((qid, gid, field, str(value).lower(), 0))
-            group_rows.append((qid, gid, 1))
+            group_rows.append((qid, gid, 1, neg))
         elif kind == "terms":
             (field, values), = body.items()
             for v in values:
                 term_rows.append((qid, gid, field, str(v).lower(), 0))
-            group_rows.append((qid, gid, 1))
+            group_rows.append((qid, gid, 1, neg))
         elif kind == "match":
             (field, body2), = body.items()
             terms, msm = _match_terms(field, body2)
             for ci, t in enumerate(terms):
                 term_rows.append((qid, gid, field, t, ci))
-            group_rows.append((qid, gid, msm))
+            group_rows.append((qid, gid, msm, neg))
         elif kind == "prefix":
             (field, value), = body.items()
             if isinstance(value, dict):
@@ -216,14 +239,14 @@ def decompose_queries(
             pat_rows.append((
                 qid, gid, field,
                 _like_escape(str(value).lower()) + "%", 0))
-            group_rows.append((qid, gid, 1))
+            group_rows.append((qid, gid, 1, neg))
         elif kind == "wildcard":
             (field, value), = body.items()
             if isinstance(value, dict):
                 value = value.get("value", value.get("wildcard"))
             pat_rows.append((
                 qid, gid, field, _wildcard_like(str(value).lower()), 0))
-            group_rows.append((qid, gid, 1))
+            group_rows.append((qid, gid, 1, neg))
         elif kind == "match_phrase":
             (field, body2), = body.items()
             if isinstance(body2, dict):
@@ -238,7 +261,7 @@ def decompose_queries(
                 raise ValueError(
                     f"percolator: empty match_phrase in query {qid!r}")
             phrase_rows.append((qid, gid, field, " ".join(toks)))
-            group_rows.append((qid, gid, -1))
+            group_rows.append((qid, gid, -1, neg))
         elif kind == "range":
             (field, bounds), = body.items()
             lo = bounds.get("gte", bounds.get("gt"))
@@ -249,7 +272,7 @@ def decompose_queries(
                 float(hi) if hi is not None else None,
                 "gt" in bounds, "lt" in bounds,
             ))
-            group_rows.append((qid, gid, 0))
+            group_rows.append((qid, gid, 0, neg))
         else:
             raise ValueError(f"percolator: unsupported query kind {kind!r}")
         return gid + 1
@@ -259,6 +282,12 @@ def decompose_queries(
         gid = add_clause(qid, gid, dsl)
         if gid == 0:
             raise ValueError(f"query {qid!r} produced no requirement groups")
+        if not any(g[0] == qid and not g[3] for g in group_rows):
+            # a pure-negative query would need an anti-join against the
+            # WHOLE corpus per query — out of the decomposable subset
+            raise ValueError(
+                f"percolator: query {qid!r} has only must_not clauses; "
+                "add at least one must/filter/should requirement")
     return term_rows, pat_rows, phrase_rows, range_rows, group_rows
 
 
@@ -297,10 +326,12 @@ def percolate(
         )
     qid_type = "string" if isinstance(stored[0][0], str) else "long"
     groups = spark.createDataFrame(
-        group_rows, f"query_id {qid_type}, group_id int, msm int")
+        group_rows,
+        f"query_id {qid_type}, group_id int, msm int, neg boolean")
 
-    # total groups per query (matching requires ALL of them)
-    need = groups.groupBy("query_id").agg(
+    # total POSITIVE groups per query (matching requires all of them
+    # satisfied and NO negative group satisfied)
+    need = groups.where(~F.col("neg")).groupBy("query_id").agg(
         F.count("*").alias("need_groups"))
 
     sat_parts: list[DataFrame] = []
@@ -427,11 +458,20 @@ def percolate(
     for p in sat_parts[1:]:
         sat = sat.unionByName(p)
 
+    # must_not: one extra broadcast join tags each satisfied group with
+    # its polarity; a satisfied NEGATIVE group vetoes the match
+    gflags = F.broadcast(groups.select("query_id", "group_id", "neg"))
     return (
-        sat.groupBy(id_col, "query_id")
-        .agg(F.count_distinct("group_id").alias("got"))
+        sat.join(gflags, ["query_id", "group_id"])
+        .groupBy(id_col, "query_id")
+        .agg(
+            F.count_distinct(
+                F.when(~F.col("neg"), F.col("group_id"))).alias("got"),
+            F.max(F.col("neg").cast("int")).alias("neg_hit"),
+        )
         .join(F.broadcast(need), "query_id")
-        .where(F.col("got") == F.col("need_groups"))
+        .where((F.col("got") == F.col("need_groups"))
+               & (F.col("neg_hit") == 0))
         .select(id_col, "query_id")
     )
 
@@ -459,7 +499,7 @@ def percolate_requirements_sql(
         return "'" + str(v).replace("'", "''") + "'"
 
     groups_v = ", ".join(
-        f"({q(a)}, {b}, {m})" for a, b, m in group_rows)
+        f"({q(a)}, {b}, {m}, {q(n)})" for a, b, m, n in group_rows)
     parts = []
     doc_term_selects = [
         f"SELECT {id_col} AS doc_id, '{fld}' AS field, unnest(list_distinct("
@@ -496,7 +536,7 @@ def percolate_requirements_sql(
         parts.append(f"""
   SELECT h.doc_id, h.query_id, h.group_id
   FROM ({' UNION ALL '.join(hit_selects)}) h
-  JOIN (VALUES {groups_v}) AS g(query_id, group_id, msm)
+  JOIN (VALUES {groups_v}) AS g(query_id, group_id, msm, neg)
     ON g.query_id = h.query_id AND g.group_id = h.group_id AND g.msm > 0
   GROUP BY h.doc_id, h.query_id, h.group_id
   HAVING count(DISTINCT h.clause) >= any_value(g.msm)""")
@@ -538,14 +578,21 @@ def percolate_requirements_sql(
 WITH sat(doc_id, query_id, group_id) AS ({sat}),
 need AS (
   SELECT query_id, count(*) AS need_groups
-  FROM (VALUES {groups_v}) AS g(query_id, group_id, msm)
+  FROM (VALUES {groups_v}) AS g(query_id, group_id, msm, neg)
+  WHERE NOT neg
   GROUP BY query_id
 )
 SELECT s.doc_id, s.query_id
 FROM (
-  SELECT doc_id, query_id, count(DISTINCT group_id) AS got
-  FROM sat GROUP BY doc_id, query_id
-) s JOIN need n ON n.query_id = s.query_id AND s.got = n.need_groups
+  SELECT t.doc_id, t.query_id,
+         count(DISTINCT CASE WHEN NOT g.neg THEN t.group_id END) AS got,
+         max(CASE WHEN g.neg THEN 1 ELSE 0 END) AS neg_hit
+  FROM sat t
+  JOIN (VALUES {groups_v}) AS g(query_id, group_id, msm, neg)
+    ON g.query_id = t.query_id AND g.group_id = t.group_id
+  GROUP BY t.doc_id, t.query_id
+) s JOIN need n ON n.query_id = s.query_id
+WHERE s.got = n.need_groups AND s.neg_hit = 0
 """
 
 
@@ -631,7 +678,8 @@ def decompose_queries_df(stored_df: DataFrame) -> dict[str, DataFrame]:
             "r", f"query_id {qid_type}, group_id int, field string, "
                  "lo double, hi double, lo_open boolean, hi_open boolean"),
         "groups": unpack(
-            "g", f"query_id {qid_type}, group_id int, msm int"),
+            "g", f"query_id {qid_type}, group_id int, msm int, "
+                 "neg boolean"),
         "errors": unpack("e", f"query_id {qid_type}, error string"),
     }
 
@@ -661,7 +709,7 @@ def percolate_prepared(
         return F.broadcast(df) if broadcast_reqs else df
 
     groups = reqs["groups"]
-    need = groups.groupBy("query_id").agg(
+    need = groups.where(~F.col("neg")).groupBy("query_id").agg(
         F.count("*").alias("need_groups"))
     sat_parts: list[DataFrame] = []
 
@@ -755,10 +803,17 @@ def percolate_prepared(
     sat = sat_parts[0]
     for p in sat_parts[1:]:
         sat = sat.unionByName(p)
+    gflags = side(groups.select("query_id", "group_id", "neg"))
     return (
-        sat.groupBy(id_col, "query_id")
-        .agg(F.count_distinct("group_id").alias("got"))
+        sat.join(gflags, ["query_id", "group_id"])
+        .groupBy(id_col, "query_id")
+        .agg(
+            F.count_distinct(
+                F.when(~F.col("neg"), F.col("group_id"))).alias("got"),
+            F.max(F.col("neg").cast("int")).alias("neg_hit"),
+        )
         .join(side(need), "query_id")
-        .where(F.col("got") == F.col("need_groups"))
+        .where((F.col("got") == F.col("need_groups"))
+               & (F.col("neg_hit") == 0))
         .select(id_col, "query_id")
     )

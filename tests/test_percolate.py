@@ -84,16 +84,28 @@ def test_percolate_msm_and_conjunction(spark):
     assert sorted(out["doc_id"].tolist()) == [1]
 
 
-def test_decompose_rejects_must_not_and_filter_maps_to_groups():
+def test_decompose_must_not_and_filter_maps_to_groups():
     import pytest
 
     from elasticsearch_spark.search.percolate import decompose_queries
 
-    # must_not would silently over-match if dropped -> hard error
-    with pytest.raises(ValueError, match="must_not"):
+    # must_not -> complemented group (neg flag set)
+    t, _pt, _phr, _r, g = decompose_queries([(1, {"bool": {
+        "must": [{"term": {"lang": "en"}}],
+        "must_not": [{"term": {"lang": "fr"}}]}})])
+    assert len(g) == 2 and len(t) == 2
+    assert sorted(neg for _q, _gid, _m, neg in g) == [False, True]
+    # pure-negative queries would need a per-query corpus anti-join
+    with pytest.raises(ValueError, match="only must_not"):
+        decompose_queries([(1, {"bool": {
+            "must_not": [{"term": {"lang": "fr"}}]}})])
+    # NOT(AND of groups) is not flat -> nested must/filter bool refused
+    with pytest.raises(ValueError, match="single-group"):
         decompose_queries([(1, {"bool": {
             "must": [{"term": {"lang": "en"}}],
-            "must_not": [{"term": {"lang": "fr"}}]}})])
+            "must_not": [{"bool": {"must": [
+                {"term": {"lang": "fr"}},
+                {"term": {"source": "s"}}]}}]}})])
     # bool.filter participates exactly like must (filter context has
     # identical matching semantics for percolation)
     t, _pt, _phr, r, g = decompose_queries([(1, {"bool": {
@@ -136,7 +148,7 @@ def test_decompose_prefix_wildcard_and_should_msm():
     assert [(x[3], x[4]) for x in t if x[0] == 3] == [
         ("en", 0), ("fr", 1), ("de", 1)]
     assert (3, 0, "text", "mer%", 2) in p
-    assert (3, 0, 2) in g
+    assert (3, 0, 2, False) in g
 
 
 def test_percolate_prefix_wildcard_should(spark):
@@ -278,3 +290,27 @@ def test_percolate_prepared_matches_inline(spark):
         broadcast_reqs=False)
     assert sorted((r["doc_id"], r["query_id"])
                   for r in got2.collect()) == w
+
+
+def test_percolate_must_not_end_to_end(spark):
+    """must-coverage AND NOT must_not-coverage (complemented groups;
+    PercolateQueryBuilder.java:83 verification semantics)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", 10),
+         (2, "alpha error", "en", 10),
+         (3, "alpha beta", "fr", 10),
+         (4, "alpha beta", "en", 500)],
+        "doc_id long, text string, lang string, n long")
+    stored = [
+        (1, {"bool": {"must": [{"match": {"text": "alpha"}}],
+                      "must_not": [{"match": {"text": "error"}}]}}),
+        (2, {"bool": {"must": [{"term": {"lang": "en"}}],
+                      "must_not": [{"range": {"n": {"gte": 100}}}]}}),
+        (3, {"bool": {"must": [{"match": {"text": "alpha"}}],
+                      "must_not": [{"term": {"lang": "fr"}},
+                                   {"prefix": {"text": "err"}}]}}),
+    ]
+    out = percolate(spark, docs, stored, text_fields=["text"],
+                    keyword_fields=["lang"], numeric_fields=["n"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (1, 3), (2, 2), (3, 1), (4, 1), (4, 3)]
