@@ -1150,6 +1150,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transform_pivot"] = transform_pivot_q
 
+    # transform `latest` (x-pack/plugin/transform/.../latest/Latest.java):
+    # newest event per user — ONE partial-agg max(struct) per key, ties
+    # on ts break by the remaining columns lexicographically
+    def transform_latest_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.rollup import transform_latest
+
+        ev = _t(s, d, "events")
+        out = transform_latest(ev, ["user_id"], "ts")
+        return out.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.round("value", 2).alias("value"))
+
+    q["transform_latest"] = transform_latest_q
+
     def eql_until_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.eql import sequence
 
@@ -3935,6 +3949,19 @@ SELECT user_id,
        round(max(value), 4) AS value_max
 FROM events
 GROUP BY 1
+"""
+
+    # transform latest: newest row per user; tie order mirrors the
+    # Spark max(struct(ts, event_id, event_type, value, props))
+    o["transform_latest"] = """
+SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC, event_type DESC,
+               value DESC, props DESC) AS rn
+  FROM events
+) WHERE rn = 1
 """
 
     o["eql_sequence"] = """

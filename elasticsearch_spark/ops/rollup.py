@@ -90,6 +90,116 @@ def transform_pivot(
     return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
 
 
+def transform_latest(
+    df: DataFrame,
+    unique_key: list[str],
+    sort_col: str,
+) -> DataFrame:
+    """transform ``latest``: keep the newest document per entity key.
+
+    Reference: x-pack/plugin/transform/src/main/java/org/elasticsearch/
+    xpack/transform/transforms/latest/Latest.java (group by unique_key,
+    top_hits size=1 sorted desc on ``sort``).
+
+    Spark-first shape: ONE hash aggregation with map-side partials —
+    ``max(struct(sort, other...))`` per key — not a window sort: on a
+    100 TB source the partial agg reduces each partition to <=1 row
+    per key before the single exchange, where a window would shuffle
+    every raw row. Ties on ``sort`` break deterministically by the
+    remaining columns (struct comparison is lexicographic), which the
+    DuckDB oracle mirrors with ORDER BY sort DESC, other DESC...
+    """
+    others = [c for c in df.columns
+              if c not in unique_key and c != sort_col]
+    packed = df.groupBy(*[F.col(k) for k in unique_key]).agg(
+        F.max(F.struct(F.col(sort_col),
+                       *[F.col(c) for c in others])).alias("_latest"))
+    order = {c: (f"_latest.{c}") for c in [sort_col, *others]}
+    return packed.select(*[
+        F.col(order[c]).alias(c) if c in order else F.col(c)
+        for c in df.columns
+    ])
+
+
+def _latest_ckpt_path(dest: str) -> str:
+    return os.path.join(dest, "_latest_checkpoint.json")
+
+
+def read_latest_checkpoint(dest: str) -> dict[str, Any]:
+    try:
+        with open(_latest_ckpt_path(dest)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"high_water": None, "syncs": 0}
+
+
+def transform_latest_incremental(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: str,
+    unique_key: list[str],
+    sort_col: str,
+) -> dict[str, Any]:
+    """One continuous ``latest`` sync (TransformConfig sync.time
+    checkpointing): reduce rows with ``sort_col`` above the
+    checkpoint's high-water mark to per-key latest partials, append
+    them, and advance the checkpoint atomically (write + os.replace).
+
+    Idempotency matches rollup_incremental: a crash between append and
+    checkpoint advance duplicates partials, which the read path
+    (:func:`read_transform_latest`) resolves by keeping the max
+    (sort, _sync_id, other...) struct per key — merging partials is
+    exactly the same max, so incremental == batch whenever (key, sort)
+    pairs are unique across syncs (duplicate pairs split across syncs
+    tie-break toward the later sync; documented divergence).
+    """
+    ck = read_latest_checkpoint(dest)
+    new = source
+    if ck["high_water"] is not None:
+        new = new.where(
+            F.col(sort_col)
+            > F.lit(ck["high_water"]).cast(source.schema[sort_col].dataType))
+    part = transform_latest(new, unique_key, sort_col)
+    sync_id = int(ck["syncs"]) + 1
+    rows = part.withColumn("_sync_id", F.lit(sync_id))
+    if not rows.head(1):
+        return ck
+    rows.write.mode("append").parquet(os.path.join(dest, "data"))
+    hw = new.select(F.max(F.col(sort_col)).alias("m")).first()["m"]
+    new_ck = {
+        "high_water": hw.isoformat() if hasattr(hw, "isoformat") else hw,
+        "syncs": sync_id,
+    }
+    tmp = _latest_ckpt_path(dest) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_ck, f)
+    os.replace(tmp, _latest_ckpt_path(dest))
+    return new_ck
+
+
+def read_transform_latest(
+    spark: SparkSession,
+    dest: str,
+    unique_key: list[str],
+    sort_col: str,
+) -> DataFrame:
+    """Read the latest-transform dest index, merging per-sync partials
+    (and crash-window duplicates) with the same max-struct reduction
+    the batch path uses."""
+    df = spark.read.parquet(os.path.join(dest, "data"))
+    others = [c for c in df.columns
+              if c not in unique_key and c not in (sort_col, "_sync_id")]
+    packed = df.groupBy(*[F.col(k) for k in unique_key]).agg(
+        F.max(F.struct(F.col(sort_col), F.col("_sync_id"),
+                       *[F.col(c) for c in others])).alias("_latest"))
+    out_cols = [c for c in df.columns if c != "_sync_id"]
+    order = {c: f"_latest.{c}" for c in [sort_col, *others]}
+    return packed.select(*[
+        F.col(order[c]).alias(c) if c in order else F.col(c)
+        for c in out_cols
+    ])
+
+
 def _ckpt_path(dest: str) -> str:
     return os.path.join(dest, "_rollup_checkpoint.json")
 

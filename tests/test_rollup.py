@@ -97,3 +97,58 @@ def test_rollup_crash_window_dedup(spark, tmp_path):
     raw = spark.read.parquet(os.path.join(dest, "data"))
     assert raw.count() == 2 * n           # duplicate appends exist...
     assert read_rollup(spark, dest).count() == n  # ...but reads dedup
+
+
+def test_transform_latest_batch(spark):
+    """latest == newest event per user (Latest.java: group by key,
+    top-1 sorted desc); deterministic struct tie-break."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.rollup import transform_latest
+
+    ev = _events(spark)
+    got = transform_latest(ev, ["user_id"], "ts")
+    assert got.columns == ev.columns  # same shape, one row per key
+    assert got.count() == ev.select("user_id").distinct().count()
+    # spot-check one user against an explicit orderBy
+    u = ev.select("user_id").first()["user_id"]
+    want = (ev.where(F.col("user_id") == u)
+            .orderBy(F.desc("ts"), F.desc("event_id")).first())
+    have = got.where(F.col("user_id") == u).first()
+    assert have["event_id"] == want["event_id"]
+    assert have["ts"] == want["ts"]
+
+
+def test_transform_latest_incremental_matches_batch(spark, tmp_path):
+    """Two continuous syncs over a time-split source == one batch run
+    (checkpoint high-water on the sort field; partials merge via the
+    same max-struct reduction)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.rollup import (
+        read_latest_checkpoint, read_transform_latest, transform_latest,
+        transform_latest_incremental,
+    )
+
+    ev = _events(spark).cache()
+    dest = str(tmp_path / "latest_dest")
+    cut = ev.select(
+        F.percentile_approx("ts", 0.5).alias("m")).first()["m"]
+
+    ck1 = transform_latest_incremental(
+        spark, ev.where(F.col("ts") <= F.lit(cut)), dest,
+        ["user_id"], "ts")
+    assert ck1["syncs"] == 1 and ck1["high_water"] is not None
+    ck2 = transform_latest_incremental(spark, ev, dest, ["user_id"], "ts")
+    assert ck2["syncs"] == 2
+
+    got = read_transform_latest(spark, dest, ["user_id"], "ts")
+    want = transform_latest(ev, ["user_id"], "ts")
+    g = sorted(map(tuple, got.select(*want.columns).collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+    # third sync with no new rows: checkpoint untouched
+    ck3 = transform_latest_incremental(spark, ev, dest, ["user_id"], "ts")
+    assert ck3["syncs"] == 2
+    assert read_latest_checkpoint(dest)["syncs"] == 2
