@@ -552,6 +552,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["highlight"] = highlight_q
 
+    # highlight_query (HighlightBuilder.highlightQuery): the fragments
+    # come from a DIFFERENT query than the scorer's
+    def highlight_query_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import (
+            highlight, highlight_terms)
+
+        hits = (
+            _t(s, d, "documents")
+            .filter(F.col("text").rlike(r"\btable\b"))
+            .orderBy("doc_id").limit(20)
+        )
+        ex, pre = highlight_terms({"match": {"text": "scan merge"}})
+        out = highlight(hits, ex, n_fragments=2, prefix_terms=pre)
+        return out.select(
+            "doc_id",
+            F.try_element_at("highlights", F.lit(1)).alias("frag1"),
+            F.try_element_at("highlights", F.lit(2)).alias("frag2"),
+        ).orderBy("doc_id")
+
+    q["highlight_query"] = highlight_query_q
+
+    # matched_fields on the unified path: the english_light sub-field's
+    # stems highlight every surface inflection as a prefix match
+    def highlight_matched_fields_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import (
+            highlight, highlight_terms)
+
+        hits = (
+            _t(s, d, "documents")
+            .filter(F.col("text").rlike(r"\btable"))
+            .orderBy("doc_id").limit(20)
+        )
+        ex, pre = highlight_terms(
+            {"match": {"text": "tables queries merges"}},
+            matched_fields_analyzers=["english_light"])
+        out = highlight(hits, ex, n_fragments=2, prefix_terms=pre)
+        return out.select(
+            "doc_id",
+            F.try_element_at("highlights", F.lit(1)).alias("frag1"),
+            F.try_element_at("highlights", F.lit(2)).alias("frag2"),
+        ).orderBy("doc_id")
+
+    q["highlight_matched_fields"] = highlight_matched_fields_q
+
     def match_bool_prefix_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import match_bool_prefix_topk
 
@@ -3492,6 +3536,49 @@ SELECT doc_id,
        regexp_replace(fr[1], '\btable\b', '<em>table</em>', 'g') AS frag1,
        CASE WHEN len(fr) >= 2
             THEN regexp_replace(fr[2], '\btable\b', '<em>table</em>', 'g')
+       END AS frag2
+FROM h ORDER BY doc_id
+"""
+
+    # highlight_query: hits selected by \btable\b (the scorer), but the
+    # fragments anchor on scan|merge (the highlight query) — rows whose
+    # text lacks both produce NULL fragments
+    o["highlight_query"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+             '.{0,30}?\b(?:scan|merge)\b.{0,30}') AS fr
+  FROM documents
+  WHERE regexp_matches(text, '\btable\b')
+  ORDER BY doc_id LIMIT 20)
+SELECT doc_id,
+       regexp_replace(fr[1], '(\b(?:scan|merge)\b)', '<em>\1</em>', 'g')
+           AS frag1,
+       CASE WHEN len(fr) >= 2
+            THEN regexp_replace(fr[2], '(\b(?:scan|merge)\b)',
+                                '<em>\1</em>', 'g')
+       END AS frag2
+FROM h ORDER BY doc_id
+"""
+
+    # matched_fields: surface tokens exact + english_light stems as
+    # \w* prefixes, one combined alternation on both engines
+    o["highlight_matched_fields"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+             '.{0,30}?(?:\b(?:tables|queries|merges)\b|\b(?:table|query|merge)\w*).{0,30}') AS fr
+  FROM documents
+  WHERE regexp_matches(text, '\btable')
+  ORDER BY doc_id LIMIT 20)
+SELECT doc_id,
+       regexp_replace(fr[1],
+           '(\b(?:tables|queries|merges)\b|\b(?:table|query|merge)\w*)',
+           '<em>\1</em>', 'g') AS frag1,
+       CASE WHEN len(fr) >= 2
+            THEN regexp_replace(fr[2],
+                '(\b(?:tables|queries|merges)\b|\b(?:table|query|merge)\w*)',
+                '<em>\1</em>', 'g')
        END AS frag2
 FROM h ORDER BY doc_id
 """

@@ -263,6 +263,7 @@ def highlight(
     post_tag: str = "</em>",
     order: str = "none",
     max_passages: int = 32,
+    prefix_terms: list[str] = (),
 ) -> DataFrame:
     """Multi-fragment unified-highlighter-style passages, Arrow-batched
     (reference: search/fetch/subphase/highlight/ HighlightBuilder
@@ -278,13 +279,26 @@ def highlight(
     passages by match count desc (ES ``order: score``; ties keep
     document order, Lucene's passage sort is stable); default document
     order.
+
+    ``prefix_terms`` highlight as ``\\bterm\\w*`` — the surface forms a
+    STEMMED sub-field matched (``matched_fields`` on the unified
+    highlighter: matches from differently-analyzed variants of the same
+    text combine into one highlighted field; a stem covers every
+    surface inflection as a prefix).
     """
     half = fragment_size // 2
-    alt = "|".join(re.escape(t.lower()) for t in terms)
+    alts = [rf"\b(?:{'|'.join(re.escape(t.lower()) for t in terms)})\b"] \
+        if terms else []
+    if prefix_terms:
+        alts.append(
+            rf"\b(?:{'|'.join(re.escape(t.lower()) for t in prefix_terms)})\w*")
+    if not alts:
+        raise ValueError("highlight: no terms to highlight")
+    alt = "|".join(alts)
     win = re.compile(
-        rf"(?s).{{0,{half}}}?\b(?:{alt})\b.{{0,{half}}}", re.IGNORECASE
+        rf"(?s).{{0,{half}}}?(?:{alt}).{{0,{half}}}", re.IGNORECASE
     )
-    inner = re.compile(r"\b(" + alt + r")\b", re.IGNORECASE)
+    inner = re.compile("(" + alt + ")", re.IGNORECASE)
     rep = pre_tag.replace("\\", "\\\\") + r"\1" + post_tag.replace("\\", "\\\\")
 
     def frag_batch(it):
@@ -306,6 +320,72 @@ def highlight(
         f"{f.name} {f.dataType.simpleString()}" for f in hits.schema.fields
     ) + ", highlights array<string>"
     return hits.mapInPandas(frag_batch, schema=schema)
+
+
+def highlight_terms(
+    query: dict,
+    analyzer: str = "ascii_word",
+    matched_fields_analyzers: list[str] = (),
+) -> tuple[list[str], list[str]]:
+    """Resolve (exact_terms, prefix_terms) for :func:`highlight` from a
+    highlight_query / query body.
+
+    ``highlight_query`` (HighlightBuilder.highlightQuery): the
+    highlighter runs a DIFFERENT query than the scorer — pass that
+    query here and feed the result to :func:`highlight`.
+
+    ``matched_fields`` (AbstractHighlighterBuilder.matchedFields, unified
+    highlighter): additionally analyze the query text under each
+    sub-field's analyzer; non-surface variants (stems) highlight as
+    prefixes so every inflection the stemmed sub-field matched gets
+    tagged.
+
+    Supported query kinds: match / match_phrase / term / terms /
+    prefix / bool (must/should/filter recursion; must_not contributes
+    nothing — it cannot produce a highlightable match).
+    """
+    from elasticsearch_spark.analysis.analyzers import analyze
+
+    exact: list[str] = []
+    prefix: list[str] = []
+
+    def texts(q: dict) -> list[str]:
+        (kind, body), = q.items()
+        if kind == "bool":
+            out = []
+            for sec in ("must", "should", "filter"):
+                for sub in body.get(sec) or []:
+                    out += texts(sub)
+            return out
+        if kind in ("match", "match_phrase"):
+            (_f, b), = body.items()
+            return [b["query"] if isinstance(b, dict) else b]
+        if kind == "term":
+            (_f, b), = body.items()
+            return [str(b["value"] if isinstance(b, dict) else b)]
+        if kind == "terms":
+            (_f, vals), = body.items()
+            return [str(v) for v in vals]
+        if kind == "prefix":
+            (_f, b), = body.items()
+            v = b["value"] if isinstance(b, dict) else b
+            prefix.append(str(v).lower())
+            return []
+        raise ValueError(
+            f"highlight: unsupported highlight_query kind {kind!r}")
+
+    all_texts = texts(query)
+    for t in all_texts:
+        exact += [tok for tok, _ in analyze(t, analyzer)]
+    surface = set(exact)
+    for sub_an in matched_fields_analyzers:
+        for t in all_texts:
+            for tok, _ in analyze(t, sub_an):
+                # a stem that IS a surface token adds nothing; a new
+                # stem covers its inflections as a prefix
+                if tok not in surface:
+                    prefix.append(tok)
+    return (list(dict.fromkeys(exact)), list(dict.fromkeys(prefix)))
 
 
 def explain_scores(

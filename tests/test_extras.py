@@ -477,3 +477,37 @@ def test_significance_include_negatives_filter(spark):
         df, "cat", F.col("fg"), min_doc_count=1, heuristic="chi_square",
         include_negatives=True).collect()]
     assert sorted(both) == ["over", "under"]
+
+
+def test_highlight_terms_resolver():
+    """highlight_query term extraction + matched_fields stem prefixes
+    (AbstractHighlighterBuilder.matchedFields / highlightQuery)."""
+    from elasticsearch_spark.search.extras import highlight_terms
+
+    ex, pre = highlight_terms({"bool": {"must": [
+        {"match": {"text": "scan merge"}},
+        {"term": {"lang": "en"}}],
+        "must_not": [{"match": {"text": "ignored"}}]}})
+    assert ex == ["scan", "merge", "en"] and pre == []
+    ex, pre = highlight_terms(
+        {"match": {"text": "tables queries merges"}},
+        matched_fields_analyzers=["english_light"])
+    assert ex == ["tables", "queries", "merges"]
+    assert pre == ["table", "query", "merge"]
+    # prefix query contributes a prefix term directly
+    ex, pre = highlight_terms({"prefix": {"text": "tab"}})
+    assert ex == [] and pre == ["tab"]
+
+
+def test_highlight_prefix_terms(spark):
+    from elasticsearch_spark.search.extras import highlight
+
+    df = spark.createDataFrame(
+        [(1, "the tables were merged after merging runs")],
+        "doc_id long, text string")
+    out = highlight(df, ["runs"], prefix_terms=["merg", "table"],
+                    n_fragments=3, fragment_size=200).collect()[0]
+    frag = out["highlights"][0]
+    assert "<em>tables</em>" in frag
+    assert "<em>merged</em>" in frag and "<em>merging</em>" in frag
+    assert "<em>runs</em>" in frag
