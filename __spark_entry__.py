@@ -2764,6 +2764,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_single_metric"] = ml_single_metric_q
 
+    # multi-metric job: per-entity baseline (partition_field_name)
+    def ml_multi_metric_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import multi_metric_anomalies
+
+        ev = _t(s, d, "events")
+        out = multi_metric_anomalies(ev, "event_type", span="day")
+        return out.select(
+            "entity",
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("metric", 3).alias("metric"),
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("entity", "bucket")
+
+    q["ml_multi_metric"] = ml_multi_metric_q
+
+    # population job: per-bucket cross-entity baseline (over_field_name)
+    def ml_population_anomaly_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import population_anomalies
+
+        ev = _t(s, d, "events")
+        out = population_anomalies(ev, "user_id", span="day")
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.col("entity").cast("long").alias("entity"),
+            F.round("metric", 3).alias("metric"),
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("bucket", "entity")
+
+    q["ml_population_anomaly"] = ml_population_anomaly_q
+
     # -- scaled_float (mapper-extras): integer-exact aggregation over
     #    the scaled longs, one division at the end
 
@@ -5524,13 +5554,33 @@ LIMIT 10
 """
 
     # ML single-metric: the shared MAD pipeline builder, day buckets
-    from elasticsearch_spark.ops.anomaly import single_metric_anomalies_sql
+    from elasticsearch_spark.ops.anomaly import (
+        multi_metric_anomalies_sql,
+        population_anomalies_sql,
+        single_metric_anomalies_sql,
+    )
 
     o["ml_single_metric"] = f"""
 WITH r AS ({single_metric_anomalies_sql(span='day')})
 SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
 FROM r ORDER BY bucket
+"""
+
+    o["ml_multi_metric"] = f"""
+WITH r AS ({multi_metric_anomalies_sql(entity_col='event_type',
+                                       span='day')})
+SELECT entity, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
+FROM r ORDER BY entity, bucket
+"""
+
+    o["ml_population_anomaly"] = f"""
+WITH r AS ({population_anomalies_sql(entity_col='user_id', span='day')})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       entity::BIGINT AS entity,
+       round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
+FROM r ORDER BY bucket, entity
 """
 
     # scaled_float: identical integer-exact pipeline

@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame, functions as F
 MAD_SIGMA = 1.4826
 
 
+def _mad_score():
+    """score column over (adev, mad): adev / (1.4826 * mad), with the
+    degenerate constant-series case (mad = 0) mapped to 0 when the
+    bucket sits ON the constant and +inf when it deviates at all —
+    identical CASE on both engines, no ANSI divide-by-zero."""
+    return (
+        F.when(F.col("mad") > 0,
+               F.col("adev") / (F.lit(MAD_SIGMA) * F.col("mad")))
+        .when(F.col("adev") == 0, F.lit(0.0))
+        .otherwise(F.lit(float("inf"))))
+
+
+def _mad_score_sql(threshold: float) -> str:
+    expr = (f"CASE WHEN mad > 0 THEN adev / ({MAD_SIGMA} * mad) "
+            "WHEN adev = 0 THEN 0.0 "
+            "ELSE CAST('infinity' AS DOUBLE) END")
+    return (f"{expr} AS score,\n       {expr} > {threshold} AS is_anomaly")
+
+
 def single_metric_buckets(
     df: DataFrame, ts_col: str = "ts", value_col: str = "value",
     span: str = "hour",
@@ -46,7 +65,7 @@ def single_metric_anomalies(
                    F.abs(F.col("metric") - F.col("med")).alias("adev")))
     mad = dev.agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
     out = dev.crossJoin(F.broadcast(mad))
-    score = F.col("adev") / (F.lit(MAD_SIGMA) * F.col("mad"))
+    score = _mad_score()
     return out.select(
         "bucket", "metric",
         score.alias("score"),
@@ -68,7 +87,116 @@ s AS (SELECT median(metric) AS med FROM b),
 d AS (SELECT bucket, metric, abs(metric - med) AS adev FROM b, s),
 m AS (SELECT median(adev) AS mad FROM d)
 SELECT bucket, metric,
-       adev / ({MAD_SIGMA} * mad) AS score,
-       adev / ({MAD_SIGMA} * mad) > {threshold} AS is_anomaly
+       {_mad_score_sql(threshold)}
 FROM d, m
+"""
+
+
+def multi_metric_anomalies(
+    df: DataFrame, entity_col: str, ts_col: str = "ts",
+    value_col: str = "value", span: str = "hour",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Multi-metric job: the single-metric pipeline PARTITIONED by an
+    entity field (x-pack/plugin/ml job config partition_field_name) —
+    every entity gets its own per-bucket series, median baseline and
+    MAD scale.
+
+    Scale shape: one shuffle to (entity, bucket) partials, one
+    per-entity stats aggregation (rows = entities x buckets, already
+    reduced), and joins ON THE ENTITY KEY — no broadcast of
+    per-entity stats needed, AQE picks the strategy by size.
+    """
+    b = (df.groupBy(F.col(entity_col).alias("entity"),
+                    F.date_trunc(span, F.col(ts_col)).alias("bucket"))
+         .agg(F.sum(value_col).alias("metric")))
+    med = b.groupBy("entity").agg(
+        F.percentile("metric", F.lit(0.5)).alias("med"))
+    dev = (b.join(med, "entity")
+           .select("entity", "bucket", "metric",
+                   F.abs(F.col("metric") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("entity").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    out = dev.join(mad, "entity")
+    score = _mad_score()
+    return out.select(
+        "entity", "bucket", "metric",
+        score.alias("score"),
+        (score > threshold).alias("is_anomaly"))
+
+
+def multi_metric_anomalies_sql(
+    table: str = "events", entity_col: str = "event_type",
+    ts_col: str = "ts", value_col: str = "value", span: str = "hour",
+    threshold: float = 3.0,
+) -> str:
+    """DuckDB twin of :func:`multi_metric_anomalies`."""
+    return f"""
+WITH b AS (
+  SELECT {entity_col} AS entity,
+         date_trunc('{span}', {ts_col}) AS bucket,
+         sum({value_col}) AS metric
+  FROM {table} GROUP BY 1, 2),
+s AS (SELECT entity, median(metric) AS med FROM b GROUP BY 1),
+d AS (SELECT b.entity, bucket, metric, abs(metric - med) AS adev
+      FROM b JOIN s ON s.entity = b.entity),
+m AS (SELECT entity, median(adev) AS mad FROM d GROUP BY 1)
+SELECT d.entity, bucket, metric,
+       {_mad_score_sql(threshold)}
+FROM d JOIN m ON m.entity = d.entity
+"""
+
+
+def population_anomalies(
+    df: DataFrame, entity_col: str, ts_col: str = "ts",
+    value_col: str = "value", span: str = "hour",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Population analysis (job config over_field_name): each entity's
+    per-bucket metric scored against the POPULATION of entities in the
+    SAME bucket — median and MAD are per-bucket cross-entity
+    statistics, so an entity is anomalous when it deviates from what
+    everyone else did in that bucket, not from its own history.
+
+    Scale shape: one shuffle to (bucket, entity) partials; per-bucket
+    population stats aggregate over the already-reduced table; joins
+    on the bucket key.
+    """
+    b = (df.groupBy(F.date_trunc(span, F.col(ts_col)).alias("bucket"),
+                    F.col(entity_col).alias("entity"))
+         .agg(F.sum(value_col).alias("metric")))
+    med = b.groupBy("bucket").agg(
+        F.percentile("metric", F.lit(0.5)).alias("med"))
+    dev = (b.join(med, "bucket")
+           .select("bucket", "entity", "metric",
+                   F.abs(F.col("metric") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("bucket").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    out = dev.join(mad, "bucket")
+    score = _mad_score()
+    return out.select(
+        "bucket", "entity", "metric",
+        score.alias("score"),
+        (score > threshold).alias("is_anomaly"))
+
+
+def population_anomalies_sql(
+    table: str = "events", entity_col: str = "user_id",
+    ts_col: str = "ts", value_col: str = "value", span: str = "day",
+    threshold: float = 3.0,
+) -> str:
+    """DuckDB twin of :func:`population_anomalies`."""
+    return f"""
+WITH b AS (
+  SELECT date_trunc('{span}', {ts_col}) AS bucket,
+         {entity_col} AS entity,
+         sum({value_col}) AS metric
+  FROM {table} GROUP BY 1, 2),
+s AS (SELECT bucket, median(metric) AS med FROM b GROUP BY 1),
+d AS (SELECT b.bucket, entity, metric, abs(metric - med) AS adev
+      FROM b JOIN s ON s.bucket = b.bucket),
+m AS (SELECT bucket, median(adev) AS mad FROM d GROUP BY 1)
+SELECT d.bucket, entity, metric,
+       {_mad_score_sql(threshold)}
+FROM d JOIN m ON m.bucket = d.bucket
 """

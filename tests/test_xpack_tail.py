@@ -125,3 +125,46 @@ def test_parse_fulltext_quoted_commas_and_escapes():
     _, clauses, _ = parse_fulltext(
         "SELECT 1 FROM t WHERE MATCH(text, 'a, b''s (c)')")
     assert clauses == [{"match": {"text": {"query": "a, b's (c)"}}}]
+
+
+def test_multi_metric_anomalies_per_entity_baseline(spark):
+    """Each entity gets its OWN median/MAD baseline: a value normal for
+    one entity flags as anomalous for another (partition_field_name)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.anomaly import multi_metric_anomalies
+
+    rows = []
+    # entity "big" runs ~1000/hour; entity "small" runs ~10/hour
+    for h in range(10):
+        rows.append((f"2024-01-01 {h:02d}:30:00", "big", 1000.0))
+        rows.append((f"2024-01-01 {h:02d}:30:00", "small", 10.0))
+    # hour 10: both emit 400 -> normal-ish for big's scale? no: big
+    # deviates |400-1000|=600, small deviates |400-10|=390 vs tiny MADs
+    rows.append(("2024-01-01 10:30:00", "big", 1000.0))
+    rows.append(("2024-01-01 10:30:00", "small", 400.0))
+    df = spark.createDataFrame(rows, "ts string, ent string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = multi_metric_anomalies(df, "ent", threshold=3.0)
+    got = {(r["entity"], str(r["bucket"])): r["is_anomaly"]
+           for r in out.collect()}
+    assert got[("small", "2024-01-01 10:00:00")] is True
+    assert got[("big", "2024-01-01 10:00:00")] is False
+    assert got[("small", "2024-01-01 05:00:00")] is False
+
+
+def test_population_anomalies_cross_entity(spark):
+    """Population job: per-bucket cross-entity stats — the outlier USER
+    in a bucket flags even on its first appearance (over_field_name)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.anomaly import population_anomalies
+
+    rows = [("2024-01-01 00:10:00", u, 10.0 + u * 0.01) for u in range(20)]
+    rows.append(("2024-01-01 00:20:00", 99, 5000.0))  # population outlier
+    df = spark.createDataFrame(rows, "ts string, user long, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = population_anomalies(df, "user", span="hour", threshold=3.0)
+    got = {r["entity"]: r["is_anomaly"] for r in out.collect()}
+    assert got[99] is True
+    assert got[0] is False and got[19] is False
