@@ -6041,7 +6041,7 @@ LIMIT 15
 
     o["dataset_split"] = f"""
 SELECT {_split_sql(seed='r4')} AS split,
-       count(*) AS doc_count, sum(n_chars) AS chars
+       count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS chars
 FROM documents GROUP BY 1
 """
 
@@ -6055,7 +6055,8 @@ p AS (
          {_pack_sql('n_tokens', 512, partition_col='lang')} AS pack_id,
          n_tokens
   FROM t)
-SELECT lang, pack_id, count(*) AS docs, sum(n_tokens) AS tokens
+SELECT lang, pack_id, count(*)::BIGINT AS docs,
+       sum(n_tokens)::BIGINT AS tokens
 FROM p GROUP BY 1, 2
 """
 

@@ -112,6 +112,27 @@ def _lookup_terms(
     return _stats_from_rows(terms, by_term, n_docs, avgdl, params), n_docs, avgdl
 
 
+def _dump_prune_stats(nstat: dict) -> None:
+    """Opt-in per-partition skip diagnostics: when
+    ``ES_SPARK_PRUNE_STATS_DIR`` is set, each scorer invocation drops
+    one tiny JSON of its block counters there (workers are separate
+    processes — a file per call is the lightweight accumulator).
+    Off = zero overhead beyond this env lookup."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    d = _os.environ.get("ES_SPARK_PRUNE_STATS_DIR")
+    if not d:
+        return
+    try:
+        path = _os.path.join(d, _uuid.uuid4().hex + ".json")
+        with open(path, "w") as f:
+            _json.dump(nstat, f)
+    except OSError:
+        pass
+
+
 def _make_scorer(
     term_stats: list[TermStats],
     avgdl: float,
@@ -162,6 +183,9 @@ def _make_scorer(
             pdf if isinstance(pdf, dict)
             else dict(tuple(pdf.groupby("term", sort=False)))
         )
+        nstat = {"blocks": 0, "decoded": 0, "skip_theta_range": 0,
+                 "skip_member": 0, "skip_filter": 0, "skip_sort": 0,
+                 "skip_restrict_empty": 0}
         acc_ids = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         acc_counts = np.empty(0, dtype=np.int64)
@@ -191,6 +215,7 @@ def _make_scorer(
             ) or (operator == "and" and i > 0)
             if g is None:
                 if operator == "and":
+                    _dump_prune_stats(nstat)
                     return pd.DataFrame(
                         {"doc_id": [], "score": [], "matched": []}
                     ).astype({"doc_id": "int64", "score": "float64", "matched": "int32"})
@@ -285,20 +310,26 @@ def _make_scorer(
             chunk_target = max(4 * k, 1024) if impact_zone else None
             pending: list[tuple] = []
             pending_n = 0
+            nstat["blocks"] += len(rows)
+            n_seen = 0
             for oi in scan:
                 row = rows[oi]
+                n_seen += 1
                 restricted = restrict or (
                     theta is not None and block_ubs is not None
                     and block_ubs[oi] + rem_after < theta
                 )
                 if restricted and acc_ids.size == 0 and not pending:
                     if restrict:
+                        nstat["skip_restrict_empty"] += len(rows) - n_seen + 1
                         break
+                    nstat["skip_restrict_empty"] += 1
                     continue
                 if restricted:
                     lo = np.searchsorted(acc_ids, row.first_doc, "left")
                     hi = np.searchsorted(acc_ids, row.last_doc, "right")
                     if lo == hi:
+                        nstat["skip_theta_range"] += 1
                         continue  # range-skip: nothing to update, no decode
                 elif allowed is not None:
                     # filter-aware skip: a block whose [first_doc,
@@ -307,6 +338,7 @@ def _make_scorer(
                     lo = np.searchsorted(allowed, row.first_doc, "left")
                     hi = np.searchsorted(allowed, row.last_doc, "right")
                     if lo == hi:
+                        nstat["skip_filter"] += 1
                         continue
                 elif allowed_range is not None:
                     # index-sort range skip: doc ids ARE sort ranks, so
@@ -314,13 +346,16 @@ def _make_scorer(
                     # sorted-index early termination)
                     if (row.last_doc < allowed_range[0]
                             or row.first_doc > allowed_range[1]):
+                        nstat["skip_sort"] += 1
                         continue
                 d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
+                nstat["decoded"] += 1
                 if restricted:
                     pos = np.searchsorted(acc_ids, d)
                     pos[pos >= acc_ids.size] = acc_ids.size - 1
                     mask = acc_ids[pos] == d
                     if not mask.any():
+                        nstat["skip_member"] += 1
                         continue  # block-skip: no accumulator members
                     tfv = codec.vbyte_decode(row.tfs)[mask]
                     dlv = codec.vbyte_decode(row.dls)[mask]
@@ -355,6 +390,7 @@ def _make_scorer(
                     acc_ids[keep], acc_scores[keep], acc_counts[keep],
                 )
 
+        _dump_prune_stats(nstat)
         if acc_ids.size == 0:
             return pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
                 {"doc_id": "int64", "score": "float64", "matched": "int32"}
