@@ -1797,6 +1797,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["completion_contexts"] = completion_contexts_q
 
+    # geo contexts (GeoContextMapping): suggestion cells from the
+    # doc_id-derived point at precision 3; query point + 8 neighbours
+    def completion_geo_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.completion import (
+            completion_suggest_geo, index_geo_contexts)
+
+        sugg = _t(s, d, "documents").select(
+            F.explode(F.expr(
+                "slice(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), 1, 5)"
+            )).alias("suggestion"),
+            F.col("n_chars").cast("long").alias("weight"),
+            ((F.col("doc_id") % 171 + 171) % 171 - 85)
+            .cast("double").alias("lat"),
+            ((F.col("doc_id") * 7 % 360 + 360) % 360 - 180)
+            .cast("double").alias("lon"),
+        ).where(F.length("suggestion") > 0).withColumn(
+            "geo_contexts", index_geo_contexts("lat", "lon", 3))
+        out = completion_suggest_geo(
+            sugg, "s", lat=-83.0, lon=-166.0, size=5, precision=3,
+            boost=2.0)
+        return out.select("suggestion", F.round("score", 4).alias("score"))
+
+    q["completion_geo"] = completion_geo_q
+
     def runtime_field_q(s: SparkSession, d: str) -> DataFrame:
         # runtime field (script-on-read, search/runtime/*): a computed
         # column defined at query time, filterable and returnable
@@ -4671,6 +4695,21 @@ ORDER BY 50.0 / (50.0 + abs(n_chars - 300)) DESC, doc_id ASC LIMIT 10
     o["completion_contexts"] = completion_suggest_sql(
         "s", size=5, contexts={"en": 2.0, "fr": 1.0},
         table=_SUGG_SUB, round_decimals=4)
+
+    from elasticsearch_spark.search.completion import (
+        completion_suggest_geo_sql as _geo_sugg_sql,
+    )
+    from elasticsearch_spark.search.geo import geohash_sql as _gh_sql
+
+    _SUGG_GEO_SUB = (
+        "(SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9_]+')[1:5]) AS suggestion, "
+        "CAST(n_chars AS BIGINT) AS weight, "
+        f"[{_gh_sql('((doc_id % 171 + 171) % 171 - 85)::DOUBLE', '((doc_id * 7 % 360 + 360) % 360 - 180)::DOUBLE', 3)}]"
+        " AS geo_contexts FROM documents) sg")
+    o["completion_geo"] = _geo_sugg_sql(
+        "s", lat=-83.0, lon=-166.0, size=5, precision=3, boost=2.0,
+        table=_SUGG_GEO_SUB, round_decimals=4)
 
     o["completion_suggest"] = """
 WITH tok AS (

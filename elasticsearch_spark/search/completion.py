@@ -138,3 +138,116 @@ GROUP BY suggestion
 ORDER BY score DESC, suggestion ASC
 LIMIT {size}
 """
+
+
+# -- geo contexts (GeoContextMapping / GeoQueryContext) ----------------
+
+def _geohash_from_indices(lon_idx: int, lat_idx: int,
+                          precision: int) -> str:
+    from elasticsearch_spark.search.geo import GEOHASH32, _grid_indices
+
+    total, nlon, nlat = _grid_indices(precision)
+    combined = 0
+    for i in range(total):
+        if i % 2 == 0:
+            bit = (lon_idx >> (nlon - 1 - i // 2)) & 1
+        else:
+            bit = (lat_idx >> (nlat - 1 - i // 2)) & 1
+        combined |= bit << (total - 1 - i)
+    return "".join(
+        GEOHASH32[(combined >> (total - 5 * (c + 1))) & 31]
+        for c in range(precision))
+
+
+def geo_query_cells(lat: float, lon: float, precision: int = 4,
+                    neighbours: bool = True) -> list[str]:
+    """Geohash cell of a GeoQueryContext point plus (by default) its 8
+    neighbours at the same precision — the reference's
+    GeoContextMapping query expansion (GeoContextMapping.java
+    toInternalQueryContexts adds neighbours so a point near a cell
+    edge still matches suggestions indexed in the adjacent cell).
+
+    Uses the SAME cell-index formula as search.geo.geohash (the
+    Catalyst/SQL encoder), so driver-side query cells and doc-side
+    indexed cells agree bit-for-bit.
+    """
+    from elasticsearch_spark.search.geo import _grid_indices
+
+    _total, nlon, nlat = _grid_indices(precision)
+    lon_idx = min(int((lon + 180.0) / 360.0 * (1 << nlon)),
+                  (1 << nlon) - 1)
+    lat_idx = min(int((lat + 90.0) / 180.0 * (1 << nlat)),
+                  (1 << nlat) - 1)
+    cells = [_geohash_from_indices(lon_idx, lat_idx, precision)]
+    if neighbours:
+        for dlat in (-1, 0, 1):
+            for dlon in (-1, 0, 1):
+                if dlat == 0 and dlon == 0:
+                    continue
+                la = lat_idx + dlat
+                if not (0 <= la < (1 << nlat)):
+                    continue  # no cell beyond the poles
+                lo = (lon_idx + dlon) % (1 << nlon)  # date line wraps
+                cells.append(_geohash_from_indices(lo, la, precision))
+    return cells
+
+
+def index_geo_contexts(lat_col: str, lon_col: str, precision: int = 4):
+    """Column expression for the doc-side geo context array: the
+    suggestion's point encoded at the mapping precision
+    (GeoContextMapping index-time path). Attach as the
+    ``geo_contexts`` column of a suggestion table."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search.geo import geohash
+
+    return F.array(geohash(lat_col, lon_col, precision))
+
+
+def completion_suggest_geo(
+    suggestions: DataFrame,
+    prefix: str,
+    lat: float,
+    lon: float,
+    size: int = 5,
+    precision: int = 4,
+    boost: float = 1.0,
+    neighbours: bool = True,
+    fuzziness: int = 0,
+    context_col: str = "geo_contexts",
+) -> DataFrame:
+    """Completion suggest filtered/boosted by a geo context point: only
+    suggestions whose indexed cell is the query point's cell (or a
+    neighbour) survive, scored weight * boost. Reduces to the category
+    machinery over the expanded cell set — one filter + top-k, no
+    distance computation at query time (exactly the reference's
+    geohash-prefix containment model)."""
+    cells = geo_query_cells(lat, lon, precision, neighbours)
+    renamed = suggestions.withColumn(
+        "contexts", F.col(context_col)) if context_col != "contexts" \
+        else suggestions
+    return completion_suggest(
+        renamed, prefix, size=size, fuzziness=fuzziness,
+        contexts={c: boost for c in cells})
+
+
+def completion_suggest_geo_sql(
+    prefix: str,
+    lat: float,
+    lon: float,
+    size: int = 5,
+    precision: int = 4,
+    boost: float = 1.0,
+    neighbours: bool = True,
+    table: str = "suggestions",
+    context_col: str = "geo_contexts",
+    round_decimals: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`completion_suggest_geo`."""
+    cells = geo_query_cells(lat, lon, precision, neighbours)
+    inner = completion_suggest_sql(
+        prefix, size=size, contexts={c: boost for c in cells},
+        table=f"(SELECT suggestion, weight, {context_col} AS contexts "
+              f"FROM {table})",
+        round_decimals=round_decimals)
+    return inner

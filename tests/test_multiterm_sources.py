@@ -133,3 +133,37 @@ def test_index_stats(index):
     assert s["docs"] > 0 and s["terms"] > 0 and s["postings"] >= s["terms"]
     assert "text" in s["fields"] and "source" in s["fields"]
     assert all(v >= 1 for v in s["segments_per_partition"].values())
+
+
+def test_completion_geo_contexts(spark):
+    """GeoContextMapping: query cell + neighbours filter candidates;
+    boost multiplies weight; cells computed identically driver-side
+    (geo_query_cells) and doc-side (index_geo_contexts)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search.completion import (
+        completion_suggest_geo, geo_query_cells, index_geo_contexts)
+
+    rows = [
+        ("seattle coffee", 10, 47.6, -122.3),
+        ("seattle rain", 8, 47.61, -122.33),     # same/neighbour cell
+        ("sydney opera", 50, -33.86, 151.2),     # far away
+        ("nothing", 99, 47.6, -122.3),           # wrong prefix
+    ]
+    df = spark.createDataFrame(
+        rows, "suggestion string, weight long, lat double, lon double"
+    ).withColumn("geo_contexts", index_geo_contexts("lat", "lon", 4))
+    out = completion_suggest_geo(
+        df, "se", lat=47.6, lon=-122.3, precision=4, boost=3.0)
+    got = {r["suggestion"]: r["score"] for r in out.collect()}
+    assert got == {"seattle coffee": 30.0, "seattle rain": 24.0}
+
+    # neighbour expansion: 9 cells inland, fewer at the pole
+    assert len(geo_query_cells(0.0, 0.0, 4)) == 9
+    assert len(geo_query_cells(89.99, 0.0, 4)) == 6
+    # determinism vs the Catalyst encoder
+    enc = df.select(F.element_at("geo_contexts", 1).alias("c"),
+                    "lat", "lon").collect()
+    for r in enc:
+        assert geo_query_cells(r["lat"], r["lon"], 4,
+                               neighbours=False) == [r["c"]]
