@@ -92,6 +92,9 @@ _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
     "eql_text_sequence", "eql_join",
+    "update_by_query_painless", "percolate", "transform_latest",
+    "highlight_query", "highlight_matched_fields", "ml_multi_metric",
+    "ml_population_anomaly", "completion_geo",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
