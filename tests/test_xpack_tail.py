@@ -168,3 +168,28 @@ def test_population_anomalies_cross_entity(spark):
     got = {r["entity"]: r["is_anomaly"] for r in out.collect()}
     assert got[99] is True
     assert got[0] is False and got[19] is False
+
+
+def test_train_linear_regression_matches_lstsq(spark):
+    """Gram-matrix closed form == numpy lstsq on a 3-feature problem;
+    ridge shrinks coefficients but never the intercept."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.ml import train_linear_regression
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(500, 3))
+    y = 2.0 + X @ np.array([1.5, -0.5, 3.0]) + rng.normal(0, 0.01, 500)
+    rows = [(float(a), float(b), float(c), float(t))
+            for (a, b, c), t in zip(X, y)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, f3 double, y double")
+    m = train_linear_regression(df, ["f1", "f2", "f3"], "y")
+    A = np.hstack([np.ones((500, 1)), X])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    got = [m["intercept"], m["coefficients"]["f1"],
+           m["coefficients"]["f2"], m["coefficients"]["f3"]]
+    assert np.allclose(got, beta, atol=1e-6)
+    assert m["n"] == 500
+    ridge = train_linear_regression(df, ["f1", "f2", "f3"], "y", l2=1e3)
+    assert abs(ridge["coefficients"]["f3"]) < abs(m["coefficients"]["f3"])
