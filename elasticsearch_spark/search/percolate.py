@@ -169,6 +169,20 @@ def decompose_queries(
     def add_clause(qid: Any, gid: int, clause: dict,
                    neg: bool = False) -> int:
         (kind, body), = clause.items()
+        if kind in ("function_score", "constant_score", "boosting"):
+            # scoring wrappers are transparent to percolation: the doc
+            # matches iff the wrapped query matches (percolate emits
+            # matching query ids, not scores; the reference extracts
+            # terms straight through these wrappers too —
+            # percolator QueryAnalyzer). boosting's negative section
+            # only demotes scores, so only `positive` gates matching.
+            inner = (body.get("query") if kind == "function_score"
+                     else body.get("filter") if kind == "constant_score"
+                     else body.get("positive"))
+            if inner is None:
+                raise ValueError(
+                    f"percolator: {kind} needs its inner query")
+            return add_clause(qid, gid, inner, neg)
         if kind == "bool":
             # Conjunctive decomposition: must and filter (identical
             # matching semantics here) map to requirement groups;

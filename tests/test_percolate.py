@@ -314,3 +314,23 @@ def test_percolate_must_not_end_to_end(spark):
                     keyword_fields=["lang"], numeric_fields=["n"])
     got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
     assert got == [(1, 1), (1, 2), (1, 3), (2, 2), (3, 1), (4, 1), (4, 3)]
+
+
+def test_percolate_scoring_wrappers_transparent(spark):
+    """function_score / constant_score / boosting gate matching only
+    through their inner query (QueryAnalyzer extracts through
+    wrappers; percolation has no scores to modify)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma only")],
+        "doc_id long, text string")
+    stored = [
+        (1, {"function_score": {"query": {"match": {"text": "alpha"}},
+                                "functions": [{"weight": 3}]}}),
+        (2, {"constant_score": {"filter": {"term": {"text": "gamma"}}}}),
+        (3, {"boosting": {"positive": {"match": {"text": "beta"}},
+                          "negative": {"match": {"text": "alpha"}},
+                          "negative_boost": 0.2}}),
+    ]
+    out = percolate(spark, docs, stored, text_fields=["text"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+    assert got == [(1, 1), (1, 3), (2, 2)]
