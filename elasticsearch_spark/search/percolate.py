@@ -40,6 +40,14 @@ doc matches iff EVERY group is satisfied:
       -> ONE group; every should clause gets a clause id and k distinct
          clauses must be satisfied (a should list alongside must
          WITHOUT msm is scoring-only and is ignored)
+  {"bool":  {"must_not": [...]}}         -> COMPLEMENTED groups: the doc
+      matches iff every positive group is satisfied AND no negative
+      group is; must_not subs must be single-group (flat negation), and
+      at least one positive requirement must exist (a pure-negative
+      query would need a per-query corpus anti-join)
+  {"function_score"/"constant_score"/"boosting": ...} -> transparent:
+      matching gates only on the wrapped query (percolation emits ids,
+      not scores)
 
 Clause counting: requirement rows carry a clause id; a group is
 satisfied when count(DISTINCT clause) >= msm, so a terms clause
