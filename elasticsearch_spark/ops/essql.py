@@ -29,7 +29,12 @@ def essql(
     tables: tuple[str, ...] = TABLES,
 ) -> DataFrame:
     """_sql endpoint: run an ES-SQL statement over the index tables.
-    Views are only (re)registered for tables present in `sf_dir`."""
+    Views are only (re)registered for tables present in `sf_dir`.
+    Catalog commands (SHOW TABLES / DESCRIBE) answer from the table
+    registry without touching data."""
+    meta = essql_meta(spark, sql, sf_dir, tables)
+    if meta is not None:
+        return meta
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -255,3 +260,32 @@ def essql_translate(df: DataFrame) -> str:
     plan (scans show the pushed filters/pruned columns the translation
     achieved)."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+
+
+def essql_meta(
+    spark: SparkSession, sql: str, sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+) -> DataFrame | None:
+    """ES-SQL catalog commands (x-pack/plugin/sql command grammar:
+    SysTables / SysColumns behind ``SHOW TABLES`` / ``DESCRIBE t``).
+    Returns None when ``sql`` is not a catalog command — callers fall
+    through to the ordinary executor."""
+    if _SHOW_TABLES.match(sql):
+        rows = [(t, "TABLE") for t in tables
+                if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))]
+        return spark.createDataFrame(rows, "name string, type string")
+    m = _DESCRIBE.match(sql)
+    if m:
+        t = m.group(1).lower()
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            raise ValueError(f"essql: unknown table {t!r}")
+        schema = spark.read.parquet(p).schema
+        rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return spark.createDataFrame(rows, "column string, type string")
+    return None

@@ -193,3 +193,20 @@ def test_train_linear_regression_matches_lstsq(spark):
     assert m["n"] == 500
     ridge = train_linear_regression(df, ["f1", "f2", "f3"], "y", l2=1e3)
     assert abs(ridge["coefficients"]["f3"]) < abs(m["coefficients"]["f3"])
+
+
+def test_essql_catalog_commands(spark):
+    """ES-SQL SHOW TABLES / DESCRIBE (SysTables/SysColumns commands)."""
+    import pytest
+
+    from elasticsearch_spark.ops.essql import essql
+
+    sf = "/root/testdata/sf0.001"
+    tabs = {r["name"] for r in essql(spark, "SHOW TABLES", sf).collect()}
+    assert {"lineitem", "documents", "events"} <= tabs
+    cols = {r["column"]: r["type"]
+            for r in essql(spark, "DESCRIBE lineitem", sf).collect()}
+    assert cols["l_orderkey"] == "bigint"
+    assert cols["l_shipdate"].startswith("timestamp")
+    with pytest.raises(ValueError, match="unknown table"):
+        essql(spark, "DESCRIBE nope", sf)
