@@ -2820,6 +2820,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_train_regression"] = ml_train_regression_q
 
+    # rare function (detector "rare" with by_field): rarity IS the
+    # anomaly — (user, event_type) combos seen at most 3 times
+    def ml_rare_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import rare_anomalies
+
+        ev = _t(s, d, "events")
+        out = rare_anomalies(ev, "event_type", by_col="user_id",
+                             max_count=8)
+        return out.select(
+            "user_id", "event_type", "count",
+            F.round("score", 6).alias("score"),
+        ).orderBy("user_id", "event_type")
+
+    q["ml_rare"] = ml_rare_q
+
     # population job: per-bucket cross-entity baseline (over_field_name)
     def ml_population_anomaly_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.anomaly import population_anomalies
@@ -5621,6 +5636,17 @@ WITH r AS ({single_metric_anomalies_sql(span='day')})
 SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
 FROM r ORDER BY bucket
+"""
+
+    from elasticsearch_spark.ops.anomaly import (
+        rare_anomalies_sql as _rare_sql,
+    )
+
+    o["ml_rare"] = f"""
+WITH r AS ({_rare_sql('events', 'event_type', by_col='user_id',
+                      max_count=8)})
+SELECT user_id, event_type, count, round(score, 6) AS score
+FROM r ORDER BY user_id, event_type
 """
 
     o["ml_train_regression"] = """

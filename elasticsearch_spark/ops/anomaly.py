@@ -200,3 +200,36 @@ SELECT d.bucket, entity, metric,
        {_mad_score_sql(threshold)}
 FROM d JOIN m ON m.bucket = d.bucket
 """
+
+
+def rare_anomalies(
+    df: DataFrame, category_col: str, by_col: str | None = None,
+    max_count: int = 3,
+) -> DataFrame:
+    """``rare`` function (x-pack/plugin/ml detector function "rare" /
+    "freq_rare" with ``by_field``/``partition_field``): flag category
+    values seen at most ``max_count`` times — rarity IS the anomaly,
+    no amplitude model. Score = 1/count (rarer = higher), exactly
+    orderable and SQL-twinnable.
+
+    One hash aggregation on (partition?, category); at 100 TB the
+    partial agg reduces each input split to its distinct categories
+    before the exchange.
+    """
+    keys = ([F.col(by_col)] if by_col else []) + [F.col(category_col)]
+    out = df.groupBy(*keys).agg(F.count("*").alias("count"))
+    return (out.where(F.col("count") <= max_count)
+            .withColumn("score", F.lit(1.0) / F.col("count")))
+
+
+def rare_anomalies_sql(
+    table: str, category_col: str, by_col: str | None = None,
+    max_count: int = 3,
+) -> str:
+    """DuckDB twin of :func:`rare_anomalies`."""
+    keys = ([by_col] if by_col else []) + [category_col]
+    sel = ", ".join(keys)
+    return f"""
+SELECT {sel}, count(*)::BIGINT AS count, 1.0 / count(*) AS score
+FROM {table} GROUP BY {sel} HAVING count(*) <= {max_count}
+"""

@@ -210,3 +210,17 @@ def test_essql_catalog_commands(spark):
     assert cols["l_shipdate"].startswith("timestamp")
     with pytest.raises(ValueError, match="unknown table"):
         essql(spark, "DESCRIBE nope", sf)
+
+
+def test_rare_anomalies(spark):
+    """rare detector: low-count categories flag, score = 1/count."""
+    from elasticsearch_spark.ops.anomaly import rare_anomalies
+
+    rows = [("u1", "login")] * 50 + [("u1", "wire_transfer")] \
+        + [("u2", "login")] * 30 + [("u2", "export")] * 2
+    df = spark.createDataFrame(rows, "user string, action string")
+    out = rare_anomalies(df, "action", by_col="user", max_count=3)
+    got = {(r["user"], r["action"]): (r["count"], r["score"])
+           for r in out.collect()}
+    assert got == {("u1", "wire_transfer"): (1, 1.0),
+                   ("u2", "export"): (2, 0.5)}
