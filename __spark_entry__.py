@@ -94,7 +94,8 @@ _R05_PRIORITY = (
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
-    "ml_population_anomaly", "completion_geo",
+    "ml_population_anomaly", "completion_geo", "ml_train_regression",
+    "ml_rare",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
