@@ -95,7 +95,7 @@ _R05_PRIORITY = (
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
-    "ml_rare",
+    "ml_rare", "ml_train_classification",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2835,6 +2835,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("user_id", "event_type")
 
     q["ml_rare"] = ml_rare_q
+
+    # DFA classification training: Gaussian naive Bayes — training is
+    # ONE groupBy(label) aggregation; scoring is a pure codegen argmax
+    # over rounded literal parameters (ops/ml.py train_gaussian_nb)
+    def ml_train_classification_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import (
+            gaussian_nb_classify,
+            train_gaussian_nb,
+        )
+
+        ev = _t(s, d, "events")
+        feat = ev.select(
+            "event_id", "event_type",
+            F.col("value").cast("double").alias("f_value"),
+            F.length("props").cast("double").alias("f_plen"),
+            (F.col("user_id") % 97).cast("double").alias("f_umod"),
+        )
+        model = train_gaussian_nb(
+            feat, ["f_value", "f_plen", "f_umod"], "event_type")
+        pred = gaussian_nb_classify(feat, model)
+        return (pred.groupBy("pred")
+                .agg(F.count("*").alias("doc_count"))
+                .orderBy("pred"))
+
+    q["ml_train_classification"] = ml_train_classification_q
 
     # population job: per-bucket cross-entity baseline (over_field_name)
     def ml_population_anomaly_q(s: SparkSession, d: str) -> DataFrame:
@@ -5657,6 +5682,17 @@ SELECT round(regr_intercept(l_extendedprice, l_quantity), 3)
        count(*)::BIGINT AS n
 FROM lineitem
 """
+
+    from elasticsearch_spark.ops.ml import gaussian_nb_sql
+
+    o["ml_train_classification"] = gaussian_nb_sql(
+        ["f_value", "f_plen", "f_umod"], "event_type", "event_id",
+        table="feat",
+        prelude=("feat AS (SELECT event_id, event_type, "
+                 "value::DOUBLE AS f_value, "
+                 "length(props)::DOUBLE AS f_plen, "
+                 "(user_id % 97)::DOUBLE AS f_umod FROM events), "),
+    )
 
     o["ml_multi_metric"] = f"""
 WITH r AS ({multi_metric_anomalies_sql(entity_col='event_type',

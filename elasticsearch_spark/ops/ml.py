@@ -464,3 +464,144 @@ def linear_regression_sql(
                 f"regr_slope({yy}, {x}) AS c0, "
                 f"count(*)::BIGINT AS n FROM {table}")
     raise ValueError("SQL twin supports exactly one feature")
+
+
+def train_gaussian_nb(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    var_smoothing: float = 1e-9,
+    round_digits: int = 9,
+) -> dict:
+    """DFA CLASSIFICATION training as Gaussian naive Bayes (reference:
+    x-pack/plugin/ml dataframe analytics Classification.java — the
+    reference trains boosted trees in its native process; the honest
+    Spark-first narrow analogue is a one-pass closed-form classifier,
+    mirroring how train_linear_regression stands in for regression).
+
+    Scale shape: training IS one aggregation — groupBy(label) with
+    count + avg + var_pop per feature (map-side partials, one exchange
+    of one row per class). The model is class-count-sized, never
+    data-sized.
+
+    Parameters are rounded to ``round_digits`` decimals so the scoring
+    expressions built from them are bit-identical constants on any
+    engine (Spark and the DuckDB twin aggregate in different orders;
+    rounding absorbs the last-ulp drift, exactly like the SmallFloat
+    norm quantization absorbs Lucene's).
+    """
+    aggs: list = [F.count("*").alias("_n")]
+    for c in feature_cols:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"mu_{c}"))
+        aggs.append(F.var_pop(F.col(c).cast("double")).alias(f"var_{c}"))
+    rows = df.groupBy(F.col(label_col).cast("string").alias("_cls")).agg(*aggs).collect()
+    total = sum(r["_n"] for r in rows)
+    classes = {}
+    for r in sorted(rows, key=lambda r: r["_cls"]):
+        var = {
+            c: round(float(r[f"var_{c}"]) + var_smoothing, round_digits)
+            for c in feature_cols
+        }
+        classes[r["_cls"]] = {
+            "log_prior": round(float(np.log(r["_n"] / total)), round_digits),
+            "mu": {c: round(float(r[f"mu_{c}"]), round_digits) for c in feature_cols},
+            "var": var,
+            # the Gaussian normalization constant is rounded too, so the
+            # only per-row arithmetic left is (x-mu)^2/(2 var) — identical
+            # IEEE-754 ops on every engine
+            "log_norm": {
+                c: round(float(0.5 * np.log(2.0 * np.pi * var[c])), round_digits)
+                for c in feature_cols
+            },
+        }
+    return {"classes": classes, "features": list(feature_cols), "n": int(total)}
+
+
+def _nb_score(model: dict, cls: str, feats: dict):
+    """log P(class) + sum_f log N(x_f; mu, var) as one Catalyst
+    expression over rounded literal parameters — term order is fixed
+    (feature list order) so any engine evaluating the same sequence of
+    IEEE-754 ops gets the same double."""
+    p = model["classes"][cls]
+    expr = F.lit(p["log_prior"])
+    for c in model["features"]:
+        mu, var = p["mu"][c], p["var"][c]
+        x = feats[c]
+        expr = expr - F.lit(p["log_norm"][c])
+        expr = expr - (x - F.lit(mu)) * (x - F.lit(mu)) / F.lit(2.0 * var)
+    return expr
+
+
+def gaussian_nb_classify(
+    df: DataFrame,
+    model: dict,
+    output_col: str = "pred",
+) -> DataFrame:
+    """Score every class with pure codegen arithmetic and pick the
+    argmax; ties break to the lexically-smallest class name (the
+    deterministic analogue of the reference's stable top-classes
+    ordering). No UDF, no shuffle — a projection."""
+    feats = {c: F.col(c).cast("double") for c in model["features"]}
+    names = sorted(model["classes"])
+    scores = [_nb_score(model, cls, feats) for cls in names]
+    # argmax, ties to the smallest name: walking names in sorted order,
+    # the first class whose score is >= every LATER class's score is
+    # the earliest maximum (earlier classes already failed the test)
+    pred = F.lit(names[-1])
+    for i in range(len(names) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(names)):
+            c = scores[i] >= scores[j]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(names[i])).otherwise(pred)
+    return df.withColumn(output_col, pred)
+
+
+def gaussian_nb_sql(
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    table: str = "t",
+    var_smoothing: float = 1e-9,
+    round_digits: int = 9,
+    prelude: str = "",
+) -> str:
+    """DuckDB twin: train (same one-pass aggregation, same rounding)
+    and classify (same term order) in one statement, returning
+    per-class predicted counts. ``prelude`` lets the caller prepend
+    feature-derivation CTEs (it is inserted after WITH verbatim)."""
+    mu_var = ", ".join(
+        f"round(avg({c}), {round_digits}) AS mu_{c}, "
+        f"round(var_pop({c}) + {var_smoothing!r}, {round_digits}) AS var_{c}"
+        for c in feature_cols
+    )
+    log_norms = ", ".join(
+        f"round(0.5 * ln(2 * pi() * round(var_pop({c}) + {var_smoothing!r},"
+        f" {round_digits})), {round_digits}) AS ln_{c}"
+        for c in feature_cols
+    )
+    score = (
+        f"m.log_prior"
+        + "".join(
+            f" - m.ln_{c} "
+            f"- (d.{c} - m.mu_{c}) * (d.{c} - m.mu_{c}) / (2 * m.var_{c})"
+            for c in feature_cols
+        )
+    )
+    return f"""
+WITH {prelude}model AS (
+  SELECT CAST({label_col} AS VARCHAR) AS cls,
+         round(ln(count(*) * 1.0 / (SELECT count(*) FROM {table})), {round_digits}) AS log_prior,
+         {mu_var}, {log_norms}
+  FROM {table} GROUP BY 1),
+scored AS (
+  SELECT d.{id_col} AS _rid, m.cls, {score} AS s
+  FROM {table} d CROSS JOIN model m),
+best AS (
+  SELECT _rid, min(cls) AS pred
+  FROM (SELECT _rid, cls, s,
+               max(s) OVER (PARTITION BY _rid) AS mx FROM scored)
+  WHERE s = mx GROUP BY _rid)
+SELECT pred, count(*)::BIGINT AS doc_count
+FROM best GROUP BY pred ORDER BY pred
+"""

@@ -85,6 +85,8 @@ def geo_bounding_box(
     bottom_right: tuple[float, float],
     lat_col: str = "lat",
     lon_col: str = "lon",
+    cell_col: str | None = None,
+    precision: int = 3,
 ) -> DataFrame:
     """geo_bounding_box filter (GeoBoundingBoxQueryBuilder.java).
 
@@ -92,7 +94,15 @@ def geo_bounding_box(
     its right longitude crosses the antimeridian and matches the union
     of the two hemispheric strips (the reference's date-line split) —
     expressed as an OR of two range predicates, so Parquet min/max
-    pruning on the lon column still applies to each leg."""
+    pruning on the lon column still applies to each leg.
+
+    If the table was laid out with :func:`write_geo_partitioned`, pass
+    its ``cell_col``/``precision``: the driver computes the covering
+    geohash cell set of the box (grid arithmetic, no data pass) and
+    adds an IN predicate on the partition column — Catalyst turns it
+    into PartitionFilters, so non-covering directories are never even
+    listed (the two-phase grid-prune + exact-verify shape of the
+    reference's BKD-backed LatLonPoint queries)."""
     top, left = float(top_left[0]), float(top_left[1])
     bottom, right = float(bottom_right[0]), float(bottom_right[1])
     lat = F.col(lat_col)
@@ -102,6 +112,10 @@ def geo_bounding_box(
         lon_ok = (lon >= F.lit(left)) & (lon <= F.lit(right))
     else:  # crosses the 180 meridian
         lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
+    if cell_col is not None:
+        cover = geohash_cover_bbox(top_left, bottom_right, precision)
+        if cover is not None:  # None = box too big for pruning to help
+            df = df.filter(F.col(cell_col).isin(cover))
     return df.filter(lat_ok & lon_ok)
 
 
@@ -535,6 +549,98 @@ def geohash(lat_col, lon_col, precision: int = 4):
         for c in range(precision)
     ]
     return F.concat(*chars)
+
+
+def _geohash_of_indices(lon_idx: int, lat_idx: int, precision: int) -> str:
+    """Geohash string for integer grid indices — the same interleave
+    the Catalyst encoder performs, in driver-side Python."""
+    total, nlon, nlat = _grid_indices(precision)
+    combined = 0
+    for i in range(total):
+        src, nbits = (lon_idx, nlon) if i % 2 == 0 else (lat_idx, nlat)
+        bit = (src >> (nbits - 1 - i // 2)) & 1
+        combined |= bit << (total - 1 - i)
+    return "".join(
+        GEOHASH32[(combined >> (total - 5 * (c + 1))) & 31]
+        for c in range(precision)
+    )
+
+
+def geohash_cover_bbox(
+    top_left: tuple[float, float],
+    bottom_right: tuple[float, float],
+    precision: int = 3,
+    max_cells: int = 4096,
+) -> list[str] | None:
+    """Geohash cells covering a bounding box — pure driver-side grid
+    arithmetic, no data pass (the grid-cover step of the reference's
+    LatLonPoint BKD query, server/.../index/query/GeoBoundingBoxQueryBuilder.java).
+
+    Index math is bit-identical to :func:`geohash`: ``floor((coord -
+    lo) / range * 2^nbits)`` in IEEE doubles, so any point inside the
+    box lands in a returned cell (floor of a monotone map is monotone,
+    and Python and the JVM evaluate the same double ops). Antimeridian
+    crossing (left > right) covers the two hemispheric strips.
+
+    Returns ``None`` when the cover would exceed ``max_cells`` — a box
+    that big touches most partitions anyway, so the caller should skip
+    the IN predicate rather than ship a giant literal list.
+    """
+    import math
+
+    top, left = float(top_left[0]), float(top_left[1])
+    bottom, right = float(bottom_right[0]), float(bottom_right[1])
+    total, nlon, nlat = _grid_indices(precision)
+
+    def _idx(coord: float, lo: float, rng: float, nbits: int) -> int:
+        return min(int(math.floor((coord - lo) / rng * float(1 << nbits))),
+                   (1 << nbits) - 1)
+
+    lat_lo = _idx(bottom, -90.0, 180.0, nlat)
+    lat_hi = _idx(top, -90.0, 180.0, nlat)
+    if left <= right:
+        lon_ranges = [(_idx(left, -180.0, 360.0, nlon),
+                       _idx(right, -180.0, 360.0, nlon))]
+    else:  # crosses the 180 meridian: two strips
+        lon_ranges = [(_idx(left, -180.0, 360.0, nlon), (1 << nlon) - 1),
+                      (0, _idx(right, -180.0, 360.0, nlon))]
+    n_cells = sum((hi - lo + 1) for lo, hi in lon_ranges) * (lat_hi - lat_lo + 1)
+    if n_cells > max_cells:
+        return None
+    cells: list[str] = []
+    for lo, hi in lon_ranges:
+        for lon_i in range(lo, hi + 1):
+            for lat_i in range(lat_lo, lat_hi + 1):
+                cells.append(_geohash_of_indices(lon_i, lat_i, precision))
+    return cells
+
+
+def write_geo_partitioned(
+    df: DataFrame,
+    path: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    precision: int = 3,
+    cell_col: str = "geo_cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table geohash-partitioned so bbox/distance queries get
+    directory-level partition pruning — the Spark-native stand-in for
+    the reference's per-segment BKD tree (the tree prunes blocks inside
+    a segment; this prunes whole files before the scan is scheduled).
+
+    Scale notes: precision 3 is <=32768 cells globally (real data
+    occupies far fewer); each cell directory gets files sized by the
+    upstream partitioning, so a 100 TB corpus stays at sane file
+    counts. Rows with a null coordinate go to the literal cell
+    '__none__' so exists-style queries can still find them.
+    """
+    cell = F.when(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull(),
+        geohash(lat_col, lon_col, precision),
+    ).otherwise(F.lit("__none__"))
+    (df.withColumn(cell_col, cell)
+       .write.mode(mode).partitionBy(cell_col).parquet(path))
 
 
 def geohash_sql(lat: str, lon: str, precision: int = 4) -> str:

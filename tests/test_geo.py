@@ -238,3 +238,66 @@ def test_doc_geo_shape(spark):
     assert got("intersects") == [1, 2]
     assert got("within") == [1]
     assert got("disjoint") == [3]  # null-shape docs never match
+
+
+def test_geohash_cover_contains_every_point_cell(points):
+    """Every point inside the bbox lands in a covered cell (the cover
+    formula is bit-identical to the Catalyst encoder), and filtering
+    with cell_col gives exactly the plain-bbox result."""
+    from elasticsearch_spark.search.geo import geohash_cover_bbox
+
+    tl, br = (50.0, -30.0), (-10.0, 60.0)
+    cover = set(geohash_cover_bbox(tl, br, precision=2))
+    cells = points.withColumn("cell", geohash("lat", "lon", 2))
+    inside = cells.filter(
+        (F.col("lat") <= 50.0) & (F.col("lat") >= -10.0)
+        & (F.col("lon") >= -30.0) & (F.col("lon") <= 60.0))
+    assert {r["cell"] for r in inside.collect()} <= cover
+    got = {r["id"] for r in geo_bounding_box(
+        cells, tl, br, cell_col="cell", precision=2).collect()}
+    want = {r["id"] for r in geo_bounding_box(cells, tl, br).collect()}
+    assert got == want and got
+
+
+def test_geohash_cover_dateline_and_cap():
+    from elasticsearch_spark.search.geo import geohash_cover_bbox
+
+    cover = geohash_cover_bbox((80.0, 160.0), (-80.0, -160.0), precision=1)
+    # two hemispheric strips, no wraparound duplicates
+    assert len(cover) == len(set(cover))
+    assert all(len(c) == 1 for c in cover)
+    # a cover bigger than max_cells signals "don't bother"
+    assert geohash_cover_bbox((85.0, -179.0), (-85.0, 179.0),
+                              precision=4, max_cells=10) is None
+
+
+def test_write_geo_partitioned_prunes(points, tmp_path):
+    """The geohash-partitioned layout turns a bbox into directory-level
+    PartitionFilters: the pruned scan reads strictly fewer files and
+    returns exactly the plain-filter result (incl. null-coord rows
+    routed to the __none__ cell)."""
+    from elasticsearch_spark.search.geo import write_geo_partitioned
+
+    with_null = points.union(
+        points.sparkSession.createDataFrame(
+            [(9999, None, None)], "id long, lat double, lon double"))
+    path = str(tmp_path / "geo_part")
+    write_geo_partitioned(with_null, path, precision=2)
+    back = points.sparkSession.read.parquet(path)
+    assert back.count() == 401
+    tl, br = (50.0, -30.0), (-10.0, 60.0)
+    pruned = geo_bounding_box(back, tl, br, cell_col="geo_cell", precision=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "geo_cell" in plan.split(
+        "PartitionFilters:")[1].split("]")[0]
+    got = {r["id"] for r in pruned.collect()}
+    want = {r["id"] for r in geo_bounding_box(back, tl, br).collect()}
+    assert got == want and got
+    # the IN-list excludes real on-disk directories (incl. __none__)
+    import os
+
+    from elasticsearch_spark.search.geo import geohash_cover_bbox
+    on_disk = {d.split("=", 1)[1] for d in os.listdir(path)
+               if d.startswith("geo_cell=")}
+    cover = set(geohash_cover_bbox(tl, br, precision=2))
+    assert "__none__" in on_disk and on_disk - cover

@@ -224,3 +224,68 @@ def test_rare_anomalies(spark):
            for r in out.collect()}
     assert got == {("u1", "wire_transfer"): (1, 1.0),
                    ("u2", "export"): (2, 0.5)}
+
+
+def test_train_gaussian_nb_separates_clusters(spark):
+    """NB on two well-separated Gaussian blobs classifies its own
+    training data nearly perfectly; model params match numpy; ties
+    break to the lexically smallest class."""
+    import numpy as np
+    from elasticsearch_spark.ops.ml import (
+        gaussian_nb_classify, train_gaussian_nb)
+
+    rng = np.random.default_rng(11)
+    a = rng.normal([0.0, 0.0], 1.0, size=(300, 2))
+    b = rng.normal([8.0, 8.0], 1.0, size=(300, 2))
+    rows = [(float(x), float(y), "a") for x, y in a] + \
+           [(float(x), float(y), "b") for x, y in b]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, cls string")
+    m = train_gaussian_nb(df, ["f1", "f2"], "cls")
+    assert set(m["classes"]) == {"a", "b"}
+    assert abs(m["classes"]["a"]["mu"]["f1"] - float(np.mean(a[:, 0]))) < 1e-6
+    assert abs(m["classes"]["b"]["var"]["f2"]
+               - float(np.var(b[:, 1]))) < 1e-6
+    pred = gaussian_nb_classify(df, m)
+    acc = pred.filter(F.col("pred") == F.col("cls")).count() / 600.0
+    assert acc > 0.99
+    # identical scores for every class -> smallest name wins
+    m2 = {
+        "features": ["f1"],
+        "classes": {
+            "z": {"log_prior": -0.5, "mu": {"f1": 0.0},
+                  "var": {"f1": 1.0}, "log_norm": {"f1": 0.0}},
+            "b": {"log_prior": -0.5, "mu": {"f1": 0.0},
+                  "var": {"f1": 1.0}, "log_norm": {"f1": 0.0}},
+        },
+    }
+    one = spark.createDataFrame([(1.0,)], "f1 double")
+    assert gaussian_nb_classify(one, m2).first()["pred"] == "b"
+
+
+def test_gaussian_nb_sql_twin_matches(spark):
+    """Spark-trained NB predictions == the DuckDB one-statement twin
+    (train + classify) on the same data: identical per-class counts."""
+    import duckdb
+    import numpy as np
+    from elasticsearch_spark.ops.ml import (
+        gaussian_nb_classify, gaussian_nb_sql, train_gaussian_nb)
+
+    rng = np.random.default_rng(5)
+    xs = rng.normal(2.0, 3.0, 400)
+    ys = rng.normal(-1.0, 2.0, 400)
+    cls = ["p" if i % 3 else "q" for i in range(400)]
+    rows = [(i, float(x), float(y), c)
+            for i, (x, y, c) in enumerate(zip(xs, ys, cls))]
+    df = spark.createDataFrame(rows, "rid long, f1 double, f2 double, cls string")
+    m = train_gaussian_nb(df, ["f1", "f2"], "cls")
+    got = {
+        r["pred"]: r["cnt"]
+        for r in gaussian_nb_classify(df, m)
+        .groupBy("pred").agg(F.count("*").alias("cnt")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t_src", df.toPandas())
+    sql = gaussian_nb_sql(["f1", "f2"], "cls", "rid", table="t",
+                          prelude="t AS (SELECT * FROM t_src), ")
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert got == want
