@@ -95,7 +95,7 @@ _R05_PRIORITY = (
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
-    "ml_rare", "ml_train_classification",
+    "ml_rare", "ml_train_classification", "update_by_query_loop",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -3284,6 +3284,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_by_query_painless"] = update_by_query_painless_q
 
+    # -- painless loops + Map subset: classic counter for / while /
+    #    do-while unroll at compile time (constant-foldable conditions,
+    #    locals re-folded to literals each iteration), HashMap locals
+    #    with compile-time keys (put/get/getOrDefault/containsKey/size)
+
+    def update_by_query_loop_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import apply_update_script
+
+        li = _t(s, d, "lineitem")
+        script = {
+            "source": (
+                "Map disc = new HashMap();"
+                " disc['rate'] = 0.5;"
+                " double factor = 0.0;"
+                " for (int i = 1; i <= 4; i++) {"
+                "   factor += disc.getOrDefault('rate', 0.0) * i; }"
+                " int w = 0; long pow2 = 1;"
+                " while (w < 3) { pow2 *= 2; w += 1; }"
+                " if (disc.containsKey('missing')) {"
+                "   ctx._source.adj = 0.0;"
+                " } else {"
+                "   ctx._source.adj = ctx._source.l_extendedprice"
+                "     * (1.0 + factor) + pow2 - disc.size(); }"),
+        }
+        out = apply_update_script(li, script)
+        return (out.select("l_orderkey", "l_linenumber",
+                           F.round("adj", 2).alias("adj"))
+                .orderBy("l_orderkey", "l_linenumber").limit(200))
+
+    q["update_by_query_loop"] = update_by_query_loop_q
+
     # -- moving_fn full MovingFunctions model set
     #    (MovingFunctions.java; window excludes the current bucket)
 
@@ -6037,6 +6068,18 @@ SELECT l_orderkey, l_linenumber,
                   ELSE l_extendedprice END, 2) AS price
 FROM lineitem
 WHERE NOT (l_quantity < 45 AND l_quantity <= 2)
+ORDER BY l_orderkey, l_linenumber
+LIMIT 200
+"""
+
+    # loop script unrolls to: factor = 0.5*(1+2+3+4) = 5.0 (exact in
+    # binary, and integer-valued so price*(1+factor) keeps 2 decimals —
+    # no .xx5 round-tie divergence), pow2 = 8, disc.size() = 1; the
+    # twin mirrors the exact op sequence ((price * (1.0+5.0)) + 8) - 1
+    o["update_by_query_loop"] = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1.0 + 5.0) + 8 - 1, 2) AS adj
+FROM lineitem
 ORDER BY l_orderkey, l_linenumber
 LIMIT 200
 """

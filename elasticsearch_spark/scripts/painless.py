@@ -54,7 +54,7 @@ _TOKEN_RE = re.compile(
     (?P<num>\d+\.\d+|\d+\.?(?![.\w])|\.\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>\|\||&&|==|!=|<=|>=|\+=|-=|\*=|/=|[-+*/%<>!?:()\[\].,;{}=])
+  | (?P<op>\|\||&&|==|!=|<=|>=|\+\+|--|\+=|-=|\*=|/=|[-+*/%<>!?:()\[\].,;{}=])
   | (?P<ws>\s+)
 """,
     re.VERBOSE,
@@ -226,10 +226,55 @@ class _Parser:
         if v == "ctx":
             return self._ctx_access()
         if self.locals is not None and v in self.locals:
-            return self.locals[v]
+            val = self.locals[v]
+            if isinstance(val, dict):
+                return self._map_access(v, val)
+            return val
         # bare identifier: a runtime-field/bucket-path reference
         # (bucket_script paths arrive as bare names)
         return v
+
+    def _map_access(self, name: str, m: dict) -> str:
+        """Read access on a Map-typed local. Keys are compile-time
+        string literals (enforced at put), so containsKey/size fold to
+        literals and a missing key reads as NULL — painless's
+        HashMap.get(absent) == null."""
+        k, v = self.next()
+        if v == "[":
+            kk, s = self.next()
+            if kk != "str":
+                raise PainlessError(
+                    "painless: map read key must be a string literal")
+            self.expect("]")
+            return m.get(s[1:-1], "NULL")
+        if v != ".":
+            raise PainlessError(
+                f"painless: bare map {name!r} is not a value")
+        kk, attr = self.next()
+        if self.peek()[1] != "(":
+            return m.get(attr, "NULL")  # shorthand field read
+        self.next()
+        if attr in ("containsKey", "get", "getOrDefault"):
+            kk, s = self.next()
+            if kk != "str":
+                raise PainlessError(
+                    f"painless: {attr} key must be a string literal")
+            key = s[1:-1]
+            if attr == "getOrDefault":
+                self.expect(",")
+                dflt = self.ternary()
+                self.expect(")")
+                return m.get(key, f"({dflt})")
+            self.expect(")")
+            if attr == "containsKey":
+                return "TRUE" if key in m else "FALSE"
+            return m.get(key, "NULL")
+        if attr in ("size", "isEmpty"):
+            self.expect(")")
+            if attr == "size":
+                return str(len(m))
+            return "TRUE" if not m else "FALSE"
+        raise PainlessError(f"painless: unsupported Map method .{attr}")
 
     def _ctx_access(self) -> str:
         """``ctx._source.field`` read inside an update-context script.
@@ -367,7 +412,7 @@ def compile_painless(
 # ---------------------------------------------------------------------------
 
 _TYPES = {"def", "var", "int", "long", "float", "double", "boolean",
-          "String"}
+          "String", "Map"}
 _MAX_UNROLL = 1000
 
 
@@ -418,6 +463,19 @@ class _StmtParser:
             return self.if_()
         if v == "for":
             return self.for_()
+        if v == "while":
+            self.next()
+            self.expect("(")
+            cond = self.expr_until_close_paren()
+            return ("while", cond, self.block())
+        if v == "do":
+            self.next()
+            body = self.block()
+            self.expect("while")
+            self.expect("(")
+            cond = self.expr_until_close_paren()
+            self.expect(";")
+            return ("dowhile", cond, body)
         if v == "return":
             self.next()
             return ("return", self.expr_until_semi())
@@ -429,8 +487,18 @@ class _StmtParser:
                 return ("decl", name, self.expr_until_semi())
             self.expect(";")
             return ("decl", name, None)
+        if v in ("++", "--"):  # prefix increment statement
+            self.next()
+            target = self.target()
+            self.expect(";")
+            return ("assign", target, "+=" if v == "++" else "-=",
+                    [("num", "1")])
         target = self.target()
         _, aop = self.next()
+        if aop in ("++", "--"):  # postfix increment statement
+            self.expect(";")
+            return ("assign", target, "+=" if aop == "++" else "-=",
+                    [("num", "1")])
         if aop not in ("=", "+=", "-=", "*=", "/="):
             raise PainlessError(
                 f"painless: expected an assignment operator, got {aop!r}")
@@ -441,6 +509,21 @@ class _StmtParser:
         if k != "name":
             raise PainlessError(f"painless: bad statement start {v!r}")
         if v != "ctx":
+            nk, nv = self.peek()
+            if nv == "." and self.peek(2)[1] in ("=", "+=", "-=", "*=", "/="):
+                self.next()
+                kk, key = self.next()
+                if kk != "name":
+                    raise PainlessError("painless: map put needs a key name")
+                return ("map", v, key)
+            if nv == "[":
+                self.next()
+                kk, s = self.next()
+                if kk != "str":
+                    raise PainlessError(
+                        "painless: map put key must be a string literal")
+                self.expect("]")
+                return ("map", v, s[1:-1])
             return ("var", v)
         self.expect(".")
         _, a = self.next()
@@ -471,10 +554,17 @@ class _StmtParser:
         k, t = self.next()
         if t not in _TYPES:
             raise PainlessError(
-                "painless: only for-each loops are supported "
-                "(for (def x : params.list) { ... })")
+                "painless: for needs a typed loop variable "
+                "(for (def x : params.list) / for (int i = 0; ...))")
         _, var = self.next()
-        self.expect(":")
+        k, sep = self.next()
+        if sep == "=":  # classic counter loop
+            init = self.expr_until_semi()
+            cond = self.expr_until_semi()
+            incr = self.expr_until_close_paren()
+            return ("cfor", var, init, cond, incr, self.block())
+        if sep != ":":
+            raise PainlessError(f"painless: bad for header near {sep!r}")
         k, v = self.next()
         if v != "params":
             raise PainlessError(
@@ -527,7 +617,30 @@ class _StmtParser:
 
 
 def _merge_vals(cond: str, a: str, b: str) -> str:
+    if cond == "TRUE":  # compile-time-decided branch (e.g. containsKey)
+        return a
+    if cond == "FALSE":
+        return b
     return a if a == b else f"CASE WHEN {cond} THEN {a} ELSE {b} END"
+
+
+def _copy_vars(varz: dict) -> dict:
+    """Branch-local copy of the symbol table; Map-typed locals (dict
+    values) need their own copy so a put inside one branch cannot leak
+    into the other."""
+    return {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in varz.items()}
+
+
+def _merge_var(cond: str, a, b):
+    if isinstance(a, dict) or isinstance(b, dict):
+        if not (isinstance(a, dict) and isinstance(b, dict)):
+            raise PainlessError(
+                "painless: a local cannot be a Map in one branch and a "
+                "scalar in the other")
+        return {k: _merge_vals(cond, a.get(k, "NULL"), b.get(k, "NULL"))
+                for k in set(a) | set(b)}
+    return _merge_vals(cond, a, b)
 
 
 class _SymExec:
@@ -559,9 +672,9 @@ class _SymExec:
                 cond = self.expr(s[1], varz, src)
                 rest = stmts[i + 1:]
                 st, ot, rt = self.run(
-                    list(s[2]) + rest, dict(varz), dict(src), op)
+                    list(s[2]) + rest, _copy_vars(varz), dict(src), op)
                 se, oe, re_ = self.run(
-                    list(s[3] or []) + rest, dict(varz), dict(src), op)
+                    list(s[3] or []) + rest, _copy_vars(varz), dict(src), op)
                 src_m = {}
                 for key in set(st) | set(se):
                     dflt = src.get(key, key)
@@ -588,12 +701,12 @@ class _SymExec:
                     "painless: return inside a loop is not supported")
             if s[0] == "if":
                 cond = self.expr(s[1], varz, src)
-                vt, st = dict(varz), dict(src)
+                vt, st = _copy_vars(varz), dict(src)
                 ot = self.run_linear(s[2], vt, st, op)
-                ve, se = dict(varz), dict(src)
+                ve, se = _copy_vars(varz), dict(src)
                 oe = self.run_linear(s[3] or [], ve, se, op)
                 for key in list(varz):
-                    varz[key] = _merge_vals(cond, vt[key], ve[key])
+                    varz[key] = _merge_var(cond, vt[key], ve[key])
                 for key in set(st) | set(se):
                     dflt = src.get(key, key)
                     src[key] = _merge_vals(
@@ -603,15 +716,102 @@ class _SymExec:
                 op = self._simple(s, varz, src, op)
         return op
 
+    def _fold_consts(self, varz: dict) -> None:
+        """Collapse compile-time-constant locals back to literals so an
+        unrolled loop's emitted SQL stays compact (without this, a
+        counter's shadow grows one '(... + 1)' layer per iteration).
+        Row-dependent locals fail the DuckDB probe and are kept
+        symbolic — exactly the ones the unroll must inline."""
+        import duckdb
+
+        for k, v in list(varz.items()):
+            if not isinstance(v, str) or len(v) <= 24:
+                continue
+            try:
+                val = duckdb.execute("SELECT " + v).fetchone()[0]
+            except Exception:
+                continue
+            if val is None:
+                varz[k] = "NULL"
+            elif isinstance(val, (bool, int, float, str)):
+                varz[k] = _lit(val)
+
+    def _const_eval(self, toks: list, varz: dict, src: dict):
+        """Evaluate a loop condition at compile time. The condition must
+        reduce to a column-free expression over locals/params literals
+        in the dialect-shared arithmetic core (+,-,*,/,%, comparisons,
+        &&/||/!, ternary, Math.*) — DuckDB evaluates the folded SQL and
+        any document-column reference fails loudly."""
+        sql = self.expr(toks, varz, src)
+        import duckdb
+
+        try:
+            return duckdb.execute("SELECT " + sql).fetchone()[0]
+        except Exception as ex:
+            raise PainlessError(
+                "painless: loop condition must be compile-time evaluable "
+                f"(locals/params arithmetic only): {ex}") from None
+
     def _simple(self, s, varz: dict, src: dict, op: str) -> str:
         kind = s[0]
         if kind == "decl":
             _, name, toks = s
-            varz[name] = ("(" + self.expr(toks, varz, src) + ")"
-                          if toks is not None else "NULL")
+            if toks is not None and [v for _, v in toks] in (
+                    ["new", "HashMap", "(", ")"], ["[", ":", "]"]):
+                varz[name] = {}
+            else:
+                varz[name] = ("(" + self.expr(toks, varz, src) + ")"
+                              if toks is not None else "NULL")
+        elif kind in ("while", "dowhile", "cfor"):
+            if kind == "cfor":
+                _, var, init, cond_toks, incr, body = s
+                saved, had = varz.get(var), var in varz
+                varz[var] = "(" + self.expr(init, varz, src) + ")"
+                tail = [_parse_single_stmt(incr)]
+            else:
+                _, cond_toks, body = s
+                tail = []
+            n = 0
+            if kind == "dowhile":
+                op = self.run_linear(body, varz, src, op)
+                n = 1
+            while True:
+                self._fold_consts(varz)
+                val = self._const_eval(cond_toks, varz, src)
+                if not isinstance(val, bool):
+                    raise PainlessError(
+                        "painless: loop condition must be boolean, got "
+                        f"{val!r}")
+                if not val:
+                    break
+                if n >= _MAX_UNROLL:
+                    raise PainlessError(
+                        f"painless: loop exceeds the {_MAX_UNROLL}-"
+                        "iteration unroll cap")
+                op = self.run_linear(list(body) + tail, varz, src, op)
+                n += 1
+            if kind == "cfor":
+                if had:
+                    varz[var] = saved
+                else:
+                    varz.pop(var, None)
         elif kind == "assign":
             _, target, aop, toks = s
             val = self.expr(toks, varz, src)
+            if target[0] == "map":
+                _, name, key = target
+                m = varz.get(name)
+                if not isinstance(m, dict):
+                    raise PainlessError(
+                        f"painless: {name!r} is not a Map")
+                if aop == "=":
+                    m[key] = f"({val})"
+                else:
+                    if key not in m:
+                        raise PainlessError(
+                            f"painless: {aop} on missing map key {key!r}")
+                    m[key] = f"({m[key]} {aop[0]} ({val}))"
+                return op
             if target[0] == "op":
                 if aop != "=":
                     raise PainlessError("painless: ctx.op takes plain =")
@@ -654,6 +854,13 @@ class _SymExec:
         else:  # pragma: no cover - parser emits only the kinds above
             raise PainlessError(f"painless: bad statement {kind!r}")
         return op
+
+
+def _parse_single_stmt(toks: list):
+    """Parse a statement from a bare token slice (a classic-for's
+    increment clause, which arrives without its ';')."""
+    p = _StmtParser(list(toks) + [("op", ";"), ("eof", "")])
+    return p.stmt()
 
 
 _STMT_MARKERS = re.compile(r";|\bctx\b")

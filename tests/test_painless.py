@@ -207,3 +207,101 @@ def test_stmt_errors():
         compile_painless_program(
             "def t = 0; for (def s : params.n) { t += s; } return t;",
             {"n": 3})
+
+
+def test_stmt_classic_for_and_while():
+    """Counter loops unroll at compile time; const locals re-fold to
+    literals so the emitted SQL stays compact."""
+    from elasticsearch_spark.scripts import compile_painless_update
+
+    import duckdb
+
+    def val(expr):
+        return duckdb.execute("SELECT " + expr).fetchone()[0]
+
+    plan = compile_painless_update(
+        "long s = 0; for (int i = 1; i <= 100; i++) { s += i; }"
+        " ctx._source.v = s;")
+    # const-folding keeps the unrolled expression compact AND constant
+    assert len(plan["set"]["v"]) < 40 and val(plan["set"]["v"]) == 5050
+    plan = compile_painless_update(
+        "int i = 0; long p = 1; while (i < 10) { p *= 2; ++i; }"
+        " ctx._source.v = p;")
+    assert val(plan["set"]["v"]) == 1024
+    # do-while runs the body once before the first test
+    plan = compile_painless_update(
+        "int i = 5; long n = 0; do { n += 1; i++; } while (i < 3);"
+        " ctx._source.v = n;")
+    assert val(plan["set"]["v"]) == 1
+
+
+def test_stmt_loop_row_dependent_body():
+    """A loop body may read document fields — the unroll inlines them
+    once per iteration."""
+    from elasticsearch_spark.scripts import compile_painless_update
+
+    plan = compile_painless_update(
+        "def t = 0.0; for (int i = 0; i < 3; i++)"
+        " { t += ctx._source.qty; } ctx._source.v = t;")
+    assert plan["set"]["v"].count("qty") == 3
+
+
+def test_stmt_map_subset():
+    from elasticsearch_spark.scripts import compile_painless_update
+
+    plan = compile_painless_update(
+        "Map m = new HashMap(); m.a = 2; m['b'] = 3;"
+        " ctx._source.v = m.a * m['b'] + m.size()"
+        "   + m.getOrDefault('c', 100) + (m.containsKey('a') ? 1 : 0);")
+    # 2*3 + 2 + 100 + 1, left to the engine to fold
+    assert "100" in plan["set"]["v"] and "(2)" in plan["set"]["v"]
+    # branch-divergent puts merge per key; missing key reads NULL
+    plan = compile_painless_update(
+        "Map m = [:];"
+        " if (ctx._source.q > 5) { m.tag = 'big'; } else { m.x = 1; }"
+        " ctx._source.t = m.get('tag');")
+    assert plan["set"]["t"] == \
+        "CASE WHEN (q > 5) THEN (('big')) ELSE (NULL) END"
+
+
+def test_stmt_loop_errors():
+    from elasticsearch_spark.scripts import compile_painless_update
+
+    with pytest.raises(PainlessError):  # row-dependent condition
+        compile_painless_update(
+            "int i = 0; while (ctx._source.q > i) { i++; }"
+            " ctx._source.v = i;")
+    with pytest.raises(PainlessError):  # unroll cap
+        compile_painless_update(
+            "int i = 0; while (i < 100000) { i++; } ctx._source.v = i;")
+    with pytest.raises(PainlessError):  # map/scalar merge in a loop body
+        compile_painless_update(
+            "Map z = new HashMap(); int i = 0;"
+            " while (i < 1) {"
+            "   if (ctx._source.q > 2) { z.a = 1; } else { z = 1; } i++; }"
+            " ctx._source.v = 1;")
+    with pytest.raises(PainlessError):  # non-literal map key
+        compile_painless_update(
+            "Map m = new HashMap(); def k = 'a'; m[k] = 1;"
+            " ctx._source.v = 1;")
+
+
+def test_stmt_loop_end_to_end(spark):
+    """Loop + map script through apply_update_script matches the
+    hand-computed values."""
+    from elasticsearch_spark.ops.scan import apply_update_script
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], "id long, price double")
+    out = apply_update_script(df, {
+        "source": (
+            "Map disc = new HashMap(); disc['rate'] = 0.25;"
+            " double f = 0.0;"
+            " for (int i = 1; i <= 4; i++)"
+            " { f += disc.getOrDefault('rate', 0.0) * i; }"
+            " int w = 0; long p2 = 1; while (w < 3) { p2 *= 2; w += 1; }"
+            " ctx._source.adj = ctx._source.price * (1.0 + f)"
+            "   + p2 - disc.size();"),
+    })
+    got = {r["id"]: r["adj"] for r in out.collect()}
+    assert got == {1: 100.0 * 3.5 + 7, 2: 200.0 * 3.5 + 7}
