@@ -358,6 +358,16 @@ PERCOLATE_STORED = [
     (13, {"bool": {"must": [{"prefix": {"text": "tabl"}}],
                    "must_not": [{"term": {"source": "src3"}},
                                 {"range": {"n_chars": {"lt": 150}}}]}}),
+    # round-5 growth: exists (dual pattern/range path) + geo bounding
+    # boxes as range groups (lat group + one- or two-leg lon group)
+    (14, {"exists": {"field": "opt_tag"}}),
+    (15, {"bool": {"must": [
+        {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 40.0, "lon": -100.0},
+            "bottom_right": {"lat": -40.0, "lon": 60.0}}}},
+        {"term": {"lang": "en"}}]}}),
+    (16, {"geo_bounding_box": {"loc": {"top_left": (70.0, 150.0),
+                                       "bottom_right": (-70.0, -150.0)}}}),
 ]
 
 
@@ -1666,10 +1676,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def percolate_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.percolate import percolate
 
-        docs = _t(s, d, "documents")
+        docs = _t(s, d, "documents").withColumn(
+            "loc", F.struct(
+                (F.pmod(F.col("doc_id"), F.lit(171)) - 85)
+                .cast("double").alias("lat"),
+                (F.pmod(F.col("doc_id") * 7, F.lit(360)) - 180)
+                .cast("double").alias("lon"))
+        ).withColumn(
+            "opt_tag",
+            F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.lit("tagged")))
         out = percolate(
             s, docs, PERCOLATE_STORED, text_fields=["text"],
-            keyword_fields=["lang", "source"], numeric_fields=["n_chars"],
+            keyword_fields=["lang", "source", "opt_tag"],
+            numeric_fields=["n_chars", "loc.lat", "loc.lon"],
         )
         return out.select(
             F.col("doc_id").cast("long"), F.col("query_id").cast("long"))
@@ -4541,9 +4560,17 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
         percolate_requirements_sql as _perc_sql,
     )
 
+    _perc_table = (
+        "(SELECT *,"
+        " struct_pack(lat := CAST(doc_id % 171 - 85 AS DOUBLE),"
+        "             lon := CAST(doc_id * 7 % 360 - 180 AS DOUBLE))"
+        "   AS loc,"
+        " CASE WHEN doc_id % 7 = 0 THEN 'tagged' END AS opt_tag"
+        " FROM documents)")
     o["percolate"] = _perc_sql(
-        PERCOLATE_STORED, keyword_fields=["lang", "source"],
-        numeric_fields=["n_chars"],
+        PERCOLATE_STORED, table=_perc_table,
+        keyword_fields=["lang", "source", "opt_tag"],
+        numeric_fields=["n_chars", "loc.lat", "loc.lon"],
     )
 
     from elasticsearch_spark.ops.text import pii_scrub_sql as _pii_sql

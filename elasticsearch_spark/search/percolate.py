@@ -295,6 +295,46 @@ def decompose_queries(
                 "gt" in bounds, "lt" in bounds,
             ))
             group_rows.append((qid, gid, 0, neg))
+        elif kind == "exists":
+            field = body["field"] if isinstance(body, dict) else body
+            # satisfiable through EITHER path of the same group: any
+            # term of a text/keyword field (LIKE '%'), or any non-null
+            # numeric value (fully open range)
+            pat_rows.append((qid, gid, field, "%", 0))
+            range_rows.append((qid, gid, field, None, None, False, False))
+            group_rows.append((qid, gid, 1, neg))
+        elif kind == "geo_bounding_box":
+            # GeoBoundingBoxQueryBuilder: two closed range groups (lat,
+            # lon), the date-line-crossing box's lon group holding the
+            # two hemispheric strip legs (group = OR of its range rows).
+            # Corners accept {"lat","lon"} dicts or (lat, lon) pairs —
+            # the geo.py convention.
+            if neg:
+                raise ValueError(
+                    "percolator: geo_bounding_box under must_not is not "
+                    "flat (NOT(lat AND lon) is not a single group)")
+            (field, box), = body.items()
+
+            def _pt(p):
+                if isinstance(p, dict):
+                    return float(p["lat"]), float(p["lon"])
+                return float(p[0]), float(p[1])
+
+            top, left = _pt(box["top_left"])
+            bottom, right = _pt(box["bottom_right"])
+            range_rows.append((qid, gid, f"{field}.lat",
+                               bottom, top, False, False))
+            group_rows.append((qid, gid, 0, neg))
+            gid += 1
+            if left <= right:
+                range_rows.append((qid, gid, f"{field}.lon",
+                                   left, right, False, False))
+            else:  # crosses the antimeridian
+                range_rows.append((qid, gid, f"{field}.lon",
+                                   left, None, False, False))
+                range_rows.append((qid, gid, f"{field}.lon",
+                                   None, right, False, False))
+            group_rows.append((qid, gid, 0, neg))
         else:
             raise ValueError(f"percolator: unsupported query kind {kind!r}")
         return gid + 1
@@ -337,6 +377,16 @@ def percolate(
             "percolator: stored match_phrase clauses reference fields "
             f"not in text_fields: {sorted(missing_phrase_fields)}"
         )
+    # exists on a text/keyword field is satisfied through the pattern
+    # path; its fully-open range row is only needed for numeric fields,
+    # so drop it when the field isn't numeric (keeps the loud
+    # missing-field check below accurate)
+    range_rows = [
+        r for r in range_rows
+        if not (r[3] is None and r[4] is None
+                and r[2] not in numeric_fields
+                and (r[2] in text_fields or r[2] in keyword_fields))
+    ]
     # A range requirement on a field not listed in numeric_fields can
     # never be satisfied (and empty numeric_fields would crash below on
     # vals=None) — fail loudly instead of silently never-matching.
@@ -510,6 +560,12 @@ def percolate_requirements_sql(
     identical decomposition, tokenization regex, and group algebra."""
     (term_rows, pat_rows, phrase_rows, range_rows,
      group_rows) = decompose_queries(stored)
+    range_rows = [  # same exists-row pruning as percolate()
+        r for r in range_rows
+        if not (r[3] is None and r[4] is None
+                and r[2] not in numeric_fields
+                and (r[2] in text_fields or r[2] in keyword_fields))
+    ]
 
     def q(v: Any) -> str:
         if v is None:

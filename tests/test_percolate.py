@@ -334,3 +334,65 @@ def test_percolate_scoring_wrappers_transparent(spark):
     out = percolate(spark, docs, stored, text_fields=["text"])
     got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
     assert got == [(1, 1), (1, 3), (2, 2)]
+
+
+def test_decompose_exists_and_geo():
+    _t, pats, _ph, ranges, groups = decompose_queries([
+        ("e", {"exists": {"field": "tag"}}),
+        ("g", {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 40.0, "lon": -100.0},
+            "bottom_right": {"lat": -40.0, "lon": 60.0}}}}),
+        ("x", {"geo_bounding_box": {"loc": {
+            "top_left": (70.0, 150.0),
+            "bottom_right": (-70.0, -150.0)}}}),
+    ])
+    # exists: match-any pattern + fully open range in the SAME group
+    assert ("e", 0, "tag", "%", 0) in pats
+    assert ("e", 0, "tag", None, None, False, False) in ranges
+    # plain box: lat group + single-leg lon group
+    assert ("g", 0, "loc.lat", -40.0, 40.0, False, False) in ranges
+    assert ("g", 1, "loc.lon", -100.0, 60.0, False, False) in ranges
+    # date-line box: lon group holds BOTH hemispheric legs
+    x_lon = [r for r in ranges if r[0] == "x" and r[2] == "loc.lon"]
+    assert {(r[3], r[4]) for r in x_lon} == {(150.0, None), (None, -150.0)}
+    assert len({r[1] for r in x_lon}) == 1
+    # geo under must_not is NOT(AND) -> refuses
+    with pytest.raises(ValueError):
+        decompose_queries([("n", {"bool": {
+            "must": [{"term": {"lang": "en"}}],
+            "must_not": [{"geo_bounding_box": {"loc": {
+                "top_left": (1.0, -1.0), "bottom_right": (-1.0, 1.0)}}}],
+        }})])
+
+
+def test_percolate_exists_and_geo_matching(spark):
+    """exists matches only docs with the field set (text, keyword, or
+    numeric); geo boxes match by lat AND lon, date-line boxes by the
+    strip union."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "t1", 5.0, 10.0, 20.0),
+         (2, "gamma", None, None, 10.0, 170.0),
+         (3, None, "t3", 2.0, 10.0, -170.0),
+         (4, "delta", None, None, 60.0, 20.0)],
+        "doc_id long, text string, tag string, num double,"
+        " lat double, lon double",
+    ).withColumn("loc", F.struct(F.col("lat").alias("lat"),
+                                 F.col("lon").alias("lon")))
+    stored = [
+        (100, {"exists": {"field": "tag"}}),
+        (101, {"exists": {"field": "num"}}),
+        (102, {"exists": {"field": "text"}}),
+        (103, {"geo_bounding_box": {"loc": {
+            "top_left": (50.0, 0.0), "bottom_right": (0.0, 40.0)}}}),
+        (104, {"geo_bounding_box": {"loc": {
+            "top_left": (50.0, 160.0), "bottom_right": (0.0, -160.0)}}}),
+    ]
+    out = percolate(
+        spark, docs, stored, text_fields=["text"], keyword_fields=["tag"],
+        numeric_fields=["num", "loc.lat", "loc.lon"])
+    got = {(r["doc_id"], r["query_id"]) for r in out.collect()}
+    assert got == {(1, 100), (3, 100), (1, 101), (3, 101),
+                   (1, 102), (2, 102), (4, 102),
+                   (1, 103), (2, 104), (3, 104)}
