@@ -96,6 +96,7 @@ _R05_PRIORITY = (
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
+    "retriever_rrf", "retriever_linear",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2409,6 +2410,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["knn_query_combined"] = knn_query_combined_q
+
+    # -- retriever fusion: RRF + linear over a BM25 and a knn child
+
+    def _fusion_children(s: SparkSession, d: str):
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("spark query data", "ascii_word")]
+        qhits = match_topk(idx, "text", terms, k=20,
+                           params=_EXACT).select("doc_id", "score")
+        khits = (similarity.knn_search(
+                     _t(s, d, "embeddings"), _qvec(s, d, 3), k=20)
+                 .withColumnRenamed("vec_id", "doc_id")
+                 .select("doc_id", "score"))
+        return qhits, khits
+
+    def retriever_rrf_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.retriever import rrf_fusion
+
+        qhits, khits = _fusion_children(s, d)
+        out = rrf_fusion([qhits, khits], rank_constant=60,
+                         window_size=20, k=10)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["retriever_rrf"] = retriever_rrf_q
+
+    def retriever_linear_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.retriever import linear_fusion
+
+        qhits, khits = _fusion_children(s, d)
+        out = linear_fusion([qhits, khits], weights=[0.7, 0.3],
+                            normalizers="minmax", window_size=20, k=10)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["retriever_linear"] = retriever_linear_q
 
     # -- embedding-cosine near-dup pairs (exact within-block scorer)
 
@@ -5401,6 +5435,64 @@ comb AS (
   FROM qk FULL OUTER JOIN kk ON qk.doc_id = kk.doc_id)
 SELECT doc_id, round(score, 4) AS score
 FROM comb ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # retriever fusion twins: the same BM25 + knn children ranked with
+    # row_number() under the engine's (score desc, id asc) tie-break,
+    # then the published RRF / weighted-minmax formulas
+    _fusion_ctes = f"""
+WITH {bm25_ctes(_comb_terms)},
+qr AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored WHERE matched >= 1),
+qtop AS (SELECT doc_id, score, rank FROM qr WHERE rank <= 20),
+kv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+ks AS (
+  SELECT vec_id AS doc_id,
+         (1.0 + list_dot_product(embedding::DOUBLE[], kv.qv)
+            / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]))
+               * sqrt(list_dot_product(kv.qv, kv.qv)))) / 2 AS score
+  FROM embeddings, kv),
+kr AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ks),
+ktop AS (SELECT doc_id, score, rank FROM kr WHERE rank <= 20)"""
+
+    o["retriever_rrf"] = f"""
+{_fusion_ctes},
+u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM qtop
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM ktop)
+SELECT doc_id, round(sum(c), 6) AS score
+FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["retriever_linear"] = f"""
+{_fusion_ctes},
+qn AS (
+  SELECT doc_id,
+         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ())
+                   / (max(score) OVER () - min(score) OVER ()) END AS n
+  FROM qtop),
+kn AS (
+  SELECT doc_id,
+         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ())
+                   / (max(score) OVER () - min(score) OVER ()) END AS n
+  FROM ktop),
+u AS (
+  SELECT doc_id, 0.7 * n AS c FROM qn
+  UNION ALL
+  SELECT doc_id, 0.3 * n AS c FROM kn)
+SELECT doc_id, round(sum(c), 6) AS score
+FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
     # embedding-cosine near-dup: within-block (label) exact pairs
