@@ -97,6 +97,7 @@ _R05_PRIORITY = (
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
+    "highlight_plain_type", "highlight_fvh_phrase",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -610,6 +611,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     q["highlight_matched_fields"] = highlight_matched_fields_q
+
+    # type: plain — fixed char-grid fragments scored by match count
+    def highlight_plain_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import highlight_plain
+
+        hits = (
+            _t(s, d, "documents")
+            .filter(F.col("text").rlike(r"\btable\b"))
+            .orderBy("doc_id").limit(20)
+        )
+        out = highlight_plain(hits, ["table", "scan"],
+                              fragment_size=60, n_fragments=2)
+        return out.select(
+            "doc_id",
+            F.try_element_at("highlights", F.lit(1)).alias("frag1"),
+            F.try_element_at("highlights", F.lit(2)).alias("frag2"),
+        ).orderBy("doc_id")
+
+    q["highlight_plain_type"] = highlight_plain_q
+
+    # type: fvh — phrase-aware: only whole-phrase occurrences highlight
+    def highlight_fvh_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import highlight_fvh
+
+        hits = (
+            _t(s, d, "documents")
+            .filter(F.col("text").rlike(r"\btable hash\b"))
+            .orderBy("doc_id").limit(20)
+        )
+        out = highlight_fvh(hits, [["table", "hash"]],
+                            fragment_size=60, n_fragments=2)
+        return out.select(
+            "doc_id",
+            F.try_element_at("highlights", F.lit(1)).alias("frag1"),
+            F.try_element_at("highlights", F.lit(2)).alias("frag2"),
+        ).orderBy("doc_id")
+
+    q["highlight_fvh_phrase"] = highlight_fvh_q
 
     def match_bool_prefix_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.executor import match_bool_prefix_topk
@@ -3775,6 +3814,70 @@ SELECT doc_id,
             THEN regexp_replace(fr[2],
                 '(\b(?:tables|queries|merges)\b|\b(?:table|query|merge)\w*)',
                 '<em>\1</em>', 'g')
+       END AS frag2
+FROM h ORDER BY doc_id
+"""
+
+    # plain type: the char-grid fragmenter replayed as a substring grid
+    # + regexp match-count ranking (score desc, offset asc), selected
+    # fragments re-emitted in offset order
+    o["highlight_plain_type"] = r"""
+WITH h AS (
+  SELECT doc_id, text FROM documents
+  WHERE regexp_matches(text, '\btable\b')
+  ORDER BY doc_id LIMIT 20),
+g AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 60.0) AS BIGINT))) AS i
+  FROM h),
+fr AS (
+  SELECT doc_id, i,
+         substring(text, CAST(1 + i * 60 AS INT), 60) AS frag
+  FROM g),
+sc AS (
+  SELECT doc_id, i, frag,
+         len(regexp_extract_all(frag, '\b(?:table|scan)\b')) AS cnt
+  FROM fr),
+top AS (
+  SELECT doc_id, i, frag,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, i ASC) AS rk
+  FROM sc WHERE cnt > 0),
+sel AS (
+  SELECT doc_id, frag,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS j
+  FROM top WHERE rk <= 2)
+SELECT h.doc_id,
+       max(CASE WHEN j = 1 THEN regexp_replace(
+           frag, '(\b(?:table|scan)\b)', '<em>\1</em>', 'g') END) AS frag1,
+       max(CASE WHEN j = 2 THEN regexp_replace(
+           frag, '(\b(?:table|scan)\b)', '<em>\1</em>', 'g') END) AS frag2
+FROM h LEFT JOIN sel ON h.doc_id = sel.doc_id
+GROUP BY h.doc_id ORDER BY h.doc_id
+"""
+
+    # fvh type: whole-phrase windows, then the two edge-snap rewrites
+    # (no-ops on this corpus — the synthetic text has no boundary
+    # chars; the boundary path is unit-tested on punctuated text), then
+    # phrase tagging — the exact regex sequence the engine applies
+    o["highlight_fvh_phrase"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+             '.{0,30}?\btable[^a-z0-9_]+hash\b.{0,30}') AS fr
+  FROM documents
+  WHERE regexp_matches(text, '\btable[^a-z0-9_]+hash\b')
+  ORDER BY doc_id LIMIT 20)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(fr[1],
+           '^.{0,20}?[.,!?\n]\s*', ''),
+           '([.,!?\n])[^.,!?\n]{0,20}$', '\1'),
+           '(\btable[^a-z0-9_]+hash\b)', '<em>\1</em>', 'g') AS frag1,
+       CASE WHEN len(fr) >= 2
+            THEN regexp_replace(regexp_replace(regexp_replace(fr[2],
+                '^.{0,20}?[.,!?\n]\s*', ''),
+                '([.,!?\n])[^.,!?\n]{0,20}$', '\1'),
+                '(\btable[^a-z0-9_]+hash\b)', '<em>\1</em>', 'g')
        END AS frag2
 FROM h ORDER BY doc_id
 """

@@ -322,6 +322,128 @@ def highlight(
     return hits.mapInPandas(frag_batch, schema=schema)
 
 
+def highlight_plain(
+    hits: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    fragment_size: int = 60,
+    n_fragments: int = 2,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    order: str = "none",
+) -> DataFrame:
+    """``type: plain`` highlighter (reference: search/fetch/subphase/
+    highlight/PlainHighlighter.java over Lucene's SimpleFragmenter):
+    the text is cut into CONSECUTIVE fixed-size fragments from offset
+    0, each fragment scores by its number of term matches, and the
+    top ``n_fragments`` scoring fragments are returned — by document
+    offset by default, by score under ``order='score'`` (ties keep
+    offset order).  Divergence from Lucene, documented: SimpleFragmenter
+    snaps the cut to the nearest token end, here cuts land on exact
+    char offsets — that keeps the fragment grid a pure function of
+    (text, fragment_size), which is what gives the operator an exact
+    DuckDB twin (substring grid + regexp match count).  Zero-match
+    fragments are never returned.
+    """
+    if not terms:
+        raise ValueError("highlight_plain: no terms to highlight")
+    alt = "|".join(re.escape(t.lower()) for t in terms)
+    inner = re.compile(rf"(\b(?:{alt})\b)", re.IGNORECASE)
+    rep = pre_tag.replace("\\", "\\\\") + r"\1" + post_tag.replace("\\", "\\\\")
+
+    def frag_batch(it):
+        for pdf in it:
+            frags = []
+            for text in pdf[text_col].fillna(""):
+                chunks = [text[i:i + fragment_size]
+                          for i in range(0, len(text), fragment_size)]
+                scored = [(len(inner.findall(c)), i, c)
+                          for i, c in enumerate(chunks)]
+                top = sorted((s for s in scored if s[0] > 0),
+                             key=lambda s: (-s[0], s[1]))[:n_fragments]
+                if order != "score":
+                    top.sort(key=lambda s: s[1])
+                frags.append([inner.sub(rep, c) for _, _, c in top])
+            yield pdf.assign(highlights=frags)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hits.schema.fields
+    ) + ", highlights array<string>"
+    return hits.mapInPandas(frag_batch, schema=schema)
+
+
+def highlight_fvh(
+    hits: DataFrame,
+    phrases: list[list[str]],
+    text_col: str = "text",
+    fragment_size: int = 60,
+    n_fragments: int = 2,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    boundary_chars: str = ".,!?\n",
+    boundary_max_scan: int = 20,
+) -> DataFrame:
+    """``type: fvh`` highlighter (reference: search/fetch/subphase/
+    highlight/FastVectorHighlighter.java): PHRASE-AWARE — a phrase
+    query only highlights positions where the whole phrase matches
+    (Lucene FieldQuery phraseHighlight), never its terms individually,
+    and fragment edges snap to boundary characters within
+    ``boundary_max_scan`` (SimpleBoundaryScanner's boundaryChars /
+    boundaryMaxScan).
+
+    A phrase of analyzer terms matches the raw text as the terms
+    joined by one-or-more non-token chars (``[^a-z0-9_]+`` — the
+    ascii_word token separator), i.e. term vectors with positions
+    re-derived from the source. Fragments are the non-overlapping lazy
+    windows around each phrase hit (same scan as :func:`highlight`),
+    then both edges are trimmed to the nearest boundary char by two
+    regex rewrites Python re and RE2 perform identically — the DuckDB
+    twin replays the exact same three regexes.
+    """
+    if not phrases:
+        raise ValueError("highlight_fvh: no phrases to highlight")
+    sep = r"[^a-z0-9_]+"
+    alts = []
+    for p in phrases:
+        if not p:
+            continue
+        alts.append(r"\b" + sep.join(re.escape(t.lower()) for t in p) + r"\b")
+    alt = "|".join(alts)
+    half = fragment_size // 2
+    win = re.compile(rf"(?s).{{0,{half}}}?(?:{alt}).{{0,{half}}}",
+                     re.IGNORECASE)
+    inner = re.compile("(" + alt + ")", re.IGNORECASE)
+    bcls = re.escape(boundary_chars)
+    # edge snap: trim through the FIRST boundary char within the lead
+    # scan / after the LAST boundary char within the trail scan; when no
+    # boundary char sits inside the scan window, the edge is kept as-is
+    # (SimpleBoundaryScanner's offset fallback)
+    lead = re.compile(rf"(?s)^.{{0,{boundary_max_scan}}}?[{bcls}]\s*")
+    trail = re.compile(rf"(?s)([{bcls}])[^{bcls}]{{0,{boundary_max_scan}}}$")
+    rep = pre_tag.replace("\\", "\\\\") + r"\1" + post_tag.replace("\\", "\\\\")
+
+    def frag_batch(it):
+        from itertools import islice
+
+        for pdf in it:
+            frags = []
+            for text in pdf[text_col].fillna(""):
+                wins = [m.group(0)
+                        for m in islice(win.finditer(text), n_fragments)]
+                out = []
+                for w in wins:
+                    w = lead.sub("", w, count=1)
+                    w = trail.sub(r"\1", w, count=1)
+                    out.append(inner.sub(rep, w))
+                frags.append(out)
+            yield pdf.assign(highlights=frags)
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hits.schema.fields
+    ) + ", highlights array<string>"
+    return hits.mapInPandas(frag_batch, schema=schema)
+
+
 def highlight_terms(
     query: dict,
     analyzer: str = "ascii_word",

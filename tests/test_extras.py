@@ -511,3 +511,61 @@ def test_highlight_prefix_terms(spark):
     assert "<em>tables</em>" in frag
     assert "<em>merged</em>" in frag and "<em>merging</em>" in frag
     assert "<em>runs</em>" in frag
+
+
+# --- plain + fvh highlighter types (round 5) --------------------------
+
+
+def test_highlight_plain_char_grid_scoring(spark):
+    from elasticsearch_spark.search import extras
+
+    # grid of 20-char fragments: frag0 has 1 match, frag2 has 2, frag1
+    # none — top-2 by score are frags 2 and 0, emitted in offset order
+    text = "table aaaa bbbb cccc" + "z" * 20 + "table dd table eeeee"
+    hits = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extras.highlight_plain(
+        hits, ["table"], fragment_size=20, n_fragments=2,
+        pre_tag="[", post_tag="]").collect()[0]["highlights"]
+    assert out == ["[table] aaaa bbbb cccc", "[table] dd [table] eeeee"]
+    # order=score flips them: the 2-match fragment first
+    sc = extras.highlight_plain(
+        hits, ["table"], fragment_size=20, n_fragments=2,
+        pre_tag="[", post_tag="]", order="score").collect()[0]["highlights"]
+    assert sc == ["[table] dd [table] eeeee", "[table] aaaa bbbb cccc"]
+    # zero-match fragments never appear even with budget to spare
+    assert len(extras.highlight_plain(
+        hits, ["table"], fragment_size=20,
+        n_fragments=5).collect()[0]["highlights"]) == 2
+
+
+def test_highlight_fvh_phrase_only_and_boundary_snap(spark):
+    from elasticsearch_spark.search import extras
+
+    # 'table' alone never highlights — only the whole phrase does; the
+    # fragment edge snaps forward through the first boundary char
+    text = ("stray table here. more words around the table hash pair "
+            "and a tail, trailing junk after")
+    hits = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extras.highlight_fvh(
+        hits, [["table", "hash"]], fragment_size=40, n_fragments=2,
+        pre_tag="[", post_tag="]").collect()[0]["highlights"]
+    assert len(out) == 1
+    frag = out[0]
+    assert "[table hash]" in frag and "[table]" not in frag.replace(
+        "[table hash]", "")
+    # lead snapped past 'here.'; trail snapped back to the comma
+    assert not frag.startswith("stray") and frag.endswith(",")
+
+
+def test_highlight_fvh_keeps_edges_without_boundary(spark):
+    from elasticsearch_spark.search import extras
+
+    # no boundary chars anywhere -> window edges are kept verbatim
+    # (the lazy window starts at the scan position, so the short lead
+    # fits entirely inside the half-size budget)
+    text = "aaa bbb table hash ccc ddd"
+    hits = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extras.highlight_fvh(
+        hits, [["table", "hash"]], fragment_size=20, n_fragments=1,
+        pre_tag="[", post_tag="]").collect()[0]["highlights"]
+    assert out == ["aaa bbb [table hash] ccc ddd"]
