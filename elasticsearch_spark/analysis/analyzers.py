@@ -1169,6 +1169,148 @@ def _codes_thai(texts: pd.Series):
 ANALYZERS["thai"] = _analyze_thai
 FLAT_ANALYZERS["thai"] = _codes_thai
 
+
+# ---------------------------------------------------------------------
+# Thai DICTIONARY analyzer (`thai_dict`). The reference's `thai`
+# analyzer delegates to Lucene's ThaiTokenizer, a dictionary-driven
+# ICU BreakIterator (analysis-common CommonAnalysisPlugin.java thai ->
+# lucene/analysis/th/ThaiTokenizer.java); the ICU data files are not
+# in this container, so this re-expression embeds a compact common-word
+# lexicon and segments each Thai run by GREEDY LONGEST MATCH (maximal
+# matching, the classical Thai word-segmentation baseline): at each
+# offset take the longest dictionary word that (a) prefixes the rest of
+# the run and (b) does not end immediately before a combining mark
+# (which would split a grapheme cluster); spans no dictionary word
+# covers fall back to one grapheme-cluster token (documented divergence
+# from ICU's statistical tie-breaks). Segments then pass a StopFilter:
+# Thai stopwords drop but still advance one position, exactly like the
+# reference's thai analyzer stopword stage. `thai` (cluster bigrams,
+# no dictionary) remains the recall-oriented fallback analyzer.
+# ---------------------------------------------------------------------
+
+THAI_DICT = frozenset("""
+การ ความ ค้นหา ข้อมูล ระบบ เอกสาร แมว น้ำ รวดเร็ว ประมวล ผล
+ประเทศ ไทย ภาษา หนังสือ โรงเรียน นักเรียน ครู อาหาร บ้าน เมือง คน
+ทำ งาน วัน ปี เวลา รัก ใจ ดี ใหญ่ เล็ก มาก น้อย ใหม่ เก่า สวย เร็ว
+ช้า กิน นอน เดิน วิ่ง อ่าน เขียน พูด ฟัง เรียน สอน ซื้อ ขาย เงิน รถ
+ถนน ตลาด โต๊ะ คอมพิวเตอร์ โทรศัพท์ อินเทอร์เน็ต เทคโนโลยี ปลา
+และ ที่ ใน ของ มี ไม่ เป็น ได้ ให้ จะ มา ว่า กับ แล้ว ก็ เรา คุณ เขา
+นี้ นั้น อยู่ ด้วย จาก ถึง
+""".split())
+
+_THAI_DICT_MAXLEN = max(len(w) for w in THAI_DICT)
+_THAI_COMBINING = frozenset("ัิีึืฺุู็่้๊๋์ํ๎")
+
+_THAI_DICT_CACHE: dict[str, list[str]] = {}
+
+
+def _thai_dict_segment(run: str) -> list[str]:
+    """One Thai run -> greedy longest-match segments (OOV -> cluster)."""
+    hit = _THAI_DICT_CACHE.get(run)
+    if hit is not None:
+        return hit
+    out: list[str] = []
+    i, n = 0, len(run)
+    while i < n:
+        for ln in range(min(_THAI_DICT_MAXLEN, n - i), 0, -1):
+            cand = run[i:i + ln]
+            if cand in THAI_DICT and (
+                    i + ln >= n or run[i + ln] not in _THAI_COMBINING):
+                out.append(cand)
+                i += ln
+                break
+        else:
+            m = _THAI_CLUSTER_RE.match(run, i)
+            out.append(m.group(0))
+            i = m.end()
+    if len(_THAI_DICT_CACHE) >= _CODE_SPLIT_CACHE_MAX:
+        _THAI_DICT_CACHE.clear()
+    _THAI_DICT_CACHE[run] = out
+    return out
+
+
+def _thai_dict_expand(tok: str) -> tuple[list[str], list[int], int]:
+    """One lowercased raw token -> (emitted segments, their relative
+    positions, total position advance). Thai stopword SEGMENTS drop but
+    advance (StopFilter); Latin tokens pass through whole."""
+    if not _THAI_ANY_RE.search(tok):
+        if tok in ENGLISH_STOPWORDS:
+            return [], [], 1
+        return [tok], [0], 1
+    segs: list[str] = []
+    for part in _THAI_SEG_RE.findall(tok):
+        if _THAI_ANY_RE.match(part):
+            segs.extend(_thai_dict_segment(part))
+        else:
+            segs.append(part)
+    emitted, relpos = [], []
+    for j, s in enumerate(segs):
+        if s not in THAI_STOPWORDS and s not in ENGLISH_STOPWORDS:
+            emitted.append(s)
+            relpos.append(j)
+    return emitted, relpos, len(segs)
+
+
+def _analyze_thai_dict(text: str) -> tuple[list[str], list[int]]:
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for raw in _THAI_WORD_RE.findall(text.lower()):
+        for chunk in _chunk255(raw):
+            emitted, relpos, adv = _thai_dict_expand(chunk)
+            terms.extend(emitted)
+            positions.extend(pos + r for r in relpos)
+            pos += adv
+    return terms, positions
+
+
+def _codes_thai_dict(texts: pd.Series):
+    """Vectorized thai_dict: one Arrow split pass, per-UNIQUE-token
+    memoized dictionary segmentation; emitted relative positions are
+    gathered explicitly (stop segments leave position gaps)."""
+    d, c, u, ul, p = _split_codes(texts, _NEG_THAI, lower=True)
+    if ul.size and int(ul.max()) > MAX_TOKEN_LENGTH:
+        return _codes_via_scalar(texts, _analyze_thai_dict)
+    if not c.size:
+        return d, c, u, p
+    vocab: dict[str, int] = {}
+    setd = vocab.setdefault
+    flat_ids: list[int] = []
+    flat_rel: list[int] = []
+    emit_lens = np.empty(len(u), dtype=np.int64)
+    adv_lens = np.empty(len(u), dtype=np.int64)
+    for i, tok in enumerate(u.tolist()):
+        emitted, relpos, adv = _thai_dict_expand(tok)
+        flat_ids.extend(setd(w, len(vocab)) for w in emitted)
+        flat_rel.extend(relpos)
+        emit_lens[i] = len(emitted)
+        adv_lens[i] = adv
+    exp_ids = np.array(flat_ids, dtype=np.int64)
+    exp_rel = np.array(flat_rel, dtype=np.int64)
+    exp_offs = np.concatenate(([0], np.cumsum(emit_lens)))
+    tok_e = emit_lens[c]
+    tok_a = adv_lens[c]
+    total = int(tok_e.sum())
+    if not total:
+        return _CODES_EMPTY
+    cum0 = np.cumsum(tok_e) - tok_e
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum0, tok_e)
+    gather = np.repeat(exp_offs[c], tok_e) + within
+    new_u = np.empty(len(vocab), dtype=object)
+    for w, i in vocab.items():
+        new_u[i] = w
+    ca = np.cumsum(tok_a) - tok_a
+    change = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+    counts = np.diff(np.append(change, d.size))
+    start = ca - np.repeat(ca[change], counts)
+    keep_d = np.repeat(d, tok_e)
+    return (keep_d, exp_ids[gather], new_u,
+            np.repeat(start, tok_e) + exp_rel[gather])
+
+
+ANALYZERS["thai_dict"] = _analyze_thai_dict
+FLAT_ANALYZERS["thai_dict"] = _codes_thai_dict
+
 _register_default_languages()
 
 

@@ -549,6 +549,42 @@ def test_thai_flat_parity():
         assert got.get(i, []) == expect, (i, text, got.get(i), expect)
 
 
+def test_thai_dict_analyzer():
+    # greedy longest match against the embedded lexicon
+    assert analyze("แมวน้ำ", "thai_dict") == [("แมว", 0), ("น้ำ", 1)]
+    assert analyze("ระบบค้นหา", "thai_dict") == [("ระบบ", 0), ("ค้นหา", 1)]
+    assert analyze("ประมวลผล", "thai_dict") == [("ประมวล", 0), ("ผล", 1)]
+    # stopword SEGMENT drops but advances: การค้นหา -> [การ|ค้นหา],
+    # การ is a Thai stopword so ค้นหา lands at position 1
+    assert analyze("การค้นหา ข้อมูล", "thai_dict") == [
+        ("ค้นหา", 1), ("ข้อมูล", 2)]
+    # OOV span falls back to grapheme-cluster unigrams
+    assert analyze("ฬุฬ", "thai_dict") == [("ฬุ", 0), ("ฬ", 1)]
+    # a dict match never ends immediately before a combining mark
+    # (น้ำ must not match bare น with the ้ orphaned)
+    assert analyze("น้ำ", "thai_dict") == [("น้ำ", 0)]
+    # latin passes through with english stop removal, position gaps kept
+    assert analyze("แมว the cat", "thai_dict") == [("แมว", 0), ("cat", 2)]
+
+
+def test_thai_dict_flat_parity():
+    import pandas as pd
+
+    from elasticsearch_spark.analysis.analyzers import (
+        FLAT_ANALYZERS, _analyze_thai_dict,
+    )
+
+    texts = pd.Series(["การค้นหา ข้อมูล", "แมวน้ำ ประมวลผล", "",
+                       "plain text", "ฬุฬ mixed ไทย", "และ ที่ ของ"])
+    d, c, u, p = FLAT_ANALYZERS["thai_dict"](texts)
+    got = {}
+    for di, ci, pi in zip(d, c, p):
+        got.setdefault(int(di), []).append((u[ci], int(pi)))
+    for i, text in enumerate(texts):
+        expect = list(zip(*_analyze_thai_dict(text))) if text else []
+        assert got.get(i, []) == expect, (i, text, got.get(i), expect)
+
+
 def test_beng_word_flat_parity():
     import pandas as pd
 
