@@ -98,6 +98,7 @@ _R05_PRIORITY = (
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
+    "range_field_relation",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2985,6 +2986,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("l_returnflag"))
 
     q["scaled_float_agg"] = scaled_float_q
+
+    # -- range FIELD type (RangeFieldMapper): per-doc interval column,
+    #    relation queries are pure codegen predicates over the bounds
+
+    def range_field_relation_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import fields
+
+        li = _t(s, d, "lineitem").select(
+            fields.range_struct(
+                F.col("l_shipdate"),
+                F.date_add("l_shipdate", F.col("l_linenumber") * 5),
+            ).alias("r"))
+        qlo, qhi = F.lit("1995-06-01").cast("date"), \
+            F.lit("1995-06-30").cast("date")
+        return li.agg(
+            F.sum(fields.range_query("r", qlo, qhi, "intersects")
+                  .cast("long")).alias("n_intersects"),
+            F.sum(fields.range_query("r", qlo, qhi, "within")
+                  .cast("long")).alias("n_within"),
+            F.sum(fields.range_query("r", qlo, qhi, "contains")
+                  .cast("long")).alias("n_contains"))
+
+    q["range_field_relation"] = range_field_relation_q
 
     # -- histogram field (x-pack analytics): percentiles/metrics over
     #    pre-aggregated (values, counts) doc values
@@ -5970,6 +5994,24 @@ SELECT l_returnflag,
          AS sum_price,
        count(*)::BIGINT AS n
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+    # range field: the three relation predicates over the stored interval
+    # [l_shipdate, l_shipdate + l_linenumber*5 days]
+    o["range_field_relation"] = """
+WITH r AS (
+  SELECT l_shipdate AS gte,
+         l_shipdate + (l_linenumber * 5) * INTERVAL 1 DAY AS lte
+  FROM lineitem
+)
+SELECT
+  sum((gte <= DATE '1995-06-30' AND lte >= DATE '1995-06-01')::INT)::BIGINT
+    AS n_intersects,
+  sum((gte >= DATE '1995-06-01' AND lte <= DATE '1995-06-30')::INT)::BIGINT
+    AS n_within,
+  sum((gte <= DATE '1995-06-01' AND lte >= DATE '1995-06-30')::INT)::BIGINT
+    AS n_contains
+FROM r
 """
 
     # histogram field: raw-row twin of the merged-histogram metrics +

@@ -247,3 +247,67 @@ def token_count_field(
 
     c = F.col(col) if isinstance(col, str) else col
     return _count(c)
+
+
+# ---- range field types (integer_range / long_range / double_range /
+#      date_range / ip_range FIELDS) ------------------------------------
+#
+# The reference stores a per-doc interval and answers range queries with
+# a `relation` of INTERSECTS (default) / WITHIN / CONTAINS
+# (server/src/main/java/org/elasticsearch/index/mapper/RangeFieldMapper.java,
+# RangeType.java dvRangeQuery; relation parsed by RangeQueryBuilder).
+# Spark-first shape: the field is a plain struct<gte, lte> column, and
+# each relation is a pure Catalyst predicate over the two bounds —
+# whole-stage-codegen comparisons, min/max parquet pruning on the
+# struct leaves, no UDF. Bounds are CLOSED intervals like the
+# reference's default (include_lower/include_upper true); a NULL bound
+# means unbounded on that side (ES's ±infinity default), handled by
+# treating the comparison as satisfied.
+
+def range_struct(gte, lte) -> Column:
+    """Build a range-field value: struct<gte, lte> (closed interval)."""
+    g = F.col(gte) if isinstance(gte, str) else gte
+    l = F.col(lte) if isinstance(lte, str) else lte
+    return F.struct(g.alias("gte"), l.alias("lte"))
+
+
+def range_query(col, gte, lte, relation: str = "intersects") -> Column:
+    """Range query over a range FIELD with ES relation semantics.
+
+    intersects: doc interval and query interval share any point
+    within:     doc interval lies entirely inside the query interval
+    contains:   doc interval covers the whole query interval
+
+    A NULL doc bound is -infinity (gte) / +infinity (lte), matching the
+    reference's unbounded default — so it SATISFIES comparisons where the
+    infinite side helps (``gte <= x``, ``lte >= x``) and FAILS the
+    opposite direction (``gte >= x``, ``lte <= x``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    dg, dl = c["gte"], c["lte"]
+    # gte = -inf when NULL; lte = +inf when NULL
+    gte_le = lambda v: dg.isNull() | (dg <= v)      # noqa: E731
+    gte_ge = lambda v: dg.isNotNull() & (dg >= v)   # noqa: E731
+    lte_ge = lambda v: dl.isNull() | (dl >= v)      # noqa: E731
+    lte_le = lambda v: dl.isNotNull() & (dl <= v)   # noqa: E731
+    rel = relation.lower()
+    if rel == "intersects":
+        return gte_le(lte) & lte_ge(gte)
+    if rel == "within":
+        return gte_ge(gte) & lte_le(lte)
+    if rel == "contains":
+        return gte_le(gte) & lte_ge(lte)
+    raise ValueError(f"unknown range relation: {relation!r}")
+
+
+def range_query_sql(gte_expr: str, lte_expr: str, qlo: str, qhi: str,
+                    relation: str = "intersects") -> str:
+    """DuckDB twin of :func:`range_query` (non-null bounds)."""
+    rel = relation.lower()
+    if rel == "intersects":
+        return f"({gte_expr} <= {qhi} AND {lte_expr} >= {qlo})"
+    if rel == "within":
+        return f"({gte_expr} >= {qlo} AND {lte_expr} <= {qhi})"
+    if rel == "contains":
+        return f"({gte_expr} <= {qlo} AND {lte_expr} >= {qhi})"
+    raise ValueError(f"unknown range relation: {relation!r}")

@@ -209,3 +209,35 @@ def test_rank_features_score(spark):
     import math
     vals = {round(r["s"], 6) for r in logd.collect() if r["s"] is not None}
     assert round(math.log(9.0), 6) in vals
+
+
+def test_range_field_relations(spark):
+    """RangeFieldMapper analogue: struct<gte,lte> + relation predicates.
+
+    Reference: server/src/main/java/org/elasticsearch/index/mapper/
+    RangeFieldMapper.java (relation INTERSECTS/WITHIN/CONTAINS,
+    closed bounds, null bound = unbounded).
+    """
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.fields import range_query, range_struct
+
+    df = spark.createDataFrame(
+        [(1, 10, 20),      # fully inside the query window
+         (2, 0, 100),      # covers the query window
+         (3, 15, 35),      # overlaps the right edge
+         (4, 40, 50),      # disjoint
+         (5, None, 12),    # unbounded below -> intersects, contains-left
+         (6, 25, None)],   # unbounded above -> intersects
+        "id int, lo int, hi int",
+    ).select("id", range_struct("lo", "hi").alias("r"))
+
+    def ids(rel):
+        rows = df.filter(range_query("r", F.lit(10), F.lit(30), rel))
+        return {r["id"] for r in rows.select("id").collect()}
+
+    assert ids("intersects") == {1, 2, 3, 5, 6}
+    assert ids("within") == {1}
+    assert ids("contains") == {2}
+    with pytest.raises(ValueError):
+        range_query("r", F.lit(1), F.lit(2), "overlaps")
