@@ -98,7 +98,9 @@ _R05_PRIORITY = (
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
-    "range_field_relation",
+    "range_field_relation", "doc_geo_shape_indexed",
+    "doc_geo_shape_indexed_disjoint", "indices_boost", "count_api",
+    "ingest_circle",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2349,6 +2351,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_geo_shape_intersects"] = doc_geo_shape_q("intersects")
     q["doc_geo_shape_within"] = doc_geo_shape_q("within")
 
+    # BKD analogue: coarse cover-cell index + JVM arrays_overlap
+    # prefilter, exact verify on candidates only (GeoShapeIndexer.java)
+    def doc_geo_shape_indexed_q(rel):
+        def run(s: SparkSession, d: str) -> DataFrame:
+            from elasticsearch_spark.search.geo import (
+                doc_geo_shape_indexed, index_doc_shapes)
+
+            docs = index_doc_shapes(_shape_docs(s, d), precision=2)
+            out = doc_geo_shape_indexed(docs, DOC_SHAPE_QUERY, relation=rel)
+            return (out.select("doc_id", "shape")
+                    .orderBy(F.asc("doc_id")).limit(100))
+        return run
+
+    q["doc_geo_shape_indexed"] = doc_geo_shape_indexed_q("intersects")
+    q["doc_geo_shape_indexed_disjoint"] = doc_geo_shape_indexed_q("disjoint")
+
     # -- lookup-backed ingest processors (enrich / geoip / user_agent)
 
     def ingest_enrich_q(s: SparkSession, d: str) -> DataFrame:
@@ -3610,6 +3628,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["multi_index_search"] = multi_index_q
+
+    # indices_boost (SearchSourceBuilder.indicesBoost): per-index boost
+    # at score time, ES-default local stats per index, global merge
+    def indices_boost_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.api import indices_boost_topk
+
+        multi = _split_indices(s, d)
+        terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+        out = indices_boost_topk(
+            multi.indices, ["even", "odd"], {"even": 1.3, "odd": 0.7},
+            "text", terms, k=12, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"),
+                          "_index")
+
+    q["indices_boost"] = indices_boost_q
+
+    # _count endpoint: filter-context count, no top-k, no fetch
+    def count_api_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.scan import count_api
+
+        return count_api(_t(s, d, "documents"), {"bool": {
+            "filter": [{"range": {"n_chars": {"gte": 200}}},
+                       {"term": {"lang": "en"}}],
+            "must_not": [{"term": {"source": "src3"}}],
+        }})
+
+    q["count_api"] = count_api_q
+
+    # circle ingest processor (CircleProcessor + SpatialUtils
+    # createRegularShapePolygon): circle -> regular polygon, vertex
+    # count from the error_distance sagitta bound, pure codegen
+    def ingest_circle_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops import ingest as ing
+
+        did = F.col("doc_id")
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.struct(
+                (F.pmod(did * 7, F.lit(300)).cast("double") / 1.7 - 88)
+                .alias("x"),
+                (F.pmod(did * 3, F.lit(170)).cast("double") / 2.1 - 40)
+                .alias("y"),
+                (F.pmod(did, F.lit(37)).cast("double") + 8.0)
+                .alias("radius"),
+            ).alias("circ"))
+        out = ing.apply_pipeline(docs, [
+            {"circle": {"field": "circ", "target_field": "poly",
+                        "error_distance": 1.0}}])
+        k = (F.size("poly") / 3).cast("int")
+        probe = F.element_at("poly", k + 1)
+        return (out.select(
+                    "doc_id",
+                    (F.size("poly") - 1).cast("long").alias("n_sides"),
+                    F.round(probe["x"], 3).alias("vx"),
+                    F.round(probe["y"], 3).alias("vy"))
+                .orderBy("doc_id").limit(300))
+
+    q["ingest_circle"] = ingest_circle_q
 
     return _rotate_checked(q)
 
@@ -5425,6 +5501,26 @@ WHERE minlon > -60.5 AND maxlon < 70.5
 ORDER BY doc_id ASC LIMIT 100
 """
 
+    # the indexed (prefilter+verify) path returns exactly the exact
+    # scan's answer — same bbox twin
+    o["doc_geo_shape_indexed"] = f"""
+WITH {_SHAPE_CTE}
+{_SHAPE_SEL}
+FROM sh
+WHERE minlon <= 70.5 AND maxlon >= -60.5
+  AND minlat <= 45.5 AND maxlat >= -30.5
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    o["doc_geo_shape_indexed_disjoint"] = f"""
+WITH {_SHAPE_CTE}
+{_SHAPE_SEL}
+FROM sh
+WHERE NOT (minlon <= 70.5 AND maxlon >= -60.5
+           AND minlat <= 45.5 AND maxlat >= -30.5)
+ORDER BY doc_id ASC LIMIT 100
+"""
+
     # lookup-backed ingest processors: enrich is a plain left join, the
     # geoip CIDR containment collapses to second-octet arithmetic for
     # the synthetic 10/8 address space, and user_agent restates the
@@ -6580,5 +6676,50 @@ FROM comp GROUP BY component
     # half-corpus indexes score IDENTICALLY to one whole-corpus BM25
     # space — the oracle is the ordinary single-table twin
     o["multi_index_search"] = _bm25_oracle("table scan merge", k=12)
+
+    # indices_boost: per-parity index = its OWN collection stats
+    # (query_then_fetch), boost multiplies, merge takes global top-k
+    _ib_terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+    o["indices_boost"] = f"""
+WITH idx_even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+idx_odd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+{bm25_ctes(_ib_terms, prefix="e", table="idx_even")},
+{bm25_ctes(_ib_terms, prefix="d", table="idx_odd")},
+merged AS (
+  SELECT doc_id, score * 1.3 AS score, 'even' AS _index
+  FROM escored WHERE matched >= 1
+  UNION ALL
+  SELECT doc_id, score * 0.7 AS score, 'odd' AS _index
+  FROM dscored WHERE matched >= 1)
+SELECT doc_id, round(score, 4) AS score, _index
+FROM merged ORDER BY score DESC, doc_id ASC LIMIT 12
+"""
+
+    o["count_api"] = """
+SELECT count(*)::BIGINT AS count FROM documents
+WHERE n_chars >= 200 AND lang = 'en' AND NOT (source = 'src3')
+"""
+
+    # circle processor: same regular-polygon math, one probed vertex
+    # (k = floor((n+1)/3), 0-based) instead of the full ring
+    o["ingest_circle"] = """
+WITH c AS (
+  SELECT doc_id,
+         (((doc_id * 7) % 300 + 300) % 300) / 1.7 - 88 AS x,
+         (((doc_id * 3) % 170 + 170) % 170) / 2.1 - 40 AS y,
+         ((doc_id % 37 + 37) % 37) + 8.0 AS r
+  FROM documents),
+sides AS (
+  SELECT doc_id, x, y, r,
+         least(1000, greatest(4,
+             ceiling(2 * pi() / acos(1 - 1.0 / r))::INT)) AS n
+  FROM c),
+probe AS (
+  SELECT doc_id, x, y, r, n, floor((n + 1) / 3)::INT AS k FROM sides)
+SELECT doc_id, n::BIGINT AS n_sides,
+       round(r * cos(radians((k % n) * (360.0 / n))) + x, 3) AS vx,
+       round(r * sin(radians((k % n) * (360.0 / n))) + y, 3) AS vy
+FROM probe ORDER BY doc_id LIMIT 300
+"""
 
     return _rotate_checked(o)

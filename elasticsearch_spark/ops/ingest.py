@@ -21,6 +21,7 @@ Supported processors (same names/fields as the reference JSON):
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Any
 
@@ -577,6 +578,40 @@ def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 F.length(content).alias("content_length"),
             ),
         )
+    if kind == "circle":
+        # CircleProcessor (x-pack/plugin/spatial/.../ingest/
+        # CircleProcessor.java): circle -> regular polygon whose vertex
+        # count keeps the sagitta under error_distance:
+        #   n = clamp(ceil(2*pi / acos(1 - error/radius)), 4, 1000)
+        # shape_type="shape" is exact vertex parity with
+        # SpatialUtils.createRegularShapePolygon (angle_i = i*360/n,
+        # v = r*(cos,sin)(radians(angle)) + center; closing vertex
+        # repeats vertex 0 via i % n).  All per-row math is Catalyst
+        # sequence/transform — whole-stage codegen, no UDF.
+        # shape_type="geo_shape" (the haversine spoke-honing loop of
+        # createRegularGeoShapePolygon) is refused loudly.
+        if p.get("shape_type", "shape") != "shape":
+            raise NotImplementedError(
+                "circle processor: only shape_type='shape' (cartesian) "
+                "is supported; geo_shape needs the iterative haversine "
+                "honing of SpatialUtils.createRegularGeoShapePolygon")
+        err = float(p.get("error_distance", 1.0))
+        c = F.col(p["field"])
+        cx, cy, r = c["x"], c["y"], c["radius"].cast("double")
+        n = F.least(
+            F.lit(1000),
+            F.greatest(
+                F.lit(4),
+                F.ceil(F.lit(2.0 * math.pi)
+                       / F.acos(F.lit(1.0) - F.lit(err) / r)).cast("int")))
+        i_to_angle = lambda i: F.radians(   # noqa: E731
+            (i % n).cast("double") * (F.lit(360.0) / n.cast("double")))
+        poly = F.transform(
+            F.sequence(F.lit(0), n),
+            lambda i: F.struct(
+                (r * F.cos(i_to_angle(i)) + cx).alias("x"),
+                (r * F.sin(i_to_angle(i)) + cy).alias("y")))
+        return df.withColumn(p.get("target_field", p["field"]), poly)
     raise ValueError(f"unsupported processor: {kind}")
 
 

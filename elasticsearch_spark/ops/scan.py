@@ -135,3 +135,15 @@ def reindex(
     if transform is not None:
         df = transform(df)
     df.write.mode(mode).parquet(dest_path)
+
+
+def count_api(df: DataFrame, query: dict | None = None) -> DataFrame:
+    """The _count endpoint (rest/action/RestCountAction.java -> a size=0
+    search counting matches): the query runs in FILTER context — no
+    scoring, no fetch — so the plan is scan -> pushed predicate ->
+    partial counts -> one-row final sum, never a top-k or a sort."""
+    if query is not None:
+        from elasticsearch_spark.search.dsl import compile_filter
+
+        df = df.filter(compile_filter(query))
+    return df.agg(F.count(F.lit(1)).cast("long").alias("count"))

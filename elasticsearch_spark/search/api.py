@@ -656,3 +656,35 @@ def sort_hits(
     cols.append(F.col(id_col).asc())
     out = hits.orderBy(*cols)
     return out.limit(k) if k is not None else out
+
+
+def indices_boost_topk(
+    indices: list,
+    names: list[str],
+    boosts: dict[str, float],
+    field: str,
+    terms: list[str],
+    k: int = 10,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """``indices_boost`` search-body section: per-index boost factors
+    applied at score time before the global merge
+    (server/src/main/java/org/elasticsearch/search/builder/
+    SearchSourceBuilder.java indicesBoost; applied as the query boost of
+    each shard's context).  ES-default query_then_fetch semantics: each
+    index scores with its OWN collection stats, the boost multiplies its
+    scores (a constant factor preserves per-index rank, so per-index
+    top-k before the merge loses nothing), and the coordinator merge is
+    one TakeOrderedAndProject over the k·n_indices survivors — tiny, so
+    the global cut never shuffles full posting output."""
+    per: list[DataFrame] = []
+    for name, idx in zip(names, indices):
+        b = float(boosts.get(name, 1.0))
+        t = match_topk(idx, field, terms, k=k, params=params)
+        per.append(
+            t.withColumn("score", F.col("score") * F.lit(b))
+             .withColumn("_index", F.lit(name)))
+    merged = per[0]
+    for nxt in per[1:]:
+        merged = merged.unionByName(nxt)
+    return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

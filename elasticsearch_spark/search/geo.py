@@ -701,3 +701,112 @@ def geotile_sql(lat: str, lon: str, zoom: int = 7) -> str:
     cx = f"greatest(0, least({x}, {hi}))"
     cy = f"greatest(0, least({y}, {hi}))"
     return f"('{zoom}' || '/' || {cx}::VARCHAR || '/' || {cy}::VARCHAR)"
+
+
+# --- doc-side shape coarse index (BKD-tree analogue) -------------------
+#
+# The reference indexes geo_shape fields into a BKD tree of triangles
+# (server/src/main/java/org/elasticsearch/index/mapper/
+# GeoShapeIndexer.java; queried via LatLonShape) so a shape query
+# visits only tree blocks whose extents can match.  Spark-first
+# analogue: at index time each doc shape gets the geohash cell cover of
+# its bounding box as an array<string> column (vectorized Arrow UDF,
+# one cover per UNIQUE WKT per batch); at query time the query shape's
+# cover — computed driver-side, no data pass — feeds an
+# `arrays_overlap` prefilter that runs JVM-side in whole-stage codegen,
+# so the exact Python relation check only sees candidate rows.  The
+# cover is conservative (grid floors are monotone, identical math to
+# `geohash`), so prefilter+verify returns exactly the scan+verify
+# answer.
+
+SHAPE_COVER_ANY = "*"  # sentinel: cover larger than max_cells
+
+
+def wkt_bbox(wkt: str) -> tuple[float, float, float, float]:
+    """(minlon, minlat, maxlon, maxlat) of any supported WKT shape."""
+    kind, payload = parse_wkt(wkt)
+    if kind == "point":
+        lon, lat = payload
+        return lon, lat, lon, lat
+    if kind == "envelope":
+        minlon, maxlon, maxlat, minlat = payload
+        return minlon, minlat, maxlon, maxlat
+    polys = _shape_polys(kind, payload)
+    pts = [p for poly in polys for ring in poly for p in ring]
+    lons = [p[0] for p in pts]
+    lats = [p[1] for p in pts]
+    return min(lons), min(lats), max(lons), max(lats)
+
+
+def shape_cover_cells_py(
+    wkt: str, precision: int = 2, max_cells: int = 64,
+) -> list[str]:
+    """Geohash cover of a WKT shape's bounding box; ``[SHAPE_COVER_ANY]``
+    when the cover would exceed ``max_cells`` (a shape that big touches
+    most of the grid, so the prefilter degrades to pass-through for it
+    rather than shipping a huge cell list)."""
+    minlon, minlat, maxlon, maxlat = wkt_bbox(wkt)
+    cover = geohash_cover_bbox(
+        (maxlat, minlon), (minlat, maxlon), precision, max_cells)
+    return [SHAPE_COVER_ANY] if cover is None else cover
+
+
+def index_doc_shapes(
+    df: DataFrame,
+    shape_col: str = "shape",
+    cells_col: str = "shape_cells",
+    precision: int = 2,
+    max_cells: int = 64,
+) -> DataFrame:
+    """Index-time step: add the coarse-cover cells column next to the
+    WKT shape field (persist both — the cells column is the BKD
+    analogue the query-side prefilter reads)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _cells(shapes: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for s0 in shapes:
+            if s0 is None:
+                out.append(None)
+                continue
+            v = cache.get(s0)
+            if v is None:
+                v = cache[s0] = shape_cover_cells_py(s0, precision, max_cells)
+            out.append(v)
+        return pd.Series(out)
+
+    return df.withColumn(cells_col, _cells(F.col(shape_col)))
+
+
+def doc_geo_shape_indexed(
+    df: DataFrame,
+    wkt: str,
+    shape_col: str = "shape",
+    cells_col: str = "shape_cells",
+    relation: str = "intersects",
+    precision: int = 2,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """geo_shape query over an indexed shape field: cover-cell
+    prefilter (JVM, codegen) then exact relation verify (Arrow UDF) on
+    the candidates only.  For ``disjoint`` the prefilter works in
+    reverse: a doc whose cover cannot overlap the query cover is
+    disjoint with NO exact check at all."""
+    qcells = shape_cover_cells_py(wkt, precision, max_cells)
+    has_shape = F.col(shape_col).isNotNull()
+    if qcells == [SHAPE_COVER_ANY]:
+        cand = has_shape  # query too big for a useful prefilter
+    else:
+        cand = has_shape & (
+            F.arrays_overlap(
+                F.col(cells_col), F.array(*[F.lit(c) for c in qcells]))
+            | F.array_contains(F.col(cells_col), SHAPE_COVER_ANY))
+    if relation == "disjoint":
+        sure = df.filter(has_shape & ~cand)
+        check = doc_geo_shape(df.filter(cand), wkt,
+                              shape_col=shape_col, relation="disjoint")
+        return sure.unionByName(check)
+    return doc_geo_shape(df.filter(cand), wkt,
+                         shape_col=shape_col, relation=relation)

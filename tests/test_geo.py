@@ -301,3 +301,46 @@ def test_write_geo_partitioned_prunes(points, tmp_path):
                if d.startswith("geo_cell=")}
     cover = set(geohash_cover_bbox(tl, br, precision=2))
     assert "__none__" in on_disk and on_disk - cover
+
+
+def test_doc_geo_shape_indexed_matches_scan(spark):
+    """Cover-cell prefilter + verify == plain scan+verify on all four
+    relations (BKD analogue, GeoShapeIndexer.java)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search.geo import (
+        doc_geo_shape, doc_geo_shape_indexed, index_doc_shapes,
+        shape_cover_cells_py, SHAPE_COVER_ANY)
+
+    rows = [
+        (1, "ENVELOPE (-10, 10, 10, -10)"),
+        (2, "ENVELOPE (100, 120, 50, 30)"),
+        (3, "POLYGON ((-5 -5, 5 -5, 5 5, -5 5, -5 -5))"),
+        (4, "POINT (0 0)"),
+        (5, "ENVELOPE (-179, 179, 89, -89)"),   # huge -> '*' sentinel
+        (6, None),
+        (7, "MULTIPOLYGON (((30 30, 40 30, 40 40, 30 40, 30 30)))"),
+    ]
+    df = index_doc_shapes(
+        spark.createDataFrame(rows, "doc_id int, shape string"),
+        precision=2, max_cells=32).cache()
+
+    assert shape_cover_cells_py(rows[4][1], 2, 32) == [SHAPE_COVER_ANY]
+
+    query = "ENVELOPE (-8, 8, 8, -8)"
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        exact = {r["doc_id"] for r in doc_geo_shape(
+            df, query, relation=rel).select("doc_id").collect()}
+        fast = {r["doc_id"] for r in doc_geo_shape_indexed(
+            df, query, relation=rel, precision=2, max_cells=32)
+            .select("doc_id").collect()}
+        assert fast == exact, rel
+
+    # the prefilter actually prunes: doc 2 (far east) is not a
+    # candidate for the western query window
+    qcells = shape_cover_cells_py(query, 2, 4096)
+    cand = df.filter(F.arrays_overlap(
+        "shape_cells", F.array(*[F.lit(c) for c in qcells]))
+        | F.array_contains("shape_cells", SHAPE_COVER_ANY))
+    ids = {r["doc_id"] for r in cand.select("doc_id").collect()}
+    assert 2 not in ids and 1 in ids and 5 in ids

@@ -515,3 +515,44 @@ def test_eql_join_until_bounds_events(spark):
     for r in joined:
         if r["uts"] is not None:
             assert r["ts_0"] < r["uts"] and r["ts_1"] < r["uts"]
+
+
+def test_count_api(spark):
+    from elasticsearch_spark.ops.scan import count_api
+
+    df = spark.createDataFrame(
+        [(1, "en", 50), (2, "en", 250), (3, "de", 300), (4, "en", 400)],
+        "doc_id int, lang string, n int")
+    got = count_api(df, {"bool": {
+        "filter": [{"range": {"n": {"gte": 200}}}],
+        "must_not": [{"term": {"lang": "de"}}]}}).collect()
+    assert got[0]["count"] == 2
+    assert count_api(df).collect()[0]["count"] == 4
+
+
+def test_circle_processor_vertex_parity(spark):
+    """CircleProcessor shape_type='shape': vertex math identical to
+    SpatialUtils.createRegularShapePolygon, ring closed, sides clamped
+    to [4, 1000]."""
+    from elasticsearch_spark.ops.ingest import apply_processor
+
+    df = spark.createDataFrame(
+        [(1, 10.0, -5.0, 8.0),     # n = ceil(2pi/acos(1-1/8)) = 13
+         (2, 0.0, 0.0, 1.0)],      # error == radius -> acos(0)=pi/2 -> 4
+        "id int, x double, y double, radius double").select(
+        "id", F.struct("x", "y", "radius").alias("circ"))
+    out = apply_processor(df, {"circle": {
+        "field": "circ", "target_field": "poly", "error_distance": 1.0}})
+    rows = {r["id"]: r["poly"] for r in out.collect()}
+
+    n1 = math.ceil(2 * math.pi / math.acos(1 - 1.0 / 8.0))
+    poly = rows[1]
+    assert len(poly) == n1 + 1
+    assert poly[0] == poly[-1]          # closed ring
+    exp_x = 8.0 * math.cos(math.radians(3 * (360.0 / n1))) + 10.0
+    assert abs(poly[3]["x"] - exp_x) < 1e-12
+    assert len(rows[2]) == 4 + 1        # clamped to minimum 4 sides
+
+    with pytest.raises(NotImplementedError):
+        apply_processor(df, {"circle": {
+            "field": "circ", "shape_type": "geo_shape"}})

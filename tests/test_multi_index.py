@@ -143,3 +143,34 @@ def test_index_templates(tmp_path, spark):
                 num_partitions=sim["settings"]["num_partitions"],
                 input_snapshot="tpl")
     assert load_index(spark, out).num_partitions() == 2
+
+
+def test_indices_boost(spark, three):
+    """indices_boost: per-index LOCAL stats x boost, merged top-k
+    (SearchSourceBuilder.indicesBoost, query_then_fetch default)."""
+    from elasticsearch_spark.search.api import indices_boost_topk
+
+    a, b, _ = three
+    idx_a, idx_b = load_index(spark, a), load_index(spark, b)
+    terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+
+    out = indices_boost_topk([idx_a, idx_b], ["a", "b"],
+                             {"a": 2.0, "b": 0.5},
+                             "text", terms, k=10).collect()
+    assert len(out) == 10
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+    # boost scales each index's own scores exactly
+    base_a = {r["doc_id"]: r["score"]
+              for r in match_topk(idx_a, "text", terms, k=10).collect()}
+    for r in out:
+        if r["_index"] == "a":
+            assert r["score"] == pytest.approx(2.0 * base_a[r["doc_id"]])
+
+    # boost 1.0 everywhere == plain per-index merge; a big enough boost
+    # pushes every 'a' hit above every 'b' hit
+    boosted = indices_boost_topk([idx_a, idx_b], ["a", "b"], {"a": 1e6},
+                              "text", terms, k=10).collect()
+    head = [r["_index"] for r in boosted]
+    assert set(head[:head.count("a")]) == {"a"}

@@ -72,8 +72,17 @@ print(json.dumps({{"cores": cores, "build_sec": build_sec,
 
 def one(cores: int, n_docs: int) -> dict:
     code = CHILD.format(repo=REPO)
+    # Pin the whole child process tree (JVM + pyspark.daemon workers) to
+    # exactly `cores` CPUs.  Without the pin, a local[N] JVM plus its
+    # Python workers can burn MORE than N cores (GC threads, shuffle IO,
+    # Arrow workers overlap), which inflates the low arm's throughput
+    # and understates scaling efficiency — a real N-core executor box
+    # cannot exceed N cores, so the pin is the honest cluster proxy.
+    cmd = [sys.executable, "-c", code, str(cores), str(n_docs)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_docs)],
+        cmd,
         capture_output=True, text=True, timeout=1800,
         env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
     )
