@@ -480,7 +480,11 @@ def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
     part_id = int(pdf["part_id"].iloc[0])
     field = pdf["field"].iloc[0]
     out = _blocks_out()
-    # stats row: the group IS the doc roster (zero-token docs included)
+    # stats row: the group IS the doc roster (zero-token docs included).
+    # Two otherwise-unused marker fields carry the group's index-size
+    # metrics so NO post-build job ever re-scans the posting metadata to
+    # count them: max_tf = distinct terms, last_doc = posting count
+    # (both are filled in below once the group is term-sorted).
     out["part_id"].append(part_id)
     out["field"].append(field)
     out["term"].append(None)
@@ -517,6 +521,8 @@ def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         i += n
     # sorted unique terms + per-posting codes, then one global lexsort
     codes, uniques = pd.factorize(terms_flat, sort=True)
+    out["max_tf"][0] = int(len(uniques))   # marker: num_terms
+    out["last_doc"][0] = int(codes.size)   # marker: num_postings
     order = np.lexsort((doc_rep, codes))
     codes = codes[order]
     doc_rep = doc_rep[order]
@@ -592,11 +598,22 @@ def _encode_blocks_rowwise(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def rebuild_global_stats(idx: "InvertedIndex") -> None:
+def rebuild_global_stats(idx: "InvertedIndex") -> list:
     """Re-aggregate term_dict + coll_stats from block METADATA (the
     DFS-phase global TermStatistics/CollectionStatistics) — cheap, no
-    raw-posting decode."""
+    raw-posting decode.
+
+    term_dict is the only wide aggregation (one job).  coll_stats comes
+    from the per-(part, field) marker rows — a few rows per index — so
+    they are COLLECTED once (filter ``term IS NULL`` prunes to the
+    first row group of each term-sorted file via parquet null counts),
+    summed driver-side, and written back as a one-partition parquet;
+    a second full metadata scan + shuffle would cost more than the
+    whole aggregate.  Returns the collected marker rows so the build
+    can derive its per-partition manifest metrics from the same pass.
+    """
     out_dir = idx.path
+    spark = idx.spark
     (
         idx.postings.filter(F.col("term").isNotNull())
         .groupBy("field", "term")
@@ -609,20 +626,36 @@ def rebuild_global_stats(idx: "InvertedIndex") -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "term_dict"))
     )
+    markers = (
+        idx.stats_rows
+        .select("part_id", "field", "n", "sum_tf", "first_doc",
+                "max_tf", "last_doc")
+        .collect()
+    )
+    per_field: dict[str, list[int]] = {}
+    for r in markers:
+        acc = per_field.setdefault(r["field"], [0, 0, 0])
+        acc[0] += int(r["n"])
+        acc[1] += int(r["sum_tf"])
+        acc[2] += int(r["first_doc"])
+    # Lucene avgdl = sumTotalTermFreq / docCount (includes overlap
+    # tokens even though per-doc norms discount them)
+    rows = [
+        (f, n_docs, sum_ttf, sum_dl,
+         (sum_ttf / n_docs) if n_docs else 0.0)
+        for f, (n_docs, sum_ttf, sum_dl) in sorted(per_field.items())
+    ]
     (
-        idx.stats_rows.groupBy("field")
-        .agg(
-            F.sum("n").alias("n_docs"),
-            F.sum("sum_tf").alias("sum_ttf"),
-            F.sum("first_doc").alias("sum_dl"),
-        )
-        # Lucene avgdl = sumTotalTermFreq / docCount (includes overlap
-        # tokens even though per-doc norms discount them)
-        .withColumn("avgdl", F.col("sum_ttf") / F.col("n_docs"))
+        spark.createDataFrame(
+            rows,
+            "field string, n_docs long, sum_ttf long, sum_dl long, "
+            "avgdl double")
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "coll_stats"))
     )
     idx._coll_cache = None
+    return markers
 
 
 def assign_doc_ids(df: DataFrame, id_cols: list[str]) -> DataFrame:
@@ -718,6 +751,13 @@ def build_index(
     """
     spark = docs.sparkSession
     t0 = time.time()
+    phase_ms: dict[str, int] = {}
+
+    def _mark(name: str, since: float) -> float:
+        now = time.time()
+        phase_ms[name] = int((now - since) * 1000)
+        return now
+
     if id_cols:
         docs = assign_doc_ids(docs, id_cols)
     docs = docs.withColumn(
@@ -783,6 +823,7 @@ def build_index(
         # sorted per task, and the writer preserves that relative order
         # inside each part_id file, so Parquet row-group min/max skipping
         # on `term` is unaffected.
+        tp = time.time()
         (
             blocks.sortWithinPartitions("part_id", "field", "term", "block_id")
             .write.mode("overwrite")
@@ -790,6 +831,7 @@ def build_index(
             .partitionBy("part_id")
             .parquet(os.path.join(out_dir, "postings"))
         )
+        tp = _mark("tokenize_encode_write", tp)
         if store_doc_lengths:
             # (unlike blocks, tokenized is scan-partitioned — without the
             # repartition every task would open a writer per part_id dir)
@@ -805,37 +847,37 @@ def build_index(
 
     # global stats are rebuilt from ALL partitions' block metadata — the
     # DFS-phase global statistics, cheap (no raw-posting scan).
+    tg = time.time()
     idx = InvertedIndex(out_dir, spark)
-    rebuild_global_stats(idx)
+    markers = rebuild_global_stats(idx)
+    tg = _mark("global_stats", tg)
 
     # per-partition checkpoint manifests (translog/LocalCheckpointTracker
     # analogue) — written after the job commits, atomically per part.
     if todo_parts:
-        # ONE metadata aggregation for every per-partition metric: term
-        # count, posting count, and docs (the stats-marker rows sum to
-        # n_docs x n_fields per partition, since every doc carries every
-        # field) — this job reads block METADATA columns only
+        # Every per-partition metric comes from the marker rows the
+        # global-stats pass already collected — docs (the stats-marker
+        # rows sum to n_docs x n_fields per partition, since every doc
+        # carries every field), terms (per-field distinct counts the
+        # encoder stamped into max_tf, summed across fields), postings
+        # (last_doc) — so manifests cost ZERO additional Spark jobs.
         n_fields = max(len(fields), 1)
-        rows = (
-            idx.postings.filter(F.col("part_id").isin(todo_parts))
-            .groupBy("part_id")
-            .agg(
-                F.countDistinct("term").alias("num_terms"),
-                F.sum(F.when(F.col("term").isNotNull(), F.col("n"))).alias("num_postings"),
-                F.sum(F.when(F.col("term").isNull(), F.col("n"))).alias("docs_x_fields"),
-            )
-            .collect()
-        )
-        metrics = {int(r["part_id"]): r for r in rows}
+        metrics: dict[int, list[int]] = {}
+        for r in markers:
+            acc = metrics.setdefault(int(r["part_id"]), [0, 0, 0])
+            acc[0] += int(r["n"])         # docs x fields
+            acc[1] += int(r["max_tf"])    # num_terms (per-field sum)
+            acc[2] += int(r["last_doc"])  # num_postings
+        _mark("manifest_agg", tg)
         wall_ms = int((time.time() - t0) * 1000)
         for p in todo_parts:
             m = metrics.get(p)
             manifest = {
                 "partition_id": p,
                 "status": "done",
-                "num_docs": int(m["docs_x_fields"] or 0) // n_fields if m else 0,
-                "num_terms": int(m["num_terms"]) if m else 0,
-                "num_postings": int(m["num_postings"] or 0) if m else 0,
+                "num_docs": (m[0] // n_fields) if m else 0,
+                "num_terms": m[1] if m else 0,
+                "num_postings": m[2] if m else 0,
                 "input_snapshot": input_snapshot,
                 "wall_ms": wall_ms,
             }
@@ -850,6 +892,10 @@ def build_index(
                 "num_partitions": num_partitions,
                 "fields": fields,
                 "input_snapshot": input_snapshot,
+                # build-phase wall-clock breakdown (lineage/metrics):
+                # the main tokenize->encode->write job, the global-stats
+                # rebuild job, and the manifest metadata aggregation
+                "phase_ms": phase_ms,
             },
             f,
         )
