@@ -91,6 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
+    "essql_match_or", "essql_not_match",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -289,6 +290,20 @@ ESSQL_FT_MULTI = (
 ESSQL_FT_QUERY = (
     "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
     "WHERE QUERY('spark AND data') "
+    "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
+)
+# OR / NOT fulltext combinations take the bool-tree plan (left-join
+# flag frame; QueryTranslator folds these into the query DSL tree)
+ESSQL_FT_OR = (
+    "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
+    "WHERE (MATCH(text, 'spark query', 'operator=and') "
+    "OR MATCH(source, 'src5')) AND d.lang = 'en' "
+    "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
+)
+ESSQL_FT_NOT = (
+    "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
+    "WHERE MATCH(text, 'spark data', 'operator=and') "
+    "AND NOT MATCH(source, 'src5') "
     "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
 )
 
@@ -2886,6 +2901,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, ESSQL_FT_QUERY, d, _doc_index(s, d), params=_EXACT)
 
     q["essql_query"] = essql_query_q
+
+    def essql_match_or_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql_fulltext
+
+        return essql_fulltext(
+            s, ESSQL_FT_OR, d, _doc_index(s, d), params=_EXACT)
+
+    q["essql_match_or"] = essql_match_or_q
+
+    def essql_not_match_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql_fulltext
+
+        return essql_fulltext(
+            s, ESSQL_FT_NOT, d, _doc_index(s, d), params=_EXACT)
+
+    q["essql_not_match"] = essql_not_match_q
 
     # -- ML single-metric anomaly detection (x-pack ml, MAD analogue):
     #    bucket -> median/MAD broadcast -> per-bucket score
@@ -6020,6 +6051,49 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored
 WHERE matched >= {len(_ftq)}
 ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+    # OR / NOT bool-tree twins: per-clause scored CTEs LEFT-joined onto
+    # the table so docs matching no clause survive for NOT; a clause
+    # "matches" iff its msm is met; SCORE() sums matched non-negated
+    # clause scores (must_not contributes nothing)
+    o["essql_match_or"] = f"""
+WITH {bm25_ctes(_ftm_a, prefix="a_")},
+{bm25_ctes(_ftm_b, prefix="b_", text_col="source")},
+ft AS (
+  SELECT d.doc_id,
+         CASE WHEN a.matched >= {len(_ftm_a)} THEN a.score END AS s0,
+         CASE WHEN b.matched >= 1 THEN b.score END AS s1,
+         d.lang
+  FROM documents d
+  LEFT JOIN a_scored a ON a.doc_id = d.doc_id
+  LEFT JOIN b_scored b ON b.doc_id = d.doc_id
+)
+SELECT doc_id,
+       round(coalesce(s0, 0) + coalesce(s1, 0), 4) AS score
+FROM ft
+WHERE (s0 IS NOT NULL OR s1 IS NOT NULL) AND lang = 'en'
+ORDER BY coalesce(s0, 0) + coalesce(s1, 0) DESC, doc_id ASC
+LIMIT 10
+"""
+
+    _ftn = [t for t, _ in analyze("spark data", "ascii_word")]
+    o["essql_not_match"] = f"""
+WITH {bm25_ctes(_ftn, prefix="a_")},
+{bm25_ctes(_ftm_b, prefix="b_", text_col="source")},
+ft AS (
+  SELECT d.doc_id,
+         CASE WHEN a.matched >= {len(_ftn)} THEN a.score END AS s0,
+         CASE WHEN b.matched >= 1 THEN b.score END AS s1
+  FROM documents d
+  LEFT JOIN a_scored a ON a.doc_id = d.doc_id
+  LEFT JOIN b_scored b ON b.doc_id = d.doc_id
+)
+SELECT doc_id, round(coalesce(s0, 0), 4) AS score
+FROM ft
+WHERE s0 IS NOT NULL AND s1 IS NULL
+ORDER BY coalesce(s0, 0) DESC, doc_id ASC
 LIMIT 10
 """
 

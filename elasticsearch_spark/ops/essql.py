@@ -153,15 +153,17 @@ def _fulltext_clause(fn: str, args: list[str]) -> dict:
     return {"match": {field: spec}}
 
 
-def parse_fulltext(sql: str) -> tuple[str, list[dict], bool]:
+def parse_fulltext(sql: str) -> tuple[str, list[dict], bool, list[bool]]:
     """Extract fulltext predicates from an ES-SQL statement.
 
-    Returns (statement with each call replaced by TRUE and SCORE() by
-    the join column, clause dicts, uses_score). AND-combination only —
-    a fulltext predicate under OR / NOT has no single scored-join
-    rewrite and raises loudly (the reference's planner folds those into
-    the query DSL tree; out of scope here, documented)."""
+    Returns (statement with the i-th call replaced by the marker
+    ``__ft_m{i}`` and SCORE() by ``__ft_score``, clause dicts,
+    uses_score, negated-flags). ``negated[i]`` is True when the call
+    sits directly under NOT — those clauses match must_not semantics
+    and contribute nothing to SCORE() (QueryTranslator folds them into
+    the bool tree with no score contribution)."""
     clauses: list[dict] = []
+    negated: list[bool] = []
     out: list[str] = []
     pos = 0
     for m in _FT_CALL.finditer(sql):
@@ -170,23 +172,27 @@ def parse_fulltext(sql: str) -> tuple[str, list[dict], bool]:
         end = _scan_call(sql, m.end() - 1)
         argtext = sql[m.end():end - 1]
         clauses.append(_fulltext_clause(m.group(1).upper(), _split_args(argtext)))
+        negated.append(bool(re.search(r"\bNOT\s*$", sql[:m.start()],
+                                      re.IGNORECASE)))
         out.append(sql[pos:m.start()])
-        out.append("TRUE")
+        out.append(f"__ft_m{len(clauses) - 1}")
         pos = end
     out.append(sql[pos:])
     rewritten = "".join(out)
-    if clauses:
-        where = re.search(r"\bWHERE\b(.*?)(\bGROUP\b|\bORDER\b|\bLIMIT\b|$)",
-                          sql, re.IGNORECASE | re.DOTALL)
-        wtext = where.group(1) if where else ""
-        if re.search(r"\bOR\b", wtext, re.IGNORECASE) or re.search(
-                r"\bNOT\s+(MATCH|QUERY)\s*\(", wtext, re.IGNORECASE):
-            raise ValueError(
-                "fulltext predicates support AND-combination only "
-                "(OR / NOT MATCH would need DSL-tree planning)")
     uses_score = bool(_SCORE_CALL.search(rewritten))
-    rewritten = _SCORE_CALL.sub("_ft._score", rewritten)
-    return rewritten, clauses, uses_score
+    rewritten = _SCORE_CALL.sub("__ft_score", rewritten)
+    return rewritten, clauses, uses_score, negated
+
+
+def _tree_mode(sql: str) -> bool:
+    """True when the WHERE clause combines fulltext predicates with OR
+    or NOT — those need the general left-join bool-tree plan; a plain
+    AND conjunction keeps the pruning inner-join fast path."""
+    where = re.search(r"\bWHERE\b(.*?)(\bGROUP\b|\bORDER\b|\bLIMIT\b|$)",
+                      sql, re.IGNORECASE | re.DOTALL)
+    wtext = where.group(1) if where else ""
+    return bool(re.search(r"\bOR\b", wtext, re.IGNORECASE)) or bool(
+        re.search(r"\bNOT\s+(MATCH|QUERY)\s*\(", wtext, re.IGNORECASE))
 
 
 def essql_fulltext(
@@ -203,17 +209,29 @@ def essql_fulltext(
     engine, rewrite the statement to join the scored frame, run the
     relational remainder on Catalyst.
 
-    Multiple fulltext predicates AND-combine like a bool must: scores
-    sum over clauses and a doc must match every clause (inner joins on
-    ``doc_id``) — BooleanQuery conjunction scoring, which commutes with
-    the relational WHERE because BM25 uses index-wide stats."""
+    An AND-only conjunction takes the pruning fast path: a doc must
+    match every clause, so the scored frames inner-join on ``doc_id``
+    and scores sum — BooleanQuery conjunction scoring, which commutes
+    with the relational WHERE because BM25 uses index-wide stats.
+
+    OR / NOT combinations take the general bool-tree plan (the
+    reference folds these into the query DSL tree,
+    planner/QueryTranslator.java): every clause is scored
+    independently, one union + groupBy builds a per-doc flag/score
+    frame ``_ft(doc_id, s0..sk, _score)`` in a single shuffle, the
+    statement LEFT-joins it (docs matching no clause must survive for
+    NOT), each call site becomes ``s{i} IS NOT NULL`` and SCORE() the
+    sum of matched non-negated clause scores — must_not contributes
+    nothing, per Lucene bool scoring."""
+    from functools import reduce
+
     from elasticsearch_spark.search.api import _scored_df
     from elasticsearch_spark.search.bm25 import BM25Params
     from elasticsearch_spark.search.query_string import parse_query_string
     from pyspark.sql import functions as F
 
     params = params or BM25Params()
-    rewritten, clauses, _ = parse_fulltext(sql)
+    rewritten, clauses, _, negated = parse_fulltext(sql)
     if not clauses:
         return essql(spark, sql, sf_dir, tables=tables)
 
@@ -227,30 +245,65 @@ def essql_fulltext(
             resolved.append(qdict)
         else:
             resolved.append(c)
-    scored = _scored_df(index, resolved[0], params)
-    for extra in resolved[1:]:
-        nxt = _scored_df(index, extra, params).withColumnRenamed("score", "s2")
-        scored = (scored.join(nxt, "doc_id")
-                  .withColumn("score", F.col("score") + F.col("s2"))
-                  .drop("s2"))
-    scored.select(F.col("doc_id").alias(id_col),
-                  F.col("score").alias("_score")
-                  ).createOrReplaceTempView("_ft")
 
-    # join the scored frame into the (single, simple) FROM table
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+    if not _tree_mode(sql):
+        # fast path: inner join prunes the scan to matching docs
+        scored = _scored_df(index, resolved[0], params)
+        for extra in resolved[1:]:
+            nxt = _scored_df(index, extra, params
+                             ).withColumnRenamed("score", "s2")
+            scored = (scored.join(nxt, "doc_id")
+                      .withColumn("score", F.col("score") + F.col("s2"))
+                      .drop("s2"))
+        scored.select(F.col("doc_id").alias(id_col),
+                      F.col("score").alias("_score")
+                      ).createOrReplaceTempView("_ft")
+        rewritten = re.sub(r"__ft_m\d+", "TRUE", rewritten)
+        rewritten = rewritten.replace("__ft_score", "_ft._score")
+        join_kw = "JOIN"
+    else:
+        # bool-tree plan: one flag/score column per clause, one shuffle
+        frames = [
+            _scored_df(index, c, params).select(
+                "doc_id", F.lit(i).alias("cid"), "score")
+            for i, c in enumerate(resolved)
+        ]
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        aggs = [F.max(F.when(F.col("cid") == i, F.col("score"))
+                      ).alias(f"s{i}") for i in range(len(resolved))]
+        ft = u.groupBy("doc_id").agg(*aggs)
+        pos_scores = [F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+                      for i, neg in enumerate(negated) if not neg]
+        total = pos_scores[0] if pos_scores else F.lit(0.0)
+        for e in pos_scores[1:]:
+            total = total + e
+        ft = ft.withColumn("_score", total)
+        ft.withColumnRenamed("doc_id", id_col
+                             ).createOrReplaceTempView("_ft")
+        # descending so __ft_m1 can't clobber the prefix of __ft_m10
+        for i in reversed(range(len(resolved))):
+            rewritten = rewritten.replace(
+                f"__ft_m{i}", f"(_ft.s{i} IS NOT NULL)")
+        rewritten = rewritten.replace(
+            "__ft_score", "COALESCE(_ft._score, 0.0)")
+        join_kw = "LEFT JOIN"
+
+    # splice the _ft join into the (single, simple) FROM table — the
+    # match is recomputed AFTER marker substitution so offsets are live
     frm = re.search(
         r"\bFROM\s+([A-Za-z_][\w]*)(\s+(?:AS\s+)?(?!WHERE|GROUP|ORDER|LIMIT|JOIN|ON\b)([A-Za-z_][\w]*))?",
         rewritten, re.IGNORECASE)
     if not frm:
         raise ValueError("fulltext statements need a simple FROM <table>")
-    table, alias = frm.group(1), frm.group(3) or frm.group(1)
+    alias = frm.group(3) or frm.group(1)
     joined = (f"FROM {frm.group(0)[5:].strip()} "
-              f"JOIN _ft ON {alias}.{id_col} = _ft.{id_col}")
+              f"{join_kw} _ft ON {alias}.{id_col} = _ft.{id_col}")
     rewritten = rewritten[:frm.start()] + joined + rewritten[frm.end():]
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            spark.read.parquet(p).createOrReplaceTempView(t)
     return spark.sql(rewritten)
 
 

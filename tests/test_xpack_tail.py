@@ -92,17 +92,18 @@ def test_parse_fulltext_extracts_and_rewrites():
 
     sql = ("SELECT doc_id, SCORE() FROM documents "
            "WHERE MATCH(text, 'a b', 'operator=and') AND lang = 'en'")
-    rewritten, clauses, uses_score = parse_fulltext(sql)
+    rewritten, clauses, uses_score, negated = parse_fulltext(sql)
     assert clauses == [{"match": {"text": {"query": "a b",
                                            "operator": "and"}}}]
-    assert "MATCH" not in rewritten and "TRUE" in rewritten
-    assert uses_score and "_ft._score" in rewritten
+    assert "MATCH" not in rewritten and "__ft_m0" in rewritten
+    assert uses_score and "__ft_score" in rewritten
+    assert negated == [False]
 
 
 def test_parse_fulltext_multi_field_and_query():
     from elasticsearch_spark.ops.essql import parse_fulltext
 
-    _, clauses, _ = parse_fulltext(
+    _, clauses, _, _ = parse_fulltext(
         "SELECT 1 FROM documents WHERE MATCH('text,source', 'x') "
         "AND QUERY('a AND b')")
     assert clauses[0] == {"multi_match": {
@@ -110,19 +111,22 @@ def test_parse_fulltext_multi_field_and_query():
     assert clauses[1] == {"_query_string": {"query": "a AND b"}}
 
 
-def test_parse_fulltext_rejects_or_and_not():
-    from elasticsearch_spark.ops.essql import parse_fulltext
+def test_parse_fulltext_or_and_not_flags():
+    from elasticsearch_spark.ops.essql import _tree_mode, parse_fulltext
 
-    with pytest.raises(ValueError, match="AND-combination"):
-        parse_fulltext("SELECT 1 FROM t WHERE MATCH(text, 'x') OR lang='en'")
-    with pytest.raises(ValueError, match="AND-combination"):
-        parse_fulltext("SELECT 1 FROM t WHERE NOT MATCH(text, 'x')")
+    assert _tree_mode("SELECT 1 FROM t WHERE MATCH(text, 'x') OR lang='en'")
+    assert _tree_mode("SELECT 1 FROM t WHERE NOT MATCH(text, 'x')")
+    assert not _tree_mode(
+        "SELECT 1 FROM t WHERE MATCH(text, 'x') AND lang='en'")
+    _, _, _, negated = parse_fulltext(
+        "SELECT 1 FROM t WHERE MATCH(text, 'x') AND NOT MATCH(source, 'y')")
+    assert negated == [False, True]
 
 
 def test_parse_fulltext_quoted_commas_and_escapes():
     from elasticsearch_spark.ops.essql import parse_fulltext
 
-    _, clauses, _ = parse_fulltext(
+    _, clauses, _, _ = parse_fulltext(
         "SELECT 1 FROM t WHERE MATCH(text, 'a, b''s (c)')")
     assert clauses == [{"match": {"text": {"query": "a, b's (c)"}}}]
 
