@@ -91,7 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
-    "essql_match_or", "essql_not_match",
+    "essql_match_or", "essql_not_match", "match_after_split",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -2917,6 +2917,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, ESSQL_FT_NOT, d, _doc_index(s, d), params=_EXACT)
 
     q["essql_not_match"] = essql_not_match_q
+
+    # _split (ShardSplittingQuery analogue): decode -> re-route ->
+    # re-encode at 2x shards, no re-analysis; global stats copy
+    # verbatim so BM25 scores are bit-identical — certified by running
+    # the standard match oracle against the SPLIT index.
+    def match_after_split_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.resize import split_index
+
+        idx = _doc_index(s, d)
+        tag = os.path.abspath(d).strip("/").replace("/", "_")
+        path = os.path.join(_SCRATCH, f"docindex_{tag}_v12_split")
+        if not os.path.exists(os.path.join(path, "index_meta.json")):
+            split_index(s, idx.path, path, _INDEX_PARTS * 2)
+        sidx = load_index(s, path)
+        terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+        out = match_topk(sidx, "text", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_after_split"] = match_after_split_q
 
     # -- ML single-metric anomaly detection (x-pack ml, MAD analogue):
     #    bucket -> median/MAD broadcast -> per-bucket score
@@ -6096,6 +6115,10 @@ WHERE s0 IS NOT NULL AND s1 IS NULL
 ORDER BY coalesce(s0, 0) DESC, doc_id ASC
 LIMIT 10
 """
+
+    # _split preserves scores bit-identically, so the SPLIT index must
+    # reproduce the plain match oracle
+    o["match_after_split"] = _bm25_oracle("table scan merge")
 
     # ML single-metric: the shared MAD pipeline builder, day buckets
     from elasticsearch_spark.ops.anomaly import (

@@ -67,3 +67,45 @@ def test_index_stats(spark, src_idx):
     for p in st["partitions"]:
         assert {"partition_id", "num_docs", "num_terms",
                 "num_postings"} <= set(p)
+
+def test_split_rank_identity(spark, src_idx, tmp_path):
+    """_split: decode -> re-route -> re-encode, no re-analysis. Scores
+    are bit-identical because global stats copy verbatim."""
+    from elasticsearch_spark.ops.resize import split_index
+    from elasticsearch_spark.search.extras import termvectors
+
+    dst = str(tmp_path / "split")
+    meta = split_index(spark, src_idx, dst, 16)
+    assert meta["num_partitions"] == 16
+    assert meta["split_from"]["num_partitions"] == 8
+    terms = [t for t, _ in analyze("table scan merge", "ascii_word")]
+    a = match_topk(load_index(spark, src_idx), "text", terms, k=10).collect()
+    b = match_topk(load_index(spark, dst), "text", terms, k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in b]
+    # single-doc routed lookup resolves under the NEW partition count
+    some_id = a[0]["doc_id"]
+    tv = termvectors(load_index(spark, dst), "text", int(some_id)).collect()
+    assert tv
+    # every posting row actually re-routed: part_id == xxhash64(doc) % 16
+    idx2 = load_index(spark, dst)
+    from elasticsearch_spark.search.executor import decoded_postings
+    bad = (decoded_postings(idx2, "text")
+           .filter(F.col("part_id") != F.pmod(
+               F.xxhash64(F.col("doc_id")), F.lit(16)).cast("int"))
+           .count())
+    assert bad == 0
+    # index_stats derives from the recomputed markers
+    from elasticsearch_spark.index.builder import index_stats
+    st = index_stats(idx2)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert st["totals"]["docs"] == docs
+
+
+def test_split_validation(spark, src_idx, tmp_path):
+    from elasticsearch_spark.ops.resize import split_index
+
+    with pytest.raises(ValueError, match="multiple"):
+        split_index(spark, src_idx, str(tmp_path / "x"), 12)
+    with pytest.raises(ValueError, match="multiple"):
+        split_index(spark, src_idx, str(tmp_path / "y"), 8)
