@@ -92,6 +92,7 @@ _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
+    "ml_forecast",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -3036,6 +3037,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_anomaly").orderBy("bucket", "entity")
 
     q["ml_population_anomaly"] = ml_population_anomaly_q
+
+    # forecast: Holt linear-trend projection of the modelled series
+    # (TransportForecastJobAction) — fit folds in ONE F.aggregate
+    def ml_forecast_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import forecast_job
+
+        ev = _t(s, d, "events")
+        out = forecast_job(ev, span="day", horizon=7)
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("forecast", 4).alias("forecast"),
+            F.round("lower", 4).alias("lower"),
+            F.round("upper", 4).alias("upper")).orderBy("bucket")
+
+    q["ml_forecast"] = ml_forecast_q
 
     # -- scaled_float (mapper-extras): integer-exact aggregation over
     #    the scaled longs, one division at the end
@@ -6178,6 +6194,16 @@ SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        entity::BIGINT AS entity,
        round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
 FROM r ORDER BY bucket, entity
+"""
+
+    from elasticsearch_spark.ops.anomaly import forecast_job_sql
+
+    o["ml_forecast"] = f"""
+WITH r AS ({forecast_job_sql(span='day', horizon=7)})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(forecast, 4) AS forecast,
+       round(lower, 4) AS lower, round(upper, 4) AS upper
+FROM r ORDER BY bucket
 """
 
     # scaled_float: identical integer-exact pipeline

@@ -233,3 +233,114 @@ def rare_anomalies_sql(
 SELECT {sel}, count(*)::BIGINT AS count, 1.0 / count(*) AS score
 FROM {table} GROUP BY {sel} HAVING count(*) <= {max_count}
 """
+
+
+# ---------------------------------------------------------------------
+# Forecasting (x-pack/plugin/ml/.../action/TransportForecastJobAction)
+# ---------------------------------------------------------------------
+# The reference forecasts a job's modelled series forward `duration`
+# from the model state. The Spark shape: bucket the series (one
+# shuffle), fold the ENTIRE Holt double-exponential fit — level, trend,
+# and one-step-ahead residual sum-of-squares — in ONE F.aggregate over
+# the time-sorted bucket array (pure codegen, no driver loop, no UDF),
+# then explode `horizon` forecast rows with Gaussian bounds
+# level + h*trend ± z * rmse * sqrt(h). The smoothing recursion matches
+# aggs/movefn.py _holt (MovingFunctions.holt), seeded s1=v1, b1=0.
+
+_SPAN_INTERVAL = {"hour": "make_interval(0,0,0,0,CAST(h AS INT),0,0)",
+                  "day": "make_interval(0,0,0,CAST(h AS INT),0,0,0)"}
+
+
+def forecast_job(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value",
+    span: str = "day", horizon: int = 7,
+    alpha: float = 0.3, beta: float = 0.1, z: float = 1.96,
+) -> DataFrame:
+    b = single_metric_buckets(df, ts_col, value_col, span)
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("bucket"), F.col("metric").cast("double").alias("v"))))
+    one = b.agg(arr.alias("series"))
+
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("s"),
+        F.lit(None).cast("double").alias("b"),
+        F.lit(0.0).alias("ss"),     # sum of squared 1-step residuals
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(a, x):
+        v = x["v"]
+        first = a["s"].isNull()
+        pred = a["s"] + a["b"]
+        s = F.when(first, v).otherwise(
+            F.lit(alpha) * v + F.lit(1 - alpha) * pred)
+        tr = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(beta) * (s - a["s"]) + F.lit(1 - beta) * a["b"])
+        ss = F.when(first, a["ss"]).otherwise(
+            a["ss"] + (v - pred) * (v - pred))
+        n = a["n"] + F.when(first, F.lit(0)).otherwise(F.lit(1))
+        return F.struct(s.alias("s"), tr.alias("b"),
+                        ss.alias("ss"), n.alias("n"))
+
+    fit = one.select(
+        F.element_at("series", -1)["bucket"].alias("last_bucket"),
+        F.aggregate("series", acc0, step).alias("f"),
+    ).select(
+        "last_bucket", F.col("f.s").alias("s"), F.col("f.b").alias("b"),
+        F.when(F.col("f.n") > 0,
+               F.sqrt(F.col("f.ss") / F.col("f.n"))
+               ).otherwise(F.lit(0.0)).alias("rmse"),
+    )
+    if span not in _SPAN_INTERVAL:
+        raise ValueError(f"forecast span {span!r}: use hour or day")
+    h = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    out = fit.select("last_bucket", "s", "b", "rmse", h)
+    yhat = F.col("s") + F.col("h") * F.col("b")
+    band = F.lit(z) * F.col("rmse") * F.sqrt(F.col("h").cast("double"))
+    return out.select(
+        F.expr(f"last_bucket + {_SPAN_INTERVAL[span]}").alias("bucket"),
+        yhat.alias("forecast"),
+        (yhat - band).alias("lower"),
+        (yhat + band).alias("upper"),
+    )
+
+
+def forecast_job_sql(
+    table: str = "events", ts_col: str = "ts", value_col: str = "value",
+    span: str = "day", horizon: int = 7,
+    alpha: float = 0.3, beta: float = 0.1, z: float = 1.96,
+) -> str:
+    """DuckDB twin: the same Holt recursion as a recursive CTE (one row
+    per bucket ordinal), the same seeded s1=v1 / b1=0, the same rmse
+    over 1-step residuals, projected `horizon` steps."""
+    iv = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[span]
+    return f"""
+WITH RECURSIVE bkt AS (
+  SELECT date_trunc('{span}', {ts_col}) AS bucket,
+         sum({value_col})::DOUBLE AS v
+  FROM {table} GROUP BY 1),
+ord AS (SELECT bucket, v,
+               row_number() OVER (ORDER BY bucket) AS rn FROM bkt),
+fit AS (
+  SELECT rn, v, v AS s, 0.0::DOUBLE AS b, 0.0::DOUBLE AS ss
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.v,
+         {alpha} * o.v + {1 - alpha} * (f.s + f.b),
+         {beta} * ({alpha} * o.v + {1 - alpha} * (f.s + f.b) - f.s)
+           + {1 - beta} * f.b,
+         f.ss + (o.v - (f.s + f.b)) * (o.v - (f.s + f.b))
+  FROM fit f JOIN ord o ON o.rn = f.rn + 1),
+last_fit AS (
+  SELECT f.s, f.b, f.ss, f.rn, o.bucket AS last_bucket,
+         CASE WHEN f.rn > 1 THEN sqrt(f.ss / (f.rn - 1))
+              ELSE 0.0 END AS rmse
+  FROM fit f JOIN ord o ON o.rn = f.rn
+  ORDER BY f.rn DESC LIMIT 1),
+steps AS (SELECT unnest(range(1, {int(horizon)} + 1)) AS h)
+SELECT last_bucket + h * {iv} AS bucket,
+       s + h * b AS forecast,
+       s + h * b - {z} * rmse * sqrt(h) AS lower,
+       s + h * b + {z} * rmse * sqrt(h) AS upper
+FROM last_fit, steps
+"""

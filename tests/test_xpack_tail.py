@@ -293,3 +293,47 @@ def test_gaussian_nb_sql_twin_matches(spark):
                           prelude="t AS (SELECT * FROM t_src), ")
     want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_forecast_job_matches_numpy_holt(spark):
+    """forecast_job's one-F.aggregate Holt fit == the plain-Python
+    recursion (seeded s1=v1, b1=0), bounds = z*rmse*sqrt(h)."""
+    import math
+
+    from elasticsearch_spark.ops.anomaly import forecast_job
+
+    vals = [10.0, 14.0, 11.0, 18.0, 16.0, 22.0, 19.0, 25.0]
+    rows = [(f"2024-01-{i+1:02d} 03:00:00", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value")
+    got = {r["bucket"].strftime("%Y-%m-%d"): r
+           for r in forecast_job(df, span="day", horizon=3,
+                                 alpha=0.3, beta=0.1).collect()}
+
+    s, b, ss, n = vals[0], 0.0, 0.0, 0
+    for v in vals[1:]:
+        pred = s + b
+        ss += (v - pred) ** 2
+        n += 1
+        s_new = 0.3 * v + 0.7 * pred
+        b = 0.1 * (s_new - s) + 0.9 * b
+        s = s_new
+    rmse = math.sqrt(ss / n)
+    assert set(got) == {"2024-01-09", "2024-01-10", "2024-01-11"}
+    for h in (1, 2, 3):
+        r = got[f"2024-01-{8+h:02d}"]
+        yhat = s + h * b
+        assert abs(r["forecast"] - yhat) < 1e-9
+        assert abs(r["upper"] - (yhat + 1.96 * rmse * math.sqrt(h))) < 1e-9
+        assert abs(r["lower"] - (yhat - 1.96 * rmse * math.sqrt(h))) < 1e-9
+
+
+def test_forecast_job_single_bucket_zero_band(spark):
+    from elasticsearch_spark.ops.anomaly import forecast_job
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 5.0)], "ts string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = forecast_job(df, span="hour", horizon=2).collect()
+    assert [round(r["forecast"], 9) for r in out] == [5.0, 5.0]
+    assert all(r["lower"] == r["upper"] == r["forecast"] for r in out)
