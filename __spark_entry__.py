@@ -92,7 +92,7 @@ _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
-    "ml_forecast",
+    "ml_forecast", "ann_int8_topk",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -2131,6 +2131,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
     q["ann_cosine_topk"] = ann_cosine
+
+    # int8 scalar-quantized knn (Lucene ScalarQuantizer two-phase):
+    # integer-dot candidate scan over in-plan codes -> exact rescore
+    def ann_int8(s, d):
+        emb = _t(s, d, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = similarity.quantized_topk(emb, list(qvec), k=10, oversample=3)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    q["ann_int8_topk"] = ann_int8
 
     def ann_batch(s, d):
         emb = _t(s, d, "embeddings")
@@ -5430,6 +5440,50 @@ s AS (
   FROM embeddings, q)
 SELECT vec_id, round(cosine, 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # int8 quantized knn: the twin replays BOTH phases — unit-normalize
+    # (Lucene cosine), quantize to floor((v-vmin)/scale + .5) codes
+    # (floor, not round: HALF_UP vs banker's would diverge), rank by the
+    # integer dot, then exact-rescore the 30 candidates
+    o["ann_int8_topk"] = """
+WITH nz AS (
+  SELECT vec_id, embedding,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS nv
+  FROM embeddings),
+s AS (SELECT min(list_aggregate(nv, 'min')) AS vmin,
+             max(list_aggregate(nv, 'max')) AS vmax
+      FROM nz),
+q AS (SELECT embedding::DOUBLE[] AS qv, nv AS nqv
+      FROM nz WHERE vec_id = 0),
+qz AS (SELECT list_transform(
+                nqv,
+                x -> greatest(0, least(255,
+                       floor((x - vmin) / ((vmax - vmin) / 255.0) + 0.5)))
+              ) AS qc, qv
+       FROM q, s),
+cand AS (
+  SELECT n.vec_id, n.embedding,
+         list_dot_product(cd.c, qz.qc)
+           + (vmin / ((vmax - vmin) / 255.0)) * list_sum(cd.c) AS qdot
+  FROM nz n, s, qz,
+       LATERAL (SELECT list_transform(
+                  n.nv,
+                  x -> floor((x - vmin) / ((vmax - vmin) / 255.0) + 0.5)
+                ) AS c) cd
+  ORDER BY qdot DESC, n.vec_id ASC LIMIT 30),
+r AS (
+  SELECT c.vec_id,
+         list_dot_product(c.embedding::DOUBLE[], qz.qv)
+           / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(qz.qv, qz.qv))) AS cosine
+  FROM cand c, qz)
+SELECT vec_id, round(cosine, 6) AS cosine
+FROM r ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
     o["vector_l2norm_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2),
