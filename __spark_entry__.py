@@ -92,7 +92,7 @@ _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
-    "ml_forecast", "ann_int8_topk",
+    "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -300,6 +300,11 @@ ESSQL_FT_OR = (
     "WHERE (MATCH(text, 'spark query', 'operator=and') "
     "OR MATCH(source, 'src5')) AND d.lang = 'en' "
     "ORDER BY SCORE() DESC, d.doc_id ASC LIMIT 10"
+)
+ESSQL_HIST = (
+    "SELECT HISTOGRAM(ts, INTERVAL 1 DAY) AS day, "
+    "HISTOGRAM(value, 50) AS bin, count(*) AS n "
+    "FROM events GROUP BY day, bin ORDER BY day, bin"
 )
 ESSQL_FT_NOT = (
     "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
@@ -2913,6 +2918,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["essql_query"] = essql_query_q
 
+    # HISTOGRAM() grouping function -> portable date_trunc/floor rewrite
+    def essql_histogram_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql
+
+        out = essql(s, ESSQL_HIST, d)
+        return out.select(
+            F.col("day").cast("string").alias("day"), "bin", "n")
+
+    q["essql_histogram"] = essql_histogram_q
+
     def essql_match_or_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.essql import essql_fulltext
 
@@ -3652,6 +3667,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("n_tokens").alias("tokens"))
 
     q["pack_sequences"] = pack_sequences_q
+
+    # semantic_text-style chunking: overlapping word windows, pure
+    # Catalyst one-projection stage (no shuffle / UDF)
+    def chunk_documents_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.dataset import chunk_documents
+
+        out = chunk_documents(_t(s, d, "documents"), size=24, overlap=8)
+        return out.select("doc_id", "chunk_id", "n_tokens", "chunk")
+
+    q["chunk_documents"] = chunk_documents_q
 
     def repetition_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.text import repetition_signals
@@ -6190,6 +6215,17 @@ LIMIT 10
     # reproduce the plain match oracle
     o["match_after_split"] = _bm25_oracle("table scan merge")
 
+    # HISTOGRAM(): the twin is the portable rewrite itself (DuckDB's
+    # own histogram() is an unrelated aggregate, so the raw ES-SQL
+    # can't run there verbatim)
+    from elasticsearch_spark.ops.essql import rewrite_histogram
+
+    o["essql_histogram"] = f"""
+WITH r AS ({rewrite_histogram(ESSQL_HIST)})
+SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day, bin, n::BIGINT AS n
+FROM r ORDER BY day, bin
+"""
+
     # ML single-metric: the shared MAD pipeline builder, day buckets
     from elasticsearch_spark.ops.anomaly import (
         multi_metric_anomalies_sql,
@@ -6766,6 +6802,10 @@ SELECT lang, pack_id, count(*)::BIGINT AS docs,
        sum(n_tokens)::BIGINT AS tokens
 FROM p GROUP BY 1, 2
 """
+
+    from elasticsearch_spark.ops.dataset import chunk_documents_sql
+
+    o["chunk_documents"] = chunk_documents_sql(size=24, overlap=8)
 
     # Gopher repetition heuristics: lines via split+trim, bigrams via
     # position self-join; identical rounding

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dataset_split", "dataset_split_sql", "pack_sequences",
-           "pack_sequences_sql"]
+           "pack_sequences_sql", "chunk_documents", "chunk_documents_sql"]
 
 
 def _bucket_expr(id_col: str, seed: str):
@@ -129,3 +129,80 @@ def pack_sequences_sql(
         f"ORDER BY {order_col} ASC ROWS BETWEEN UNBOUNDED PRECEDING "
         f"AND 1 PRECEDING), 0) / {int(max_tokens)}) AS BIGINT)"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    semantic_text-style chunking step in front of embedding / inference
+    (reference analogue: the inference processor's chunking settings).
+
+    Chunks start every ``size - overlap`` words until the remaining
+    tail is fully covered; the last chunk may be shorter. Pure Catalyst
+    (regexp tokenize + sequence + slice inside one projection): chunking
+    N docs is one narrow map stage — no shuffle, no UDF — so it
+    pipelines straight into whatever consumes the chunks at 100 TB.
+
+    Returns (id, chunk_id, n_tokens, chunk) with chunk_id counting from
+    0 in document order and chunk = the space-joined word window
+    (whitespace runs collapse — documented, offsets are word-level not
+    byte-level)."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    toks = F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_toks") - overlap - 1, F.lit(0)),
+        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(stride)).cast("int").alias("chunk_id"),
+            F.slice(F.col("_toks"), s + 1, size).alias("w"),
+        ),
+    )
+    return (
+        d.where(F.size("_toks") > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_id"),
+            F.size("c.w").alias("n_tokens"),
+            F.array_join("c.w", " ").alias("chunk"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    size: int = 128,
+    overlap: int = 32,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same tokenizer regex,
+    same stride/window arithmetic)."""
+    stride = size - overlap
+    return f"""
+WITH t AS (
+  SELECT {id_col}, regexp_extract_all({text_col}, '\\S+') AS toks
+  FROM {table}),
+s AS (
+  SELECT {id_col}, toks,
+         unnest(range(0, greatest(len(toks) - {overlap}, 1), {stride}))
+           AS st
+  FROM t WHERE len(toks) > 0)
+SELECT {id_col},
+       (st // {stride})::INT AS chunk_id,
+       len(list_slice(toks, st + 1, st + {size}))::INT AS n_tokens,
+       array_to_string(list_slice(toks, st + 1, st + {size}), ' ')
+         AS chunk
+FROM s
+"""

@@ -35,11 +35,42 @@ def essql(
     meta = essql_meta(spark, sql, sf_dir, tables)
     if meta is not None:
         return meta
+    sql = rewrite_histogram(sql)
     for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(t)
     return spark.sql(sql)
+
+
+# ES-SQL HISTOGRAM() grouping function (x-pack/plugin/sql/.../expression/
+# function/grouping/Histogram.java): HISTOGRAM(ts, INTERVAL 1 DAY)
+# buckets timestamps, HISTOGRAM(col, step) buckets numerics. Both
+# rewrite to portable SQL (date_trunc / floor arithmetic) that Catalyst
+# folds into an ordinary GROUP BY — the reference translates it to a
+# date_histogram/histogram agg the same way.
+_HIST_CALL = re.compile(
+    r"\bHISTOGRAM\s*\(\s*([\w.]+)\s*,\s*"
+    r"(?:INTERVAL\s+(\d+)\s+(\w+)|([0-9]+(?:\.[0-9]+)?))\s*\)",
+    re.IGNORECASE)
+_HIST_UNITS = {"minute", "hour", "day", "week", "month", "quarter",
+               "year"}
+
+
+def rewrite_histogram(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        col = m.group(1)
+        if m.group(4) is not None:  # numeric step
+            step = m.group(4)
+            return f"(CAST(floor({col} / {step}) AS BIGINT) * {step})"
+        n, unit = int(m.group(2)), m.group(3).lower()
+        if n != 1 or unit not in _HIST_UNITS:
+            raise ValueError(
+                f"HISTOGRAM interval {n} {unit}: only 1-unit calendar "
+                f"intervals {sorted(_HIST_UNITS)} rewrite portably")
+        return f"date_trunc('{unit}', {col})"
+
+    return _HIST_CALL.sub(sub, sql)
 
 
 # ---------------------------------------------------------------------

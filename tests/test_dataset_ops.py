@@ -162,3 +162,29 @@ def test_dedup_clusters_keep_best(spark):
     # no score: lowest id wins
     kept2 = dedup_clusters_keep_best(docs, comps)
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 10, 99]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunks stride by size-overlap, cover every token, and the last
+    chunk may be short; empty docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.dataset import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "   ")], "doc_id long, text string")
+    out = chunk_documents(df, size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    # short doc: one (short) chunk; whitespace-only doc: nothing
+    assert [r["chunk"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc
+    with __import__("pytest").raises(ValueError, match="overlap"):
+        chunk_documents(df, size=4, overlap=4)

@@ -337,3 +337,15 @@ def test_forecast_job_single_bucket_zero_band(spark):
     out = forecast_job(df, span="hour", horizon=2).collect()
     assert [round(r["forecast"], 9) for r in out] == [5.0, 5.0]
     assert all(r["lower"] == r["upper"] == r["forecast"] for r in out)
+
+
+def test_rewrite_histogram():
+    from elasticsearch_spark.ops.essql import rewrite_histogram
+
+    assert rewrite_histogram(
+        "SELECT HISTOGRAM(ts, INTERVAL 1 DAY) AS d FROM t GROUP BY d"
+    ) == "SELECT date_trunc('day', ts) AS d FROM t GROUP BY d"
+    assert rewrite_histogram("HISTOGRAM(value, 50)") == \
+        "(CAST(floor(value / 50) AS BIGINT) * 50)"
+    with pytest.raises(ValueError, match="1-unit"):
+        rewrite_histogram("HISTOGRAM(ts, INTERVAL 3 DAY)")
