@@ -93,6 +93,7 @@ _R05_PRIORITY = (
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
+    "rollup_search",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -1255,6 +1256,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rollup_hourly"] = rollup_hourly_q
+
+    # _rollup_search: a DAY-granularity agg answered FROM the hourly
+    # summary by merging partials — certified against the direct
+    # day-aggregation of the raw events (RollupResponseTranslator)
+    def rollup_search_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.rollup import rollup, rollup_search
+
+        # integer-exact pipeline (the scaled_float convention): cents
+        # keep partial-merge sums exact, so avg-from-partials is
+        # bit-identical across engines regardless of summation order
+        ev = _t(s, d, "events").withColumn(
+            "value_c", F.round(F.col("value") * 100).cast("long"))
+        mets = {"value_c": ["sum", "min", "max", "avg", "value_count"]}
+        hourly = rollup(ev, "ts", "1 hour", ["event_type"], mets)
+        out = rollup_search(hourly, interval="day",
+                            group_cols=["event_type"], metrics=mets)
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            "event_type", "_doc_count",
+            F.round(F.col("value_c_sum") / 100.0, 2).alias("value_sum"),
+            F.round(F.col("value_c_min") / 100.0, 2).alias("value_min"),
+            F.round(F.col("value_c_max") / 100.0, 2).alias("value_max"),
+            F.round(F.col("value_c_avg") / 100.0, 6).alias("value_avg"),
+            F.col("value_c_value_count").alias("value_value_count"))
+
+    q["rollup_search"] = rollup_search_q
 
     def transform_pivot_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.rollup import transform_pivot
@@ -4525,6 +4552,26 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket_ts,
        round(sum(value), 2) AS value_sum,
        count(value) AS value_value_count
 FROM events
+GROUP BY 1, 2
+"""
+
+    # rollup_search: the direct day-granularity aggregation IS the
+    # contract — merged hourly partials must reproduce it exactly
+    o["rollup_search"] = """
+WITH c AS (
+  SELECT ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       count(*)::BIGINT AS _doc_count,
+       round(sum(value_c) / 100.0, 2) AS value_sum,
+       round(min(value_c) / 100.0, 2) AS value_min,
+       round(max(value_c) / 100.0, 2) AS value_max,
+       round(sum(value_c)::DOUBLE / count(value_c) / 100.0, 6)
+         AS value_avg,
+       count(value_c)::BIGINT AS value_value_count
+FROM c
 GROUP BY 1, 2
 """
 

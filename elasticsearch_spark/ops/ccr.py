@@ -60,6 +60,10 @@ def assert_writable(index_dir: str) -> None:
         raise ValueError(
             f"{index_dir} is a snapshot (read-only); restore_index to a "
             "new directory to write")
+    if os.path.exists(os.path.join(index_dir, "frozen.json")):
+        # x-pack frozen-indices: frozen = write-blocked, still searchable
+        raise ValueError(
+            f"{index_dir} is frozen (read-only); unfreeze_index first")
 
 
 def _leader_batches(leader_dir: str) -> list[int]:

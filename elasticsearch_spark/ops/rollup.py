@@ -291,3 +291,45 @@ def read_rollup(spark: SparkSession, dest: str) -> DataFrame:
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1).drop("_rn", "_sync_id")
     )
+
+
+def rollup_search(
+    summary: DataFrame,
+    interval: str | None = None,
+    group_cols: list[str] = (),
+    metrics: dict[str, list[str]] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """_rollup_search: answer a live aggregation request FROM the
+    summary index by merging partials (reference: x-pack/plugin/rollup
+    RollupResponseTranslator.java — sum-of-sums, min-of-mins,
+    max-of-maxes, count-of-counts, avg recombined from its sum+count
+    pair, never averaged averages; RollupJobIdentifierUtils requires
+    the query interval to be >= and a multiple of the job's — here
+    ``interval`` is a calendar unit name (e.g. "day") re-truncating the
+    stored finer buckets, which satisfies that rule by construction).
+
+    One exchange on the coarser keys over the (already tiny) summary —
+    the whole point at 100 TB: the raw corpus is never re-scanned."""
+    metrics = metrics or {}
+    key = (F.date_trunc(interval, F.col(bucket_col)).alias("bucket")
+           if interval else F.col(bucket_col).alias("bucket"))
+    aggs = [F.sum("_doc_count").cast("long").alias("_doc_count")]
+    for field, wanted in metrics.items():
+        for m in wanted:
+            if m == "sum":
+                aggs.append(F.sum(f"{field}_sum").alias(f"{field}_sum"))
+            elif m == "min":
+                aggs.append(F.min(f"{field}_min").alias(f"{field}_min"))
+            elif m == "max":
+                aggs.append(F.max(f"{field}_max").alias(f"{field}_max"))
+            elif m == "value_count":
+                aggs.append(F.sum(f"{field}_value_count").cast("long")
+                            .alias(f"{field}_value_count"))
+            elif m == "avg":
+                aggs.append(
+                    (F.sum(f"{field}_avg_sum")
+                     / F.sum(f"{field}_avg_count")).alias(f"{field}_avg"))
+            else:
+                raise ValueError(f"unsupported rollup-search metric {m!r}")
+    return summary.groupBy(key, *[F.col(c) for c in group_cols]).agg(*aggs)

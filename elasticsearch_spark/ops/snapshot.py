@@ -132,3 +132,80 @@ def mount_snapshot(spark, repo_path: str, name: str):
     if manifest.get("state") != "SUCCESS":
         raise ValueError(f"snapshot {name!r} is not mountable")
     return load_index(spark, src)
+
+
+# ---------------------------------------------------------------------
+# freeze / unfreeze (x-pack/plugin/frozen-indices
+# TransportFreezeIndexAction): a frozen index is read-only and its
+# shards release memory between searches. Here the memory side is
+# automatic (no long-lived per-index state — DataFrames are lazy), so
+# freezing is the WRITE BLOCK: a marker file writers check via
+# ops/ccr.assert_writable. Searches keep working unchanged.
+# ---------------------------------------------------------------------
+
+def freeze_index(index_path: str) -> dict:
+    """Mark the index frozen (write-blocked). Idempotent."""
+    index_meta(index_path)  # must be an index
+    marker = os.path.join(index_path, "frozen.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"frozen_at": time.time()}, f)
+    os.replace(tmp, marker)
+    return {"frozen": True}
+
+
+def unfreeze_index(index_path: str) -> dict:
+    marker = os.path.join(index_path, "frozen.json")
+    if os.path.exists(marker):
+        os.remove(marker)
+    return {"frozen": False}
+
+
+def is_frozen(index_path: str) -> bool:
+    return os.path.exists(os.path.join(index_path, "frozen.json"))
+
+
+# ---------------------------------------------------------------------
+# SLM — snapshot lifecycle policies (x-pack/plugin/ilm +
+# core/.../slm/SnapshotLifecyclePolicy.java): scheduled snapshots named
+# from a pattern, pruned by a retention rule. The scheduler is external
+# (any cron / Airflow); `slm_run` is the idempotent body it invokes.
+# ---------------------------------------------------------------------
+
+def slm_run(
+    index_path: str,
+    repo_path: str,
+    policy: dict,
+    now: float | None = None,
+) -> dict:
+    """Execute one SLM cycle: take a snapshot named
+    ``<name>-<utc stamp>`` and prune beyond ``retention.max_count`` /
+    older than ``retention.max_age_days`` (expire_after). Returns
+    {taken, deleted}."""
+    name = policy.get("name", "slm")
+    retention = policy.get("retention", {})
+    now = time.time() if now is None else float(now)
+    stamp = time.strftime("%Y%m%d%H%M%S", time.gmtime(now))
+    snap = f"{name}-{stamp}"
+    taken = snapshot_index(index_path, repo_path, snap)
+    deleted = []
+    mine = sorted(
+        (s for s in list_snapshots(repo_path)
+         if s["name"].startswith(f"{name}-")),
+        key=lambda s: s["name"])
+    max_age = retention.get("max_age_days")
+    if max_age is not None:
+        cutoff = now - float(max_age) * 86400.0
+        for s in list(mine):
+            if s.get("ts", now) < cutoff and s["name"] != snap:
+                deleted.append(s["name"])
+                shutil.rmtree(os.path.join(repo_path, s["name"]))
+                mine.remove(s)
+    max_count = retention.get("max_count")
+    if max_count is not None and len(mine) > int(max_count):
+        for s in mine[: len(mine) - int(max_count)]:
+            if s["name"] == snap:
+                continue
+            deleted.append(s["name"])
+            shutil.rmtree(os.path.join(repo_path, s["name"]))
+    return {"taken": taken["name"], "deleted": deleted}

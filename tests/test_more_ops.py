@@ -556,3 +556,87 @@ def test_circle_processor_vertex_parity(spark):
     with pytest.raises(NotImplementedError):
         apply_processor(df, {"circle": {
             "field": "circ", "shape_type": "geo_shape"}})
+
+
+def test_freeze_and_slm_lifecycle(spark, tmp_path):
+    """freeze = write block (searches unchanged); SLM cycle snapshots
+    by pattern and prunes by max_count, never its own snapshot."""
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.index.builder import build_index, load_index
+    from elasticsearch_spark.ops.ccr import assert_writable
+    from elasticsearch_spark.ops.snapshot import (
+        freeze_index, is_frozen, list_snapshots, slm_run, unfreeze_index,
+    )
+    from elasticsearch_spark.search.executor import match_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "idx")
+    build_index(docs.select("doc_id", "text"), src,
+                fields={"text": "ascii_word"}, num_partitions=2,
+                input_snapshot="frz")
+    freeze_index(src)
+    assert is_frozen(src)
+    with pytest.raises(ValueError, match="frozen"):
+        assert_writable(src)
+    # still searchable while frozen
+    terms = [t for t, _ in analyze("table scan", "ascii_word")]
+    assert match_topk(load_index(spark, src), "text", terms, k=5).count() > 0
+    unfreeze_index(src)
+    assert not is_frozen(src)
+    assert_writable(src)
+
+    repo = str(tmp_path / "repo")
+    names = []
+    for i in range(3):
+        r = slm_run(src, repo, {"name": "nightly",
+                                "retention": {"max_count": 2}},
+                    now=1_700_000_000 + i * 86400)
+        names.append(r["taken"])
+    snaps = [s["name"] for s in list_snapshots(repo)]
+    assert len(snaps) == 2 and names[-1] in snaps and names[0] not in snaps
+    # age-based retention (manifest ts is wall-clock): max_age_days=0
+    # expires every EARLIER snapshot, never the cycle's own
+    r = slm_run(src, repo, {"name": "nightly",
+                            "retention": {"max_age_days": 0}})
+    snaps = [s["name"] for s in list_snapshots(repo)]
+    assert snaps == [r["taken"]]
+
+
+def test_infer_mappings_dynamic(spark):
+    """Dynamic mapping inference: schema types map like
+    DynamicFieldsBuilder, ISO strings date-detect, dynamic_templates
+    override by name glob / json type, arrays map as elements."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.mappings import infer_mappings
+
+    df = spark.createDataFrame(
+        [(1, 2.5, True, "2024-01-02T10:00:00Z", "free text",
+          ["a", "b"], ("x", 3))],
+        "n long, x double, f boolean, ts string, body string, "
+        "tags array<string>, obj struct<s: string, k: long>")
+    m = infer_mappings(df)["properties"]
+    assert m["n"] == {"type": "long"}
+    assert m["x"] == {"type": "double"}
+    assert m["f"] == {"type": "boolean"}
+    assert m["ts"] == {"type": "date"}  # date detection
+    assert m["body"]["type"] == "text"
+    assert m["body"]["fields"]["keyword"]["type"] == "keyword"
+    assert m["tags"]["type"] == "text"  # array of element mapping
+    assert m["obj"]["type"] == "object"
+    assert m["obj"]["properties"]["k"] == {"type": "long"}
+
+    tpl = [
+        {"strings_as_keywords": {"match": "body*",
+                                 "match_mapping_type": "string",
+                                 "mapping": {"type": "keyword"}}},
+        {"longs_as_integers": {"match_mapping_type": "long",
+                               "mapping": {"type": "integer"}}},
+    ]
+    m2 = infer_mappings(df, dynamic_templates=tpl)["properties"]
+    assert m2["body"] == {"type": "keyword"}   # name glob + json type
+    assert m2["n"] == {"type": "integer"}      # type-only template
+    assert m2["x"] == {"type": "double"}       # untouched
+    # date_detection off: ISO strings stay text
+    m3 = infer_mappings(df, date_detection=False)["properties"]
+    assert m3["ts"]["type"] == "text"
