@@ -141,3 +141,89 @@ class DataStream:
         m["gens"] = [g for g in m["gens"] if g["gen"] not in set(dropped)]
         self._save(m)
         return dropped
+
+
+# ---------------------------------------------------------------------
+# ILM policy executor over standalone indexes
+# (x-pack/plugin/ilm/.../IndexLifecycleRunner.java: each index carries
+# a lifecycle state; the runner advances it through the policy's
+# phases by age). Here the state lives in ``ilm.json`` next to the
+# index and `ilm_step` is the idempotent runner body: it applies at
+# most ONE phase transition per call (the reference's step-by-step
+# execution), using this engine's existing lifecycle ops — shrink for
+# warm, freeze for cold, snapshot-based delete guard.
+# ---------------------------------------------------------------------
+
+def _ilm_state_path(index_path: str) -> str:
+    return os.path.join(index_path, "ilm.json")
+
+
+def ilm_state(index_path: str) -> dict:
+    p = _ilm_state_path(index_path)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"phase": "hot"}
+
+
+def ilm_step(
+    spark,
+    index_path: str,
+    policy: dict,
+    now: float | None = None,
+) -> dict:
+    """Advance one ILM step. ``policy`` phases (all optional):
+      warm:   {min_age_days, shrink: {number_of_shards}}
+      cold:   {min_age_days, freeze: bool}
+      delete: {min_age_days}
+    Age counts from the index's creation (its meta mtime). A shrink
+    replaces the index path contents atomically via a sibling dir +
+    os.replace of the whole directory. Returns the new state."""
+    import shutil
+    import time as _time
+
+    from elasticsearch_spark.index.builder import index_meta
+    from elasticsearch_spark.ops.resize import shrink_index
+    from elasticsearch_spark.ops.snapshot import freeze_index
+
+    now = _time.time() if now is None else float(now)
+    st = ilm_state(index_path)
+    meta_p = os.path.join(index_path, "index_meta.json")
+    age_days = (now - os.path.getmtime(meta_p)) / 86400.0
+    phase = st.get("phase", "hot")
+
+    def save(new_state: dict) -> dict:
+        tmp = _ilm_state_path(index_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_state, f)
+        os.replace(tmp, _ilm_state_path(index_path))
+        return new_state
+
+    if phase == "hot" and "warm" in policy:
+        w = policy["warm"]
+        if age_days >= float(w.get("min_age_days", 0)):
+            if "shrink" in w:
+                target = int(w["shrink"]["number_of_shards"])
+                if target != index_meta(index_path)["num_partitions"]:
+                    tmp_dir = index_path.rstrip("/") + ".ilm_shrink"
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
+                    shrink_index(spark, index_path, tmp_dir, target)
+                    old = index_path.rstrip("/") + ".ilm_old"
+                    shutil.rmtree(old, ignore_errors=True)
+                    os.rename(index_path, old)
+                    os.rename(tmp_dir, index_path)
+                    shutil.rmtree(old, ignore_errors=True)
+            return save({"phase": "warm", "entered_at": now})
+        return st
+    if phase == "warm" and "cold" in policy:
+        c = policy["cold"]
+        if age_days >= float(c.get("min_age_days", 0)):
+            if c.get("freeze", True):
+                freeze_index(index_path)
+            return save({"phase": "cold", "entered_at": now})
+        return st
+    if phase in ("hot", "warm", "cold") and "delete" in policy:
+        if age_days >= float(policy["delete"].get("min_age_days", 1e18)):
+            shutil.rmtree(index_path)
+            return {"phase": "deleted"}
+    return st

@@ -355,6 +355,7 @@ def knn_search(
     vec_col: str = "embedding",
     n_clusters: int = 8,
     iters: int = 1,
+    min_similarity: float | None = None,
 ) -> DataFrame:
     """The top-level `knn` search section (reference:
     server/.../search/vectors/KnnSearchBuilder.java wrapping Lucene's
@@ -376,11 +377,22 @@ def knn_search(
     (DenseVectorFieldMapper.VectorSimilarityType): cosine →
     (1 + cos) / 2, l2_norm → 1 / (1 + d²), dot_product →
     (1 + dot) / 2, max_inner_product → piecewise 1/(1-mip) | mip+1.
+
+    ``min_similarity`` is the knn section's ``similarity`` cutoff
+    (KnnSearchBuilder: "minimum similarity for a vector to be
+    considered a match"), expressed in METRIC space like the
+    reference: cosine/dot/mip require metric >= cutoff, l2_norm
+    requires DISTANCE <= cutoff. The predicate sits below the top-k
+    sort, so it prunes candidates, not finished hits.
     """
     q = [float(x) for x in query_vector]
     if strategy == "ivf":
         if similarity != "cosine":
             raise ValueError("ivf strategy supports cosine only")
+        if min_similarity is not None:
+            raise ValueError(
+                "min_similarity is an exact-path cutoff; ivf candidates "
+                "are approximate — filter the ivf_topk result instead")
         base = df if filter_cond is None else df.filter(filter_cond)
         per_list = max(1, base.count() // max(n_clusters, 1))
         nprobe = min(n_clusters,
@@ -397,21 +409,30 @@ def knn_search(
         d = d.filter(filter_cond)
     qcol = F.array(*[F.lit(x) for x in q])
     dot = _dot(F.col("_vec"), qcol)
+    metric = None
     if similarity == "cosine":
         qn = float(np.sqrt(np.dot(q, q)))
-        score = (F.lit(1.0) + dot / (F.col("_norm") * F.lit(qn))) / 2
+        metric = dot / (F.col("_norm") * F.lit(qn))
+        score = (F.lit(1.0) + metric) / 2
     elif similarity == "dot_product":
+        metric = dot
         score = (F.lit(1.0) + dot) / 2
     elif similarity == "l2_norm":
         d2 = F.aggregate(
             F.zip_with(F.col("_vec"), qcol, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda acc, x: acc + x)
+        metric = -F.sqrt(d2)  # cutoff below compares distance <= t
         score = F.lit(1.0) / (F.lit(1.0) + d2)
     elif similarity == "max_inner_product":
+        metric = dot
         score = F.when(dot < 0, F.lit(1.0) / (F.lit(1.0) - dot)) \
             .otherwise(dot + F.lit(1.0))
     else:
         raise ValueError(f"unknown knn similarity {similarity!r}")
+    if min_similarity is not None:
+        cutoff = (-float(min_similarity) if similarity == "l2_norm"
+                  else float(min_similarity))
+        d = d.filter(metric >= F.lit(cutoff))
     return (
         d.select(F.col(id_col), (score * F.lit(float(boost))).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))

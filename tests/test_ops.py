@@ -477,3 +477,25 @@ def test_quantize_int8_codes_in_range(emb):
         F.min(F.array_min("_codes")).alias("lo"),
         F.max(F.array_max("_codes")).alias("hi")).first()
     assert bounds["lo"] >= 0 and bounds["hi"] <= 255
+
+
+def test_knn_similarity_cutoff(emb):
+    """knn `similarity` cutoff prunes in METRIC space below the top-k:
+    cosine keeps metric >= t, l2 keeps distance <= t."""
+    q = list(emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"])
+    full = similarity.knn_search(emb, q, k=500)
+    # pick a cutoff between the 5th and 6th cosine so exactly 5 survive
+    cos = sorted(((2 * r["score"]) - 1 for r in full.collect()),
+                 reverse=True)
+    t = (cos[4] + cos[5]) / 2
+    cut = similarity.knn_search(emb, q, k=500, min_similarity=t).collect()
+    assert len(cut) == 5
+    assert all((2 * r["score"]) - 1 >= t for r in cut)
+    # l2: cutoff is a DISTANCE bound; distance from score = sqrt(1/s - 1)
+    l2 = similarity.knn_search(emb, q, k=500, similarity="l2_norm",
+                               min_similarity=2.0).collect()
+    assert l2, "some vectors within distance 2"
+    for r in l2:
+        assert math.sqrt(1.0 / r["score"] - 1.0) <= 2.0 + 1e-9
+    with pytest.raises(ValueError, match="exact-path"):
+        similarity.knn_search(emb, q, strategy="ivf", min_similarity=0.5)

@@ -109,3 +109,18 @@ def test_split_validation(spark, src_idx, tmp_path):
         split_index(spark, src_idx, str(tmp_path / "x"), 12)
     with pytest.raises(ValueError, match="multiple"):
         split_index(spark, src_idx, str(tmp_path / "y"), 8)
+
+
+def test_disk_usage_breakdown(spark, src_idx):
+    from elasticsearch_spark.index.builder import disk_usage, load_index
+
+    du = disk_usage(load_index(spark, src_idx))
+    f = du["fields"]["text"]
+    assert du["store_size_bytes"] > 0
+    assert f["postings"] > 0 and f["blocks"] > 0
+    # every payload stream carries real bytes for a text field
+    for k in ("doc_ids_bytes", "tfs_bytes", "norms_bytes",
+              "positions_bytes"):
+        assert f[k] > 0
+    # compressed streams must undercut raw int64 encoding
+    assert f["doc_ids_bytes"] < 8 * f["postings"]

@@ -152,3 +152,74 @@ def test_transform_latest_incremental_matches_batch(spark, tmp_path):
     ck3 = transform_latest_incremental(spark, ev, dest, ["user_id"], "ts")
     assert ck3["syncs"] == 2
     assert read_latest_checkpoint(dest)["syncs"] == 2
+
+
+def test_rollup_search_merges_partials(spark):
+    """_rollup_search over hourly partials == direct day aggregation:
+    sum-of-sums, min-of-mins, max-of-maxes, count-of-counts, avg from
+    the (sum, count) pair — never averaged averages."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.rollup import rollup, rollup_search
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    mets = {"value": ["sum", "min", "max", "avg", "value_count"]}
+    hourly = rollup(ev, "ts", "1 hour", ["event_type"], mets)
+    got = {(str(r["bucket"]), r["event_type"]): r
+           for r in rollup_search(hourly, interval="day",
+                                  group_cols=["event_type"],
+                                  metrics=mets).collect()}
+    want = {(str(r["bucket"]), r["event_type"]): r for r in (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"),
+             F.min("value").alias("mn"), F.max("value").alias("mx"),
+             F.avg("value").alias("av"),
+             F.count("value").alias("vc"))).collect()}
+    assert set(got) == set(want) and got
+    for k, g in got.items():
+        w = want[k]
+        assert g["_doc_count"] == w["n"]
+        assert g["value_value_count"] == w["vc"]
+        assert math.isclose(g["value_sum"], w["s"], rel_tol=1e-12)
+        assert g["value_min"] == w["mn"] and g["value_max"] == w["mx"]
+        assert math.isclose(g["value_avg"], w["av"], rel_tol=1e-12)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="metric"):
+        rollup_search(hourly, metrics={"value": ["percentiles"]})
+
+
+def test_ilm_step_phases(spark, tmp_path):
+    """ILM runner: hot->warm applies shrink in place, warm->cold
+    freezes, delete removes — one transition per step."""
+    from elasticsearch_spark.index.builder import (
+        build_index, index_meta, load_index,
+    )
+    from elasticsearch_spark.ops.datastream import ilm_state, ilm_step
+    from elasticsearch_spark.ops.snapshot import is_frozen
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "ilm_idx")
+    build_index(docs.select("doc_id", "text"), idx,
+                fields={"text": "ascii_word"}, num_partitions=4,
+                input_snapshot="ilm")
+    policy = {"warm": {"min_age_days": 0,
+                       "shrink": {"number_of_shards": 2}},
+              "cold": {"min_age_days": 0, "freeze": True},
+              "delete": {"min_age_days": 9999}}
+    st = ilm_step(spark, idx, policy)
+    assert st["phase"] == "warm"
+    assert index_meta(idx)["num_partitions"] == 2
+    assert load_index(spark, idx).postings.count() > 0
+    st = ilm_step(spark, idx, policy)
+    assert st["phase"] == "cold" and is_frozen(idx)
+    assert ilm_state(idx)["phase"] == "cold"
+    # not old enough to delete
+    assert ilm_step(spark, idx, policy)["phase"] == "cold"
+    import os as _os
+    import time as _time
+    st = ilm_step(spark, idx, {"delete": {"min_age_days": 0}},
+                  now=_time.time() + 86400)
+    assert st["phase"] == "deleted" and not _os.path.exists(idx)
