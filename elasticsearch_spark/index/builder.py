@@ -614,18 +614,32 @@ def rebuild_global_stats(idx: "InvertedIndex") -> list:
     """
     out_dir = idx.path
     spark = idx.spark
-    (
-        idx.postings.filter(F.col("term").isNotNull())
-        .groupBy("field", "term")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sum("sum_tf").alias("cf"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
+    # Same AQE pathology as the encode stage (see build_index): the
+    # final-agg stage of this CPU-bound metadata aggregation is
+    # byte-coalesced to ONE task at sandbox sizes (a few tens of MB of
+    # term rows), turning a parallel merge into a flat serial second or
+    # two on every build — pure non-scaling overhead in the N -> 4N
+    # gate. Pin coalescing off for just this job; at 100-TB term
+    # dictionaries the partitions exceed the advisory size and the
+    # toggle is a no-op.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        (
+            idx.postings.filter(F.col("term").isNotNull())
+            .groupBy("field", "term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.sum("sum_tf").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "term_dict"))
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "term_dict"))
-    )
+    finally:
+        spark.conf.set(coalesce_key, prev)
     markers = (
         idx.stats_rows
         .select("part_id", "field", "n", "sum_tf", "first_doc",
@@ -645,15 +659,28 @@ def rebuild_global_stats(idx: "InvertedIndex") -> list:
          (sum_ttf / n_docs) if n_docs else 0.0)
         for f, (n_docs, sum_ttf, sum_dl) in sorted(per_field.items())
     ]
-    (
-        spark.createDataFrame(
-            rows,
-            "field string, n_docs long, sum_ttf long, sum_dl long, "
-            "avgdl double")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "coll_stats"))
+    # coll_stats is a handful of driver-side rows; a Spark job
+    # (createDataFrame + coalesce(1) + committer) costs ~1s of flat
+    # per-build overhead for what is a single tiny file. Write it
+    # directly with pyarrow — same schema, same directory layout the
+    # Spark reader expects.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cs_dir = os.path.join(out_dir, "coll_stats")
+    os.makedirs(cs_dir, exist_ok=True)
+    for fn in os.listdir(cs_dir):
+        os.remove(os.path.join(cs_dir, fn))
+    table = pa.table(
+        {
+            "field": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_ttf": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_dl": pa.array([r[3] for r in rows], pa.int64()),
+            "avgdl": pa.array([r[4] for r in rows], pa.float64()),
+        }
     )
+    pq.write_table(table, os.path.join(cs_dir, "part-00000.parquet"))
     idx._coll_cache = None
     return markers
 

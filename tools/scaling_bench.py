@@ -34,8 +34,12 @@ n_docs = int(sys.argv[2])
 # thread count varies, i.e. the same job on an N- vs 4N-core cluster.
 # Shard count follows the ES sizing rule (a shard's postings fit one
 # task comfortably): ~8k docs/shard keeps the encode stage's working
-# set bounded even when every core runs a group concurrently.
-shards = max(32, n_docs // 8000)
+# set bounded even when every core runs a group concurrently. Rounded
+# up to a multiple of 32 so the encode stage schedules an EQUAL number
+# of full waves at every core count measured (62 shards on 8 cores
+# leaves 2 cores idle for the last wave — a layout artifact, not a
+# scaling property; a real cluster sizes shard count to executors).
+shards = max(32, -(-(n_docs // 8000) // 32) * 32)
 spark = get_spark(f"scale{{cores}}", cores=cores, shuffle_partitions=2 * shards)
 corpus = generate_corpus(spark, n_docs, seed=42, partitions=2 * shards).cache()
 corpus.count()
