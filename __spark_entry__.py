@@ -93,7 +93,7 @@ _R05_PRIORITY = (
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
-    "rollup_search",
+    "essql_pivot", "rollup_search",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
@@ -306,6 +306,18 @@ ESSQL_HIST = (
     "SELECT HISTOGRAM(ts, INTERVAL 1 DAY) AS day, "
     "HISTOGRAM(value, 50) AS bin, count(*) AS n "
     "FROM events GROUP BY day, bin ORDER BY day, bin"
+)
+# ES-SQL PIVOT (x-pack/plugin/sql/.../plan/logical/Pivot.java,
+# grammar in pivot.csv-spec): Spark SQL shares the clause syntax, so
+# the statement runs through essql() untouched — Catalyst plans it as
+# a single partial/final pivot aggregation (no driver hop).
+ESSQL_PIVOT = (
+    "SELECT month, round(click, 4) AS click, round(view, 4) AS view, "
+    "round(purchase, 4) AS purchase FROM "
+    "(SELECT date_trunc('DAY', ts) AS month, event_type, value "
+    "FROM events) PIVOT (SUM(value) FOR event_type IN "
+    "('click' AS click, 'view' AS view, 'purchase' AS purchase)) "
+    "ORDER BY month"
 )
 ESSQL_FT_NOT = (
     "SELECT d.doc_id, round(SCORE(), 4) AS score FROM documents d "
@@ -2954,6 +2966,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("day").cast("string").alias("day"), "bin", "n")
 
     q["essql_histogram"] = essql_histogram_q
+
+    # PIVOT clause (plan/logical/Pivot.java) — shared syntax, direct plan
+    def essql_pivot_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.essql import essql
+
+        out = essql(s, ESSQL_PIVOT, d)
+        return out.select(
+            F.col("month").cast("string").alias("month"),
+            "click", "view", "purchase")
+
+    q["essql_pivot"] = essql_pivot_q
 
     def essql_match_or_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.essql import essql_fulltext
@@ -6271,6 +6294,18 @@ LIMIT 10
 WITH r AS ({rewrite_histogram(ESSQL_HIST)})
 SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day, bin, n::BIGINT AS n
 FROM r ORDER BY day, bin
+"""
+
+    # PIVOT: the twin is the classic conditional-aggregation expansion
+    # (exactly what the reference's PivotExec folds the grouped rows
+    # into — one column per IN value)
+    o["essql_pivot"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS month,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+           AS purchase
+FROM events GROUP BY 1 ORDER BY month
 """
 
     # ML single-metric: the shared MAD pipeline builder, day buckets
