@@ -103,7 +103,7 @@ _R05_PRIORITY = (
     "highlight_plain_type", "highlight_fvh_phrase",
     "range_field_relation", "doc_geo_shape_indexed",
     "doc_geo_shape_indexed_disjoint", "indices_boost", "count_api",
-    "ingest_circle",
+    "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -261,6 +261,15 @@ GEO_SHAPE_WKT = (
     "(-20 0, 10 20, 20 -10, -20 0))"
 )
 GEO_SHAPE_ENVELOPE = "ENVELOPE (150, -120, 60, -20)"
+
+# cartesian shape query (x-pack spatial): planar polygon with a hole,
+# vertices far outside geographic range to prove no lat/lon clamping
+XY_SHAPE_WKT = (
+    "POLYGON ((-600 -400, 700 -350, 250 500, -500 450, -600 -400), "
+    "(-100 -50, 150 0, 0 200, -100 -50))"
+)
+# small planar envelope the doc shape must fully CONTAIN
+XY_DOC_QUERY = "ENVELOPE (3.5, 7.5, 6.5, 2.5)"
 
 # sparse_vector query (dim -> weight) and the wildcard-field pattern:
 # shared constants so the Spark query and the SQL twin can't drift
@@ -2436,6 +2445,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_geo_shape_indexed"] = doc_geo_shape_indexed_q("intersects")
     q["doc_geo_shape_indexed_disjoint"] = doc_geo_shape_indexed_q("disjoint")
+
+    # -- cartesian point/shape fields + shape query (x-pack spatial:
+    # ShapeQueryBuilder / PointFieldMapper / ShapeFieldMapper): planar
+    # (x, y) math, coordinates far outside +-180 (no wrap/clamp)
+
+    def _xy_docs(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        return _t(s, d, "documents").select(
+            "doc_id",
+            (F.pmod(did * 13, F.lit(2000)) - 1000).cast("double").alias("x"),
+            (F.pmod(did * 29, F.lit(2000)) - 1000).cast("double").alias("y"),
+        )
+
+    def xy_shape_point_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.xy import xy_shape
+
+        out = xy_shape(_xy_docs(s, d), XY_SHAPE_WKT, "intersects")
+        return (out.select("doc_id", "x", "y")
+                .orderBy(F.asc("doc_id")).limit(100))
+
+    q["xy_shape_point"] = xy_shape_point_q
+
+    def _xy_shape_docs(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        minx = F.pmod(did * 11, F.lit(160)) - 80
+        maxx = minx + F.pmod(did, F.lit(37)) + 10
+        miny = F.pmod(did * 5, F.lit(120)) - 60
+        maxy = miny + F.pmod(did, F.lit(29)) + 8
+        return _t(s, d, "documents").select(
+            "doc_id",
+            F.format_string("ENVELOPE (%d, %d, %d, %d)",
+                            minx.cast("long"), maxx.cast("long"),
+                            maxy.cast("long"), miny.cast("long"))
+            .alias("shape"),
+        )
+
+    def doc_xy_shape_contains_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.xy import doc_xy_shape
+
+        out = doc_xy_shape(_xy_shape_docs(s, d), XY_DOC_QUERY,
+                           relation="contains")
+        return out.orderBy(F.asc("doc_id")).limit(100)
+
+    q["doc_xy_shape_contains"] = doc_xy_shape_contains_q
 
     # -- lookup-backed ingest processors (enrich / geoip / user_agent)
 
@@ -5733,6 +5786,39 @@ WITH {_SHAPE_CTE}
 FROM sh
 WHERE NOT (minlon <= 70.5 AND maxlon >= -60.5
            AND minlat <= 45.5 AND maxlat >= -30.5)
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    # cartesian point/shape (x-pack spatial): the point twin is
+    # generated from the same vertex walk as the Spark predicate; the
+    # contains twin is pure envelope-containment arithmetic
+    from elasticsearch_spark.search.xy import xy_shape_sql as _xy_sql
+
+    o["xy_shape_point"] = f"""
+WITH xy AS (
+  SELECT doc_id,
+         CAST((doc_id * 13 % 2000 + 2000) % 2000 - 1000 AS DOUBLE) AS x,
+         CAST((doc_id * 29 % 2000 + 2000) % 2000 - 1000 AS DOUBLE) AS y
+  FROM documents)
+SELECT doc_id, x, y FROM xy
+WHERE {_xy_sql(XY_SHAPE_WKT, 'x', 'y', 'intersects')}
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    o["doc_xy_shape_contains"] = """
+WITH xysh AS (
+  SELECT doc_id,
+         (doc_id * 11 % 160 + 160) % 160 - 80 AS minx,
+         (doc_id * 5 % 120 + 120) % 120 - 60 AS miny,
+         (doc_id * 11 % 160 + 160) % 160 - 80
+           + (doc_id % 37 + 37) % 37 + 10 AS maxx,
+         (doc_id * 5 % 120 + 120) % 120 - 60
+           + (doc_id % 29 + 29) % 29 + 8 AS maxy
+  FROM documents)
+SELECT doc_id, 'ENVELOPE (' || minx || ', ' || maxx
+       || ', ' || maxy || ', ' || miny || ')' AS shape
+FROM xysh
+WHERE minx <= 3.5 AND maxx >= 7.5 AND miny <= 2.5 AND maxy >= 6.5
 ORDER BY doc_id ASC LIMIT 100
 """
 
