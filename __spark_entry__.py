@@ -104,6 +104,7 @@ _R05_PRIORITY = (
     "range_field_relation", "doc_geo_shape_indexed",
     "doc_geo_shape_indexed_disjoint", "indices_boost", "count_api",
     "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
+    "secured_search_dls",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2489,6 +2490,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy(F.asc("doc_id")).limit(100)
 
     q["doc_xy_shape_contains"] = doc_xy_shape_contains_q
+
+    # -- DLS/FLS security (x-pack security authz: DocumentPermissions
+    # disjunction + FieldPermissions union pruning at the scan)
+
+    def secured_search_dls_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.security import Role, secured_search
+
+        roles = [
+            Role("reader_mid", indices=("docs*",),
+                 query={"range": {"n_chars": {"gte": 200, "lt": 800}}},
+                 grant=("n_chars", "lang")),
+            Role("reader_en", indices=("docs", "logs-*"),
+                 query={"term": {"lang": "en"}},
+                 grant=("lang", "source")),
+        ]
+        out = secured_search(_t(s, d, "documents"), roles, index="docs")
+        return out.orderBy(F.asc("doc_id")).limit(100)
+
+    q["secured_search_dls"] = secured_search_dls_q
 
     # -- lookup-backed ingest processors (enrich / geoip / user_agent)
 
@@ -5819,6 +5839,14 @@ SELECT doc_id, 'ENVELOPE (' || minx || ', ' || maxx
        || ', ' || maxy || ', ' || miny || ')' AS shape
 FROM xysh
 WHERE minx <= 3.5 AND maxx >= 7.5 AND miny <= 2.5 AND maxy >= 6.5
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+    # DLS = disjunction of the two roles' queries; FLS = union of the
+    # two grant sets plus the always-visible id metadata column
+    o["secured_search_dls"] = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (n_chars >= 200 AND n_chars < 800) OR lang = 'en'
 ORDER BY doc_id ASC LIMIT 100
 """
 
