@@ -104,7 +104,7 @@ _R05_PRIORITY = (
     "range_field_relation", "doc_geo_shape_indexed",
     "doc_geo_shape_indexed_disjoint", "indices_boost", "count_api",
     "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
-    "secured_search_dls",
+    "secured_search_dls", "downsample_agg", "msearch_template",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -1304,6 +1304,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value_c_value_count").alias("value_value_count"))
 
     q["rollup_search"] = rollup_search_q
+
+    # downsample (RollupV2): hourly tsid buckets with a numeric
+    # histogram group, metric fields kept under their original names as
+    # aggregate_metric_double structs, then a day-granularity search
+    # over the downsampled index — certified vs the direct aggregation
+    def downsample_agg_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.rollup import (
+            downsample, downsample_search)
+
+        ev = _t(s, d, "events").withColumn(
+            "value_c", F.round(F.col("value") * 100).cast("long"))
+        mets = {"value_c": ["min", "max", "sum", "value_count", "avg"]}
+        ds = downsample(ev, "ts", "1 hour", ["event_type"], mets,
+                        histogram_groups={"user_id": 40.0})
+        out = downsample_search(ds, "ts", interval="day",
+                                group_cols=["user_id"], metrics=mets)
+        return out.select(
+            F.col("ts").cast("string").alias("bucket"),
+            F.col("user_id").cast("long").alias("user_bucket"),
+            "_doc_count",
+            F.round(F.col("value_c_sum") / 100.0, 2).alias("value_sum"),
+            F.round(F.col("value_c_min") / 100.0, 2).alias("value_min"),
+            F.round(F.col("value_c_max") / 100.0, 2).alias("value_max"),
+            F.round(F.col("value_c_avg") / 100.0, 6).alias("value_avg"),
+            F.col("value_c_value_count").alias("value_count"))
+
+    q["downsample_agg"] = downsample_agg_q
 
     def transform_pivot_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.rollup import transform_pivot
@@ -3313,6 +3340,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["msearch_batch"] = msearch_batch_q
 
+    # -- _msearch/template: mustache render x N -> ONE batched job
+
+    def msearch_template_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import msearch_template
+
+        idx = _doc_index(s, d)
+        tpl = '{"match": {"text": "{{w1}}{{#w2}} {{w2}}{{/w2}}"}}'
+        out = msearch_template(
+            idx, "text",
+            [(tpl, {"w1": "table", "w2": "scan"}),
+             (tpl, {"w1": "window", "w2": "merge"}),
+             (tpl, {"w1": "spark", "w2": ""})],
+            k=5, analyzer="ascii_word", params=_EXACT)
+        return out.select("query_id", "doc_id",
+                          F.round("score", 4).alias("score"))
+
+    q["msearch_template"] = msearch_template_q
+
     # -- token_count field (mapper-extras TokenCountFieldMapper):
     #    index-time analyzed-token count, range-queried like any int
 
@@ -4667,6 +4712,25 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
        round(sum(value_c)::DOUBLE / count(value_c) / 100.0, 6)
          AS value_avg,
        count(value_c)::BIGINT AS value_value_count
+FROM c
+GROUP BY 1, 2
+"""
+
+    o["downsample_agg"] = """
+WITH c AS (
+  SELECT ts,
+         CAST(floor(user_id / 40.0) * 40 AS BIGINT) AS user_bucket,
+         CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       user_bucket,
+       count(*)::BIGINT AS _doc_count,
+       round(sum(value_c) / 100.0, 2) AS value_sum,
+       round(min(value_c) / 100.0, 2) AS value_min,
+       round(max(value_c) / 100.0, 2) AS value_max,
+       round(sum(value_c)::DOUBLE / count(value_c) / 100.0, 6)
+         AS value_avg,
+       count(value_c)::BIGINT AS value_count
 FROM c
 GROUP BY 1, 2
 """
@@ -6606,6 +6670,26 @@ tc AS (SELECT 2 AS query_id, doc_id, round(score, 4) AS score
        FROM c_scored WHERE matched >= 1
        ORDER BY score DESC, doc_id ASC LIMIT 5)
 SELECT * FROM ta UNION ALL SELECT * FROM tb UNION ALL SELECT * FROM tc
+"""
+
+    # msearch_template: the rendered texts, analyzed with the same
+    # chain, through the identical per-query bm25 CTE twins
+    _mt = [[t for t, _ in analyze(x, "ascii_word")]
+           for x in ("table scan", "window merge", "spark")]
+    o["msearch_template"] = f"""
+WITH {_bctes(_mt[0], prefix="ta_")},
+{_bctes(_mt[1], prefix="tb_")},
+{_bctes(_mt[2], prefix="tc_")},
+ra AS (SELECT 0 AS query_id, doc_id, round(score, 4) AS score
+       FROM ta_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5),
+rb AS (SELECT 1 AS query_id, doc_id, round(score, 4) AS score
+       FROM tb_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5),
+rc AS (SELECT 2 AS query_id, doc_id, round(score, 4) AS score
+       FROM tc_scored WHERE matched >= 1
+       ORDER BY score DESC, doc_id ASC LIMIT 5)
+SELECT * FROM ra UNION ALL SELECT * FROM rb UNION ALL SELECT * FROM rc
 """
 
     # token_count over the ascii_word analyzer == the SQL twin tokenizer

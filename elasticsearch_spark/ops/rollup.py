@@ -333,3 +333,94 @@ def rollup_search(
             else:
                 raise ValueError(f"unsupported rollup-search metric {m!r}")
     return summary.groupBy(key, *[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def downsample(
+    df: DataFrame,
+    timestamp_col: str,
+    fixed_interval: str,
+    dimensions: list[str] = (),
+    metrics: dict[str, list[str]] | None = None,
+    histogram_groups: dict[str, float] | None = None,
+) -> DataFrame:
+    """RollupV2 / downsample action: shrink a time-series index to one
+    document per (rounded timestamp, dimensions, histogram buckets).
+
+    Reference: x-pack/plugin/rollup/src/main/java/org/elasticsearch/
+    xpack/rollup/v2/RollupShardIndexer.java (fixed-interval Rounding on
+    the date-histogram field, terms + numeric-histogram groups,
+    _doc_count per bucket) and TransportRollupAction.java:261-279 (each
+    metric field keeps its ORIGINAL name, typed aggregate_metric_double
+    with the collected sub-metrics) — so queries hit the downsampled
+    index transparently under the same field names.
+
+    Spark-first shape: one declarative groupBy — partial aggregation
+    runs map-side, a single exchange on the bucket keys, and at 100 TB
+    the output is smaller than the input by the bucket ratio before it
+    ever shuffles. The reference sorts each shard externally
+    (CompressingOfflineSorter) because Lucene can't hash-aggregate;
+    Catalyst's hash aggregate IS that pass.
+    """
+    metrics = metrics or {}
+    keys = [
+        F.window(F.col(timestamp_col), fixed_interval)
+        .start.alias(timestamp_col)
+    ]
+    keys += [F.col(c) for c in dimensions]
+    for hfield, hint in (histogram_groups or {}).items():
+        keys.append(
+            (F.floor(F.col(hfield) / F.lit(float(hint)))
+             * F.lit(float(hint))).alias(hfield))
+    aggs = [F.count(F.lit(1)).cast("long").alias("_doc_count")]
+    for fld, wanted in metrics.items():
+        bad = set(wanted) - {"min", "max", "sum", "value_count", "avg"}
+        if bad:
+            raise ValueError(f"unsupported downsample metrics {bad}")
+        v = F.col(fld)
+        from elasticsearch_spark.ops.fields import aggregate_metric_struct
+
+        aggs.append(
+            aggregate_metric_struct(
+                F.min(v), F.max(v), F.sum(v), F.count(v)).alias(fld))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def downsample_search(
+    summary: DataFrame,
+    timestamp_col: str,
+    interval: str | None = None,
+    group_cols: list[str] = (),
+    metrics: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Aggregate OVER a downsampled index: sub-metrics merge as
+    min-of-mins / max-of-maxes / sum-of-sums, counts add, avg
+    recombines from (sum, value_count) — exactly how the aggregators
+    read aggregate_metric_double fields
+    (x-pack/plugin/mapper-aggregate-metric/.../AggregateDoubleMetricFieldMapper.java).
+    ``interval``: optional coarser calendar unit for date_trunc
+    re-bucketing (must be >= the downsample interval, the
+    RollupJobIdentifierUtils rule — a finer request can't be answered
+    and raises there; here the truncation is simply lossless only when
+    coarser, which the caller owns)."""
+    metrics = metrics or {}
+    key = (F.date_trunc(interval, F.col(timestamp_col))
+           if interval else F.col(timestamp_col)).alias(timestamp_col)
+    aggs = [F.sum("_doc_count").cast("long").alias("_doc_count")]
+    for fld, wanted in metrics.items():
+        m = F.col(fld)
+        for w in wanted:
+            if w == "min":
+                aggs.append(F.min(m["min"]).alias(f"{fld}_min"))
+            elif w == "max":
+                aggs.append(F.max(m["max"]).alias(f"{fld}_max"))
+            elif w == "sum":
+                aggs.append(F.sum(m["sum"]).alias(f"{fld}_sum"))
+            elif w == "value_count":
+                aggs.append(F.sum(m["value_count"]).cast("long")
+                            .alias(f"{fld}_value_count"))
+            elif w == "avg":
+                aggs.append((F.sum(m["sum"]) / F.sum(m["value_count"]))
+                            .alias(f"{fld}_avg"))
+            else:
+                raise ValueError(f"unsupported downsample-search metric {w!r}")
+    return summary.groupBy(key, *[F.col(c) for c in group_cols]).agg(*aggs)

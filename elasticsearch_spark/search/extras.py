@@ -1232,6 +1232,54 @@ def render_search_template(source: str, params: dict) -> dict:
     return _json.loads(render(source))
 
 
+def msearch_template(
+    index,
+    field: str,
+    items: list[tuple[str, dict]],
+    k: int = 10,
+    analyzer: str = "standard",
+    operator: str = "or",
+    minimum_should_match: int = 1,
+    params=None,
+):
+    """_msearch/template: render each mustache template, then execute
+    ALL rendered searches as one batched job.
+
+    Reference: modules/lang-mustache/.../TransportMultiSearchTemplateAction.java
+    — renders every template with its own params, collects the
+    resulting search requests into a single MultiSearchRequest, and
+    delegates to _msearch. Here the delegate is ``match_topk_batch``,
+    so Q rendered queries ride one postings scan / one applyInPandas
+    pass (the scale shape for template-driven query streams: dashboards
+    fan out hundreds of parameterized searches per refresh).
+
+    ``items``: (template_source, params) pairs; each must render to a
+    ``{"match": {field: text-or-spec}}`` body over ``field`` (the
+    scored path — filter-context templates go through
+    ``render_search_template`` + ``filter_query`` individually).
+    Returns (query_id, doc_id, score, matched) with query_id = the
+    item's position, exactly as _msearch responses keep request order.
+    """
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.search.executor import match_topk_batch
+
+    queries = []
+    for source, tparams in items:
+        body = render_search_template(source, tparams)
+        if set(body) != {"match"}:
+            raise ValueError(
+                f"msearch_template handles match bodies, got {set(body)}")
+        f, spec = next(iter(body["match"].items()))
+        if f != field:
+            raise ValueError(f"template targets field {f!r}, index carries"
+                             f" {field!r}")
+        text = spec["query"] if isinstance(spec, dict) else spec
+        queries.append([t for t, _ in analyze(str(text), analyzer)])
+    return match_topk_batch(
+        index, field, queries, k=k, operator=operator,
+        minimum_should_match=minimum_should_match, params=params)
+
+
 def script_fields(hits: DataFrame, fields: dict[str, Any]) -> DataFrame:
     """Fetch-subphase script fields (reference: server/.../search/fetch/
     subphase/ScriptFieldsPhase.java; request parsing in

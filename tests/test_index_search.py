@@ -271,3 +271,28 @@ def test_sorted_index_range_pruning(spark, corpus, tmp_path_factory):
     # empty range short-circuits
     assert match_topk(idx, "content", terms, k=10,
                       allowed_range=(5, 4)).count() == 0
+
+
+def test_msearch_template_renders_and_batches(index):
+    """_msearch/template: rendered templates == the same queries run
+    individually; sections drop cleanly; non-match bodies refuse."""
+    import pytest as _pytest
+    from elasticsearch_spark.analysis import analyze
+    from elasticsearch_spark.search.extras import msearch_template
+
+    tpl = '{"match": {"content": "{{w1}}{{#w2}} {{w2}}{{/w2}}"}}'
+    items = [(tpl, {"w1": "import", "w2": "return"}),
+             (tpl, {"w1": "public", "w2": ""})]
+    got = msearch_template(index, "content", items, k=8, analyzer="code")
+    by_slot: dict[int, list] = {}
+    for r in got.collect():
+        by_slot.setdefault(r["query_id"], []).append(r)
+    for qid, text in enumerate(["import return", "public"]):
+        terms = [t for t, _ in analyze(text, "code")]
+        single = match_topk(index, "content", terms, k=8).collect()
+        assert [(r["doc_id"], round(r["score"], 9))
+                for r in by_slot.get(qid, [])] == [
+            (r["doc_id"], round(r["score"], 9)) for r in single]
+    with _pytest.raises(ValueError, match="match bodies"):
+        msearch_template(
+            index, "content", [('{"term": {"content": "x"}}', {})])

@@ -223,3 +223,48 @@ def test_ilm_step_phases(spark, tmp_path):
     st = ilm_step(spark, idx, {"delete": {"min_age_days": 0}},
                   now=_time.time() + 86400)
     assert st["phase"] == "deleted" and not _os.path.exists(idx)
+
+
+def test_downsample_matches_direct_agg(spark):
+    from elasticsearch_spark.ops.rollup import downsample, downsample_search
+
+    ev = _events(spark).withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")).cache()
+    mets = {"value_c": ["min", "max", "sum", "value_count", "avg"]}
+    ds = downsample(ev, "ts", "1 hour", ["event_type"], mets)
+    # metric field keeps its original name as an aggregate-metric struct
+    assert dict(ds.dtypes)["value_c"].startswith("struct<min:")
+    got = {
+        (r["ts"], r["event_type"]): r
+        for r in downsample_search(
+            ds, "ts", interval="day", group_cols=["event_type"],
+            metrics=mets).collect()
+    }
+    want = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("ts"), "event_type")
+        .agg(F.count("*").alias("n"), F.min("value_c").alias("mn"),
+             F.max("value_c").alias("mx"), F.sum("value_c").alias("sm"),
+             F.avg("value_c").alias("av"))
+    ).collect()
+    assert len(got) == len(want) > 0
+    for w in want:
+        g = got[(w["ts"], w["event_type"])]
+        assert g["_doc_count"] == w["n"]
+        assert g["value_c_min"] == w["mn"]
+        assert g["value_c_max"] == w["mx"]
+        assert g["value_c_sum"] == w["sm"]
+        assert g["value_c_value_count"] == w["n"]
+        assert abs(g["value_c_avg"] - w["av"]) < 1e-9
+
+
+def test_downsample_histogram_group(spark):
+    from elasticsearch_spark.ops.rollup import downsample
+
+    ev = _events(spark)
+    ds = downsample(ev, "ts", "1 day", metrics={},
+                    histogram_groups={"user_id": 40.0})
+    buckets = {r["user_id"] for r in ds.select("user_id").distinct().collect()}
+    assert buckets <= {0.0, 40.0, 80.0, 120.0}
+    # _doc_count conserves the corpus
+    assert (sum(r["_doc_count"] for r in ds.collect())
+            == ev.count())
