@@ -105,6 +105,7 @@ _R05_PRIORITY = (
     "doc_geo_shape_indexed_disjoint", "indices_boost", "count_api",
     "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
     "secured_search_dls", "downsample_agg", "msearch_template",
+    "script_score_expression",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -3646,6 +3647,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["script_score_painless"] = script_score_painless_q
 
+    # lucene-expression engine ("lang": "expression"): unprefixed math
+    # fns + logn rewrite through the same SQL pipeline
+    def script_score_expression_q(s: SparkSession, d: str) -> DataFrame:
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        hits = search(
+            idx, docs,
+            {"function_score": {
+                "query": {"match": {"text": "table"}},
+                "functions": [
+                    {"script_score": {"script": {
+                        "lang": "expression",
+                        "source": ("logn(2, 1 + doc['n_chars'].value)"
+                                   " * params.w"
+                                   " + sqrt(abs(doc['n_chars'].value))"
+                                   " / 100"),
+                        "params": {"w": 0.125},
+                    }}},
+                ],
+                "boost_mode": "sum",
+            }},
+            k=10, params=_EXACT,
+        )
+        return hits.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["script_score_expression"] = script_score_expression_q
+
     # -- painless STATEMENT subset in _update_by_query context:
     #    locals, for-each over a params list (compile-time unroll),
     #    if/else-if chain, ctx._source mutation, ctx.op noop/delete
@@ -6904,6 +6932,20 @@ SELECT c.doc_id,
 FROM scored c JOIN documents d ON d.doc_id = c.doc_id
 ORDER BY c.score + ln(1 + d.n_chars) * 0.25
          + (CASE WHEN d.lang = 'en' THEN 0.5 ELSE 0.0 END) DESC,
+         c.doc_id ASC
+LIMIT 10
+"""
+
+    # lucene-expression script_score: hand-written SQL twin
+    # (logn(2, x) = ln(x)/ln(2), unprefixed sqrt/abs)
+    o["script_score_expression"] = f"""
+WITH {bm25_ctes(['table'])}
+SELECT c.doc_id,
+       round(c.score + (ln(1 + d.n_chars) / ln(2)) * 0.125
+             + sqrt(abs(d.n_chars)) / 100, 4) AS score
+FROM scored c JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY c.score + (ln(1 + d.n_chars) / ln(2)) * 0.125
+         + sqrt(abs(d.n_chars)) / 100 DESC,
          c.doc_id ASC
 LIMIT 10
 """

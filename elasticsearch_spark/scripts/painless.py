@@ -1001,6 +1001,10 @@ def put_stored_script(registry_dir: str, script_id: str,
 
     if lang == "painless":
         validate_painless(source)
+    elif lang == "expression":
+        from elasticsearch_spark.scripts.expression import compile_expression
+
+        compile_expression(source, _AnyParams())
     os.makedirs(registry_dir, exist_ok=True)
     p = os.path.join(registry_dir, "stored_scripts.json")
     reg = {}

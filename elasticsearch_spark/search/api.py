@@ -91,12 +91,19 @@ def _function_value(fn_spec: dict[str, Any]):
         val = _FVF_MODIFIERS[s.get("modifier", "none")](c)
     elif "script_score" in fn_spec:
         # default lang is painless, as in the reference
-        # (Script.DEFAULT_SCRIPT_LANG); raw SQL passes through
-        from elasticsearch_spark.scripts import maybe_painless
+        # (Script.DEFAULT_SCRIPT_LANG); "expression" selects the
+        # lucene-expression engine (modules/lang-expression); raw SQL
+        # passes through
+        from elasticsearch_spark.scripts import (
+            compile_expression, maybe_painless)
 
         s = fn_spec["script_score"].get("script", fn_spec["script_score"])
-        val = F.expr(maybe_painless(
-            s["source"], s.get("params"), score_col="score"))
+        if s.get("lang") == "expression":
+            val = F.expr(compile_expression(
+                s["source"], s.get("params"), score_col="score"))
+        else:
+            val = F.expr(maybe_painless(
+                s["source"], s.get("params"), score_col="score"))
     elif any(k in fn_spec for k in ("gauss", "exp", "linear")):
         kind = next(k for k in ("gauss", "exp", "linear") if k in fn_spec)
         field, s = next(iter(fn_spec[kind].items()))
