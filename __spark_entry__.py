@@ -105,7 +105,7 @@ _R05_PRIORITY = (
     "doc_geo_shape_indexed_disjoint", "indices_boost", "count_api",
     "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
     "secured_search_dls", "downsample_agg", "msearch_template",
-    "script_score_expression",
+    "script_score_expression", "dataset_mix", "quality_lm_nll",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -3864,6 +3864,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack_sequences_q
 
+    # corpus mixing: per-source deterministic up/downsampling
+    def dataset_mix_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.dataset import stratified_sample
+
+        out = stratified_sample(
+            _t(s, d, "documents"),
+            {"src0": 2.0, "src1": 0.4, "src2": 0.0}, seed="r5")
+        return (out.select("doc_id", "source", "copy_id")
+                .orderBy("doc_id", "copy_id"))
+
+    q["dataset_mix"] = dataset_mix_q
+
+    # bigram-LM perplexity-proxy quality scoring (CCNet-style filter):
+    # train on the en slice, score the de slice, both engines share
+    # tokenizer/counts/smoothing exactly
+    def quality_lm_nll_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.text import (
+            ngram_lm_score, ngram_lm_train)
+
+        docs = _t(s, d, "documents")
+        bi, uni, v = ngram_lm_train(docs.filter(F.col("lang") == "en"))
+        out = ngram_lm_score(docs.filter(F.col("lang") == "de"), bi, uni, v)
+        return (out.select("doc_id", F.round("nll", 4).alias("nll"))
+                .orderBy("doc_id"))
+
+    q["quality_lm_nll"] = quality_lm_nll_q
+
     # semantic_text-style chunking: overlapping word windows, pure
     # Catalyst one-projection stage (no shuffle / UDF)
     def chunk_documents_q(s: SparkSession, d: str) -> DataFrame:
@@ -7108,6 +7135,25 @@ LIMIT 15
 SELECT {_split_sql(seed='r4')} AS split,
        count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS chars
 FROM documents GROUP BY 1
+"""
+
+    from elasticsearch_spark.ops.dataset import (
+        stratified_sample_sql as _mix_sql,
+    )
+    from elasticsearch_spark.ops.text import (
+        ngram_lm_score_sql as _lm_sql,
+    )
+
+    o["dataset_mix"] = f"""
+SELECT doc_id, source, copy_id FROM (
+{_mix_sql('documents', {"src0": 2.0, "src1": 0.4, "src2": 0.0}, seed='r5')}
+) ORDER BY doc_id, copy_id
+"""
+
+    o["quality_lm_nll"] = f"""
+WITH {_lm_sql('documents', ref_filter="lang = 'en'",
+              doc_filter="lang = 'de'")}
+SELECT doc_id, round(nll, 4) AS nll FROM scored_lm ORDER BY doc_id
 """
 
     o["pack_sequences"] = f"""

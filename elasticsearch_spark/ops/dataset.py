@@ -206,3 +206,76 @@ SELECT {id_col},
          AS chunk
 FROM s
 """
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+    default_rate: float = 1.0,
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic corpus MIXING: per-group sampling rates, with
+    upsampling (rate > 1 emits floor(rate) copies plus a
+    fractional-probability extra copy).
+
+    The training-mixture op (e.g. "2x wikipedia, 0.3x commoncrawl"):
+    membership and copy count are pure functions of (id, seed) via the
+    same md5 bucket :func:`dataset_split` uses, so a re-run over a
+    grown corpus never resamples old rows — required when mixtures are
+    versioned against incremental crawls. Shuffle-free: one projection
+    plus an explode for the copy index; never a driver-side sample()
+    (Spark's sampleBy is partition-order dependent and not portable to
+    the SQL twin).
+
+    Emitted rows carry ``copy_col`` (1..n) so downstream packing can
+    shuffle copies apart."""
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("sampling rates must be >= 0")
+    bucket = _bucket_expr(id_col, "mix:" + seed)
+    rate = F.lit(float(default_rate))
+    for name, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == name, F.lit(float(r))).otherwise(rate)
+    whole = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    extra = (bucket < (frac * 1_000_000).cast("long")).cast("int")
+    n = (whole + extra).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") >= 1)
+        .withColumn(copy_col,
+                    F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "",
+    default_rate: float = 1.0,
+    copy_col: str = "copy_id",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same md5 text, same
+    thresholds; copies via generate_series)."""
+    b = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || 'mix:{seed}'),"
+         f" 1, 8))::BIGINT % 1000000)")
+    rate = f"{float(default_rate)!r}"
+    for name, r in sorted(rates.items(), reverse=True):
+        rate = (f"CASE WHEN {group_col} = '{name}' THEN {float(r)!r} "
+                f"ELSE {rate} END")
+    return f"""
+SELECT * EXCLUDE (_n_copies),
+       unnest(generate_series(1, _n_copies))::INT AS {copy_col}
+FROM (
+  SELECT *,
+         (floor({rate})::INT
+          + CASE WHEN {b} < CAST(({rate} - floor({rate})) * 1000000
+                             AS BIGINT)
+                 THEN 1 ELSE 0 END) AS _n_copies
+  FROM {table}) t
+"""

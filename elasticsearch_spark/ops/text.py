@@ -333,3 +333,121 @@ def repetition_signals(
         .withColumn("dup_word_frac", F.round(dup_word_frac, 6))
         .withColumn("top_bigram_share", F.round(top_bigram_share, 6))
     )
+
+
+# ---- n-gram LM perplexity-proxy quality scoring ------------------------
+#
+# CCNet-style corpus filtering: train a bigram language model on a
+# reference corpus, score every candidate document by its per-token
+# negative log-likelihood, drop the worst tail. (The public CCNet
+# pipeline uses KenLM 5-grams; the Spark-native re-expression keeps the
+# same decision shape with an add-alpha bigram model whose training and
+# scoring are both single-shuffle declarative aggregations.)
+
+def _bigrams(text_col: str) -> Column:
+    """Adjacent-token bigram array ("w1 w2" strings), one projection."""
+    t = tokens(text_col)
+    return F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def ngram_lm_train(
+    corpus: DataFrame, text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the bigram LM: returns (bigram counts, unigram counts,
+    vocabulary size). Two hash aggregations (map-side partials — the
+    shuffle carries one row per distinct n-gram per partition, never
+    the corpus): the right shape when the reference corpus is TBs."""
+    uni = (
+        corpus.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        corpus.select(F.explode(_bigrams(text_col)).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("c2"))
+    )
+    vocab = uni.count()
+    return bi, uni, vocab
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    vocab: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out: str = "nll",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the bigram LM
+    with add-``alpha`` smoothing:
+
+        -mean over bigrams (w1 w2) of
+            log( (c(w1 w2) + alpha) / (c(w1) + alpha * V) )
+
+    Low = fluent (in-domain), high = boilerplate/garble — threshold or
+    quantile-filter downstream. Physical shape: explode doc bigrams,
+    ONE shuffle join against the bigram table (Spark broadcasts it when
+    small; at 100 TB both sides hash-partition on the n-gram key), one
+    re-aggregation keyed by doc — ids and counts only, the document
+    text never reshuffles. Docs with no bigram (0-1 tokens) score NULL.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("b"))
+    ex = ex.withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+    joined = (
+        ex.join(bi, "b", "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(alpha) * vocab))
+    )
+    return joined.groupBy(id_col).agg((-F.avg(logp)).alias(out))
+
+
+def ngram_lm_score_sql(
+    table: str = "documents",
+    ref_filter: str = "TRUE",
+    doc_filter: str = "TRUE",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB twin: the same tokenizer regex, counts, and smoothing
+    (train on ``table WHERE ref_filter``, score ``table WHERE
+    doc_filter``). Returns (doc_id, nll)."""
+    toks = f"regexp_extract_all(lower({text_col}), '{WORD_RE}')"
+    return f"""
+tk AS (SELECT {id_col}, {toks} AS ts FROM {table}),
+bg0 AS (
+  SELECT {id_col},
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS b
+  FROM tk),
+bg AS (SELECT {id_col}, b, split_part(b, ' ', 1) AS w1 FROM bg0),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c1 FROM (
+    SELECT unnest(ts) AS w FROM tk
+    WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {ref_filter}))
+  GROUP BY w),
+v AS (SELECT count(*)::BIGINT AS vocab FROM uni),
+bi AS (
+  SELECT b, count(*)::BIGINT AS c2 FROM bg
+  WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {ref_filter})
+  GROUP BY b),
+scored_lm AS (
+  SELECT g.{id_col},
+         -avg(ln((coalesce(bi.c2, 0) + {float(alpha)!r})
+                 / (coalesce(uni.c1, 0) + {float(alpha)!r} * v.vocab)))
+           AS nll
+  FROM bg g
+  LEFT JOIN bi ON bi.b = g.b
+  LEFT JOIN uni ON uni.w = g.w1, v
+  WHERE g.{id_col} IN (SELECT {id_col} FROM {table} WHERE {doc_filter})
+  GROUP BY g.{id_col})
+"""
