@@ -106,6 +106,7 @@ _R05_PRIORITY = (
     "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
     "secured_search_dls", "downsample_agg", "msearch_template",
     "script_score_expression", "dataset_mix", "quality_lm_nll",
+    "analyze_uax_url_email",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -372,6 +373,10 @@ INFER_W = [((i * 7) % 13 - 6) / 10.0 for i in range(64)]
 
 # stored percolator queries (PercolateQueryBuilder.java:83): decomposed
 # into requirement rows on both engines — see search/percolate.py
+UAX_TEXT = ("Visit https://spark.apache.org/docs/latest or email "
+            "dev-help@example.org then see www.example.com/a_b and "
+            "plain words")
+
 ANALYZE_TEXT = ("The tables were scanned and the queries re-filtered "
                 "for merges")
 
@@ -2316,6 +2321,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(t, p) for t, p in toks], "token string, position int")
 
     q["analyze_api"] = analyze_api_q
+
+    # uax_url_email tokenizer: URLs/emails stay single tokens
+    def analyze_uax_q(s: SparkSession, d: str) -> DataFrame:
+        toks = analyze(UAX_TEXT, "uax_url_email")
+        return s.createDataFrame(
+            [(t, p) for t, p in toks], "token string, position int")
+
+    q["analyze_uax_url_email"] = analyze_uax_q
 
     def msearch_q(s: SparkSession, d: str) -> DataFrame:
         # _msearch: several searches in one round trip — one plan, a
@@ -5218,6 +5231,19 @@ FROM (
                                   '[a-z0-9_]+') AS ts)
 )
 WHERE tok NOT IN ({_stops_sql})
+"""
+
+    # same alternation order as the Python tokenizer (URL | EMAIL |
+    # word); '' doubles the quote inside the SQL literal
+    _UAX_SQL_RE = (
+        r"(?:https?|ftp)://[^\s<>\"'']+|www\.[^\s<>\"'']+"
+        r"|[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+"
+        r"|\w+(?:[''.]\w+)*"
+    )
+    o["analyze_uax_url_email"] = f"""
+SELECT unnest(ts) AS token, unnest(range(0, len(ts)))::INT AS position
+FROM (SELECT regexp_extract_all(lower('{UAX_TEXT}'),
+                                '{_UAX_SQL_RE}') AS ts)
 """
 
     o["ingest_pipeline"] = """

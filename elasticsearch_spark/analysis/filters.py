@@ -666,6 +666,91 @@ def letter_tokenizer(text: str) -> TokenStream:
     return terms, list(range(len(terms)))
 
 
+_EMAIL_RE = r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+"
+_URL_RE = r"(?:https?|ftp)://[^\s<>\"']+|www\.[^\s<>\"']+"
+_UAX_URL_EMAIL_RE = re.compile(
+    f"(?:{_URL_RE})|(?:{_EMAIL_RE})|[\\w]+(?:['.]\\w+)*", re.UNICODE)
+
+
+def uax_url_email_tokenizer(text: str) -> TokenStream:
+    """`uax_url_email` tokenizer (Lucene UAX29URLEmailTokenizer via
+    CommonAnalysisPlugin registration): standard word-break EXCEPT that
+    URLs and email addresses stay single tokens — the web-corpus
+    tokenizer (link extraction, spam features). Lowercased as the
+    analyzer wrapping does."""
+    terms = _UAX_URL_EMAIL_RE.findall(text.lower())
+    return terms, list(range(len(terms)))
+
+
+def classic_tokenizer(text: str) -> TokenStream:
+    """`classic` tokenizer (Lucene ClassicTokenizer): like standard but
+    keeps emails/hostnames whole, strips the dots from acronyms
+    (U.S.A. -> usa), keeps internal-apostrophe words dropping a
+    possessive trailing 's ("o'neill's" -> "o'neill"). Subset
+    divergence documented: the company-name &/@ joining rule
+    (AT&T) is not reproduced."""
+    out: list[str] = []
+    for raw in re.findall(
+            f"(?:{_EMAIL_RE})|[\\w]+(?:['.&]\\w+)*", text.lower()):
+        if "@" in raw:
+            out.append(raw)
+            continue
+        if raw.endswith("'s"):
+            raw = raw[:-2]
+        if "." in raw:
+            parts = raw.split(".")
+            if all(len(p) == 1 for p in parts if p):
+                raw = "".join(parts)      # acronym: U.S.A. -> usa
+            # else hostname-like: keep whole
+        out.append(raw)
+    return out, list(range(len(out)))
+
+
+def char_group_tokenizer(tokenize_on_chars: list[str]):
+    """`char_group` tokenizer (CommonAnalysisPlugin CharGroupTokenizer
+    registration): split on an explicit character set; the named
+    classes `whitespace`/`letter`/`digit`/`punctuation`/`symbol` expand
+    as in CharGroupTokenizerFactory."""
+    classes = {"whitespace": r"\s", "letter": r"^\W\d_",
+               "digit": r"\d", "punctuation": r"!-/:-@\[-`{-~"}
+    parts = []
+    for c in tokenize_on_chars:
+        if c == "letter":
+            raise ValueError("char_group: splitting on 'letter' unsupported")
+        parts.append(classes.get(c, re.escape(c)))
+    splitter = re.compile("[" + "".join(parts) + "]+")
+
+    def fn(text: str) -> TokenStream:
+        terms = [t for t in splitter.split(text.lower()) if t]
+        return terms, list(range(len(terms)))
+
+    return fn
+
+
+def simple_pattern_tokenizer(pattern: str):
+    """`simple_pattern` tokenizer: each regex MATCH is one token
+    (SimplePatternTokenizerFactory)."""
+    rx = re.compile(pattern)
+
+    def fn(text: str) -> TokenStream:
+        terms = rx.findall(text.lower())
+        return terms, list(range(len(terms)))
+
+    return fn
+
+
+def simple_pattern_split_tokenizer(pattern: str):
+    """`simple_pattern_split` tokenizer: the regex is the DELIMITER
+    (SimplePatternSplitTokenizerFactory)."""
+    rx = re.compile(pattern)
+
+    def fn(text: str) -> TokenStream:
+        terms = [t for t in rx.split(text.lower()) if t]
+        return terms, list(range(len(terms)))
+
+    return fn
+
+
 def fingerprint_token_filter(max_output_size: int = 255, sep: str = " "):
     """Lucene FingerprintFilter semantics (reference: analysis-common
     CommonAnalysisPlugin `fingerprint` registrations — the analyzer is
@@ -729,6 +814,8 @@ def register_extras() -> None:
     ANALYZERS.setdefault("path_hierarchy", path_hierarchy)
     ANALYZERS.setdefault("pattern", pattern_analyzer)
     ANALYZERS.setdefault("letter", letter_tokenizer)
+    ANALYZERS.setdefault("uax_url_email", uax_url_email_tokenizer)
+    ANALYZERS.setdefault("classic", classic_tokenizer)
     base = ANALYZERS["standard"]
     ANALYZERS.setdefault("standard_asciifolding", compose(base, asciifolding))
     ANALYZERS.setdefault("edge_ngram", compose(base, edge_ngram_filter(1, 10)))

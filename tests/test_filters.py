@@ -361,3 +361,39 @@ def test_hyphenation_decompounder_entry_parity():
                 if w != tok and 3 <= len(w) <= 15 and w in hyph_dict
                 and len(tok) >= 5]
         assert sorted(got) == sorted(want), (tok, got, want)
+
+
+def test_uax_url_email_tokenizer():
+    out = analyze(
+        "Visit https://spark.apache.org/docs or mail Dev-Help@Example.org"
+        " now", "uax_url_email")
+    terms = [t for t, _ in out]
+    assert "https://spark.apache.org/docs" in terms
+    assert "dev-help@example.org" in terms
+    assert "visit" in terms and "now" in terms
+    # positions are sequential
+    assert [p for _, p in out] == list(range(len(out)))
+
+
+def test_classic_tokenizer():
+    out = [t for t, _ in analyze(
+        "The U.S.A. loves O'Neill's work at mail.example.com", "classic")]
+    assert "usa" in out              # acronym dots stripped
+    assert "o'neill" in out          # possessive 's dropped
+    assert "mail.example.com" in out  # hostname kept whole
+    assert "o'neill's" not in out
+
+
+def test_char_group_and_simple_pattern_tokenizers():
+    from elasticsearch_spark.analysis.filters import (
+        char_group_tokenizer,
+        simple_pattern_split_tokenizer,
+        simple_pattern_tokenizer,
+    )
+
+    cg = char_group_tokenizer(["whitespace", "-", "_"])
+    assert cg("Foo-bar_baz qux")[0] == ["foo", "bar", "baz", "qux"]
+    sp = simple_pattern_tokenizer(r"[0-9]{3}")
+    assert sp("ab 1234 cd 567")[0] == ["123", "567"]
+    sps = simple_pattern_split_tokenizer(r"::")
+    assert sps("A::b::C")[0] == ["a", "b", "c"]
