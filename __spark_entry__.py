@@ -106,7 +106,7 @@ _R05_PRIORITY = (
     "ingest_circle", "xy_shape_point", "doc_xy_shape_contains",
     "secured_search_dls", "downsample_agg", "msearch_template",
     "script_score_expression", "dataset_mix", "quality_lm_nll",
-    "analyze_uax_url_email",
+    "analyze_uax_url_email", "dedup_substring_spans", "substring_dup_stats",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2210,6 +2210,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         _t(s, d, "documents"), max_hamming=8
     )  # rows-only check
+
+    # ExactSubstr dedup (Lee et al. 2021): maximal duplicated k-token
+    # spans. Casts to long so the value hash can't diverge on int width.
+    def dedup_substring_q(s: SparkSession, d: str) -> DataFrame:
+        sp = dedup.duplicate_substring_spans(_t(s, d, "documents"), k=15)
+        return sp.select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+        )
+
+    q["dedup_substring_spans"] = dedup_substring_q
+
+    def substring_stats_q(s: SparkSession, d: str) -> DataFrame:
+        st = dedup.substring_dup_stats(_t(s, d, "documents"), k=15)
+        return st.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            "dup_frac",
+        )
+
+    q["substring_dup_stats"] = substring_stats_q
 
     def ann_cosine(s, d):
         emb = _t(s, d, "embeddings")
@@ -5741,6 +5765,69 @@ SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) / t.n_shingles AS containment
 FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
 WHERE coalesce(h.n_hits, 0) / t.n_shingles >= 0.2
+"""
+    # ExactSubstr spans: same tokenizer, md5 window keys, and
+    # gaps-and-islands merge as ops/dedup.py:duplicate_substring_spans.
+    o["dedup_substring_spans"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sized AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 15),
+wins AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - 14)) AS pos, ts
+  FROM sized),
+hashed AS (
+  SELECT doc_id, pos, md5(array_to_string(ts[pos:pos+14], ' ')) AS h
+  FROM wins),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    <= 15 THEN 0 ELSE 1 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 14)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+    o["substring_dup_stats"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sized AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 15),
+wins AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - 14)) AS pos, ts
+  FROM sized),
+hashed AS (
+  SELECT doc_id, pos, md5(array_to_string(ts[pos:pos+14], ' ')) AS h
+  FROM wins),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    <= 15 THEN 0 ELSE 1 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 14 AS span_end
+  FROM grp GROUP BY doc_id, g),
+cover AS (
+  SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(t.ts) > 0
+            THEN round(coalesce(c.dup_tokens, 0) * 1.0 / len(t.ts), 6)
+            ELSE 0.0 END AS dup_frac
+FROM tok t LEFT JOIN cover c USING (doc_id)
 """
 
     o["ann_cosine_topk"] = """

@@ -637,3 +637,109 @@ def dedup_clusters_keep_best(
         .where(F.col("_rn") == 1).drop("_rn", "component")
     )
     return singles.unionByName(best)
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact substring-level duplication (ExactSubstr): maximal token
+    spans whose every k-token window occurs >= ``min_occurrences``
+    times anywhere in the corpus (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array
+    dedup the reference ecosystem lacks, re-expressed relationally).
+
+    Returns (id_col, span_start, span_end, n_windows): 1-based token
+    offsets of merged maximal duplicated spans.
+
+    Plan shape (scale): tokenize once (ascii_word regex, SQL-twin-able)
+    -> explode one row per k-token window keyed by md5(window text) —
+    |rows| = |corpus tokens|, never content bigger than k tokens ->
+    hash-agg window counts (map-side partial combine collapses
+    boilerplate like license headers before the exchange) -> semi-join
+    windows against the duplicated-hash set (shuffle of (hash, id,
+    pos) triples only) -> gaps-and-islands merge per doc (window
+    function over the DUPLICATED subset only; the full corpus never
+    sorts). No suffix array, no cross-doc join: the quadratic blowup
+    of all-pairs substring matching never materializes because windows
+    are grouped, not joined.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias("_ts"),
+    ).filter(F.size("_ts") >= k)
+    ts = F.col("_ts")
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(ts, i, k), " ")).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    dup_h = (
+        wins.groupBy("h").count()
+        .filter(F.col("count") >= min_occurrences)
+        .select("h")
+    )
+    marked = wins.join(dup_h, "h", "left_semi")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("_g", F.sum("_brk").over(w_doc))
+    return (
+        isl.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_g")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-token coverage from duplicate_substring_spans:
+    (id_col, n_tokens, dup_tokens, dup_frac). ``dup_frac`` is the
+    standard keep/drop quality signal (drop docs that are mostly
+    boilerplate). Docs shorter than k tokens report 0 coverage."""
+    spans = duplicate_substring_spans(df, text_col, id_col, k, min_occurrences)
+    cover = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    sizes = df.select(
+        F.col(id_col),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+        ).alias("n_tokens"),
+    )
+    return (
+        sizes.join(cover, id_col, "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("dup_tokens") / F.col("n_tokens"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -499,3 +499,86 @@ def test_knn_similarity_cutoff(emb):
         assert math.sqrt(1.0 / r["score"] - 1.0) <= 2.0 + 1e-9
     with pytest.raises(ValueError, match="exact-path"):
         similarity.knn_search(emb, q, strategy="ivf", min_similarity=0.5)
+
+
+def test_substring_spans_known_dup(spark):
+    # two docs sharing an exact 20-token run; one unique doc
+    shared = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, " ".join(f"uniq{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup.duplicate_substring_spans(df, k=15).collect()
+    }
+    # doc 1: shared run occupies tokens 3..22 -> windows at pos 3..8
+    assert spans[1] == (3, 22, 6)
+    # doc 2: shared run occupies tokens 1..20 -> windows at pos 1..6
+    assert spans[2] == (1, 20, 6)
+    assert 3 not in spans
+
+
+def test_substring_spans_merges_islands(spark):
+    # duplicated run + a 40-token unique gap + another duplicated run:
+    # must come out as TWO spans, not one
+    run_a = " ".join(f"a{i}" for i in range(16))
+    run_b = " ".join(f"b{i}" for i in range(16))
+    gap = " ".join(f"gap{i}" for i in range(40))
+    rows = [
+        (1, run_a + " " + gap + " " + run_b),
+        (2, run_a + " elsewhere entirely " + run_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_substring_spans(df, k=15).collect()
+    )
+    doc1 = [g for g in got if g[0] == 1]
+    assert len(doc1) == 2
+    assert doc1[0] == (1, 1, 16) and doc1[1] == (1, 57, 72)
+
+
+def test_substring_stats_vs_duckdb(docs, duck):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in dedup.substring_dup_stats(docs, k=15).collect()
+    }
+    want = duck.execute("""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sized AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 15),
+wins AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - 14)) AS pos, ts
+  FROM sized),
+hashed AS (
+  SELECT doc_id, pos, md5(array_to_string(ts[pos:pos+14], ' ')) AS h
+  FROM wins),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    <= 15 THEN 0 ELSE 1 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 14 AS e FROM grp GROUP BY doc_id, g),
+cover AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id)
+SELECT t.doc_id, len(t.ts) AS n_tokens, coalesce(c.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN len(t.ts) > 0
+            THEN round(coalesce(c.dup_tokens, 0) * 1.0 / len(t.ts), 6)
+            ELSE 0.0 END AS dup_frac
+FROM tok t LEFT JOIN cover c USING (doc_id)
+""").fetchall()
+    assert len(want) == len(got)
+    for doc_id, n_tokens, dup_tokens, dup_frac in want:
+        g = got[doc_id]
+        assert g[0] == n_tokens and g[1] == dup_tokens
+        assert abs(g[2] - dup_frac) < 1e-9
