@@ -107,6 +107,7 @@ _R05_PRIORITY = (
     "secured_search_dls", "downsample_agg", "msearch_template",
     "script_score_expression", "dataset_mix", "quality_lm_nll",
     "analyze_uax_url_email", "dedup_substring_spans", "substring_dup_stats",
+    "agg_terms_shard_error",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -1446,6 +1447,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_string_stats"] = agg_string_stats_q
+
+    # terms agg with the coordinator's doc_count_error_upper_bound
+    # (InternalTerms merge). Shards are a derived routing column so the
+    # oracle can replicate the exact same shard split.
+    def agg_terms_shard_error_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import terms_with_error
+
+        li = _t(s, d, "lineitem")
+        out = terms_with_error(
+            li, "l_suppkey", F.col("l_orderkey") % 4, size=10, shard_size=5
+        )
+        return out.select(
+            "l_suppkey",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("doc_count_error_upper_bound").cast("long").alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+
+    q["agg_terms_shard_error"] = agg_terms_shard_error_q
 
     def agg_top_metrics_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.analytics import top_metrics
@@ -4950,6 +4971,28 @@ SELECT (SELECT count(*) FROM l) AS count,
        (SELECT round(avg(len), 4) FROM l) AS avg_length,
        floor(e * 1e6 + 0.5) / 1e6 AS entropy
 FROM ent
+"""
+
+    o["agg_terms_shard_error"] = """
+WITH ps AS (
+  SELECT l_orderkey % 4 AS shard, l_suppkey AS term, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY cnt DESC, term ASC) AS rn
+  FROM ps),
+kept AS (SELECT * FROM ranked WHERE rn <= 5),
+cut AS (
+  SELECT shard, CASE WHEN count(*) >= 5 THEN min(cnt) ELSE 0 END AS cutoff
+  FROM kept GROUP BY shard),
+tot AS (SELECT sum(cutoff) AS t FROM cut),
+merged AS (
+  SELECT term, sum(cnt) AS doc_count, sum(cutoff) AS present
+  FROM kept JOIN cut USING (shard) GROUP BY term)
+SELECT term AS l_suppkey, doc_count::BIGINT AS doc_count,
+       (t - present)::BIGINT AS doc_count_error_upper_bound
+FROM merged, tot
+ORDER BY doc_count DESC, l_suppkey ASC LIMIT 10
 """
 
     o["agg_top_metrics"] = """

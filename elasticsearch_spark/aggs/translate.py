@@ -572,3 +572,77 @@ def bucket_stats(buckets: DataFrame, metric: str) -> DataFrame:
         F.avg(c).alias(f"{metric}_avg"),
         F.sum(c).alias(f"{metric}_sum"),
     )
+
+
+def terms_with_error(
+    df: DataFrame,
+    field: str,
+    shard_col: Column,
+    size: int = 10,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """terms agg with ``doc_count_error_upper_bound``: the distributed
+    merge the reference's coordinator performs, including its
+    worst-case error accounting for counts a shard truncated away
+    (server/.../bucket/terms/InternalTerms.java doc-count-error merge;
+    AbstractInternalTerms reduce).
+
+    Each shard (``shard_col`` group) contributes only its top
+    ``shard_size`` terms by (count DESC, term ASC). A term absent from
+    a shard's list may still have up to that shard's LAST included
+    count hiding there, so its merged count understates by at most
+    sum(cutoff_s) over shards s not reporting it. Like the reference's
+    coordinator, a shard that returned ``shard_size`` terms is assumed
+    truncated (the coordinator can't see whether more existed).
+
+    Plan: one (shard, term) hash agg -> per-shard window top-k (the
+    shard fan-in; window input is per-shard distinct terms, i.e. the
+    same state the reference's shard keeps) -> one merge agg + a
+    broadcast of the tiny per-shard cutoff table. Default shard_size is
+    the reference's BucketUtils.suggestShardSideQueueSize heuristic:
+    size * 1.5 + 10.
+    """
+    if shard_size is None:
+        shard_size = int(size * 1.5) + 10
+    per_shard = (
+        df.select(shard_col.alias("_shard"), F.col(field))
+        .groupBy("_shard", field)
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy("_shard").orderBy(F.desc("_cnt"), F.asc(field))
+    ranked = per_shard.withColumn("_rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rn") <= shard_size)
+    cutoffs = (
+        kept.groupBy("_shard")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("_cnt").alias("_last"),
+        )
+        .select(
+            "_shard",
+            F.when(F.col("_n") >= shard_size, F.col("_last"))
+            .otherwise(F.lit(0))
+            .alias("_cutoff"),
+        )
+    )
+    total = cutoffs.agg(F.sum("_cutoff").alias("_tot"))
+    present = (
+        kept.join(F.broadcast(cutoffs), "_shard")
+        .groupBy(field)
+        .agg(
+            F.sum("_cnt").alias("doc_count"),
+            F.sum("_cutoff").alias("_present"),
+        )
+    )
+    return (
+        present.crossJoin(F.broadcast(total))
+        .select(
+            field,
+            "doc_count",
+            (F.col("_tot") - F.col("_present")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+        .orderBy(F.desc("doc_count"), F.asc(field))
+        .limit(size)
+    )

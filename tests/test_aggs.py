@@ -314,3 +314,29 @@ def test_nested_bucket(tables, duck):
     """).fetchall()
     got = [(r["key"], r["status"], r["doc_count"]) for r in out]
     rows_match(got, want)
+
+
+def test_terms_with_error_bounds(spark):
+    from elasticsearch_spark.aggs.translate import terms_with_error
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    shard = F.col("l_orderkey") % 4
+    truth = {
+        r["l_suppkey"]: r["n"]
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    # truncated shards: merged count understates by at most the bound
+    got = terms_with_error(li, "l_suppkey", shard, size=10, shard_size=5).collect()
+    # 4 shards x 5 kept terms can merge to fewer than `size` distinct terms
+    assert 1 <= len(got) <= 10
+    for r in got:
+        t = truth[r["l_suppkey"]]
+        assert r["doc_count"] <= t
+        assert t <= r["doc_count"] + r["doc_count_error_upper_bound"]
+    # shard_size >= per-shard cardinality: exact counts, zero error
+    exact = terms_with_error(
+        li, "l_suppkey", shard, size=10, shard_size=10**6
+    ).collect()
+    top_truth = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["l_suppkey"], r["doc_count"]) for r in exact] == top_truth
+    assert all(r["doc_count_error_upper_bound"] == 0 for r in exact)
