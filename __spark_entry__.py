@@ -107,7 +107,7 @@ _R05_PRIORITY = (
     "secured_search_dls", "downsample_agg", "msearch_template",
     "script_score_expression", "dataset_mix", "quality_lm_nll",
     "analyze_uax_url_email", "dedup_substring_spans", "substring_dup_stats",
-    "agg_terms_shard_error",
+    "agg_terms_shard_error", "dedup_semantic",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2740,6 +2740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     q["dedup_embedding_cosine"] = dedup_embedding_q
+
+    # SemDeDup: deterministic lowest-id centroid seeding so the oracle
+    # can replicate the assignment; greedy keep-lowest-id per ball.
+    q["dedup_semantic"] = lambda s, d: dedup.semantic_dedup(
+        _t(s, d, "embeddings"), n_clusters=8, threshold=0.35
+    )
 
     # -- inference + attachment ingest processors
 
@@ -6335,6 +6341,41 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
     >= 0.25
+"""
+
+    # SemDeDup twin: same lowest-id centroid seeds, same argmax-cosine
+    # assignment (ties -> lowest cluster), same greedy keep rule.
+    o["dedup_semantic"] = """
+WITH seeds AS (
+  SELECT embedding::DOUBLE[] AS sv,
+         row_number() OVER (ORDER BY vec_id) - 1 AS cl
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+cosim AS (
+  SELECT e.vec_id, s.cl,
+         list_dot_product(e.embedding::DOUBLE[], s.sv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(s.sv, s.sv))) AS c
+  FROM embeddings e CROSS JOIN seeds s),
+asg AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, cl ASC) AS rn
+    FROM cosim) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a, embeddings b, asg aa, asg ab
+  WHERE aa.vec_id = a.vec_id AND ab.vec_id = b.vec_id
+    AND aa.cl = ab.cl AND a.vec_id < b.vec_id
+    AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                 a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))) >= 0.35)
+SELECT asg.vec_id, asg.cl::INT AS cluster,
+       (dups.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dups ON dups.vec_id = asg.vec_id
 """
 
     # inference: the registered coefficients restated as arithmetic —

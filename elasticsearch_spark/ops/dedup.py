@@ -743,3 +743,53 @@ def substring_dup_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    removal at corpus scale — cluster, compare within clusters only,
+    greedily keep the lowest id in each near-duplicate neighborhood.
+
+    Returns (id_col, cluster, keep): ``keep`` is False for any row
+    with a >= ``threshold`` cosine neighbor of smaller id in its
+    cluster (the standard greedy epsilon-ball keep rule; transitive
+    closure is deliberately NOT taken — chain A~B~C with A!~C keeps A
+    and C, matching the paper's per-ball dedup).
+
+    Centroids are the ``n_clusters`` rows with the smallest ids — a
+    deterministic, engine-replicable seeding (k-means iterations would
+    sharpen clusters but make the assignment unverifiable by a
+    relational oracle; for iterated centroids use similarity.ivf_build
+    and embedding_cosine_pairs(block_col=...) directly). Scale shape:
+    one broadcast-matrix assignment pass (Arrow matmul), one
+    shuffle-hash self-join keyed by cluster (never a cartesian), one
+    anti-join. Cluster skew = a genuinely dense semantic neighborhood;
+    cap via ivf_build's larger k at real scale."""
+    import numpy as np
+
+    from .similarity import ivf_assign
+
+    seeds = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    )
+    centroids = np.array([[float(x) for x in r[vec_col]] for r in seeds])
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    blocked = df.select(id_col, vec_col).join(assigned, id_col)
+    pairs = embedding_cosine_pairs(
+        blocked, threshold, id_col, vec_col, block_col="cluster"
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("_dup").isNull().alias("keep"),
+        )
+    )

@@ -582,3 +582,24 @@ FROM tok t LEFT JOIN cover c USING (doc_id)
         g = got[doc_id]
         assert g[0] == n_tokens and g[1] == dup_tokens
         assert abs(g[2] - dup_frac) < 1e-9
+
+
+def test_semantic_dedup_greedy_keep(spark, emb):
+    got = dedup.semantic_dedup(emb, n_clusters=8, threshold=0.35).collect()
+    assert len(got) == emb.count()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    # the lowest id in every cluster has no smaller-id neighbor -> kept
+    for rows in by_cluster.values():
+        lowest = min(rows, key=lambda r: r["vec_id"])
+        assert lowest["keep"]
+    # injecting an exact copy of an existing vector under a HIGHER id
+    # must mark the copy as a drop (cosine 1.0 with its original)
+    src = emb.orderBy("vec_id").limit(1)
+    copy = src.withColumn("vec_id", F.col("vec_id") + 10_000_000)
+    out = dedup.semantic_dedup(
+        emb.unionByName(copy), n_clusters=8, threshold=0.35
+    )
+    dup_row = out.filter(F.col("vec_id") >= 10_000_000).collect()[0]
+    assert not dup_row["keep"]
