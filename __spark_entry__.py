@@ -107,7 +107,8 @@ _R05_PRIORITY = (
     "secured_search_dls", "downsample_agg", "msearch_template",
     "script_score_expression", "dataset_mix", "quality_lm_nll",
     "analyze_uax_url_email", "dedup_substring_spans", "substring_dup_stats",
-    "agg_terms_shard_error", "dedup_semantic",
+    "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
+    "agg_date_histogram_offset", "agg_histogram_empty",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -1070,6 +1071,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     "calendar_interval": "month"},
                 "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}},
     ).select("key", "doc_count", F.round("rev", 4).alias("rev"))
+
+    # time_zone: daily buckets aligned to the +05:30 local calendar,
+    # reported as UTC instants (Rounding.java timeZone rounding)
+    q["agg_date_histogram_tz"] = lambda s, d: aggregate(
+        _t(s, d, "events"),
+        {"h": {"date_histogram": {"field": "ts", "calendar_interval": "day",
+                                  "time_zone": "+05:30"}}},
+    ).select("key", "doc_count")
+
+    # offset: 12h buckets shifted to 06:00/18:00 boundaries
+    q["agg_date_histogram_offset"] = lambda s, d: aggregate(
+        _t(s, d, "events"),
+        {"h": {"date_histogram": {"field": "ts", "fixed_interval": "12h",
+                                  "offset": "+6h"}}},
+    ).select("key", "doc_count")
+
+    # min_doc_count 0 + extended_bounds: zero-filled in-plan ladder
+    q["agg_histogram_empty"] = lambda s, d: aggregate(
+        _t(s, d, "documents"),
+        {"h": {"histogram": {"field": "n_chars", "interval": 500.0,
+                             "min_doc_count": 0,
+                             "extended_bounds": {"min": 0, "max": 4000}}}},
+    ).select("key", F.col("doc_count").cast("long").alias("doc_count"))
 
     q["agg_range_buckets"] = lambda s, d: aggregate(
         _t(s, d, "customer"),
@@ -5668,6 +5692,32 @@ FROM orders GROUP BY 1
 SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS key,
        count(*) AS doc_count, round(sum(o_totalprice), 4) AS rev
 FROM orders GROUP BY 1
+"""
+    o["agg_date_histogram_tz"] = """
+SELECT (date_trunc('day', ts + INTERVAL '5 hours 30 minutes')
+        - INTERVAL '5 hours 30 minutes') AS key,
+       count(*) AS doc_count
+FROM events GROUP BY 1
+"""
+    o["agg_date_histogram_offset"] = """
+SELECT make_timestamp(
+         ((floor((epoch(ts) - 21600) / 43200) * 43200 + 21600)
+          * 1000000)::BIGINT) AS key,
+       count(*) AS doc_count
+FROM events GROUP BY 1
+"""
+    o["agg_histogram_empty"] = """
+WITH g AS (
+  SELECT floor(n_chars / 500.0) * 500.0 AS key, count(*) AS doc_count
+  FROM documents GROUP BY 1),
+b AS (SELECT least(min(key), 0.0) AS lo, greatest(max(key), 4000.0) AS hi
+      FROM g),
+ladder AS (
+  SELECT unnest(generate_series(0, ((hi - lo) / 500.0)::INT)) * 500.0 + lo
+           AS key
+  FROM b)
+SELECT l.key, coalesce(g.doc_count, 0) AS doc_count
+FROM ladder l LEFT JOIN g USING (key)
 """
     o["agg_range_buckets"] = """
 SELECT 'low' AS key, count(*) AS doc_count FROM customer WHERE c_acctbal < 0

@@ -112,31 +112,72 @@ def _metric_cols(name: str, spec: dict[str, Any]) -> list[Column]:
     raise ValueError(f"unsupported metric agg: {kind}")
 
 
-def _bucket_key(kind: str, body: dict[str, Any]) -> tuple[Column, str]:
-    """Returns (key expression, output column name)."""
+def _offset_seconds(s: str) -> int:
+    """Parse a date_histogram offset like "+6h" / "-30m" / "1d"."""
+    sign = -1 if s.startswith("-") else 1
+    body = s.lstrip("+-")
+    return sign * int(body[:-1]) * {
+        "s": 1, "m": 60, "h": 3600, "d": 86400,
+    }[body[-1]]
+
+
+def _bucket_key(
+    kind: str, body: dict[str, Any], col: Column | None = None
+) -> tuple[Column, str]:
+    """Returns (key expression, output column name). ``col`` overrides
+    the input column (used to re-apply the bucket rounding to literal
+    extended_bounds values)."""
     if kind == "terms" or kind == "rare_terms":
         return F.col(body["field"]), body.get("key_name", "key")
     if kind == "histogram":
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
-        c = F.col(body["field"])
+        c = col if col is not None else F.col(body["field"])
         return (
             F.floor((c - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
             + F.lit(offset)
         ), "key"
     if kind == "date_histogram":
-        c = F.col(body["field"])
+        c = col if col is not None else F.col(body["field"])
+        # offset (DateHistogramAggregationBuilder.offset): buckets are
+        # rounded on a shifted timeline — key = trunc(v - off) + off
+        off_s = _offset_seconds(body["offset"]) if body.get("offset") else 0
+        if off_s:
+            c = F.timestamp_seconds(F.unix_timestamp(c) - F.lit(off_s))
         ci = body.get("calendar_interval")
+        tz = body.get("time_zone")
         if ci:
-            return F.date_trunc(_CAL_TRUNC[ci], c), "key"
-        fi = body["fixed_interval"]  # e.g. "30d", "12h"
-        unit = fi[-1]
-        n = int(fi[:-1])
-        secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
-        epoch = F.unix_timestamp(c)
-        return F.timestamp_seconds(
-            (F.floor(epoch / F.lit(secs)) * F.lit(secs)).cast("long")
-        ), "key"
+            if tz:
+                # truncate on the LOCAL calendar, report the UTC instant
+                # of the local boundary (Rounding.java timeZone rounding)
+                k = F.to_utc_timestamp(
+                    F.date_trunc(_CAL_TRUNC[ci], F.from_utc_timestamp(c, tz)),
+                    tz,
+                )
+            else:
+                k = F.date_trunc(_CAL_TRUNC[ci], c)
+        else:
+            fi = body["fixed_interval"]  # e.g. "30d", "12h"
+            unit = fi[-1]
+            n = int(fi[:-1])
+            secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+            epoch = F.unix_timestamp(c)
+            if tz:
+                # fixed intervals anchor at the tz's epoch offset
+                shift = F.unix_timestamp(
+                    F.from_utc_timestamp(c, tz)) - F.unix_timestamp(c)
+                epoch = epoch + shift
+                k = F.timestamp_seconds(
+                    (F.floor(epoch / F.lit(secs)) * F.lit(secs)).cast("long")
+                    - shift
+                )
+            else:
+                k = F.timestamp_seconds(
+                    (F.floor(epoch / F.lit(secs)) * F.lit(secs)).cast("long")
+                )
+        if off_s:
+            k = F.timestamp_seconds(F.unix_timestamp(k) + F.lit(off_s))
+        return k, "key"
     if kind == "missing":
         return F.col(body["field"]).isNull(), "key"
     raise ValueError(f"no single key expr for bucket agg {kind}")
@@ -295,9 +336,20 @@ def aggregate(
             F.asc("doc_count"), F.asc(key_name)
         )
     elif kind in ("histogram", "date_histogram"):
+        hb = conf.get("hard_bounds")
+        if hb:
+            # hard_bounds (DateHistogramAggregationBuilder.hardBounds):
+            # buckets outside [min, max] are dropped outright
+            lo_l, hi_l = F.lit(hb["min"]), F.lit(hb["max"])
+            if kind == "date_histogram":
+                lo_l, hi_l = lo_l.cast("timestamp"), hi_l.cast("timestamp")
+            grouped = grouped.filter(
+                (F.col(key_name) >= lo_l) & (F.col(key_name) <= hi_l))
         min_dc = int(conf.get("min_doc_count", 1))
         if min_dc > 1:
             grouped = grouped.filter(F.col("doc_count") >= min_dc)
+        elif min_dc == 0:
+            grouped = _densify_histogram(grouped, kind, conf, key_name)
         grouped = grouped.orderBy(F.asc(key_name))
 
     if nested_bucket is not None:
@@ -645,4 +697,77 @@ def terms_with_error(
         )
         .orderBy(F.desc("doc_count"), F.asc(field))
         .limit(size)
+    )
+
+
+def _densify_histogram(
+    grouped: DataFrame, kind: str, conf: dict[str, Any], key_name: str
+) -> DataFrame:
+    """min_doc_count: 0 — emit EVERY bucket between the data's first and
+    last key (widened by bucket-rounded extended_bounds), zero-filled.
+
+    Pure plan: the bucket ladder is one explode(sequence(...)) over the
+    1-row bounds frame, left-joined back — no driver round-trip, so the
+    densified histogram stays composable (usable under pipeline aggs,
+    which is exactly where zero buckets matter: derivatives and moving
+    windows must see the gaps). Ladder size = key span / interval; at
+    100 TB that's bounded by the time range, not the row count."""
+    eb = conf.get("extended_bounds") or {}
+    lo = F.min(key_name).alias("_lo")
+    hi = F.max(key_name).alias("_hi")
+    bounds = grouped.agg(lo, hi)
+    if eb:
+        # round the literal bounds with the SAME key expression, then
+        # widen (F.least / F.greatest skip NULLs, so extended_bounds
+        # alone densifies an empty result — ES parity)
+        lo_k, _ = _bucket_key(
+            kind, conf,
+            col=F.lit(eb["min"]).cast(
+                "timestamp" if kind == "date_histogram" else "double"),
+        )
+        hi_k, _ = _bucket_key(
+            kind, conf,
+            col=F.lit(eb["max"]).cast(
+                "timestamp" if kind == "date_histogram" else "double"),
+        )
+        bounds = bounds.select(
+            F.least(F.col("_lo"), lo_k).alias("_lo"),
+            F.greatest(F.col("_hi"), hi_k).alias("_hi"),
+        )
+    if kind == "histogram":
+        interval = float(conf["interval"])
+        n = F.floor(
+            (F.col("_hi") - F.col("_lo")) / F.lit(interval) + F.lit(0.5)
+        ).cast("int")
+        ladder = bounds.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n),
+                    lambda i: F.col("_lo") + i.cast("double") * F.lit(interval),
+                )
+            ).alias(key_name)
+        )
+    else:
+        ci = conf.get("calendar_interval")
+        if ci:
+            step = {
+                "second": "INTERVAL 1 SECOND", "minute": "INTERVAL 1 MINUTE",
+                "hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
+                "week": "INTERVAL 7 DAY", "month": "INTERVAL 1 MONTH",
+                "quarter": "INTERVAL 3 MONTH", "year": "INTERVAL 1 YEAR",
+            }[ci]
+        else:
+            fi = conf["fixed_interval"]
+            secs = int(fi[:-1]) * {
+                "s": 1, "m": 60, "h": 3600, "d": 86400}[fi[-1]]
+            step = f"INTERVAL {secs} SECOND"
+        ladder = bounds.select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step))
+            ).alias(key_name)
+        )
+    ladder = ladder.filter(F.col(key_name).isNotNull())
+    dense = ladder.join(grouped, key_name, "left")
+    return dense.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0))
     )

@@ -340,3 +340,44 @@ def test_terms_with_error_bounds(spark):
     top_truth = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [(r["l_suppkey"], r["doc_count"]) for r in exact] == top_truth
     assert all(r["doc_count_error_upper_bound"] == 0 for r in exact)
+
+
+def test_date_histogram_time_zone_and_offset(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # +05:30 daily buckets land on 18:30 UTC boundaries
+    tz = aggregate(ev, {"h": {"date_histogram": {
+        "field": "ts", "calendar_interval": "day",
+        "time_zone": "+05:30"}}}).collect()
+    assert all(r["key"].hour == 18 and r["key"].minute == 30 for r in tz)
+    assert sum(r["doc_count"] for r in tz) == ev.count()
+    # +6h offset on 12h fixed intervals -> 06:00 / 18:00 boundaries
+    off = aggregate(ev, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "12h", "offset": "+6h"}}}).collect()
+    assert all(r["key"].hour in (6, 18) for r in off)
+    # fixed interval + whole-hour tz: day buckets align to local midnight
+    ftz = aggregate(ev, {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d",
+        "time_zone": "+02:00"}}}).collect()
+    assert all(r["key"].hour == 22 for r in ftz)
+
+
+def test_histogram_min_doc_count_zero_and_hard_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dense = aggregate(docs, {"h": {"histogram": {
+        "field": "n_chars", "interval": 100.0, "min_doc_count": 0,
+        "extended_bounds": {"min": 0, "max": 3000}}}}).collect()
+    keys = [r["key"] for r in dense]
+    # every 100-wide bucket from 0 to >=3000 present, zero-filled
+    assert keys == sorted(keys)
+    assert keys[0] == 0.0 and keys[-1] >= 3000.0
+    assert keys == [keys[0] + 100.0 * i for i in range(len(keys))]
+    assert any(r["doc_count"] == 0 for r in dense)
+    total = aggregate(docs, {"h": {"histogram": {
+        "field": "n_chars", "interval": 100.0}}}).collect()
+    assert sum(r["doc_count"] for r in dense) == sum(
+        r["doc_count"] for r in total)
+    # hard_bounds clips buckets outside the window
+    hb = aggregate(docs, {"h": {"histogram": {
+        "field": "n_chars", "interval": 100.0,
+        "hard_bounds": {"min": 200, "max": 500}}}}).collect()
+    assert all(200.0 <= r["key"] <= 500.0 for r in hb)
