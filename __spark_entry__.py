@@ -108,7 +108,7 @@ _R05_PRIORITY = (
     "script_score_expression", "dataset_mix", "quality_lm_nll",
     "analyze_uax_url_email", "dedup_substring_spans", "substring_dup_stats",
     "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
-    "agg_date_histogram_offset", "agg_histogram_empty",
+    "agg_date_histogram_offset", "agg_histogram_empty", "range_date_math",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -1018,6 +1018,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prefix_filter"] = _docs_filter(
         {"prefix": {"source": "src1"}}, ["doc_id", "source"]
     )
+
+    # date-math bounds (JavaDateMathParser): /w rounds down to Monday,
+    # lte +1w/d rounds UP to the last ms of the day
+    def range_date_math_q(s: SparkSession, d: str) -> DataFrame:
+        return filter_query(
+            _t(s, d, "events"),
+            {"range": {"ts": {"gte": "2024-01-05||/w",
+                              "lte": "2024-01-20||+1w/d"}}},
+        ).select("event_id")
+
+    q["range_date_math"] = range_date_math_q
     q["wildcard_filter"] = _docs_filter(
         {"wildcard": {"source": "src*5"}}, ["doc_id", "source"]
     )
@@ -5652,6 +5663,11 @@ GROUP BY l_returnflag ORDER BY l_returnflag
     )
     o["prefix_filter"] = (
         "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
+    )
+    o["range_date_math"] = (
+        "SELECT event_id FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+        "AND ts <= TIMESTAMP '2024-01-27 23:59:59.999'"
     )
     o["wildcard_filter"] = (
         "SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src.*5$')"

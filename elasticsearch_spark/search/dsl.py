@@ -117,17 +117,28 @@ def compile_filter(
         )
         return hits >= F.lit(required)
     if kind == "range":
+        from elasticsearch_spark.search.datemath import (
+            is_date_math, parse_date_math)
+
         field, spec = next(iter(body.items()))
         c = resolve(field)
+
+        def _bound(v, round_up):
+            # date-math literals resolve driver-side (foldable, pushable);
+            # gt/lte round UP, gte/lt round DOWN (RangeQueryBuilder)
+            return F.lit(
+                parse_date_math(v, round_up=round_up) if is_date_math(v) else v
+            )
+
         conds = []
         if "gte" in spec:
-            conds.append(c >= F.lit(spec["gte"]))
+            conds.append(c >= _bound(spec["gte"], False))
         if "gt" in spec:
-            conds.append(c > F.lit(spec["gt"]))
+            conds.append(c > _bound(spec["gt"], True))
         if "lte" in spec:
-            conds.append(c <= F.lit(spec["lte"]))
+            conds.append(c <= _bound(spec["lte"], True))
         if "lt" in spec:
-            conds.append(c < F.lit(spec["lt"]))
+            conds.append(c < _bound(spec["lt"], False))
         if not conds:
             return F.lit(True)
         out = conds[0]

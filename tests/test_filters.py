@@ -397,3 +397,33 @@ def test_char_group_and_simple_pattern_tokenizers():
     assert sp("ab 1234 cd 567")[0] == ["123", "567"]
     sps = simple_pattern_split_tokenizer(r"::")
     assert sps("A::b::C")[0] == ["a", "b", "c"]
+
+
+def test_range_date_math_bounds(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.search import datemath
+    from elasticsearch_spark.search.dsl import filter_query
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = filter_query(
+        ev, {"range": {"ts": {"gte": "2024-01-05||/w",
+                              "lte": "2024-01-20||+1w/d"}}}
+    ).count()
+    want = ev.filter(
+        (F.col("ts") >= F.lit(datetime(2024, 1, 1)))
+        & (F.col("ts") <= F.lit(datetime(2024, 1, 27, 23, 59, 59, 999000)))
+    ).count()
+    assert got == want and got > 0
+    # `now` anchor with a pinned clock; gt rounds UP (whole day excluded)
+    datemath.set_fixed_now(datetime(2024, 1, 10, 12, 0))
+    try:
+        gt = filter_query(ev, {"range": {"ts": {"gt": "now/d"}}}).count()
+        want_gt = ev.filter(
+            F.col("ts") > F.lit(datetime(2024, 1, 10, 23, 59, 59, 999000))
+        ).count()
+        assert gt == want_gt
+    finally:
+        datemath.set_fixed_now(None)
