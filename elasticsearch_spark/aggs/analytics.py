@@ -246,16 +246,27 @@ def _unpivot_counts(wide: DataFrame, keys: list[str]) -> DataFrame:
 def date_range_agg(
     df: DataFrame, ts_field: str, ranges: list[tuple[str | None, str | None]]
 ) -> DataFrame:
-    """date_range buckets (from inclusive, to exclusive), ISO strings."""
+    """date_range buckets (from inclusive, to exclusive), ISO strings or
+    date-math expressions (``now-1M/M``, ``2024-01-05||/w``)."""
+    from elasticsearch_spark.search.datemath import (
+        is_date_math, parse_date_math)
+
+    def _edge(v):
+        # both edges round DOWN (DateRangeAggregationBuilder: from is
+        # inclusive, to is exclusive — no round-up edge exists)
+        if is_date_math(v):
+            return F.lit(parse_date_math(v))
+        return F.lit(v).cast("timestamp")
+
     rows = []
     keys = []
     c = F.col(ts_field)
     for i, (lo, hi) in enumerate(ranges):
         cond = F.lit(True)
         if lo is not None:
-            cond = cond & (c >= F.lit(lo).cast("timestamp"))
+            cond = cond & (c >= _edge(lo))
         if hi is not None:
-            cond = cond & (c < F.lit(hi).cast("timestamp"))
+            cond = cond & (c < _edge(hi))
         keys.append(f"{lo or '*'}..{hi or '*'}")
         # coalesce: F.sum over ZERO rows is NULL — empty input must
         # yield zero-count buckets, not NULL doc_counts

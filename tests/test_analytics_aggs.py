@@ -206,3 +206,26 @@ def test_bucket_count_correlation(spark):
         flat, "x", "y", 100).first()["correlation"] is None
     with pytest.raises(ValueError):
         bucket_count_correlation(buckets, "x", "y", 10)  # weight > 1
+
+
+def test_date_range_date_math_edges(spark):
+    from datetime import datetime
+
+    from elasticsearch_spark.aggs.analytics import date_range_agg
+    from elasticsearch_spark.search import datemath
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    datemath.set_fixed_now(datetime(2024, 2, 1))
+    try:
+        out = {
+            r["key"]: r["doc_count"]
+            for r in date_range_agg(
+                ev, "ts", [(None, "now-2w/w"), ("now-2w/w", None)]
+            ).collect()
+        }
+    finally:
+        datemath.set_fixed_now(None)
+    edge = datetime(2024, 1, 15)  # Monday two weeks before Feb 1
+    lo = ev.filter(F.col("ts") < F.lit(edge)).count()
+    hi = ev.filter(F.col("ts") >= F.lit(edge)).count()
+    assert out["*..now-2w/w"] == lo and out["now-2w/w..*"] == hi
