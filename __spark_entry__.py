@@ -109,6 +109,7 @@ _R05_PRIORITY = (
     "analyze_uax_url_email", "dedup_substring_spans", "substring_dup_stats",
     "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
     "agg_date_histogram_offset", "agg_histogram_empty", "range_date_math",
+    "ml_eval_classification", "ml_eval_regression", "ml_eval_auc",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -3312,6 +3313,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_anomaly").orderBy("bucket", "entity")
 
     q["ml_population_anomaly"] = ml_population_anomaly_q
+
+    # ml.evaluate_data_frame: deterministic synthetic predictors so both
+    # engines derive identical inputs (EvaluateDataFrameAction.java)
+    def ml_eval_classification_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import evaluate_classification
+
+        docs = _t(s, d, "documents").withColumn(
+            "predicted",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("en")).otherwise(
+                F.col("lang")),
+        )
+        out = evaluate_classification(docs, "lang", "predicted")
+        return out.select(
+            "clazz",
+            F.col("n_actual").cast("long").alias("n_actual"),
+            F.col("n_predicted").cast("long").alias("n_predicted"),
+            F.col("tp").cast("long").alias("tp"),
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+        )
+
+    q["ml_eval_classification"] = ml_eval_classification_q
+
+    def ml_eval_regression_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import evaluate_regression
+
+        ev = _t(s, d, "events").withColumn(
+            "predicted", F.col("value") * 0.9 + 5.0)
+        out = evaluate_regression(ev, "value", "predicted", huber_delta=1.0)
+        return out.select(
+            F.round("mse", 6).alias("mse"),
+            F.round("rmse", 6).alias("rmse"),
+            F.round("mae", 6).alias("mae"),
+            F.round("r_squared", 6).alias("r_squared"),
+            F.round("huber", 6).alias("huber"),
+        )
+
+    q["ml_eval_regression"] = ml_eval_regression_q
+
+    def ml_eval_auc_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.ml import evaluate_auc_roc
+
+        docs = _t(s, d, "documents").select(
+            (F.col("lang") == "en").cast("int").alias("y"),
+            (F.col("n_chars") % 97).cast("double").alias("s"),
+        )
+        out = evaluate_auc_roc(docs, "y", "s")
+        return out.select(
+            F.round("auc", 6).alias("auc"),
+            F.col("n_positive").cast("long").alias("n_positive"),
+            F.col("n_negative").cast("long").alias("n_negative"),
+        )
+
+    q["ml_eval_auc"] = ml_eval_auc_q
 
     # forecast: Holt linear-trend projection of the modelled series
     # (TransportForecastJobAction) — fit folds in ONE F.aggregate
@@ -6856,6 +6911,53 @@ SELECT entity, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
 FROM r ORDER BY entity, bucket
 """
 
+    o["ml_eval_classification"] = """
+WITH d AS (SELECT lang AS actual,
+                  CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE lang END AS predicted
+           FROM documents),
+act AS (SELECT actual AS clazz, count(*) AS n_actual FROM d GROUP BY 1),
+pred AS (SELECT predicted AS clazz, count(*) AS n_predicted FROM d GROUP BY 1),
+tp AS (SELECT actual AS clazz, count(*) AS tp FROM d
+       WHERE actual = predicted GROUP BY 1)
+SELECT coalesce(a.clazz, p.clazz) AS clazz,
+       coalesce(n_actual, 0)::BIGINT AS n_actual,
+       coalesce(n_predicted, 0)::BIGINT AS n_predicted,
+       coalesce(tp.tp, 0)::BIGINT AS tp,
+       round(coalesce(tp.tp, 0) * 1.0
+             / nullif(coalesce(n_predicted, 0), 0), 6) AS "precision",
+       round(coalesce(tp.tp, 0) * 1.0
+             / nullif(coalesce(n_actual, 0), 0), 6) AS recall
+FROM act a FULL OUTER JOIN pred p ON a.clazz = p.clazz
+LEFT JOIN tp ON tp.clazz = coalesce(a.clazz, p.clazz)
+"""
+    o["ml_eval_regression"] = """
+WITH d AS (SELECT value::DOUBLE AS a, (value * 0.9 + 5.0)::DOUBLE AS p
+           FROM events),
+s AS (SELECT avg((a - p) * (a - p)) AS mse, avg(abs(a - p)) AS mae,
+             avg(CASE WHEN abs(a - p) <= 1.0 THEN (a - p) * (a - p) / 2.0
+                      ELSE 1.0 * (abs(a - p) - 0.5) END) AS huber,
+             var_pop(a) AS va
+      FROM d)
+SELECT round(mse, 6) AS mse, round(sqrt(mse), 6) AS rmse,
+       round(mae, 6) AS mae, round(1.0 - mse / va, 6) AS r_squared,
+       round(huber, 6) AS huber
+FROM s
+"""
+    o["ml_eval_auc"] = """
+WITH d AS (SELECT (lang = 'en')::INT AS y, (n_chars % 97)::DOUBLE AS s
+           FROM documents),
+per AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM d GROUP BY s),
+r AS (SELECT s, np, nn,
+        coalesce(sum(np + nn) OVER (ORDER BY s ROWS BETWEEN
+          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per),
+sums AS (SELECT sum(np * (below + (np + nn + 1) / 2.0)) AS rp,
+                sum(np) AS p, sum(nn) AS n
+         FROM r)
+SELECT round((rp - p * (p + 1) / 2.0) / (p * n), 6) AS auc,
+       p::BIGINT AS n_positive, n::BIGINT AS n_negative
+FROM sums
+"""
     o["ml_population_anomaly"] = f"""
 WITH r AS ({population_anomalies_sql(entity_col='user_id', span='day')})
 SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,

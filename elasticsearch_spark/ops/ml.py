@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 METHODS = ("distance_kth_nn", "distance_knn", "ldof", "lof")
 
@@ -605,3 +605,105 @@ best AS (
 SELECT pred, count(*)::BIGINT AS doc_count
 FROM best GROUP BY pred ORDER BY pred
 """
+
+
+# ---------------------------------------------------------------------------
+# ml.evaluate_data_frame (x-pack/plugin/core/.../ml/dataframe/evaluation:
+# Accuracy / Precision / Recall / MulticlassConfusionMatrix, regression
+# MeanSquaredError / RSquared / HuberMetric, outlier AucRoc)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_classification(
+    df: DataFrame, actual_col: str, predicted_col: str
+) -> DataFrame:
+    """Per-class evaluation: (clazz, n_actual, n_predicted, tp,
+    precision, recall) sorted by class — the multiclass section of
+    ml.evaluate_data_frame. Three hash aggs joined on the class key;
+    full-outer so a class that is only ever predicted (or only ever
+    actual) still reports, like MulticlassConfusionMatrix."""
+    act = df.groupBy(F.col(actual_col).alias("clazz")).agg(
+        F.count("*").alias("n_actual"))
+    pred = df.groupBy(F.col(predicted_col).alias("clazz")).agg(
+        F.count("*").alias("n_predicted"))
+    tp = (
+        df.filter(F.col(actual_col) == F.col(predicted_col))
+        .groupBy(F.col(actual_col).alias("clazz"))
+        .agg(F.count("*").alias("tp"))
+    )
+    out = (
+        act.join(pred, "clazz", "full_outer")
+        .join(tp, "clazz", "left")
+        .na.fill(0, ["n_actual", "n_predicted", "tp"])
+    )
+    return out.select(
+        "clazz", "n_actual", "n_predicted", "tp",
+        F.when(F.col("n_predicted") > 0,
+               F.col("tp") / F.col("n_predicted")).alias("precision"),
+        F.when(F.col("n_actual") > 0,
+               F.col("tp") / F.col("n_actual")).alias("recall"),
+    ).orderBy("clazz")
+
+
+def evaluate_regression(
+    df: DataFrame, actual_col: str, predicted_col: str, huber_delta: float = 1.0
+) -> DataFrame:
+    """One-row regression metrics: mse, rmse, mae, r_squared, huber —
+    a single partial/final aggregation pass (no second scan: r² uses
+    var_pop(actual) = ss_tot/n so one agg suffices)."""
+    a, p = F.col(actual_col).cast("double"), F.col(predicted_col).cast("double")
+    err = a - p
+    d = float(huber_delta)
+    huber = F.when(
+        F.abs(err) <= d, err * err / 2.0
+    ).otherwise(d * (F.abs(err) - d / 2.0))
+    agg = df.agg(
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.avg(huber).alias("huber"),
+        F.var_pop(a).alias("_var_a"),
+    )
+    return agg.select(
+        "mse",
+        F.sqrt(F.col("mse")).alias("rmse"),
+        "mae",
+        (F.lit(1.0) - F.col("mse") / F.col("_var_a")).alias("r_squared"),
+        "huber",
+    )
+
+
+def evaluate_auc_roc(
+    df: DataFrame, actual_col: str, score_col: str
+) -> DataFrame:
+    """One-row AUC-ROC via the Mann-Whitney rank statistic:
+    AUC = (sum of positive ranks - P(P+1)/2) / (P*N), ties averaged.
+
+    Scale shape: scores are first collapsed to (score, n_pos, n_neg)
+    by a hash agg, so the only ordered pass runs over DISTINCT scores —
+    the same reduction the reference's AucRoc makes by evaluating at
+    fixed percentile thresholds. At extreme score cardinality,
+    quantize the score column first (round/percentile_approx bins)."""
+    y = F.col(actual_col).cast("int")
+    per = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum(y).alias("_np"),
+        F.sum(F.lit(1) - y).alias("_nn"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.withColumn(
+        "_below", F.coalesce(F.sum(F.col("_np") + F.col("_nn")).over(w), F.lit(0))
+    )
+    # average rank of the tied block [below+1 .. below+np+nn]
+    avg_rank = F.col("_below") + (F.col("_np") + F.col("_nn") + 1) / 2.0
+    sums = ranked.agg(
+        F.sum(F.col("_np") * avg_rank).alias("_rank_pos"),
+        F.sum("_np").alias("_p"),
+        F.sum("_nn").alias("_n"),
+    )
+    return sums.select(
+        (
+            (F.col("_rank_pos") - F.col("_p") * (F.col("_p") + 1) / 2.0)
+            / (F.col("_p") * F.col("_n"))
+        ).alias("auc"),
+        F.col("_p").alias("n_positive"),
+        F.col("_n").alias("n_negative"),
+    )

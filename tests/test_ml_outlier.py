@@ -237,3 +237,60 @@ def test_categorize_messages_char_filters(spark):
         df, "message", categorization_filters=["^(ERROR|WARN)"]).collect()
     keys = sorted(r["category_key"] for r in out)
     assert keys == ["found in module alpha", "found in module beta"]
+
+
+def test_evaluate_classification_counts(spark):
+    from elasticsearch_spark.ops.ml import evaluate_classification
+
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")]
+    df = spark.createDataFrame(rows, ["actual", "pred"])
+    got = {r["clazz"]: r for r in
+           evaluate_classification(df, "actual", "pred").collect()}
+    assert got["a"]["tp"] == 1 and got["a"]["n_actual"] == 2
+    assert got["a"]["n_predicted"] == 2
+    assert abs(got["a"]["precision"] - 0.5) < 1e-12
+    assert abs(got["b"]["recall"] - 1.0) < 1e-12
+    # class only ever actual, never predicted: precision NULL, recall 0
+    assert got["c"]["n_predicted"] == 0 and got["c"]["precision"] is None
+
+
+def test_evaluate_regression_exact(spark):
+    from elasticsearch_spark.ops.ml import evaluate_regression
+
+    rows = [(1.0, 2.0), (2.0, 2.0), (3.0, 5.0), (4.0, 4.5)]
+    df = spark.createDataFrame(rows, ["a", "p"])
+    r = evaluate_regression(df, "a", "p", huber_delta=1.0).collect()[0]
+    errs = [1.0, 0.0, 2.0, 0.5]
+    mse = sum(e * e for e in errs) / 4
+    assert abs(r["mse"] - mse) < 1e-12
+    assert abs(r["mae"] - sum(errs) / 4) < 1e-12
+    import statistics
+    var = statistics.pvariance([1.0, 2.0, 3.0, 4.0])
+    assert abs(r["r_squared"] - (1 - mse / var)) < 1e-12
+    huber = (0.5 * 1.0 + 0.0 + (2.0 - 0.5) + 0.5 * 0.25) / 4
+    assert abs(r["huber"] - huber) < 1e-12
+
+
+def test_evaluate_auc_roc(spark):
+    from elasticsearch_spark.ops.ml import evaluate_auc_roc
+
+    # perfect separation -> AUC 1; inverted -> 0; ties averaged
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], ["y", "s"])
+    assert abs(evaluate_auc_roc(perfect, "y", "s").collect()[0]["auc"] - 1.0) < 1e-12
+    inverted = spark.createDataFrame(
+        [(0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)], ["y", "s"])
+    assert abs(evaluate_auc_roc(inverted, "y", "s").collect()[0]["auc"]) < 1e-12
+    # brute-force Mann-Whitney comparison on pseudo-random data
+    import numpy as np
+    rng = np.random.RandomState(7)
+    ys = (rng.rand(200) > 0.6).astype(int)
+    ss = np.round(rng.rand(200) * 0.3 + ys * 0.2, 2)  # noisy + many ties
+    df = spark.createDataFrame(
+        [(int(y), float(s)) for y, s in zip(ys, ss)], ["y", "s"])
+    got = evaluate_auc_roc(df, "y", "s").collect()[0]["auc"]
+    pos, neg = ss[ys == 1], ss[ys == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got - want) < 1e-12
