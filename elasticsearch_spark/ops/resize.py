@@ -239,3 +239,30 @@ def split_index(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(dst_dir, "index_meta.json"))
     return meta
+
+
+def clone_index(src_dir: str, dst_dir: str) -> dict:
+    """_clone (RestCloneIndexAction): same shard count, same data — a
+    metadata-preserving copy. The reference hard-links segment files;
+    parquet dirs are copied (hard-link where the OS allows) since Spark
+    jobs may outlive either directory. The clone is writable (ES clones
+    drop the write block on the target). Returns the new index meta."""
+    import shutil
+
+    if os.path.exists(os.path.join(dst_dir, "index_meta.json")):
+        raise ValueError(f"{dst_dir} already holds an index")
+    meta = dict(index_meta(src_dir))
+    os.makedirs(os.path.dirname(dst_dir) or ".", exist_ok=True)
+
+    def _link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src_dir, dst_dir, copy_function=_link_or_copy)
+    # a restored/copied index must not inherit follower read-only state
+    guard = os.path.join(dst_dir, "ccr_follower.json")
+    if os.path.exists(guard):
+        os.remove(guard)
+    return meta

@@ -226,3 +226,18 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
             json.dump(new_meta, f)
         os.replace(meta_tmp, os.path.join(index_dir, "index_meta.json"))
     refresh_stats(spark, index_dir)
+
+
+def force_merge(
+    spark: SparkSession, index_dir: str, max_num_segments: int = 1
+) -> None:
+    """indices.forcemerge (RestForceMergeAction): fold every accumulated
+    segment back into one contiguous sorted block run per (part, field).
+    Only ``max_num_segments=1`` is meaningful here — intermediate tier
+    targets are a Lucene file-count concern; a parquet generation is
+    already one "segment" per partition."""
+    if int(max_num_segments) != 1:
+        raise ValueError(
+            "force_merge: only max_num_segments=1 is supported "
+            "(a compacted generation is already one segment per shard)")
+    compact_index(spark, index_dir)

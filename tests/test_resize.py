@@ -124,3 +124,27 @@ def test_disk_usage_breakdown(spark, src_idx):
         assert f[k] > 0
     # compressed streams must undercut raw int64 encoding
     assert f["doc_ids_bytes"] < 8 * f["postings"]
+
+
+def test_clone_index_rank_identity(spark, tmp_path):
+    import os
+
+    from elasticsearch_spark.corpus import generate_corpus
+    from elasticsearch_spark.index import build_index
+    from elasticsearch_spark.index.builder import load_index
+    from elasticsearch_spark.ops.resize import clone_index
+    from elasticsearch_spark.search.executor import match_topk
+
+    src = str(tmp_path / "src")
+    corpus = generate_corpus(spark, 120, seed=3)
+    build_index(corpus, src, fields={"content": "code"}, num_partitions=2,
+                id_cols=["repo", "path", "commit"], input_snapshot="v1")
+    dst = str(tmp_path / "dst")
+    clone_index(src, dst)
+    a = match_topk(load_index(spark, src), "content", ["import", "def"], k=10)
+    b = match_topk(load_index(spark, dst), "content", ["import", "def"], k=10)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # clone of a clone into an existing index dir refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        clone_index(src, dst)
