@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range",
+    "agg_date_range", "agg_ip_range", "match_copy_to",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -181,7 +181,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = key.strip("/").replace("/", "_")
-    path = os.path.join(_SCRATCH, f"docindex_{tag}_v12")
+    path = os.path.join(_SCRATCH, f"docindex_{tag}_v13")
     if not os.path.exists(os.path.join(path, "index_meta.json")):
         docs = _t(spark, sf_dir, "documents")
         build_index(
@@ -199,6 +199,9 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             fields={
                 "text": "ascii_word",
                 "source": "ascii_word",
+                # copy_to target: text + source re-parsed as one field
+                # with its own postings/df/norms (FieldMapper.CopyTo)
+                "all_text": "ascii_word",
                 # stop-filtered + S-stemmed English field (exact SQL twin)
                 "text_en": "english_light",
                 # index-time synonym expansion (df/cf/norms reflect it)
@@ -221,6 +224,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
             num_partitions=_INDEX_PARTS,
             input_snapshot=key,
             store_doc_lengths=True,
+            copy_to={"all_text": ["text", "source"]},
         )
     _INDEX_CACHE[key] = load_index(spark, path).cache()
     return _INDEX_CACHE[key]
@@ -507,6 +511,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_synonym_index"] = match_synonym_index
+
+    def match_copy_to(s: SparkSession, d: str) -> DataFrame:
+        # copy_to mapping (FieldMapper.CopyTo): all_text was built as
+        # copy_to(text, source), so ONE match over a single posting
+        # space spans values that live in different source fields —
+        # "src3" only ever appears in `source`, "spark" only in `text`,
+        # yet both score against all_text's own df/norms.
+        idx = _doc_index(s, d)
+        terms = [t for t, _ in analyze("src3 spark", "ascii_word")]
+        out = match_topk(idx, "all_text", terms, k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["match_copy_to"] = match_copy_to
 
     def match_stemmed_es(s: SparkSession, d: str) -> DataFrame:
         # spanish_light field: "filtros rapidos" would match "filtro
@@ -4216,6 +4233,15 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
     from elasticsearch_spark.oracle.sql_oracle import (
         english_light_list_sql,
         synonym_topk_sql,
+    )
+
+    # copy_to twin: the target field's token stream IS the ascii_word
+    # parse of the space-joined sources, so the SQL side tokenizes the
+    # same concatenation (concat_ws(" ", text, source) == text||' '||source
+    # for non-null columns) and re-derives df/avgdl over it
+    o["match_copy_to"] = bm25_topk_sql(
+        ["src3", "spark"], k=10,
+        text_col="(text || ' ' || source)",
     )
 
     o["match_stemmed"] = bm25_topk_sql(

@@ -767,12 +767,22 @@ def build_index(
     resume: bool = False,
     input_snapshot: str = "",
     store_doc_lengths: bool = False,
+    copy_to: dict[str, list[str]] | None = None,
     _only_parts: list[int] | None = None,
 ) -> InvertedIndex:
     """Build (or resume) the inverted index at ``out_dir``.
 
     docs: must contain a long ``doc_id`` column, or pass ``id_cols``.
     fields: {text_column: analyzer_name}.
+    copy_to: {target_field: [source_columns]} — the mapping parameter
+    (reference server/src/main/java/org/elasticsearch/index/mapper/
+    FieldMapper.java CopyTo + DocumentParser.parseCopyFields): each
+    source value is re-parsed into the TARGET field's analyzer chain,
+    so the target carries its own postings, df and length norms. The
+    target must appear in ``fields`` with its analyzer; null sources
+    contribute nothing (concat_ws skips NULL). The synthesized column
+    is a pure projection — one extra field in the same tokenize pass,
+    no additional scan or shuffle.
     _only_parts: test hook — build only these partitions (simulates a
     mid-build failure for the resume test).
     """
@@ -787,6 +797,19 @@ def build_index(
 
     if id_cols:
         docs = assign_doc_ids(docs, id_cols)
+    if copy_to:
+        missing = [t for t in copy_to if t not in fields]
+        if missing:
+            raise ValueError(
+                f"copy_to targets {missing} need an analyzer entry in fields"
+            )
+        for target, srcs in copy_to.items():
+            docs = docs.withColumn(
+                target,
+                F.concat_ws(
+                    " ", *[F.col(c).cast("string") for c in srcs]
+                ),
+            )
     docs = docs.withColumn(
         "part_id",
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_partitions)).cast("int"),
@@ -918,6 +941,7 @@ def build_index(
             {
                 "num_partitions": num_partitions,
                 "fields": fields,
+                "copy_to": copy_to or {},
                 "input_snapshot": input_snapshot,
                 # build-phase wall-clock breakdown (lineage/metrics):
                 # the main tokenize->encode->write job, the global-stats

@@ -296,3 +296,48 @@ def test_msearch_template_renders_and_batches(index):
     with _pytest.raises(ValueError, match="match bodies"):
         msearch_template(
             index, "content", [('{"term": {"content": "x"}}', {})])
+
+
+def test_copy_to_field(spark, corpus, tmp_path_factory):
+    """copy_to (FieldMapper.CopyTo): the target field's postings equal
+    an index built directly over the pre-concatenated sources, and a
+    match over the target spans values from either source."""
+    out = str(tmp_path_factory.mktemp("copyto"))
+    small = corpus.limit(60)
+    idx = build_index(
+        small,
+        out,
+        fields={"content": "code", "everything": "code"},
+        num_partitions=2,
+        id_cols=["repo", "path", "commit"],
+        copy_to={"everything": ["lang", "content"]},
+        input_snapshot="copyto-v1",
+    )
+    # manual twin: same docs with the concat done by hand
+    out2 = str(tmp_path_factory.mktemp("copyto_manual"))
+    idx2 = build_index(
+        small.withColumn(
+            "everything", F.concat_ws(" ", F.col("lang"), F.col("content"))
+        ),
+        out2,
+        fields={"everything": "code"},
+        num_partitions=2,
+        id_cols=["repo", "path", "commit"],
+        input_snapshot="copyto-v2",
+    )
+    got = match_topk(idx, "everything", ["python", "import"], k=10).collect()
+    want = match_topk(idx2, "everything", ["python", "import"], k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    assert len(got) > 0
+    # target missing from fields -> loud validation error
+    with pytest.raises(ValueError, match="copy_to targets"):
+        build_index(
+            small,
+            str(tmp_path_factory.mktemp("copyto_bad")),
+            fields={"content": "code"},
+            num_partitions=2,
+            id_cols=["repo", "path", "commit"],
+            copy_to={"everything": ["lang", "content"]},
+        )
