@@ -90,6 +90,7 @@ _R04_DRIVER_CHECKED = (
 # never-driver-checked pool.
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
+    "ml_high_count", "ml_distinct_count",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -3290,6 +3291,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("user_id", "event_type")
 
     q["ml_rare"] = ml_rare_q
+
+    # count/high_count detector functions: the modelled metric is the
+    # per-bucket EVENT RATE; high_ gates alerts to upward deviations
+    def ml_high_count_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import count_anomalies
+
+        ev = _t(s, d, "events")
+        out = count_anomalies(ev, span="day", side="high")
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"), "n",
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("bucket")
+
+    q["ml_high_count"] = ml_high_count_q
+
+    # distinct_count: per-bucket count(DISTINCT user_id) as the metric
+    def ml_distinct_count_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import (
+            distinct_count_anomalies,
+        )
+
+        ev = _t(s, d, "events")
+        out = distinct_count_anomalies(ev, "user_id", span="day")
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"), "n_distinct",
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("bucket")
+
+    q["ml_distinct_count"] = ml_distinct_count_q
 
     # DFA classification training: Gaussian naive Bayes — training is
     # ONE groupBy(label) aggregation; scoring is a pure codegen argmax
@@ -6900,8 +6930,24 @@ FROM r ORDER BY bucket
 """
 
     from elasticsearch_spark.ops.anomaly import (
+        count_anomalies_sql as _count_sql,
+        distinct_count_anomalies_sql as _dcount_sql,
         rare_anomalies_sql as _rare_sql,
     )
+
+    o["ml_high_count"] = f"""
+WITH r AS ({_count_sql('events', span='day', side='high')})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+       round(score, 6) AS score, is_anomaly
+FROM r ORDER BY bucket
+"""
+
+    o["ml_distinct_count"] = f"""
+WITH r AS ({_dcount_sql('events', 'user_id', span='day')})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n_distinct,
+       round(score, 6) AS score, is_anomaly
+FROM r ORDER BY bucket
+"""
 
     o["ml_rare"] = f"""
 WITH r AS ({_rare_sql('events', 'event_type', by_col='user_id',

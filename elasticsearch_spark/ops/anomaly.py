@@ -202,6 +202,116 @@ FROM d JOIN m ON m.bucket = d.bucket
 """
 
 
+def _sided_score(side: str, threshold: float):
+    """Score/flag columns with one-sided gating (the reference's
+    low_*/high_* detector-function variants,
+    x-pack/plugin/ml/.../job/config/DetectorFunction.java): deviations
+    on the unwatched side score 0. MAD itself stays two-sided — the
+    robust scale uses every bucket, like the model's variance does."""
+    base = _mad_score()
+    if side == "low":
+        score = F.when(F.col("metric") < F.col("med"), base).otherwise(
+            F.lit(0.0))
+    elif side == "high":
+        score = F.when(F.col("metric") > F.col("med"), base).otherwise(
+            F.lit(0.0))
+    else:
+        score = base
+    return score.alias("score"), (score > threshold).alias("is_anomaly")
+
+
+def _sided_score_sql(side: str, threshold: float) -> str:
+    expr = (f"CASE WHEN mad > 0 THEN adev / ({MAD_SIGMA} * mad) "
+            "WHEN adev = 0 THEN 0.0 "
+            "ELSE CAST('infinity' AS DOUBLE) END")
+    if side == "low":
+        expr = f"CASE WHEN metric < med THEN {expr} ELSE 0.0 END"
+    elif side == "high":
+        expr = f"CASE WHEN metric > med THEN {expr} ELSE 0.0 END"
+    return (f"{expr} AS score,\n       {expr} > {threshold} AS is_anomaly")
+
+
+def _bucket_mad_frame(b: DataFrame) -> DataFrame:
+    """(bucket, metric) -> + (med, adev, mad) via two broadcast-sized
+    percentile passes — shared by every event-rate detector."""
+    stats = b.agg(F.percentile("metric", F.lit(0.5)).alias("med"))
+    dev = (b.crossJoin(F.broadcast(stats))
+           .select("bucket", "metric", "med",
+                   F.abs(F.col("metric") - F.col("med")).alias("adev")))
+    mad = dev.agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return dev.crossJoin(F.broadcast(mad))
+
+
+def count_anomalies(
+    df: DataFrame, ts_col: str = "ts", span: str = "hour",
+    threshold: float = 3.0, side: str = "both",
+) -> DataFrame:
+    """``count`` / ``low_count`` / ``high_count`` detector functions:
+    the modelled metric is the per-bucket EVENT COUNT, not a field
+    value (reference x-pack/plugin/ml/.../job/config/
+    DetectorFunction.java COUNT/LOW_COUNT/HIGH_COUNT). One counting
+    aggregation (map-side partial sums) + the shared median/MAD score;
+    ``side`` gates which deviations alert."""
+    b = (df.groupBy(F.date_trunc(span, F.col(ts_col)).alias("bucket"))
+         .agg(F.count("*").cast("double").alias("metric")))
+    score, flag = _sided_score(side, threshold)
+    return _bucket_mad_frame(b).select(
+        "bucket", F.col("metric").cast("long").alias("n"), score, flag)
+
+
+def count_anomalies_sql(
+    table: str = "events", ts_col: str = "ts", span: str = "hour",
+    threshold: float = 3.0, side: str = "both",
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT date_trunc('{span}', {ts_col}) AS bucket,
+         count(*)::DOUBLE AS metric
+  FROM {table} GROUP BY 1),
+s AS (SELECT median(metric) AS med FROM b),
+d AS (SELECT bucket, metric, med, abs(metric - med) AS adev FROM b, s),
+m AS (SELECT median(adev) AS mad FROM d)
+SELECT bucket, metric::BIGINT AS n,
+       {_sided_score_sql(side, threshold)}
+FROM d, m
+"""
+
+
+def distinct_count_anomalies(
+    df: DataFrame, field: str, ts_col: str = "ts", span: str = "hour",
+    threshold: float = 3.0, side: str = "both",
+) -> DataFrame:
+    """``distinct_count`` / ``low_``/``high_distinct_count``: the
+    per-bucket metric is count(DISTINCT field). Exact distinct — the
+    partial agg dedups (bucket, field) pairs before the exchange, so
+    the shuffle carries at most one row per distinct pair, the same
+    cost shape as the reference's per-bucket cardinality model."""
+    b = (df.groupBy(F.date_trunc(span, F.col(ts_col)).alias("bucket"))
+         .agg(F.countDistinct(field).cast("double").alias("metric")))
+    score, flag = _sided_score(side, threshold)
+    return _bucket_mad_frame(b).select(
+        "bucket", F.col("metric").cast("long").alias("n_distinct"),
+        score, flag)
+
+
+def distinct_count_anomalies_sql(
+    table: str, field: str, ts_col: str = "ts", span: str = "hour",
+    threshold: float = 3.0, side: str = "both",
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT date_trunc('{span}', {ts_col}) AS bucket,
+         count(DISTINCT {field})::DOUBLE AS metric
+  FROM {table} GROUP BY 1),
+s AS (SELECT median(metric) AS med FROM b),
+d AS (SELECT bucket, metric, med, abs(metric - med) AS adev FROM b, s),
+m AS (SELECT median(adev) AS mad FROM d)
+SELECT bucket, metric::BIGINT AS n_distinct,
+       {_sided_score_sql(side, threshold)}
+FROM d, m
+"""
+
+
 def rare_anomalies(
     df: DataFrame, category_col: str, by_col: str | None = None,
     max_count: int = 3,

@@ -349,3 +349,41 @@ def test_rewrite_histogram():
         "(CAST(floor(value / 50) AS BIGINT) * 50)"
     with pytest.raises(ValueError, match="1-unit"):
         rewrite_histogram("HISTOGRAM(ts, INTERVAL 3 DAY)")
+
+
+def test_count_detector_side_gating(spark):
+    """low/high one-sided gating: the same bucket frame scores 0 on
+    the unwatched side; 'both' equals the max of the two sides."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from elasticsearch_spark.ops.anomaly import (
+        count_anomalies,
+        distinct_count_anomalies,
+    )
+
+    both = {r["bucket"]: r["score"]
+            for r in count_anomalies(ev, span="day").collect()}
+    low = {r["bucket"]: r["score"]
+           for r in count_anomalies(ev, span="day", side="low").collect()}
+    high = {r["bucket"]: r["score"]
+            for r in count_anomalies(ev, span="day", side="high").collect()}
+    assert both.keys() == low.keys() == high.keys() and len(both) > 3
+    for b in both:
+        assert low[b] == 0.0 or high[b] == 0.0
+        assert round(max(low[b], high[b]), 9) in (
+            0.0, round(both[b], 9))
+    # distinct_count twin vs DuckDB
+    # key by date string: DuckDB's date_trunc('day') yields DATE,
+    # Spark's yields TIMESTAMP — same instant, different Python type
+    got = {str(r["bucket"])[:10]: (r["n_distinct"], round(r["score"], 6))
+           for r in distinct_count_anomalies(
+               ev, "user_id", span="day").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    from elasticsearch_spark.ops.anomaly import (
+        distinct_count_anomalies_sql,
+    )
+    want = {str(r[0])[:10]: (r[1], round(r[2], 6)) for r in con.execute(
+        distinct_count_anomalies_sql("events", "user_id", span="day")
+    ).fetchall()}
+    assert got == want
