@@ -90,7 +90,7 @@ _R04_DRIVER_CHECKED = (
 # never-driver-checked pool.
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
-    "ml_high_count", "ml_distinct_count",
+    "ml_high_count", "ml_distinct_count", "bulk_api",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -4181,6 +4181,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["count_api"] = count_api_q
 
+    # _bulk endpoint: one mixed index/create/update/delete batch
+    # rewritten as broadcast set-algebra over the doc table — the
+    # doc table never shuffles (TransportBulkAction per-item contract)
+    def bulk_api_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.bulk import bulk_apply
+
+        docs = _t(s, d, "documents")
+        new_docs, items = bulk_apply(docs, [
+            {"delete": {"doc_id": 3}},
+            {"index": {"doc_id": 100001, "text": "bulk indexed doc",
+                       "lang": "xx", "source": "srcB", "n_chars": 16}},
+            {"create": {"doc_id": 5, "text": "conflict",
+                        "lang": "xx", "source": "srcB", "n_chars": 8}},
+            {"create": {"doc_id": 100002, "text": "bulk created doc",
+                        "lang": "yy", "source": "srcB", "n_chars": 16}},
+            {"update": {"doc_id": 7, "doc": {"lang": "zz"}}},
+            {"update": {"doc_id": 999999999, "doc": {"lang": "zz"}}},
+        ])
+        # items contract (positions fixed by the request): conflict at
+        # #2 and missing-doc at #5 must NOT have mutated the table
+        assert items[2].get("error") and items[5].get("error")
+        total = new_docs.agg(
+            F.count("*").cast("long").alias("total"))
+        touched = new_docs.filter(
+            F.col("doc_id").isin([100001, 100002, 7, 5, 3]))
+        return (touched.crossJoin(F.broadcast(total))
+                .select("doc_id", "lang", "n_chars", "total")
+                .orderBy("doc_id"))
+
+    q["bulk_api"] = bulk_api_q
+
     # circle ingest processor (CircleProcessor + SpatialUtils
     # createRegularShapePolygon): circle -> regular polygon, vertex
     # count from the error_distance sagitta bound, pure codegen
@@ -7720,6 +7751,24 @@ FROM merged ORDER BY score DESC, doc_id ASC LIMIT 12
     o["count_api"] = """
 SELECT count(*)::BIGINT AS count FROM documents
 WHERE n_chars >= 200 AND lang = 'en' AND NOT (source = 'src3')
+"""
+
+    # bulk twin: the same set algebra spelled in SQL — doc 3 deleted,
+    # 100001 indexed, create on 5 conflicts (no-op), 100002 created,
+    # update merges lang onto doc 7, update on the missing id no-ops
+    o["bulk_api"] = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 7 THEN 'zz' ELSE lang END AS lang,
+         n_chars
+  FROM documents WHERE doc_id <> 3
+  UNION ALL SELECT 100001::BIGINT, 'xx', 16::BIGINT
+  UNION ALL SELECT 100002::BIGINT, 'yy', 16::BIGINT
+)
+SELECT doc_id, lang, n_chars,
+       (SELECT count(*)::BIGINT FROM final) AS total
+FROM final WHERE doc_id IN (100001, 100002, 7, 5, 3)
+ORDER BY doc_id
 """
 
     # circle processor: same regular-polygon math, one probed vertex

@@ -640,3 +640,40 @@ def test_infer_mappings_dynamic(spark):
     # date_detection off: ISO strings stay text
     m3 = infer_mappings(df, date_detection=False)["properties"]
     assert m3["ts"]["type"] == "text"
+
+
+def test_bulk_apply_contract(spark):
+    """_bulk analogue: per-item results mirror TransportBulkAction
+    (created/updated/deleted/not_found + conflict/missing errors) and
+    failed items leave the table untouched."""
+    import pytest as _pytest
+
+    from elasticsearch_spark.ops.bulk import bulk_apply
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (6, "f", 60)],
+        "doc_id long, name string, v long")
+    new_docs, items = bulk_apply(docs, [
+        {"delete": {"doc_id": 2}},
+        {"delete": {"doc_id": 99}},
+        {"index": {"doc_id": 1, "name": "a2", "v": 11}},
+        {"index": {"doc_id": 4, "name": "d", "v": 40}},
+        {"create": {"doc_id": 3, "name": "dup"}},
+        {"create": {"doc_id": 5, "name": "e"}},
+        {"update": {"doc_id": 6, "doc": {"v": 61}}},
+        {"update": {"doc_id": 77, "doc": {"v": 1}}},
+    ])
+    assert [i.get("result", i.get("error")) for i in items] == [
+        "deleted", "not_found", "updated", "created",
+        "version_conflict_engine_exception", "created", "updated",
+        "document_missing_exception"]
+    rows = {r["doc_id"]: (r["name"], r["v"])
+            for r in new_docs.collect()}
+    assert rows == {1: ("a2", 11), 3: ("c", 30), 4: ("d", 40),
+                    5: ("e", None), 6: ("f", 61)}
+    with _pytest.raises(ValueError, match="duplicate id"):
+        bulk_apply(docs, [{"delete": {"doc_id": 1}},
+                          {"index": {"doc_id": 1, "name": "x"}}])
+    with _pytest.raises(ValueError, match="not in schema"):
+        bulk_apply(docs, [{"update": {"doc_id": 1,
+                                      "doc": {"nope": 1}}}])
