@@ -91,6 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
+    "ingest_network_direction",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -2667,6 +2668,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id").limit(200))
 
     q["ingest_enrich"] = ingest_enrich_q
+
+    def ingest_network_direction_q(s: SparkSession, d: str) -> DataFrame:
+        # NetworkDirectionProcessor: synthesized endpoints — src
+        # alternates private/public by doc_id parity, dst by doc_id%3
+        from elasticsearch_spark.ops import ingest as ing
+
+        did = F.col("doc_id")
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.when(did % 2 == 0, F.format_string(
+                "10.0.%d.1", F.pmod(did, F.lit(256)).cast("int")))
+            .otherwise(F.format_string(
+                "8.8.%d.1", F.pmod(did, F.lit(256)).cast("int")))
+            .alias("src"),
+            F.when(did % 3 == 0, F.format_string(
+                "192.168.%d.2", F.pmod(did, F.lit(256)).cast("int")))
+            .otherwise(F.format_string(
+                "1.1.%d.2", F.pmod(did, F.lit(256)).cast("int")))
+            .alias("dst"))
+        out = ing.apply_pipeline(docs, [{"network_direction": {
+            "source_ip": "src", "destination_ip": "dst",
+            "internal_networks": ["private"]}}])
+        return out.select("doc_id", "network_direction").orderBy("doc_id")
+
+    q["ingest_network_direction"] = ingest_network_direction_q
 
     def ingest_geoip_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops import ingest as ing
@@ -6349,6 +6375,15 @@ SELECT d.doc_id, r.r_name AS region_name
 FROM documents d
 LEFT JOIN region r ON (d.doc_id % 5 + 5) % 5 = r.r_regionkey
 ORDER BY d.doc_id ASC LIMIT 200
+"""
+
+    o["ingest_network_direction"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN 'internal'
+            WHEN doc_id % 2 = 0 THEN 'outbound'
+            WHEN doc_id % 3 = 0 THEN 'inbound'
+            ELSE 'external' END AS network_direction
+FROM documents ORDER BY doc_id
 """
 
     o["ingest_geoip"] = """

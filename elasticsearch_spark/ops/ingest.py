@@ -379,6 +379,71 @@ def apply_processor(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         return df.withColumn(
             p.get("target_field", "community_id"), F.concat(F.lit("1:"), digest)
         )
+    if kind == "fail":
+        # FailProcessor.java: raise on matching docs. The reference
+        # fails the single document (on_failure-handled); a batch
+        # engine's analogue is failing the job loudly at first match —
+        # the condition guard (`if`) is the usual production shape.
+        cond = F.expr(p["if"]) if "if" in p else F.lit(True)
+        msg = p.get("message", "fail processor triggered")
+        # a filter predicate can't be pruned away: matching rows
+        # evaluate raise_error, everything else passes through TRUE
+        guard = F.when(cond, F.raise_error(F.lit(msg))
+                       .cast("boolean")).otherwise(F.lit(True))
+        return df.filter(guard)
+    if kind == "date_index_name":
+        # DateIndexNameProcessor.java: route each doc to a time-based
+        # index name — prefix + the date field rounded per
+        # date_rounding, rendered with index_name_format. Pure codegen.
+        unit = {"y": "year", "M": "month", "w": "week", "d": "day",
+                "h": "hour", "m": "minute", "s": "second"}[
+            p.get("date_rounding", "d")]
+        fmt = p.get("index_name_format", "yyyy-MM-dd")
+        rounded = F.date_trunc(unit, F.col(p["field"]))
+        return df.withColumn(
+            p.get("target_field", "_index"),
+            F.concat(F.lit(p.get("index_name_prefix", "")),
+                     F.date_format(rounded, fmt)))
+    if kind == "network_direction":
+        # NetworkDirectionProcessor.java: classify the flow against
+        # internal_networks (CIDRs or the named ranges the reference
+        # accepts) — internal/outbound/inbound/external. One OR-chain
+        # of range predicates per endpoint, all JVM-side.
+        named = {
+            "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+            "loopback": ["127.0.0.0/8"],
+            "link_local_unicast": ["169.254.0.0/16"],
+        }
+        cidrs: list[str] = []
+        for n in p["internal_networks"]:
+            cidrs.extend(named.get(n, [n]))
+
+        def in_internal(ip_col):
+            preds = []
+            for c in cidrs:
+                base, _, bits = c.partition("/")
+                bits = int(bits or 32)
+                base_num = 0
+                for part in base.split("."):
+                    base_num = base_num * 256 + int(part)
+                mask = ((1 << 32) - 1) ^ ((1 << (32 - bits)) - 1)
+                preds.append(
+                    _ipv4_num(ip_col).bitwiseAND(F.lit(mask))
+                    == F.lit(base_num & mask))
+            out = preds[0]
+            for q in preds[1:]:
+                out = out | q
+            return out
+
+        src_in = in_internal(F.col(p.get("source_ip", "source_ip")))
+        dst_in = in_internal(
+            F.col(p.get("destination_ip", "destination_ip")))
+        return df.withColumn(
+            p.get("target_field", "network_direction"),
+            F.when(src_in & dst_in, F.lit("internal"))
+            .when(src_in, F.lit("outbound"))
+            .when(dst_in, F.lit("inbound"))
+            .otherwise(F.lit("external")))
     if kind == "enrich":
         # EnrichProcessor: broadcast hash join against the registered
         # policy table; the matched enrich doc lands at target_field as

@@ -357,3 +357,46 @@ def test_attachment_processor(spark):
     assert att[3]["content_type"] == "text/html"
     assert att[3]["content"] == "x"
     assert att[4]["content_type"] == "application/rtf"
+
+
+def test_fail_date_index_name_network_direction(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.ingest import apply_processor
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-15 10:30:00", "10.1.2.3", "192.168.1.5"),
+         (2, "2024-03-16 23:59:59", "10.1.2.3", "8.8.8.8"),
+         (3, "2024-04-01 00:00:00", "8.8.4.4", "172.16.0.9"),
+         (4, "2024-04-02 12:00:00", "1.2.3.4", "8.8.8.8")],
+        "id long, ts string, src string, dst string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # date_index_name: monthly rounding with a prefix
+    out = apply_processor(df, {"date_index_name": {
+        "field": "ts", "index_name_prefix": "logs-",
+        "date_rounding": "M", "index_name_format": "yyyy-MM"}})
+    got = {r["id"]: r["_index"] for r in out.collect()}
+    assert got == {1: "logs-2024-03", 2: "logs-2024-03",
+                   3: "logs-2024-04", 4: "logs-2024-04"}
+
+    # network_direction with the named 'private' range
+    out = apply_processor(df, {"network_direction": {
+        "source_ip": "src", "destination_ip": "dst",
+        "internal_networks": ["private"]}})
+    got = {r["id"]: r["network_direction"] for r in out.collect()}
+    assert got == {1: "internal", 2: "outbound", 3: "inbound",
+                   4: "external"}
+
+    # fail: no match passes through; a match fails the job loudly
+    ok = apply_processor(df, {"fail": {
+        "if": "id > 100", "message": "boom"}})
+    assert ok.count() == 4
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = apply_processor(df, {"fail": {"if": "id = 3",
+                                        "message": "boom"}})
+    with _pytest.raises(Exception) as ei:
+        bad.count()
+    assert "boom" in str(ei.value)
