@@ -96,8 +96,12 @@ def compile_filter(
             out = (out & c) if operator == "and" else (out | c)
         return out
     if kind == "term":
+        # case_insensitive: TermQueryBuilder.java:33 (and the other
+        # term-level builders) — fold both sides, still pushdown-able
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(resolve(field)) == F.lit(str(value).lower())
         return resolve(field) == F.lit(value)
     if kind == "terms":
         field, values = next(iter(body.items()))
@@ -150,15 +154,22 @@ def compile_filter(
     if kind == "prefix":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(resolve(field)).startswith(str(value).lower())
         return resolve(field).startswith(value)
     if kind == "wildcard":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return F.lower(resolve(field)).rlike(
+                _wildcard_to_regex(str(value).lower()))
         return resolve(field).rlike(_wildcard_to_regex(value))
     if kind == "regexp":
         field, spec = next(iter(body.items()))
         value = spec["value"] if isinstance(spec, dict) else spec
         # ES regexp is anchored (matches the WHOLE term)
+        if isinstance(spec, dict) and spec.get("case_insensitive"):
+            return resolve(field).rlike(f"(?i)^(?:{value})$")
         return resolve(field).rlike(f"^(?:{value})$")
     if kind == "fuzzy":
         field, spec = next(iter(body.items()))

@@ -677,3 +677,27 @@ def test_bulk_apply_contract(spark):
     with _pytest.raises(ValueError, match="not in schema"):
         bulk_apply(docs, [{"update": {"doc_id": 1,
                                       "doc": {"nope": 1}}}])
+
+
+def test_term_level_case_insensitive(spark):
+    """case_insensitive on term/prefix/wildcard/regexp
+    (TermQueryBuilder.java:33 and siblings)."""
+    from elasticsearch_spark.search.dsl import compile_filter
+
+    df = spark.createDataFrame(
+        [(1, "Alpha"), (2, "ALPHA"), (3, "beta"), (4, "alphabet")],
+        "doc_id long, s string")
+
+    def ids(q):
+        return {r["doc_id"] for r in df.filter(compile_filter(q)).collect()}
+
+    assert ids({"term": {"s": {"value": "alpha"}}}) == set()
+    assert ids({"term": {"s": {"value": "alpha",
+                               "case_insensitive": True}}}) == {1, 2}
+    assert ids({"prefix": {"s": {"value": "ALPH",
+                                 "case_insensitive": True}}}) == {1, 2, 4}
+    assert ids({"wildcard": {"s": {"value": "Alph*",
+                                   "case_insensitive": True}}}) == {1, 2, 4}
+    assert ids({"regexp": {"s": {"value": "alpha.*",
+                                 "case_insensitive": True}}}) == {1, 2, 4}
+    assert ids({"regexp": {"s": {"value": "alpha.*"}}}) == {4}
