@@ -91,7 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
-    "ingest_network_direction",
+    "ingest_network_direction", "agg_filters_other",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -1141,6 +1141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "clicks": {"term": {"event_type": "click"}},
             "big": {"range": {"value": {"gte": 50}}},
         }}, "aggs": {"v": {"avg": {"field": "value"}}}}},
+    ).select("key", "doc_count", F.round("v", 6).alias("v"))
+
+    # filters agg with the keyed other-bucket (docs matching neither)
+    q["agg_filters_other"] = lambda s, d: aggregate(
+        _t(s, d, "events"),
+        {"f": {"filters": {"filters": {
+            "clicks": {"term": {"event_type": "click"}},
+            "big": {"range": {"value": {"gte": 50}}},
+        }, "other_bucket_key": "rest"},
+            "aggs": {"v": {"avg": {"field": "value"}}}}},
     ).select("key", "doc_count", F.round("v", 6).alias("v"))
 
     q["agg_composite_page"] = lambda s, d: aggregate(
@@ -5915,6 +5925,15 @@ SELECT 'clicks' AS key, count(*) AS doc_count, round(avg(value), 6) AS v
 FROM events WHERE event_type = 'click'
 UNION ALL
 SELECT 'big', count(*), round(avg(value), 6) FROM events WHERE value >= 50
+"""
+    o["agg_filters_other"] = """
+SELECT 'clicks' AS key, count(*) AS doc_count, round(avg(value), 6) AS v
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT 'big', count(*), round(avg(value), 6) FROM events WHERE value >= 50
+UNION ALL
+SELECT 'rest', count(*), round(avg(value), 6) FROM events
+WHERE NOT coalesce(event_type = 'click' OR value >= 50, FALSE)
 """
     o["agg_composite_page"] = """
 SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS doc_count

@@ -221,11 +221,28 @@ def aggregate(
         from elasticsearch_spark.search.dsl import compile_filter
 
         rows = []
+        preds = []
         for bname, q in conf["filters"].items():
+            pred = compile_filter(q)
+            preds.append(pred)
             rows.append(
-                df.filter(compile_filter(q))
+                df.filter(pred)
                 .agg(*metric_cols)
                 .select(F.lit(bname).alias("key"), "*")
+            )
+        if conf.get("other_bucket") or conf.get("other_bucket_key"):
+            # FiltersAggregator.java other-bucket: docs matching NONE
+            # of the named predicates (NULL-safe — a NULL predicate is
+            # "didn't match", exactly the reference's doc-count rule)
+            none = preds[0]
+            for p in preds[1:]:
+                none = none | p
+            other = ~F.coalesce(none, F.lit(False))
+            rows.append(
+                df.filter(other)
+                .agg(*metric_cols)
+                .select(F.lit(conf.get("other_bucket_key", "_other_"))
+                        .alias("key"), "*")
             )
         out = rows[0]
         for r in rows[1:]:
