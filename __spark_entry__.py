@@ -91,7 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
-    "ingest_network_direction", "agg_filters_other",
+    "ingest_network_direction", "agg_filters_other", "term_suggest_popular",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -889,6 +889,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return term_suggest(idx, "text", "tabel", max_edits=2, size=5)
 
     q["term_suggest"] = suggest_q
+
+    def suggest_popular_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.extras import term_suggest
+
+        # suggest_mode=popular on an INDEXED word: only candidates
+        # with df strictly above the input term's own df survive
+        idx = _doc_index(s, d)
+        return term_suggest(idx, "text", "a", max_edits=2, size=5,
+                            suggest_mode="popular")
+
+    q["term_suggest_popular"] = suggest_popular_q
 
     def phrase_suggest_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import phrase_suggest
@@ -4873,6 +4884,25 @@ FROM td
 WHERE substr(term, 1, 1) = 't'
   AND abs(length(term) - 5) <= 2
   AND levenshtein(term, 'tabel') BETWEEN 1 AND 2
+ORDER BY distance ASC, df DESC, term ASC
+LIMIT 5
+"""
+
+    o["term_suggest_popular"] = """
+WITH td AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+    FROM documents)
+  GROUP BY term),
+self_df AS (
+  SELECT coalesce(max(df), 0) AS sdf FROM td WHERE term = 'a')
+SELECT term, df, levenshtein(term, 'a') AS distance
+FROM td, self_df
+WHERE substr(term, 1, 1) = 'a'
+  AND abs(length(term) - 1) <= 2
+  AND levenshtein(term, 'a') BETWEEN 1 AND 2
+  AND df > sdf
 ORDER BY distance ASC, df DESC, term ASC
 LIMIT 5
 """

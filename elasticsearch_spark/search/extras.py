@@ -96,18 +96,37 @@ def term_suggest(
     word: str,
     max_edits: int = 2,
     size: int = 5,
+    suggest_mode: str = "missing",
 ) -> DataFrame:
     """Spelling suggestions: term_dict candidates within edit distance,
     same first letter (ES prefix_length=1 default), ranked by
-    (distance asc, df desc, term asc)."""
-    cand = index.term_dict.filter(
-        (F.col("field") == field)
-        & F.col("term").startswith(word[:1])
+    (distance asc, df desc, term asc).
+
+    ``suggest_mode`` (TermSuggestionBuilder.java SuggestMode):
+    ``missing`` — no suggestions when the input term itself is indexed;
+    ``popular`` — only candidates with a HIGHER df than the input term;
+    ``always`` — suggest regardless. The input term's df is a one-row
+    lookup against the same term_dict, folded in as a broadcast scalar.
+    """
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"unknown suggest_mode: {suggest_mode}")
+    fdict = index.term_dict.filter(F.col("field") == field)
+    cand = fdict.filter(
+        F.col("term").startswith(word[:1])
         & (F.abs(F.length("term") - len(word)) <= max_edits)
     ).withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)))
+    cand = cand.filter(
+        (F.col("distance") <= max_edits) & (F.col("distance") > 0))
+    if suggest_mode != "always":
+        self_df = (fdict.filter(F.col("term") == word)
+                   .agg(F.coalesce(F.max("df"), F.lit(0)).alias("_self_df")))
+        cand = cand.crossJoin(F.broadcast(self_df))
+        if suggest_mode == "missing":
+            cand = cand.filter(F.col("_self_df") == 0)
+        else:  # popular
+            cand = cand.filter(F.col("df") > F.col("_self_df"))
     return (
-        cand.filter((F.col("distance") <= max_edits) & (F.col("distance") > 0))
-        .select("term", "df", "distance")
+        cand.select("term", "df", "distance")
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
         .limit(size)
     )
