@@ -91,7 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
-    "ingest_network_direction", "agg_filters_other", "term_suggest_popular",
+    "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -1764,6 +1764,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "score", "matched")
 
     q["span_not"] = span_not_q
+
+    def span_multi_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.spans import span_match
+
+        # span_multi(prefix ord*) inside span_near: the wrapper
+        # rewrites to span_or of the dictionary expansion, then the
+        # positional constraint applies to every expanded term
+        idx = _doc_index(s, d)
+        out = span_match(
+            idx, "text",
+            {"span_near": {"clauses": [
+                {"span_term": {"text": "key"}},
+                {"span_multi": {"match": {"prefix": {"text": "ord"}}}},
+            ], "slop": 2, "in_order": True}},
+            k=50,
+        )
+        return out.select("doc_id", "score", "matched")
+
+    q["span_multi"] = span_multi_q
 
     def intervals_any_of_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.spans import intervals_to_span, span_match
@@ -5421,6 +5440,16 @@ WITH {_tokpos}
 SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
 FROM tok a JOIN tok b ON b.doc_id = a.doc_id
 WHERE a.term = 'key' AND b.term = 'order' AND b.pos > a.pos
+  AND (b.pos - a.pos + 1) - 2 <= 2
+GROUP BY a.doc_id
+ORDER BY a.doc_id ASC LIMIT 50
+"""
+
+    o["span_multi"] = f"""
+WITH {_tokpos}
+SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+WHERE a.term = 'key' AND b.term LIKE 'ord%' AND b.pos > a.pos
   AND (b.pos - a.pos + 1) - 2 <= 2
 GROUP BY a.doc_id
 ORDER BY a.doc_id ASC LIMIT 50

@@ -159,6 +159,56 @@ def eval_span(
     raise ValueError(f"unsupported span query: {kind}")
 
 
+def rewrite_span_multi(
+    index: InvertedIndex, field: str, tree: dict,
+    max_expansions: int = 50,
+) -> dict:
+    """SpanMultiTermQueryBuilder analogue: rewrite every ``span_multi``
+    node into a ``span_or`` of ``span_term`` clauses by expanding the
+    wrapped multi-term query (prefix/wildcard/regexp/fuzzy) against the
+    term dictionary — exactly Lucene's SpanMultiTermQueryWrapper
+    top-terms rewrite (reference server/.../query/
+    SpanMultiTermQueryBuilder.java). The expansion is a bounded
+    term-dict scan (executor.expand_terms), so the driver holds at most
+    ``max_expansions`` terms."""
+    kind, body = next(iter(tree.items()))
+    if kind == "span_multi":
+        from elasticsearch_spark.search.executor import expand_terms
+
+        mkind, mbody = next(iter(body["match"].items()))
+        f, spec = next(iter(mbody.items()))
+        pattern = spec["value"] if isinstance(spec, dict) else spec
+        fuzz = (int(spec.get("fuzziness", 2))
+                if isinstance(spec, dict) else 2)
+        terms = expand_terms(index, field, mkind, pattern,
+                             fuzziness=fuzz,
+                             max_expansions=max_expansions)
+        return {"span_or": {"clauses": [
+            {"span_term": {f: t}} for t in terms]}}
+    rec = lambda t: rewrite_span_multi(index, field, t, max_expansions)  # noqa: E731
+    if kind in ("span_near", "span_or"):
+        return {kind: {**body, "clauses": [rec(c) for c in body["clauses"]]}}
+    if kind == "span_not":
+        return {kind: {**body, "include": rec(body["include"]),
+                       "exclude": rec(body["exclude"])}}
+    if kind == "span_first":
+        return {kind: {**body, "match": rec(body["match"])}}
+    if kind in ("span_within", "span_containing"):
+        return {kind: {**body, "little": rec(body["little"]),
+                       "big": rec(body["big"])}}
+    return tree
+
+
+def _has_span_multi(tree: dict) -> bool:
+    kind, body = next(iter(tree.items()))
+    if kind == "span_multi":
+        return True
+    kids = (body.get("clauses", [])
+            + [body[x] for x in ("include", "exclude", "match",
+                                 "little", "big") if x in body])
+    return any(isinstance(c, dict) and _has_span_multi(c) for c in kids)
+
+
 def span_match(
     index: InvertedIndex,
     field: str,
@@ -169,6 +219,8 @@ def span_match(
     """Docs with >=1 surviving span (constant score = boost, doc_id asc).
     One pushed-down block scan of the tree's terms, one part_id exchange."""
     spark = index.spark
+    if _has_span_multi(tree):
+        tree = rewrite_span_multi(index, field, tree)
     terms = list(dict.fromkeys(span_terms(tree)))
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
