@@ -91,7 +91,8 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
-    "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi",
+    "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi", "span_field_masking",
+    "script_query_filter",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -1040,6 +1041,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fn
 
     q["term_filter"] = _docs_filter({"term": {"lang": "fr"}}, ["doc_id", "lang"])
+    # script query (ScriptQueryBuilder): painless boolean, transpiled
+    # to one codegen predicate
+    q["script_query_filter"] = _docs_filter(
+        {"script": {"script": {
+            "source": "doc['n_chars'].value % params.m == 0 "
+                      "&& doc['lang'].value == 'en'",
+            "params": {"m": 7}}}},
+        ["doc_id", "n_chars"])
     q["terms_filter"] = _docs_filter(
         {"terms": {"lang": ["de", "zh"]}}, ["doc_id", "lang"]
     )
@@ -1783,6 +1792,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "score", "matched")
 
     q["span_multi"] = span_multi_q
+
+    def span_field_masking_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.spans import span_match
+
+        # field_masking_span (FieldMaskingSpanQueryBuilder): the inner
+        # span keeps its OWN field's postings (source), the mask lets
+        # it combine with text-field spans in one span_or
+        idx = _doc_index(s, d)
+        out = span_match(
+            idx, "text",
+            {"span_or": {"clauses": [
+                {"span_term": {"text": "key"}},
+                {"span_field_masking": {
+                    "query": {"span_term": {"source": "src3"}},
+                    "field": "text"}},
+            ]}},
+            k=50,
+        )
+        return out.select("doc_id", "score", "matched")
+
+    q["span_field_masking"] = span_field_masking_q
 
     def intervals_any_of_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.spans import intervals_to_span, span_match
@@ -5445,6 +5475,16 @@ GROUP BY a.doc_id
 ORDER BY a.doc_id ASC LIMIT 50
 """
 
+    o["span_field_masking"] = f"""
+WITH {_tokpos},
+u AS (
+  SELECT doc_id, pos FROM tok WHERE term = 'key'
+  UNION
+  SELECT doc_id, 1 AS pos FROM documents WHERE source = 'src3')
+SELECT doc_id, 1.0 AS score, count(*)::INT AS matched
+FROM u GROUP BY doc_id ORDER BY doc_id ASC LIMIT 50
+"""
+
     o["span_multi"] = f"""
 WITH {_tokpos}
 SELECT a.doc_id, 1.0 AS score, count(*)::INT AS matched
@@ -5892,6 +5932,10 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
     o["term_filter"] = "SELECT doc_id, lang FROM documents WHERE lang = 'fr'"
+    o["script_query_filter"] = (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars % 7 = 0 AND lang = 'en'"
+    )
     o["terms_filter"] = (
         "SELECT doc_id, lang FROM documents WHERE lang IN ('de','zh')"
     )

@@ -178,6 +178,17 @@ def compile_filter(
         return F.levenshtein(resolve(field), F.lit(value)) <= F.lit(fuzz)
     if kind == "ids":
         return F.col(id_col).isin(list(body["values"]))
+    if kind == "script":
+        # ScriptQueryBuilder.java: a painless boolean in filter
+        # context. The transpiler emits one SQL predicate, so the
+        # filter stays inside whole-stage codegen (and pushes down
+        # when it folds to plain column comparisons).
+        from elasticsearch_spark.scripts import maybe_painless
+
+        spec = body["script"] if "script" in body else body
+        src = spec["source"] if isinstance(spec, dict) else spec
+        params = spec.get("params") if isinstance(spec, dict) else None
+        return F.expr(maybe_painless(src, params)).cast("boolean")
     if kind == "wrapper":
         # base64-embedded query JSON (WrapperQueryBuilder,
         # reg. SearchModule.java:801): decode and delegate

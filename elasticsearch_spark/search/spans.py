@@ -38,23 +38,35 @@ from elasticsearch_spark.index.builder import InvertedIndex
 TOPK_SCHEMA = "doc_id long, score double, matched int"
 
 
-def span_terms(tree: dict) -> list[str]:
-    """All span_term terms referenced by a span tree."""
+def span_pairs(tree: dict) -> list[tuple[str, str]]:
+    """All (field, term) pairs referenced by a span tree. The
+    span_term body key IS the field, so a ``span_field_masking``
+    wrapper (FieldMaskingSpanQueryBuilder.java) needs no term-level
+    rewriting — its inner clauses keep their own fields and the mask
+    only changes what the wrapper CLAIMS for outer compatibility."""
     kind, body = next(iter(tree.items()))
     if kind == "span_term":
-        return [next(iter(body.values()))]
+        f, t = next(iter(body.items()))
+        return [(f, t)]
     if kind in ("span_near", "span_or"):
-        out: list[str] = []
+        out: list[tuple[str, str]] = []
         for c in body["clauses"]:
-            out += span_terms(c)
+            out += span_pairs(c)
         return out
     if kind == "span_not":
-        return span_terms(body["include"]) + span_terms(body["exclude"])
+        return span_pairs(body["include"]) + span_pairs(body["exclude"])
     if kind == "span_first":
-        return span_terms(body["match"])
+        return span_pairs(body["match"])
     if kind in ("span_within", "span_containing"):
-        return span_terms(body["little"]) + span_terms(body["big"])
+        return span_pairs(body["little"]) + span_pairs(body["big"])
+    if kind == "span_field_masking":
+        return span_pairs(body["query"])
     raise ValueError(f"unsupported span query: {kind}")
+
+
+def span_terms(tree: dict) -> list[str]:
+    """All span_term terms referenced by a span tree."""
+    return [t for _, t in span_pairs(tree)]
 
 
 # spans are (start, end, content_len) triples: content_len = positions
@@ -114,11 +126,15 @@ def eval_span(
 ) -> list[tuple[int, int, int]]:
     kind, body = next(iter(tree.items()))
     if kind == "span_term":
-        t = next(iter(body.values()))
-        pos = pos_by_term.get(t)
+        f, t = next(iter(body.items()))
+        pos = pos_by_term.get((f, t))
         if pos is None:
             return []
         return [(int(p), int(p), 1) for p in pos]
+    if kind == "span_field_masking":
+        # positions come from the INNER field's postings verbatim;
+        # the mask exists only so outer combiners accept the clause
+        return eval_span(body["query"], pos_by_term)
     if kind == "span_or":
         out: set[tuple[int, int, int]] = set()
         for c in body["clauses"]:
@@ -196,6 +212,8 @@ def rewrite_span_multi(
     if kind in ("span_within", "span_containing"):
         return {kind: {**body, "little": rec(body["little"]),
                        "big": rec(body["big"])}}
+    if kind == "span_field_masking":
+        return {kind: {**body, "query": rec(body["query"])}}
     return tree
 
 
@@ -205,8 +223,26 @@ def _has_span_multi(tree: dict) -> bool:
         return True
     kids = (body.get("clauses", [])
             + [body[x] for x in ("include", "exclude", "match",
-                                 "little", "big") if x in body])
+                                 "little", "big", "query") if x in body])
     return any(isinstance(c, dict) and _has_span_multi(c) for c in kids)
+
+
+def _bind_field(tree: dict, field: str) -> dict:
+    """Replace the ``_f`` placeholder field (emitted by
+    intervals_to_span) with the query's actual field."""
+    kind, body = next(iter(tree.items()))
+    if kind == "span_term":
+        f, t = next(iter(body.items()))
+        return {kind: {(field if f == "_f" else f): t}}
+    if isinstance(body, dict):
+        nb = dict(body)
+        if "clauses" in nb:
+            nb["clauses"] = [_bind_field(c, field) for c in nb["clauses"]]
+        for x in ("include", "exclude", "match", "little", "big", "query"):
+            if x in nb and isinstance(nb[x], dict) and kind != "span_multi":
+                nb[x] = _bind_field(nb[x], field)
+        return {kind: nb}
+    return tree
 
 
 def span_match(
@@ -221,33 +257,40 @@ def span_match(
     spark = index.spark
     if _has_span_multi(tree):
         tree = rewrite_span_multi(index, field, tree)
-    terms = list(dict.fromkeys(span_terms(tree)))
-    if not terms:
+    tree = _bind_field(tree, field)
+    pairs = list(dict.fromkeys(span_pairs(tree)))
+    if not pairs:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    blocks = index.postings.filter(
-        (F.col("field") == field) & F.col("term").isin(terms)
-    ).select("part_id", "term", "n", "doc_ids", "positions")
+    by_field: dict[str, list[str]] = {}
+    for f, t in pairs:
+        by_field.setdefault(f, []).append(t)
+    cond = None
+    for f, ts in by_field.items():
+        c = (F.col("field") == f) & F.col("term").isin(ts)
+        cond = c if cond is None else (cond | c)
+    blocks = index.postings.filter(cond).select(
+        "part_id", "field", "term", "n", "doc_ids", "positions")
 
     def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": [], "matched": []}).astype(
             {"doc_id": "int64", "score": "float64", "matched": "int32"}
         )
-        per_term: dict[str, dict[int, np.ndarray]] = {}
+        per_term: dict[tuple[str, str], dict[int, np.ndarray]] = {}
         all_docs: set[int] = set()
-        for term, g in pdf.groupby("term", sort=False):
+        for (fld, term), g in pdf.groupby(["field", "term"], sort=False):
             docs: dict[int, np.ndarray] = {}
             for row in g.itertuples(index=False):
                 d = codec.delta_decode(codec.vbyte_decode(row.doc_ids))
                 plists = codec.decode_positions(bytes(row.positions), int(row.n))
                 for doc, pos in zip(d, plists):
                     docs[int(doc)] = pos
-            per_term[term] = docs
+            per_term[(fld, term)] = docs
             all_docs.update(docs)
         hits = []
         for doc in all_docs:
             pos_by_term = {
-                t: per_term[t][doc] for t in terms
-                if t in per_term and doc in per_term[t]
+                p: per_term[p][doc] for p in pairs
+                if p in per_term and doc in per_term[p]
             }
             spans = eval_span(tree, pos_by_term)
             if spans:

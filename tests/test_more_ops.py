@@ -701,3 +701,20 @@ def test_term_level_case_insensitive(spark):
     assert ids({"regexp": {"s": {"value": "alpha.*",
                                  "case_insensitive": True}}}) == {1, 2, 4}
     assert ids({"regexp": {"s": {"value": "alpha.*"}}}) == {4}
+
+
+def test_script_query_filter_context(spark):
+    """ScriptQueryBuilder: painless boolean in filter context."""
+    from elasticsearch_spark.search.dsl import compile_filter
+
+    df = spark.createDataFrame(
+        [(1, 10, 2.0), (2, 30, 3.0), (3, 50, 4.0)],
+        "doc_id long, n long, w double")
+    got = {r["doc_id"] for r in df.filter(compile_filter({"script": {
+        "script": {"source": "doc['n'].value * params.f > 50",
+                   "params": {"f": 2}}}})).collect()}
+    assert got == {2, 3}
+    # raw SQL escape hatch (non-painless lang)
+    got = {r["doc_id"] for r in df.filter(compile_filter({"script": {
+        "script": {"source": "n + w > 32"}}})).collect()}
+    assert got == {2, 3}

@@ -13,9 +13,9 @@ from elasticsearch_spark.search.spans import (
 )
 
 POS = {
-    "a": np.array([0, 5]),
-    "b": np.array([2, 9]),
-    "c": np.array([1]),
+    ("f", "a"): np.array([0, 5]),
+    ("f", "b"): np.array([2, 9]),
+    ("f", "c"): np.array([1]),
 }
 
 
@@ -75,6 +75,9 @@ def test_intervals_compilation_and_terms():
         {"any_of": {"intervals": [{"match": {"query": "b"}},
                                      {"match": {"query": "c"}}]}},
     ], "max_gaps": 1, "ordered": True}})
+    from elasticsearch_spark.search.spans import _bind_field
+
+    tree = _bind_field(tree, "f")
     assert sorted(span_terms(tree)) == ["a", "b", "c"]
     assert eval_span(tree, POS) == [(0, 1, 2), (0, 2, 3)]
 
