@@ -92,7 +92,8 @@ _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi", "span_field_masking",
-    "script_query_filter",
+    "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
+    "agg_filter_scope",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
@@ -1285,6 +1286,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_bucket_pipeline"] = agg_bucket_pipeline_q
+
+    # extended_stats_bucket + percentiles_bucket over a date_histogram
+    def agg_ext_stats_bucket_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import (
+            bucket_extended_stats,
+        )
+
+        buckets = aggregate(
+            _t(s, d, "events"),
+            {"h": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"},
+                   "aggs": {"v": {"sum": {"field": "value"}}}}},
+        )
+        out = bucket_extended_stats(buckets, "v")
+        return out.select(
+            F.col("v_count").cast("long").alias("v_count"),
+            F.round("v_min", 4).alias("v_min"),
+            F.round("v_max", 4).alias("v_max"),
+            F.round("v_avg", 4).alias("v_avg"),
+            F.round("v_sum", 4).alias("v_sum"),
+            F.round("v_variance", 4).alias("v_variance"),
+            F.round("v_std_upper", 4).alias("v_std_upper"),
+            F.round("v_std_lower", 4).alias("v_std_lower"))
+
+    q["agg_ext_stats_bucket"] = agg_ext_stats_bucket_q
+
+    def agg_percentiles_bucket_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.aggs.translate import bucket_percentiles
+
+        buckets = aggregate(
+            _t(s, d, "events"),
+            {"h": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"},
+                   "aggs": {"v": {"sum": {"field": "value"}}}}},
+        )
+        out = bucket_percentiles(buckets, "v", [25.0, 50.0, 75.0])
+        return out.select(
+            F.round("p25_0", 4).alias("p25_0"),
+            F.round("p50_0", 4).alias("p50_0"),
+            F.round("p75_0", 4).alias("p75_0"))
+
+    q["agg_percentiles_bucket"] = agg_percentiles_bucket_q
+
+    # the singular filter agg: one filtered sub-scope in the same scan
+    q["agg_filter_scope"] = lambda s, d: aggregate(
+        _t(s, d, "events"),
+        {"f": {"filter": {"term": {"event_type": "click"}},
+               "aggs": {"v": {"avg": {"field": "value"}}}}},
+    ).select(F.col("doc_count"), F.round("v", 6).alias("v"))
 
     def agg_percentile_ranks_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.aggs.translate import percentile_ranks
@@ -6105,6 +6155,31 @@ WITH b AS (
 SELECT l_returnflag, doc_count, round(rev / qty, 6) AS price_per_unit
 FROM b WHERE doc_count > 100
 ORDER BY rev / qty DESC, l_returnflag ASC
+"""
+    o["agg_ext_stats_bucket"] = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1)
+SELECT count(v)::BIGINT AS v_count,
+       round(min(v), 4) AS v_min, round(max(v), 4) AS v_max,
+       round(avg(v), 4) AS v_avg, round(sum(v), 4) AS v_sum,
+       round(var_pop(v), 4) AS v_variance,
+       round(avg(v) + 2 * stddev_pop(v), 4) AS v_std_upper,
+       round(avg(v) - 2 * stddev_pop(v), 4) AS v_std_lower
+FROM b
+"""
+    o["agg_percentiles_bucket"] = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, sum(value) AS v
+  FROM events GROUP BY 1)
+SELECT round(quantile_cont(v, 0.25), 4) AS p25_0,
+       round(quantile_cont(v, 0.50), 4) AS p50_0,
+       round(quantile_cont(v, 0.75), 4) AS p75_0
+FROM b
+"""
+    o["agg_filter_scope"] = """
+SELECT count(*)::BIGINT AS doc_count, round(avg(value), 6) AS v
+FROM events WHERE event_type = 'click'
 """
     o["agg_percentile_ranks"] = """
 SELECT round(avg(CASE WHEN l_extendedprice <= 10000 THEN 1.0 ELSE 0.0 END) * 100, 6)

@@ -215,6 +215,13 @@ def aggregate(
         out = df.agg(*metric_cols)
         return out
 
+    if kind == "filter":
+        # the singular filter agg (FilterAggregationBuilder): one
+        # filtered sub-scope — scan-level predicate + the sub-metrics
+        from elasticsearch_spark.search.dsl import compile_filter
+
+        return df.filter(compile_filter(conf)).agg(*metric_cols)
+
     if kind == "filters":
         # one bucket per named predicate: filter + agg per bucket, unioned
         # (Catalyst shares the scan; each bucket is a partial/final agg)
@@ -641,6 +648,44 @@ def bucket_stats(buckets: DataFrame, metric: str) -> DataFrame:
         F.avg(c).alias(f"{metric}_avg"),
         F.sum(c).alias(f"{metric}_sum"),
     )
+
+
+def bucket_extended_stats(buckets: DataFrame, metric: str) -> DataFrame:
+    """extended_stats_bucket: bucket_stats plus sum-of-squares,
+    population variance/std-dev and std-dev bounds (the reference's
+    ExtendedStatsBucketPipelineAggregationBuilder, sigma=2 default)."""
+    c = F.col(metric)
+    base = buckets.agg(
+        F.count(c).alias(f"{metric}_count"),
+        F.min(c).alias(f"{metric}_min"),
+        F.max(c).alias(f"{metric}_max"),
+        F.avg(c).alias(f"{metric}_avg"),
+        F.sum(c).alias(f"{metric}_sum"),
+        F.sum(c * c).alias(f"{metric}_sum_of_squares"),
+        F.var_pop(c).alias(f"{metric}_variance"),
+        F.stddev_pop(c).alias(f"{metric}_std_deviation"),
+    )
+    return base.withColumns({
+        f"{metric}_std_upper":
+            F.col(f"{metric}_avg") + 2 * F.col(f"{metric}_std_deviation"),
+        f"{metric}_std_lower":
+            F.col(f"{metric}_avg") - 2 * F.col(f"{metric}_std_deviation"),
+    })
+
+
+def bucket_percentiles(
+    buckets: DataFrame, metric: str, percents: list[float] | None = None,
+) -> DataFrame:
+    """percentiles_bucket: exact interpolated percentiles over the
+    bucket metric (PercentilesBucketPipelineAggregationBuilder; the
+    bucket list is coordinator-sized, so exactness is free)."""
+    percents = percents or [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+    c = F.col(metric)
+    return buckets.agg(*[
+        F.percentile(c, F.lit(p / 100.0)).alias(
+            f"p{str(p).replace('.', '_')}")
+        for p in percents
+    ])
 
 
 def terms_with_error(
