@@ -93,6 +93,7 @@ _R05_PRIORITY = (
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
+    "dedup_url",
     "agg_filter_scope",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
@@ -2631,6 +2632,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pii_scrub(docs).select("doc_id", "text_scrubbed")
 
     q["pii_scrub"] = pii_scrub_q
+
+    def dedup_url_q(s: SparkSession, d: str) -> DataFrame:
+        # URL-keyed dedup: synthesized URLs where doc pairs (2k, 2k+1)
+        # differ only by case/tracking-param/fragment noise — the
+        # canonical form collapses them to one survivor per pair
+        from elasticsearch_spark.ops.text import dedup_by_url
+
+        did = F.col("doc_id")
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.when(did % 2 == 0, F.lit("https://Example.com/p/"))
+                .otherwise(F.lit("https://example.com/p/")),
+                (did / F.lit(2)).cast("long").cast("string"),
+                F.when(did % 2 == 1,
+                       F.lit("?utm_source=feed#top")).otherwise(F.lit("")),
+            ).alias("url"))
+        out = dedup_by_url(docs)
+        return out.orderBy("canonical_url").select(
+            "canonical_url", "doc_id")
+
+    q["dedup_url"] = dedup_url_q
 
     q["text_token_count"] = lambda s, d: text_ops.token_count(
         _t(s, d, "documents")
@@ -6572,6 +6595,16 @@ SELECT d.doc_id, r.r_name AS region_name
 FROM documents d
 LEFT JOIN region r ON (d.doc_id % 5 + 5) % 5 = r.r_regionkey
 ORDER BY d.doc_id ASC LIMIT 200
+"""
+
+    # dedup_url twin: the canonical collapse is provable in closed
+    # form — both members of pair (2k, 2k+1) canonicalize to the same
+    # URL, so the expected table is computed directly
+    o["dedup_url"] = """
+SELECT 'https://example.com/p/' || (doc_id // 2)::VARCHAR
+         AS canonical_url,
+       min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY 1 ORDER BY 1
 """
 
     o["ingest_network_direction"] = """

@@ -451,3 +451,61 @@ scored_lm AS (
   WHERE g.{id_col} IN (SELECT {id_col} FROM {table} WHERE {doc_filter})
   GROUP BY g.{id_col})
 """
+
+
+# ---------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup key)
+# ---------------------------------------------------------------------
+# The standard CommonCrawl-style pipeline step: two pages are the same
+# document when their canonical URLs match, long before any content
+# hash runs. One regexp_replace chain — pure codegen, no UDF:
+#   1. lowercase scheme+host (path stays case-sensitive)
+#   2. drop the #fragment
+#   3. drop tracking params (utm_*, gclid, fbclid, ref)
+#   4. drop default ports :80/:443, a trailing lone '?', and a
+#      trailing '/' on non-root paths
+
+_URL_TRACKING = r"(?:utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+
+
+def canonicalize_url(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme://host (group 1), keep the rest
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([a-zA-Z]+://[^/?#]*)", 1)),
+        F.regexp_replace(c, r"^[a-zA-Z]+://[^/?#]*", ""),
+    )
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, _URL_TRACKING + r"&", "")
+    c = F.regexp_replace(c, r"[?&]" + _URL_TRACKING + r"$", "")
+    c = F.regexp_replace(
+        c, r"^(https?://[^/?#]*):(?:80|443)([/?].*)?$", r"$1$2")
+    c = F.regexp_replace(c, r"\?$", "")
+    c = F.regexp_replace(c, r"(^[a-z]+://[^/?#]+/.+?)/$", r"$1")
+    return c
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    out = (f"lower(regexp_extract({expr}, '^([a-zA-Z]+://[^/?#]*)', 1)) || "
+           f"regexp_replace({expr}, '^[a-zA-Z]+://[^/?#]*', '')")
+    out = f"regexp_replace({out}, '#.*$', '')"
+    out = f"regexp_replace({out}, '{_URL_TRACKING}&', '')"
+    out = f"regexp_replace({out}, '[?&]{_URL_TRACKING}$', '')"
+    # RE2 (DuckDB) has no lookahead: capture the tail instead
+    out = (f"regexp_replace({out}, "
+           f"'^(https?://[^/?#]*):(?:80|443)([/?].*)?$', '\\1\\2')")
+    out = f"regexp_replace({out}, '\\?$', '')"
+    out = f"regexp_replace({out}, '(^[a-z]+://[^/?#]+/.+?)/$', '\\1')"
+    return out
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id doc per canonical URL: one hash-partitioned
+    min aggregation — at 100 TB the map-side partial reduces each
+    split to its distinct canonical URLs before the exchange."""
+    return (df.withColumn("_curl", canonicalize_url(url_col))
+            .groupBy("_curl")
+            .agg(F.min(id_col).alias(id_col))
+            .withColumnRenamed("_curl", "canonical_url"))

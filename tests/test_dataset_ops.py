@@ -188,3 +188,34 @@ def test_chunk_documents_windows_and_tail(spark):
     assert 3 not in by_doc
     with __import__("pytest").raises(ValueError, match="overlap"):
         chunk_documents(df, size=4, overlap=4)
+
+
+def test_canonicalize_url_matches_duckdb(spark):
+    """Spark canonicalizer == its SQL twin on edge URLs."""
+    import duckdb
+
+    from elasticsearch_spark.ops.text import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    urls = [
+        "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag",
+        "http://example.com:80/",
+        "https://example.com/a/b/",
+        "https://example.com/a/b?utm_campaign=z",
+        "https://example.com/?gclid=123",
+        "https://example.com/x?q=1&fbclid=2",
+        "ftp://Host.Net/File",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url("url").alias("c")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT " + canonicalize_url_sql(f"'{u}'")).fetchone()[0]
+        for u in urls]
+    assert got == want
+    # tracking-only query collapses; default port dropped
+    assert got[1] == "http://example.com/"
+    assert got[4] == "https://example.com/"
