@@ -93,7 +93,7 @@ _R05_PRIORITY = (
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
-    "dedup_url",
+    "dedup_url", "ml_metric_mean", "ml_time_of_day",
     "agg_filter_scope",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
@@ -3474,6 +3474,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_anomaly").orderBy("bucket")
 
     q["ml_high_count"] = ml_high_count_q
+
+    # mean metric function (the DetectorFunction MEAN family)
+    def ml_metric_mean_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import single_metric_anomalies
+
+        ev = _t(s, d, "events")
+        out = single_metric_anomalies(ev, span="day", func="mean")
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("metric", 4).alias("metric"),
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("bucket")
+
+    q["ml_metric_mean"] = ml_metric_mean_q
+
+    # time_of_day: information-content profile of the daily cycle
+    def ml_time_of_day_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import time_of_day_anomalies
+
+        ev = _t(s, d, "events")
+        out = time_of_day_anomalies(ev, threshold=3.5)
+        return out.select(
+            "hour_of_day", "n", F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("hour_of_day")
+
+    q["ml_time_of_day"] = ml_time_of_day_q
 
     # distinct_count: per-bucket count(DISTINCT user_id) as the metric
     def ml_distinct_count_q(s: SparkSession, d: str) -> DataFrame:
@@ -7230,6 +7256,23 @@ FROM r ORDER BY bucket
         distinct_count_anomalies_sql as _dcount_sql,
         rare_anomalies_sql as _rare_sql,
     )
+
+    from elasticsearch_spark.ops.anomaly import (
+        time_of_day_anomalies_sql as _tod_sql,
+    )
+
+    o["ml_metric_mean"] = f"""
+WITH r AS ({single_metric_anomalies_sql(span='day', func='mean')})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(metric, 4) AS metric, round(score, 6) AS score, is_anomaly
+FROM r ORDER BY bucket
+"""
+
+    o["ml_time_of_day"] = f"""
+WITH r AS ({_tod_sql('events', threshold=3.5)})
+SELECT hour_of_day, n, round(score, 6) AS score, is_anomaly
+FROM r ORDER BY hour_of_day
+"""
 
     o["ml_high_count"] = f"""
 WITH r AS ({_count_sql('events', span='day', side='high')})

@@ -45,20 +45,28 @@ def _mad_score_sql(threshold: float) -> str:
     return (f"{expr} AS score,\n       {expr} > {threshold} AS is_anomaly")
 
 
+_METRIC_FNS = {"sum": F.sum, "mean": F.avg, "avg": F.avg,
+               "min": F.min, "max": F.max}
+
+
 def single_metric_buckets(
     df: DataFrame, ts_col: str = "ts", value_col: str = "value",
-    span: str = "hour",
+    span: str = "hour", func: str = "sum",
 ) -> DataFrame:
+    """``func``: the detector function family sum/mean/min/max
+    (DetectorFunction.java SUM/MEAN/MIN/MAX and their low_/high_
+    variants via the ``side`` gate on the scorer)."""
+    agg = _METRIC_FNS[func]
     return (df.groupBy(F.date_trunc(span, F.col(ts_col)).alias("bucket"))
-            .agg(F.sum(value_col).alias("metric")))
+            .agg(agg(value_col).alias("metric")))
 
 
 def single_metric_anomalies(
     df: DataFrame, ts_col: str = "ts", value_col: str = "value",
-    span: str = "hour", threshold: float = 3.0,
+    span: str = "hour", threshold: float = 3.0, func: str = "sum",
 ) -> DataFrame:
     """Per-bucket anomaly scores; `is_anomaly` = score > threshold."""
-    b = single_metric_buckets(df, ts_col, value_col, span)
+    b = single_metric_buckets(df, ts_col, value_col, span, func)
     stats = b.agg(F.percentile("metric", F.lit(0.5)).alias("med"))
     dev = (b.crossJoin(F.broadcast(stats))
            .select("bucket", "metric", "med",
@@ -74,14 +82,16 @@ def single_metric_anomalies(
 
 def single_metric_anomalies_sql(
     table: str = "events", ts_col: str = "ts", value_col: str = "value",
-    span: str = "hour", threshold: float = 3.0,
+    span: str = "hour", threshold: float = 3.0, func: str = "sum",
 ) -> str:
     """DuckDB twin: identical bucket/median/MAD/score pipeline
     (DuckDB's median interpolates like Spark's exact percentile)."""
+    fn = {"sum": "sum", "mean": "avg", "avg": "avg",
+          "min": "min", "max": "max"}[func]
     return f"""
 WITH b AS (
   SELECT date_trunc('{span}', {ts_col}) AS bucket,
-         sum({value_col}) AS metric
+         {fn}({value_col}) AS metric
   FROM {table} GROUP BY 1),
 s AS (SELECT median(metric) AS med FROM b),
 d AS (SELECT bucket, metric, abs(metric - med) AS adev FROM b, s),
@@ -309,6 +319,41 @@ m AS (SELECT median(adev) AS mad FROM d)
 SELECT bucket, metric::BIGINT AS n_distinct,
        {_sided_score_sql(side, threshold)}
 FROM d, m
+"""
+
+
+def time_of_day_anomalies(
+    df: DataFrame, ts_col: str = "ts", threshold: float = 3.0,
+) -> DataFrame:
+    """``time_of_day`` detector function (DetectorFunction.TIME_OF_DAY):
+    the reference models WHEN events happen within the daily cycle and
+    flags events at unusual times. The deterministic analogue scores
+    each hour-of-day by information content -ln(p_hour); hours above
+    ``threshold`` nats are anomalous. One 24-row aggregation — the
+    per-event join back (if needed) is a broadcast by construction."""
+    hist = (df.groupBy(F.hour(F.col(ts_col)).alias("hour_of_day"))
+            .agg(F.count("*").alias("n")))
+    total = hist.agg(F.sum("n").alias("_total"))
+    out = hist.crossJoin(F.broadcast(total))
+    score = -F.log(F.col("n") / F.col("_total"))
+    return out.select(
+        "hour_of_day", "n",
+        score.alias("score"),
+        (score > threshold).alias("is_anomaly"))
+
+
+def time_of_day_anomalies_sql(
+    table: str = "events", ts_col: str = "ts", threshold: float = 3.0,
+) -> str:
+    return f"""
+WITH h AS (
+  SELECT extract(hour FROM {ts_col}) AS hour_of_day, count(*) AS n
+  FROM {table} GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM h)
+SELECT hour_of_day, n::BIGINT AS n,
+       -ln(n * 1.0 / total) AS score,
+       -ln(n * 1.0 / total) > {threshold} AS is_anomaly
+FROM h, t
 """
 
 
