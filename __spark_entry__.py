@@ -2501,17 +2501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vector_dot_product_topk"] = vector_dot_topk
 
-    def count_api_q(s: SparkSession, d: str) -> DataFrame:
-        # the _count endpoint: same query DSL, returns only the count
-        docs = _t(s, d, "documents")
-        hits = filter_query(docs, {"bool": {"filter": [
-            {"term": {"lang": "en"}},
-            {"range": {"n_chars": {"gte": 200}}},
-        ]}})
-        return hits.agg(F.count("*").alias("count"))
-
-    q["count_api"] = count_api_q
-
     def ingest_pipeline_q(s: SparkSession, d: str) -> DataFrame:
         # a representative processor chain (ingest-common): set ->
         # uppercase -> gsub -> split -> fingerprint — all JVM exprs
@@ -5694,11 +5683,6 @@ SELECT c.l_returnflag, count(*) AS parent_doc_count,
 FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem) c
 JOIN orders o ON o.o_orderkey = c.l_orderkey
 GROUP BY c.l_returnflag
-"""
-
-    o["count_api"] = """
-SELECT count(*) AS count FROM documents
-WHERE lang = 'en' AND n_chars >= 200
 """
 
     from elasticsearch_spark.analysis.analyzers import (
