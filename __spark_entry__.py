@@ -93,7 +93,7 @@ _R05_PRIORITY = (
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
-    "dedup_url", "ml_metric_mean", "ml_time_of_day",
+    "dedup_url", "dsir_weights", "ml_metric_mean", "ml_time_of_day",
     "agg_filter_scope",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
@@ -4276,6 +4276,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_lm_nll"] = quality_lm_nll_q
 
+    def dsir_weights_q(s: SparkSession, d: str) -> DataFrame:
+        # DSIR importance weights: target domain = lang='en' docs,
+        # base = the whole corpus; log_weight > 0 means target-like
+        from elasticsearch_spark.ops.text import dsir_weights
+
+        docs = _t(s, d, "documents")
+        out = dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+        return (out.select("doc_id",
+                           F.round("nll_target", 4).alias("nll_target"),
+                           F.round("nll_base", 4).alias("nll_base"),
+                           F.round("log_weight", 4).alias("log_weight"))
+                .orderBy("doc_id"))
+
+    q["dsir_weights"] = dsir_weights_q
+
     # semantic_text-style chunking: overlapping word windows, pure
     # Catalyst one-projection stage (no shuffle / UDF)
     def chunk_documents_q(s: SparkSession, d: str) -> DataFrame:
@@ -7914,6 +7929,16 @@ SELECT doc_id, source, copy_id FROM (
 WITH {_lm_sql('documents', ref_filter="lang = 'en'",
               doc_filter="lang = 'de'")}
 SELECT doc_id, round(nll, 4) AS nll FROM scored_lm ORDER BY doc_id
+"""
+
+    o["dsir_weights"] = f"""
+WITH {_lm_sql('documents', ref_filter="lang = 'en'", prefix='t_')},
+{_lm_sql('documents', prefix='b_')}
+SELECT t.doc_id, round(t.nll, 4) AS nll_target,
+       round(b.nll, 4) AS nll_base,
+       round(b.nll - t.nll, 4) AS log_weight
+FROM t_scored_lm t JOIN b_scored_lm b ON b.doc_id = t.doc_id
+ORDER BY t.doc_id
 """
 
     o["pack_sequences"] = f"""

@@ -417,37 +417,41 @@ def ngram_lm_score_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    prefix: str = "",
 ) -> str:
     """DuckDB twin: the same tokenizer regex, counts, and smoothing
     (train on ``table WHERE ref_filter``, score ``table WHERE
-    doc_filter``). Returns (doc_id, nll)."""
+    doc_filter``). Returns (doc_id, nll) in ``{prefix}scored_lm``;
+    ``prefix`` namespaces the CTEs so two models (e.g. the DSIR
+    target/base pair) compose in one WITH clause."""
     toks = f"regexp_extract_all(lower({text_col}), '{WORD_RE}')"
+    p = prefix
     return f"""
-tk AS (SELECT {id_col}, {toks} AS ts FROM {table}),
-bg0 AS (
+{p}tk AS (SELECT {id_col}, {toks} AS ts FROM {table}),
+{p}bg0 AS (
   SELECT {id_col},
          unnest(list_transform(generate_series(1, len(ts) - 1),
                                i -> ts[i] || ' ' || ts[i + 1])) AS b
-  FROM tk),
-bg AS (SELECT {id_col}, b, split_part(b, ' ', 1) AS w1 FROM bg0),
-uni AS (
+  FROM {p}tk),
+{p}bg AS (SELECT {id_col}, b, split_part(b, ' ', 1) AS w1 FROM {p}bg0),
+{p}uni AS (
   SELECT w, count(*)::BIGINT AS c1 FROM (
-    SELECT unnest(ts) AS w FROM tk
+    SELECT unnest(ts) AS w FROM {p}tk
     WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {ref_filter}))
   GROUP BY w),
-v AS (SELECT count(*)::BIGINT AS vocab FROM uni),
-bi AS (
-  SELECT b, count(*)::BIGINT AS c2 FROM bg
+{p}v AS (SELECT count(*)::BIGINT AS vocab FROM {p}uni),
+{p}bi AS (
+  SELECT b, count(*)::BIGINT AS c2 FROM {p}bg
   WHERE {id_col} IN (SELECT {id_col} FROM {table} WHERE {ref_filter})
   GROUP BY b),
-scored_lm AS (
+{p}scored_lm AS (
   SELECT g.{id_col},
          -avg(ln((coalesce(bi.c2, 0) + {float(alpha)!r})
                  / (coalesce(uni.c1, 0) + {float(alpha)!r} * v.vocab)))
            AS nll
-  FROM bg g
-  LEFT JOIN bi ON bi.b = g.b
-  LEFT JOIN uni ON uni.w = g.w1, v
+  FROM {p}bg g
+  LEFT JOIN {p}bi bi ON bi.b = g.b
+  LEFT JOIN {p}uni uni ON uni.w = g.w1, {p}v v
   WHERE g.{id_col} IN (SELECT {id_col} FROM {table} WHERE {doc_filter})
   GROUP BY g.{id_col})
 """
@@ -509,3 +513,37 @@ def dedup_by_url(
             .groupBy("_curl")
             .agg(F.min(id_col).alias(id_col))
             .withColumnRenamed("_curl", "canonical_url"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) with the bigram LM as the feature model: weight
+    each raw-corpus doc by how much more likely its text is under the
+    TARGET domain's LM than under the raw corpus's own LM,
+
+        log_weight = nll_base - nll_target
+
+    (positive = target-like). Downstream sampling keeps docs by
+    weight-proportional probability; a deterministic variant thresholds
+    at a quantile. Physical shape: two LM trainings (hash aggs over
+    n-grams — the shuffles carry distinct n-grams, never documents) and
+    ONE shared doc-bigram explode scored against both count tables;
+    document text never reshuffles.
+    """
+    ex = docs.select(F.col(id_col), F.col(text_col))
+    bi_t, uni_t, v_t = ngram_lm_train(target, text_col)
+    bi_b, uni_b, v_b = ngram_lm_train(docs, text_col)
+    t = ngram_lm_score(ex, bi_t, uni_t, v_t, text_col, id_col,
+                       alpha, out="nll_target")
+    b = ngram_lm_score(ex, bi_b, uni_b, v_b, text_col, id_col,
+                       alpha, out="nll_base")
+    return (t.join(b, id_col)
+            .select(id_col, "nll_target", "nll_base",
+                    (F.col("nll_base") - F.col("nll_target"))
+                    .alias("log_weight")))
