@@ -91,7 +91,7 @@ _R04_DRIVER_CHECKED = (
 _R05_PRIORITY = (
     "agg_date_range", "agg_ip_range", "match_copy_to",
     "ml_high_count", "ml_distinct_count", "bulk_api",
-    "ingest_network_direction", "agg_filters_other", "term_suggest_popular", "span_multi", "span_field_masking",
+    "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
     "dedup_url", "dsir_weights", "ml_metric_mean", "ml_time_of_day",
     "agg_filter_scope",
@@ -1164,6 +1164,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "big": {"range": {"value": {"gte": 50}}},
         }}, "aggs": {"v": {"avg": {"field": "value"}}}}},
     ).select("key", "doc_count", F.round("v", 6).alias("v"))
+
+    # terms agg `missing` param: NULLs bucket under the substitute
+    def agg_terms_missing_q(s: SparkSession, d: str) -> DataFrame:
+        docs = _t(s, d, "documents").withColumn(
+            "lang_n",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+            .otherwise(F.col("lang")))
+        return aggregate(
+            docs,
+            {"t": {"terms": {"field": "lang_n", "missing": "(none)",
+                             "size": 20}}},
+        ).select("key", "doc_count")
+
+    q["agg_terms_missing_param"] = agg_terms_missing_q
 
     # filters agg with the keyed other-bucket (docs matching neither)
     q["agg_filters_other"] = lambda s, d: aggregate(
@@ -6127,6 +6141,14 @@ FROM events WHERE event_type = 'click'
 UNION ALL
 SELECT 'big', count(*), round(avg(value), 6) FROM events WHERE value >= 50
 """
+    o["agg_terms_missing_param"] = """
+SELECT coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END,
+                '(none)') AS key,
+       count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 20
+"""
+
     o["agg_filters_other"] = """
 SELECT 'clicks' AS key, count(*) AS doc_count, round(avg(value), 6) AS v
 FROM events WHERE event_type = 'click'

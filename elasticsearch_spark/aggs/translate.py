@@ -128,7 +128,12 @@ def _bucket_key(
     the input column (used to re-apply the bucket rounding to literal
     extended_bounds values)."""
     if kind == "terms" or kind == "rare_terms":
-        return F.col(body["field"]), body.get("key_name", "key")
+        c = F.col(body["field"])
+        if "missing" in body:
+            # the `missing` param (TermsAggregationBuilder): NULL field
+            # values bucket under the substitute instead of dropping
+            c = F.coalesce(c, F.lit(body["missing"]))
+        return c, body.get("key_name", "key")
     if kind == "histogram":
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
@@ -324,6 +329,9 @@ def aggregate(
         # (hash constants differ from the reference's — documented;
         # the contract is disjoint-exhaustive determinism, not a
         # specific assignment).
+        # ES drops docs missing the field unless `missing` substitutes
+        # (the coalesce above already made those keys non-null)
+        grouped = grouped.filter(F.col(key_name).isNotNull())
         inc, exc = conf.get("include"), conf.get("exclude")
         if isinstance(inc, dict):
             p, nparts = int(inc["partition"]), int(inc["num_partitions"])
