@@ -54,6 +54,10 @@ def _metric_cols(name: str, spec: dict[str, Any]) -> list[Column]:
     kind, body = next(iter(spec.items()))
     f = body.get("field") if isinstance(body, dict) else None
     c = F.col(f) if f else None
+    if c is not None and isinstance(body, dict) and "missing" in body:
+        # ValuesSourceAggregationBuilder.missing: substitute for NULLs
+        # so they participate instead of being skipped
+        c = F.coalesce(c, F.lit(body["missing"]))
     if kind == "avg":
         return [F.avg(c).alias(name)]
     if kind == "sum":

@@ -381,3 +381,23 @@ def test_histogram_min_doc_count_zero_and_hard_bounds(spark):
         "field": "n_chars", "interval": 100.0,
         "hard_bounds": {"min": 200, "max": 500}}}}).collect()
     assert all(200.0 <= r["key"] <= 500.0 for r in hb)
+
+
+def test_metric_missing_param(spark):
+    """ValuesSourceAggregationBuilder.missing on metric aggs: NULLs
+    participate with the substitute value."""
+    from elasticsearch_spark.aggs.translate import aggregate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "b", 30.0)],
+        "doc_id long, g string, v double")
+    out = aggregate(df, {"t": {"terms": {"field": "g"},
+                               "aggs": {"m": {"avg": {
+                                   "field": "v", "missing": 0.0}}}}})
+    rows = {r["key"]: (r["doc_count"], r["m"]) for r in out.collect()}
+    assert rows == {"a": (2, 5.0), "b": (1, 30.0)}
+    # without missing: NULL skipped (avg over 1 value)
+    out = aggregate(df, {"t": {"terms": {"field": "g"},
+                               "aggs": {"m": {"avg": {"field": "v"}}}}})
+    rows = {r["key"]: r["m"] for r in out.collect()}
+    assert rows == {"a": 10.0, "b": 30.0}
