@@ -1396,3 +1396,46 @@ def fetch(topk: DataFrame, docs: DataFrame, on: str = "doc_id") -> DataFrame:
     return docs.join(F.broadcast(topk), on=on, how="inner").orderBy(
         F.desc("score"), F.asc(on)
     )
+
+
+def source_filter(
+    df: DataFrame,
+    includes: list[str] | None = None,
+    excludes: list[str] | None = None,
+    always: tuple[str, ...] = ("doc_id", "score"),
+) -> DataFrame:
+    """_source includes/excludes (fetch/subphase/FetchSourcePhase.java +
+    FetchSourceContext wildcard patterns): resolved against the column
+    list at PLAN time, so the projection prunes all the way into the
+    parquet scan — excluded columns are never read. ``always`` keeps
+    the hit metadata columns regardless of patterns (like _id/_score
+    in the reference's hit envelope)."""
+    from fnmatch import fnmatch
+
+    cols = df.columns
+    if includes:
+        keep = [c for c in cols
+                if any(fnmatch(c, p) for p in includes)]
+    else:
+        keep = list(cols)
+    if excludes:
+        keep = [c for c in keep
+                if not any(fnmatch(c, p) for p in excludes)]
+    out, seen = [], set()
+    for c in cols:
+        if (c in keep or c in always) and c not in seen:
+            out.append(c)
+            seen.add(c)
+    return df.select(*out)
+
+
+def post_filter_hits(topk: DataFrame, docs: DataFrame, query: dict,
+                     on: str = "doc_id") -> DataFrame:
+    """The request ``post_filter`` section
+    (SearchSourceBuilder.postFilter): narrows the HIT LIST after
+    scoring — aggregations run over the pre-filter frame, which is why
+    this is not just another bool filter clause. The predicate lands
+    on the fetch join's doc side, where it pushes into the scan."""
+    from elasticsearch_spark.search.dsl import compile_filter
+
+    return fetch(topk, docs.filter(compile_filter(query, on)), on=on)

@@ -341,3 +341,27 @@ def test_copy_to_field(spark, corpus, tmp_path_factory):
             id_cols=["repo", "path", "commit"],
             copy_to={"everything": ["lang", "content"]},
         )
+
+
+def test_source_filter_and_post_filter(spark, corpus, index):
+    """_source include/exclude wildcards + post_filter hit narrowing."""
+    from elasticsearch_spark.index.builder import assign_doc_ids
+    from elasticsearch_spark.search.executor import (
+        post_filter_hits,
+        source_filter,
+    )
+
+    docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
+    topk = match_topk(index, "content", ["import"], k=20)
+    hits = fetch(topk, docs)
+    cols = source_filter(hits, includes=["re*", "lang"],
+                         excludes=["repo"]).columns
+    assert "lang" in cols and "repo" not in cols
+    assert "doc_id" in cols and "score" in cols  # hit metadata kept
+    assert "content" not in cols
+    # post_filter: hits narrowed, scores unchanged
+    pf = post_filter_hits(topk, docs, {"term": {"lang": "python"}})
+    got = {(r["doc_id"], round(r["score"], 9)) for r in pf.collect()}
+    want = {(r["doc_id"], round(r["score"], 9))
+            for r in hits.collect() if r["lang"] == "python"}
+    assert got == want
