@@ -126,6 +126,21 @@ def _function_value(fn_spec: dict[str, Any]):
             val = F.greatest(
                 (F.lit(s_prime) - dist) / F.lit(s_prime), F.lit(0.0)
             )
+    elif "random_score" in fn_spec:
+        # RandomScoreFunctionBuilder: with (seed, field) the value is a
+        # deterministic hash of both — reproducible across requests and
+        # engines (the reference requires a field when seeded for the
+        # same reason). Unseeded random is refused: a batch engine has
+        # no per-request RNG state that would be reproducible.
+        s = fn_spec["random_score"] or {}
+        if "seed" not in s or "field" not in s:
+            raise ValueError(
+                "random_score needs seed AND field for deterministic "
+                "scoring (RandomScoreFunctionBuilder seeded mode)")
+        h = F.xxhash64(F.lit(int(s["seed"])),
+                       F.col(s["field"]).cast("string"))
+        # map int64 -> [0,1): shift into unsigned range, scale by 2^64
+        val = (h.cast("double") / F.lit(2.0 ** 64)) + F.lit(0.5)
     else:
         val = F.lit(1.0)
     weight = float(fn_spec.get("weight", 1.0))

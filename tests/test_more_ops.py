@@ -718,3 +718,28 @@ def test_script_query_filter_context(spark):
     got = {r["doc_id"] for r in df.filter(compile_filter({"script": {
         "script": {"source": "n + w > 32"}}})).collect()}
     assert got == {2, 3}
+
+
+def test_random_score_seeded_deterministic(spark):
+    """random_score(seed, field): deterministic in [0,1), stable
+    across runs, different per doc."""
+    from elasticsearch_spark.search.api import _function_value
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long")
+    _, val = _function_value({"random_score": {"seed": 42,
+                                               "field": "doc_id"}})
+    a = [r["v"] for r in df.select(val.alias("v")).collect()]
+    b = [r["v"] for r in df.select(val.alias("v")).collect()]
+    assert a == b
+    assert all(0.0 <= x < 1.0 for x in a)
+    assert len(set(a)) > 40  # spread, not constant
+    _, val2 = _function_value({"random_score": {"seed": 43,
+                                                "field": "doc_id"}})
+    c = [r["v"] for r in df.select(val2.alias("v")).collect()]
+    assert c != a  # seed changes the ordering
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="random_score"):
+        _function_value({"random_score": {}})
