@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bulk_apply"]
+__all__ = ["bulk_apply", "bulk_apply_frames"]
 
 _OPS = ("index", "create", "update", "delete")
 
@@ -146,3 +146,48 @@ def bulk_apply(
         new_df = spark.createDataFrame(wide, docs.schema)
         out = out.unionByName(new_df)
     return out, items
+
+
+def bulk_apply_frames(
+    docs: DataFrame,
+    upserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-scale bulk: the same set-algebra as :func:`bulk_apply`
+    but with DataFrames as the action sources, for batches far beyond a
+    request body (the reference streams these through _bulk in chunks;
+    one relational rewrite replaces the chunk loop).
+
+    ``upserts`` replaces-or-inserts whole rows (same schema as docs,
+    missing columns NULL); ``deletes`` is a frame of ids. Plan shape:
+    docs LEFT ANTI JOIN (upsert ids ∪ delete ids) UNION upserts — when
+    the action side is small Spark broadcasts it, when it is huge both
+    sides hash-partition on the id and co-shuffle; either way the doc
+    payload columns move at most once and only for surviving rows.
+    Within-batch duplicate upsert ids raise (same contract as
+    bulk_apply).
+    """
+    out = docs
+    drop = None
+    if deletes is not None:
+        drop = deletes.select(id_col)
+    if upserts is not None:
+        n = upserts.count()
+        nd = upserts.select(id_col).distinct().count()
+        if n != nd:
+            raise ValueError(
+                f"bulk upserts contain {n - nd} duplicate ids — "
+                "sequential same-id semantics unsupported")
+        ids = upserts.select(id_col)
+        drop = ids if drop is None else drop.unionByName(ids)
+    if drop is not None:
+        out = out.join(drop, id_col, "left_anti")
+    if upserts is not None:
+        missing = [c for c in docs.columns if c not in upserts.columns]
+        filled = upserts
+        for c in missing:
+            filled = filled.withColumn(
+                c, F.lit(None).cast(docs.schema[c].dataType))
+        out = out.unionByName(filled.select(*docs.columns))
+    return out

@@ -743,3 +743,23 @@ def test_random_score_seeded_deterministic(spark):
 
     with _pytest.raises(ValueError, match="random_score"):
         _function_value({"random_score": {}})
+
+
+def test_bulk_apply_frames(spark):
+    from elasticsearch_spark.ops.bulk import bulk_apply_frames
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "doc_id long, name string, v long")
+    ups = spark.createDataFrame(
+        [(2, "b2"), (4, "d")], "doc_id long, name string")
+    dels = spark.createDataFrame([(3,)], "doc_id long")
+    out = bulk_apply_frames(docs, upserts=ups, deletes=dels)
+    rows = {r["doc_id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert rows == {1: ("a", 10), 2: ("b2", None), 4: ("d", None)}
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(2, "x"), (2, "y")], "doc_id long, name string")
+    with _pytest.raises(ValueError, match="duplicate ids"):
+        bulk_apply_frames(docs, upserts=dup)
