@@ -61,6 +61,15 @@ class Watch:
     condition: Column | bool = True
     quantifier: str = "some"
     metadata: dict = field(default_factory=dict)
+    # payload transform applied AFTER the condition gate, before
+    # actions (x-pack watcher transform/TransformRegistry — the
+    # search/script transforms both reduce to a frame function here)
+    transform_fn: Callable[[DataFrame], DataFrame] | None = None
+    # acking/throttling (WatchStatus + ActionThrottler): once fired,
+    # suppress re-fires for this many seconds; state lives in
+    # ``status_dir`` as one tiny json per watch
+    throttle_period_s: float = 0.0
+    status_dir: str | None = None
 
 
 def execute_watch(spark: SparkSession, watch: Watch) -> DataFrame:
@@ -88,12 +97,40 @@ def execute_watch(spark: SparkSession, watch: Watch) -> DataFrame:
         (F.col("n_met") > 0) if watch.quantifier == "some"
         else (F.col("n_rows") > 0) & (F.col("n_met") == F.col("n_rows")),
     ).select("_fire")
-    return (
+    out = (
         flagged.where(F.col("_met"))
         .crossJoin(F.broadcast(gate.where(F.col("_fire"))))
         .drop("_met", "_fire")
         .withColumn("watch_id", F.lit(watch.watch_id))
     )
+    if watch.throttle_period_s > 0:
+        # coordinator-side throttle decision (the reference's
+        # ActionThrottler consults WatchStatus the same way): one tiny
+        # status read + a 1-row fired check; payload stays lazy
+        import json as _json
+        import os as _os
+        import time as _time
+
+        if not watch.status_dir:
+            raise ValueError("throttle_period_s needs status_dir")
+        _os.makedirs(watch.status_dir, exist_ok=True)
+        path = _os.path.join(watch.status_dir,
+                             f"watch-{watch.watch_id}.json")
+        last = 0.0
+        if _os.path.exists(path):
+            with open(path) as fh:
+                last = float(_json.load(fh).get("last_fired", 0.0))
+        now = _time.time()
+        if now - last < watch.throttle_period_s:
+            return out.limit(0)
+        if out.limit(1).count() > 0:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({"last_fired": now}, fh)
+            _os.replace(tmp, path)
+    if watch.transform_fn is not None:
+        out = watch.transform_fn(out)
+    return out
 
 
 def run_watches(spark: SparkSession, watches: list[Watch]) -> DataFrame:

@@ -387,3 +387,35 @@ def test_count_detector_side_gating(spark):
         distinct_count_anomalies_sql("events", "user_id", span="day")
     ).fetchall()}
     assert got == want
+
+
+def test_watch_transform_and_throttle(spark, tmp_path):
+    """Watcher transform (post-condition payload reshape) and
+    throttle_period (fired watches stay quiet for the period)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.watcher import Watch, execute_watch
+
+    def inp(s):
+        return s.createDataFrame([(1, 99.0), (2, 10.0)],
+                                 "id long, v double")
+
+    w = Watch(
+        watch_id="w1",
+        input_fn=inp,
+        condition=F.col("v") > 50,
+        transform_fn=lambda df: df.select(
+            "watch_id", (F.col("v") * 2).alias("v2")),
+        throttle_period_s=3600.0,
+        status_dir=str(tmp_path),
+    )
+    first = execute_watch(spark, w).collect()
+    assert [(r["watch_id"], r["v2"]) for r in first] == [("w1", 198.0)]
+    # second run inside the throttle window: suppressed
+    assert execute_watch(spark, w).count() == 0
+    # throttle requires a status_dir
+    import pytest as _pytest
+
+    bad = Watch(watch_id="w2", input_fn=inp, throttle_period_s=10.0)
+    with _pytest.raises(ValueError, match="status_dir"):
+        execute_watch(spark, bad).collect()
