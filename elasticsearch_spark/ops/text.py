@@ -547,3 +547,46 @@ def dsir_weights(
             .select(id_col, "nll_target", "nll_base",
                     (F.col("nll_base") - F.col("nll_target"))
                     .alias("log_weight")))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 10,
+    min_chars: int = 10,
+    out: str = "text_clean",
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the Dolma / CCNet
+    paragraph-dedup step): a LINE occurring in more than ``max_df``
+    distinct documents is boilerplate (headers, footers, nav, license
+    banners) and is dropped from every document; short lines
+    (< ``min_chars``) are exempt so code/prose structure survives.
+
+    Plan: explode lines WITH their position (posexplode keeps
+    reassembly order without a window), one distinct (line -> df) hash
+    agg (map-side partial carries distinct lines per split, never the
+    corpus), anti-join the boilerplate set back, re-assemble with
+    array_join over sort_array of (pos, line) structs. Shuffles carry
+    lines and ids only — never whole documents.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    line_df = (lines.where(F.length("line") >= min_chars)
+               .groupBy("line")
+               .agg(F.countDistinct(id_col).alias("line_df")))
+    boiler = line_df.where(F.col("line_df") > max_df).select("line")
+    kept = lines.join(
+        boiler.withColumn("_b", F.lit(1)), "line", "left"
+    ).where(F.col("_b").isNull()).drop("_b")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
+                       lambda s: s["line"]),
+                   "\n").alias(out)))
+    # docs whose every line was boilerplate come back as empty string
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(out, F.coalesce(F.col(out), F.lit(""))))

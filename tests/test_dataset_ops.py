@@ -219,3 +219,25 @@ def test_canonicalize_url_matches_duckdb(spark):
     # tracking-only query collapses; default port dropped
     assert got[1] == "http://example.com/"
     assert got[4] == "https://example.com/"
+
+
+def test_remove_boilerplate_lines(spark):
+    from elasticsearch_spark.ops.text import remove_boilerplate_lines
+
+    banner = "COPYRIGHT ACME CORP ALL RIGHTS RESERVED"
+    docs = [(i, f"{banner}\nunique line {i}\nok {i}") for i in range(12)]
+    docs.append((99, "no banner here at all"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate_lines(
+               df, max_df=10, min_chars=10).collect()}
+    assert out[0] == "unique line 0\nok 0"        # banner stripped
+    assert out[99] == "no banner here at all"     # untouched
+    # short lines exempt even when frequent ("ok i" < min_chars is
+    # per-doc unique anyway); banner in <= max_df docs survives
+    few = [(i, f"RARE BANNER LINE HERE\nbody {i}") for i in range(5)]
+    df2 = spark.createDataFrame(few, "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text_clean"]
+            for r in remove_boilerplate_lines(
+                df2, max_df=10, min_chars=10).collect()}
+    assert out2[0].startswith("RARE BANNER")
