@@ -93,7 +93,7 @@ _R05_PRIORITY = (
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
-    "dedup_url", "dsir_weights", "ml_metric_mean", "ml_time_of_day",
+    "dedup_url", "dsir_weights", "boilerplate_lines", "ml_metric_mean", "ml_time_of_day",
     "agg_filter_scope",
     "essql_match", "essql_match_multi", "essql_query",
     "essql_match_or", "essql_not_match", "match_after_split",
@@ -2635,6 +2635,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pii_scrub(docs).select("doc_id", "text_scrubbed")
 
     q["pii_scrub"] = pii_scrub_q
+
+    def boilerplate_lines_q(s: SparkSession, d: str) -> DataFrame:
+        # synthesize multi-line docs: a corpus-wide banner plus a
+        # 7-way-shared tail (both df > max_df -> stripped) around a
+        # per-doc-unique body line (kept verbatim)
+        from elasticsearch_spark.ops.text import remove_boilerplate_lines
+
+        did = F.col("doc_id")
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.lit("COPYRIGHT BANNER EVERY DOC"),
+                F.concat(did.cast("string"), F.lit(" "), F.col("text")),
+                F.format_string("shared tail %d",
+                                F.pmod(did, F.lit(7)).cast("int")),
+            ).alias("text"))
+        out = remove_boilerplate_lines(docs, max_df=10, min_chars=10)
+        return out.select("doc_id", "text_clean").orderBy("doc_id")
+
+    q["boilerplate_lines"] = boilerplate_lines_q
 
     def dedup_url_q(s: SparkSession, d: str) -> DataFrame:
         # URL-keyed dedup: synthesized URLs where doc pairs (2k, 2k+1)
@@ -6642,6 +6663,14 @@ SELECT d.doc_id, r.r_name AS region_name
 FROM documents d
 LEFT JOIN region r ON (d.doc_id % 5 + 5) % 5 = r.r_regionkey
 ORDER BY d.doc_id ASC LIMIT 200
+"""
+
+    # boilerplate twin: the banner (df = all docs) and the 7-way tail
+    # (df ~ n/7 > 10) strip, the id-prefixed body line is unique by
+    # construction — expected text_clean is computable in closed form
+    o["boilerplate_lines"] = """
+SELECT doc_id, doc_id::VARCHAR || ' ' || text AS text_clean
+FROM documents ORDER BY doc_id
 """
 
     # dedup_url twin: the canonical collapse is provable in closed
