@@ -283,6 +283,7 @@ def highlight(
     order: str = "none",
     max_passages: int = 32,
     prefix_terms: list[str] = (),
+    no_match_size: int = 0,
 ) -> DataFrame:
     """Multi-fragment unified-highlighter-style passages, Arrow-batched
     (reference: search/fetch/subphase/highlight/ HighlightBuilder
@@ -304,6 +305,12 @@ def highlight(
     highlighter: matches from differently-analyzed variants of the same
     text combine into one highlighted field; a stem covers every
     surface inflection as a prefix).
+
+    ``no_match_size`` (HighlightBuilder.noMatchSize): when a doc has NO
+    matching passage, return the leading ``no_match_size`` chars as one
+    untagged fragment instead of an empty list. ``n_fragments=0``
+    returns the WHOLE field as one tagged fragment (ES
+    number_of_fragments: 0).
     """
     half = fragment_size // 2
     alts = [rf"\b(?:{'|'.join(re.escape(t.lower()) for t in terms)})\b"] \
@@ -326,12 +333,22 @@ def highlight(
         for pdf in it:
             frags = []
             for text in pdf[text_col].fillna(""):
+                if n_fragments == 0:
+                    # number_of_fragments: 0 — whole field, tagged
+                    frags.append([inner.sub(rep, text)]
+                                 if inner.search(text)
+                                 else ([text[:no_match_size]]
+                                       if no_match_size else []))
+                    continue
                 cap = n_fragments if order == "none" else max_passages
                 wins = [m.group(0) for m in islice(win.finditer(text), cap)]
                 if order == "score":
                     # stable sort: equal-count passages keep doc order
                     wins.sort(key=lambda w: -len(inner.findall(w)))
                 sel = wins[:n_fragments]
+                if not sel and no_match_size:
+                    frags.append([text[:no_match_size]])
+                    continue
                 frags.append([inner.sub(rep, w) for w in sel])
             yield pdf.assign(highlights=frags)
 

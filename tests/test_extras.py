@@ -569,3 +569,22 @@ def test_highlight_fvh_keeps_edges_without_boundary(spark):
         hits, [["table", "hash"]], fragment_size=20, n_fragments=1,
         pre_tag="[", post_tag="]").collect()[0]["highlights"]
     assert out == ["aaa bbb [table hash] ccc ddd"]
+
+
+def test_highlight_no_match_size_and_whole_field(spark):
+    from elasticsearch_spark.search.extras import highlight
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "nothing relevant here")],
+        "doc_id long, text string")
+    # no_match_size: non-matching doc gets a leading untagged snippet
+    out = {r["doc_id"]: r["highlights"] for r in highlight(
+        df, ["beta"], n_fragments=2, fragment_size=20,
+        no_match_size=7).collect()}
+    assert out[1] and "<em>beta</em>" in out[1][0]
+    assert out[2] == ["nothing"]
+    # number_of_fragments=0: whole field, every occurrence tagged
+    out = {r["doc_id"]: r["highlights"] for r in highlight(
+        df, ["alpha", "delta"], n_fragments=0).collect()}
+    assert out[1] == ["<em>alpha</em> beta gamma <em>delta</em>"]
+    assert out[2] == []
