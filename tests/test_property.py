@@ -102,3 +102,55 @@ def test_high_df_skew_balanced(spark, tmp_path):
     want = oracle_topk(docs, "ubiq", k=10, analyzer="code",
                         params=BM25Params(quantize_norms=False))
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+
+def test_bulk_apply_random_batches_match_simulator(spark):
+    """Randomized bulk batches: the set-algebra plan must equal a
+    plain-Python dict simulator applying the same per-item contract."""
+    rng = random.Random(1234)
+    base = {i: (f"n{i}", i * 10) for i in range(30)}
+    docs = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in base.items()],
+        "doc_id long, name string, v long")
+
+    from elasticsearch_spark.ops.bulk import bulk_apply
+
+    for trial in range(5):
+        ids = rng.sample(range(60), 12)
+        actions, sim = [], dict(base)
+        expect_results = []
+        for did in ids:
+            op = rng.choice(["index", "create", "update", "delete"])
+            if op == "delete":
+                actions.append({"delete": {"doc_id": did}})
+                expect_results.append(
+                    "deleted" if did in sim else "not_found")
+                sim.pop(did, None)
+            elif op == "index":
+                actions.append({"index": {"doc_id": did,
+                                          "name": f"x{did}", "v": 1}})
+                expect_results.append(
+                    "updated" if did in sim else "created")
+                sim[did] = (f"x{did}", 1)
+            elif op == "create":
+                actions.append({"create": {"doc_id": did,
+                                           "name": f"c{did}", "v": 2}})
+                if did in sim:
+                    expect_results.append(
+                        "version_conflict_engine_exception")
+                else:
+                    expect_results.append("created")
+                    sim[did] = (f"c{did}", 2)
+            else:
+                actions.append({"update": {"doc_id": did,
+                                           "doc": {"v": 99}}})
+                if did in sim:
+                    expect_results.append("updated")
+                    sim[did] = (sim[did][0], 99)
+                else:
+                    expect_results.append("document_missing_exception")
+        out, items = bulk_apply(docs, actions)
+        assert [i.get("result", i.get("error")) for i in items] == \
+            expect_results, f"trial {trial}"
+        got = {r["doc_id"]: (r["name"], r["v"]) for r in out.collect()}
+        assert got == sim, f"trial {trial}"
