@@ -1147,3 +1147,34 @@ def disk_usage(idx: "InvertedIndex") -> dict:
         for r in per_field
     }
     return {"store_size_bytes": total, "fields": fields}
+
+
+def cat_indices(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """_cat/indices analogue (rest/action/cat/RestIndicesAction.java):
+    one row per index with health-ish counters — docs, distinct terms,
+    postings, shard count, on-disk bytes, build wall-clock. Reads only
+    manifests + metadata JSON + filesystem sizes (no posting decode);
+    the result is a tiny driver-built frame, like the reference's
+    coordinator-assembled cat table."""
+    rows = []
+    for p in paths:
+        idx = load_index(spark, p)
+        st = index_stats(idx)["totals"]
+        store = 0
+        for root, _dirs, files in os.walk(p):
+            store += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        rows.append((
+            os.path.basename(p.rstrip("/")),
+            int(st["num_partitions"] or 0),
+            int(st["docs"]), int(st["distinct_terms"]),
+            int(st["postings"]), int(store),
+            int(st["build_wall_ms"]),
+            "green" if st["partitions_done"] == st["num_partitions"]
+            else "yellow",
+        ))
+    return spark.createDataFrame(
+        rows,
+        "index string, pri int, docs_count long, distinct_terms long, "
+        "postings long, store_bytes long, build_wall_ms long, "
+        "health string")

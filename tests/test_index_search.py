@@ -365,3 +365,14 @@ def test_source_filter_and_post_filter(spark, corpus, index):
     want = {(r["doc_id"], round(r["score"], 9))
             for r in hits.collect() if r["lang"] == "python"}
     assert got == want
+
+
+def test_cat_indices(spark, index):
+    from elasticsearch_spark.index.builder import cat_indices
+
+    out = cat_indices(spark, [index.path]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["docs_count"] == N_DOCS and r["health"] == "green"
+    assert r["store_bytes"] > 0 and r["pri"] == 4
+    assert r["distinct_terms"] > 0 and r["postings"] > 0
