@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range", "match_copy_to",
+    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
@@ -516,6 +516,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_synonym_index"] = match_synonym_index
+
+    def multi_match_phrase_q(s: SparkSession, d: str) -> DataFrame:
+        # multi_match type=phrase: per-field PHRASE queries combined
+        # best_fields-style (max); all_text is the copy_to field, so
+        # the same phrase scores under two different field statistics
+        from elasticsearch_spark.search.api import search as api_search
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        out = api_search(
+            idx, docs,
+            {"multi_match": {"query": "key order",
+                             "fields": ["text", "all_text"],
+                             "type": "phrase"}},
+            k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["multi_match_phrase"] = multi_match_phrase_q
 
     def match_copy_to(s: SparkSession, d: str) -> DataFrame:
         # copy_to mapping (FieldMapper.CopyTo): all_text was built as
@@ -4529,6 +4547,19 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         english_light_list_sql,
         synonym_topk_sql,
     )
+
+    # multi_match phrase twin: each leaf is the standard phrase oracle
+    # under its OWN field stats; best_fields combine = greatest (round
+    # is monotone, so per-leaf rounding commutes with max)
+    o["multi_match_phrase"] = f"""
+WITH a AS ({phrase_topk_sql(['key', 'order'], k=1000000)}),
+b AS ({phrase_topk_sql(['key', 'order'], k=1000000,
+                       text_col="(text || ' ' || source)")})
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       greatest(coalesce(a.score, 0), coalesce(b.score, 0)) AS score
+FROM a FULL JOIN b ON a.doc_id = b.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
     # copy_to twin: the target field's token stream IS the ascii_word
     # parse of the space-joined sources, so the SQL side tokenizes the

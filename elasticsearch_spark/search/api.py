@@ -248,12 +248,35 @@ def _scored_df(
             return df.select(
                 "doc_id", (F.col("score") * F.lit(boost)).alias("score")
             )
-        per_field = [
-            _scored_df(index, {"match": {f: {"query": text, **{k: v for k, v in body.items() if k in ("operator", "minimum_should_match")}}}}, params, allowed=allowed)
-            .withColumnRenamed("score", "s")
-            .withColumn("fidx", F.lit(i))
-            for i, f in enumerate(fields)
-        ]
+        # phrase/phrase_prefix types run the per-field phrase query
+        # instead of term-bag match (MultiMatchQueryBuilder.Type.PHRASE
+        # / PHRASE_PREFIX), then combine exactly like best_fields
+        leaf = "match_phrase" if mtype in ("phrase", "phrase_prefix") \
+            else "match"
+        if mtype == "phrase_prefix":
+            per_field = []
+            from elasticsearch_spark.search.executor import (
+                phrase_prefix_topk)
+
+            for i, f in enumerate(fields):
+                analyzer = index_meta(index.path)["fields"].get(
+                    f, "standard")
+                terms = [t for t, _ in analyze(text, analyzer)]
+                d = phrase_prefix_topk(index, f, terms, k=None,
+                                       params=params)
+                if allowed is not None:
+                    d = d.join(allowed.select("doc_id"), "doc_id",
+                               "left_semi")
+                per_field.append(
+                    d.select("doc_id", F.col("score").alias("s"))
+                    .withColumn("fidx", F.lit(i)))
+        else:
+            per_field = [
+                _scored_df(index, {leaf: {f: {"query": text, **{k: v for k, v in body.items() if k in ("operator", "minimum_should_match") and leaf == "match"}}}}, params, allowed=allowed)
+                .withColumnRenamed("score", "s")
+                .withColumn("fidx", F.lit(i))
+                for i, f in enumerate(fields)
+            ]
         u = per_field[0]
         for d in per_field[1:]:
             u = u.unionByName(d)
