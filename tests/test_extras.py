@@ -588,3 +588,36 @@ def test_highlight_no_match_size_and_whole_field(spark):
         df, ["alpha", "delta"], n_fragments=0).collect()}
     assert out[1] == ["<em>alpha</em> beta gamma <em>delta</em>"]
     assert out[2] == []
+
+
+def test_multi_match_phrase_prefix_type(spark):
+    """multi_match type=phrase_prefix == best per-field phrase_prefix."""
+    import os
+    import tempfile
+
+    from elasticsearch_spark.corpus import generate_corpus
+    from elasticsearch_spark.index.builder import build_index
+    from elasticsearch_spark.search.api import search as api_search
+    from elasticsearch_spark.search.executor import phrase_prefix_topk
+
+    corpus = generate_corpus(spark, 150, seed=11).cache()
+    out_dir = tempfile.mkdtemp(prefix="mmpp_")
+    idx = build_index(
+        corpus.withColumn("content2", F.col("content")),
+        out_dir, fields={"content": "code", "content2": "code"},
+        num_partitions=2, id_cols=["repo", "path", "commit"],
+        input_snapshot="mmpp")
+    from elasticsearch_spark.index.builder import assign_doc_ids
+
+    docs = assign_doc_ids(corpus, ["repo", "path", "commit"])
+    got = api_search(
+        idx, docs,
+        {"multi_match": {"query": "import re",
+                         "fields": ["content", "content2"],
+                         "type": "phrase_prefix"}}, k=8).collect()
+    # identical duplicated field -> equals single-field phrase_prefix
+    want = phrase_prefix_topk(idx, "content", ["import", "re"],
+                              k=8).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in want]
+    assert len(got) > 0
