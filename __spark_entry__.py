@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase",
+    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
@@ -890,6 +890,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["more_like_this"] = mlt_q
+
+    def mlt_text_q(s: SparkSession, d: str) -> DataFrame:
+        # the free-text `like` form: no doc fetch, text analyzed with
+        # the field's analyzer, same tf-idf term selection
+        from elasticsearch_spark.search.extras import more_like_this
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        out = more_like_this(
+            idx, docs, like_text="table scan merge key order fast "
+            "table scan", k=10, params=_EXACT)
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["more_like_this_text"] = mlt_text_q
 
     def pinned_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.extras import pinned_topk
@@ -5040,6 +5054,29 @@ chosen AS (
 {bm25_ctes(None, terms_cte='chosen')}
 SELECT doc_id, round(score, 4) AS score FROM scored
 WHERE doc_id != 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # free-text MLT twin: tf comes from the literal query text (the
+    # same ascii_word parse), df/selection/scoring identical
+    o["more_like_this_text"] = f"""
+WITH qt AS (
+  SELECT unnest(regexp_extract_all(lower(
+    'table scan merge key order fast table scan'),
+    '[a-z0-9_]+')) AS term),
+mltf AS (SELECT term, count(*) * 1.0 AS tf FROM qt GROUP BY term),
+seltok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+mldf AS (SELECT term, count(DISTINCT doc_id) * 1.0 AS df FROM seltok GROUP BY term),
+chosen AS (
+  SELECT f.term
+  FROM mltf f JOIN mldf d USING (term)
+  ORDER BY f.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (d.df + 1.0)) DESC,
+           f.term ASC
+  LIMIT 25),
+{bm25_ctes(None, terms_cte='chosen')}
+SELECT doc_id, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 

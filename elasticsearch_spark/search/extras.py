@@ -37,7 +37,7 @@ from elasticsearch_spark.search.executor import match_topk
 def more_like_this(
     index: InvertedIndex,
     docs: DataFrame,
-    like_id: int,
+    like_id: int | None = None,
     field: str = "text",
     text_col: str | None = None,
     id_col: str = "doc_id",
@@ -47,20 +47,35 @@ def more_like_this(
     k: int = 10,
     include_self: bool = False,
     params: BM25Params | None = None,
+    like_text: str | None = None,
 ) -> DataFrame:
-    """Select the example doc's top tf-idf terms, run a match query.
+    """Select the example's top tf-idf terms, run a match query.
+
+    ``like`` accepts a stored document id (``like_id``) OR free text
+    (``like_text``) — MoreLikeThisQueryBuilder.java accepts both forms
+    in its ``like`` array; free text is analyzed with the field's own
+    analyzer and needs no doc fetch.
 
     Term selection score = tf * ln((N+1)/(df+1)) (classic tf-idf like
     the reference's MLT priority queue); ties -> term asc for
     determinism. Defaults are relaxed vs ES (min_term_freq=2,
     min_doc_freq=5) because test corpora are small.
     """
+    if (like_id is None) == (like_text is None):
+        raise ValueError("more_like_this needs exactly one of "
+                         "like_id / like_text")
     text_col = text_col or field
-    row = docs.filter(F.col(id_col) == like_id).select(text_col).collect()
-    if not row:
-        return index.spark.createDataFrame([], "doc_id long, score double, matched int")
     analyzer = index_meta(index.path)["fields"].get(field, "standard")
-    terms_list, _ = ANALYZERS[analyzer](row[0][0] or "")
+    if like_text is not None:
+        source_text = like_text
+    else:
+        row = docs.filter(
+            F.col(id_col) == like_id).select(text_col).collect()
+        if not row:
+            return index.spark.createDataFrame(
+                [], "doc_id long, score double, matched int")
+        source_text = row[0][0] or ""
+    terms_list, _ = ANALYZERS[analyzer](source_text)
     tf: dict[str, int] = {}
     for t in terms_list:
         tf[t] = tf.get(t, 0) + 1
@@ -85,7 +100,7 @@ def more_like_this(
     scored.sort()
     chosen = [t for _, t in scored[:max_query_terms]]
     out = match_topk(index, field, chosen, k=None, params=params)
-    if not include_self:
+    if not include_self and like_id is not None:
         out = out.filter(F.col("doc_id") != like_id)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
