@@ -357,6 +357,9 @@ def aggregate(
             grouped = grouped.filter(F.col("doc_count") >= min_dc)
         order = conf.get("order", {"_count": "desc"})
         okey, odir = next(iter(order.items()))
+        # agg-path order "stats_agg.avg" (OrderPath.java): multi-value
+        # metrics flatten to {name}_{stat} columns here
+        okey = okey.replace(".", "_")
         ocol = F.col("doc_count") if okey == "_count" else (
             F.col(key_name) if okey == "_key" else F.col(okey)
         )

@@ -401,3 +401,17 @@ def test_metric_missing_param(spark):
                                "aggs": {"m": {"avg": {"field": "v"}}}}})
     rows = {r["key"]: r["m"] for r in out.collect()}
     assert rows == {"a": 10.0, "b": 30.0}
+
+
+def test_terms_order_by_agg_path(spark):
+    """terms order by a multi-value metric path 'm.avg'
+    (bucket/terms OrderPath)."""
+    from elasticsearch_spark.aggs.translate import aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("c", 5.0)],
+        "g string, v double")
+    out = aggregate(df, {"t": {"terms": {
+        "field": "g", "order": {"m.avg": "desc"}},
+        "aggs": {"m": {"stats": {"field": "v"}}}}}).collect()
+    assert [r["key"] for r in out] == ["b", "c", "a"]
