@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text",
+    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
@@ -516,6 +516,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_synonym_index"] = match_synonym_index
+
+    def post_filter_q(s: SparkSession, d: str) -> DataFrame:
+        # post_filter: hits narrowed AFTER scoring (aggs would see the
+        # unfiltered frame); scores are the unfiltered query's scores
+        from elasticsearch_spark.search.executor import (
+            post_filter_hits, source_filter)
+
+        idx = _doc_index(s, d)
+        docs = _t(s, d, "documents")
+        topk = match_topk(idx, "text", ["table", "scan"], k=50,
+                          params=_EXACT)
+        hits = post_filter_hits(topk, docs, {"term": {"lang": "en"}})
+        hits = source_filter(hits, includes=["lang", "n_*"],
+                             excludes=["n_chars"])
+        return (hits.select("doc_id",
+                            F.round("score", 4).alias("score"), "lang")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+
+    q["post_filter"] = post_filter_q
 
     def multi_match_phrase_q(s: SparkSession, d: str) -> DataFrame:
         # multi_match type=phrase: per-field PHRASE queries combined
@@ -4561,6 +4580,22 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         english_light_list_sql,
         synonym_topk_sql,
     )
+
+    # post_filter twin: top-50 scored WITHOUT the lang predicate, then
+    # the hit list narrows — different from a filtered query, whose
+    # top-50 would admit lower-scoring en docs
+    from elasticsearch_spark.oracle.sql_oracle import bm25_ctes as _pf_bc
+
+    o["post_filter"] = f"""
+WITH {_pf_bc(['table', 'scan'])},
+topk AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT 50)
+SELECT t.doc_id, t.score, d.lang
+FROM topk t JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+ORDER BY t.score DESC, t.doc_id ASC
+"""
 
     # multi_match phrase twin: each leaf is the standard phrase oracle
     # under its OWN field stats; best_fields combine = greatest (round
