@@ -1218,6 +1218,7 @@ def expand_terms(
     kind: str,
     pattern: str,
     fuzziness: int = 2,
+    prefix_length: int = 1,
     max_expansions: int = 50,
 ) -> list[str]:
     """Multi-term query rewrite: scan the term dictionary for matching
@@ -1239,11 +1240,18 @@ def expand_terms(
     elif kind == "regexp":
         cond = F.col("term").rlike(f"^(?:{pattern})$")
     elif kind == "fuzzy":
+        # prefix_length (FuzzyQueryBuilder.prefixLength): candidates
+        # must share the first N chars exactly — the Lucene automaton's
+        # common-prefix restriction, which keeps the dictionary scan
+        # selective. Default 1 (this engine's long-standing behavior;
+        # ES's own default is 0, stated for parity).
         cond = (
-            F.col("term").startswith(pattern[:1])
-            & (F.abs(F.length("term") - len(pattern)) <= fuzziness)
+            (F.abs(F.length("term") - len(pattern)) <= fuzziness)
             & (F.levenshtein(F.col("term"), F.lit(pattern)) <= fuzziness)
         )
+        if prefix_length > 0:
+            cond = cond & F.col("term").startswith(
+                pattern[:prefix_length])
     else:
         raise ValueError(kind)
     rows = (
@@ -1270,7 +1278,8 @@ def multi_term_topk(
     any expanded term scores ``boost`` (MultiTermQuery rewrite method;
     tie-break doc_id asc)."""
     spark = index.spark
-    terms = expand_terms(index, field, kind, pattern, fuzziness, max_expansions)
+    terms = expand_terms(index, field, kind, pattern, fuzziness,
+                         max_expansions=max_expansions)
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     blocks = index.postings.filter(

@@ -167,3 +167,16 @@ def test_completion_geo_contexts(spark):
     for r in enc:
         assert geo_query_cells(r["lat"], r["lon"], 4,
                                neighbours=False) == [r["c"]]
+
+
+def test_fuzzy_prefix_length(index):
+    """prefix_length restricts fuzzy candidates to a shared prefix."""
+    loose = set(expand_terms(index, "text", "fuzzy", "table",
+                             fuzziness=2, prefix_length=0))
+    p1 = set(expand_terms(index, "text", "fuzzy", "table",
+                          fuzziness=2, prefix_length=1))
+    p3 = set(expand_terms(index, "text", "fuzzy", "table",
+                          fuzziness=2, prefix_length=3))
+    assert p3 <= p1 <= loose
+    assert all(t.startswith("tab") for t in p3)
+    assert "table" in p3
