@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter",
+    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter", "dedup_simhash_md5",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
@@ -516,6 +516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_synonym_index"] = match_synonym_index
+
+    def dedup_simhash_md5_q(s: SparkSession, d: str) -> DataFrame:
+        # the md5-hashed 60-bit SimHash: bit-identical across engines,
+        # so the signature itself is oracle-hash-checked (the xxhash64
+        # default stays rows-only — seeded JVM hash)
+        from elasticsearch_spark.ops.dedup import simhash
+
+        docs = _t(s, d, "documents")
+        return (simhash(docs, hash_fn="md5")
+                .orderBy("doc_id").select("doc_id", "simhash"))
+
+    q["dedup_simhash_md5"] = dedup_simhash_md5_q
 
     def post_filter_q(s: SparkSession, d: str) -> DataFrame:
         # post_filter: hits narrowed AFTER scoring (aggs would see the
@@ -4580,6 +4592,31 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         english_light_list_sql,
         synonym_topk_sql,
     )
+
+    # md5-simhash twin: identical 60 bit-sum columns; the hex->int
+    # parse is verified byte-identical across engines
+    _sh_bits = "\n".join(
+        f"  sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END)"
+        f" AS b{i}," for i in range(60))
+    _sh_sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1::BIGINT ELSE 0 END << {i})"
+        for i in range(60))
+    o["dedup_simhash_md5"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+h AS (SELECT doc_id, tf,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+bits AS (
+  SELECT doc_id,
+{_sh_bits}
+  count(*) AS _n
+  FROM h GROUP BY doc_id)
+SELECT doc_id, ({_sh_sig})::BIGINT AS simhash
+FROM bits ORDER BY doc_id
+"""
 
     # post_filter twin: top-50 scored WITHOUT the lang predicate, then
     # the hit list narrows — different from a filtered query, whose

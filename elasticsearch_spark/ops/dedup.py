@@ -414,20 +414,34 @@ def ngram_containment(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over ascii_word tokens weighted by tf, fully
-    JVM-side: explode tokens -> per-bit signed tf sums -> sign bits."""
+    """SimHash over ascii_word tokens weighted by tf, fully JVM-side:
+    explode tokens -> per-bit signed tf sums -> sign bits.
+
+    ``hash_fn``: ``xxhash64`` (default, 64 bits) or ``md5`` — a 60-bit
+    variant whose token hash is the first 15 hex chars of md5, which
+    BOTH engines compute identically (Spark conv(substr(md5..)) ==
+    DuckDB ('0x'||substr(md5..))::BIGINT), making the signature
+    oracle-hash-checkable end to end."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
     t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     tf = t.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    h = tf.withColumn("h", F.xxhash64("tok"))
+    if hash_fn == "md5":
+        n_bits = 60
+        h = tf.withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    else:
+        n_bits = 64
+        h = tf.withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
             .otherwise(-F.col("tf"))
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = h.groupBy(id_col).agg(*bit_sums)
     sig = agg.select(
@@ -435,7 +449,7 @@ def simhash(
         sum(
             (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(1 << i) if i < 63
              else F.when(F.col("b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long"))
-            for i in range(64)
+            for i in range(n_bits)
         ).alias("simhash"),
     )
     return sig
