@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter", "dedup_simhash_md5",
+    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter", "dedup_simhash_md5", "dedup_minhash_md5_sig",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
@@ -516,6 +516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_synonym_index"] = match_synonym_index
+
+    def dedup_minhash_md5_sig_q(s: SparkSession, d: str) -> DataFrame:
+        # md5-hashed MinHash signatures: the exact per-doc min values
+        # are oracle-hash-checked (same affine constants both sides)
+        from elasticsearch_spark.ops.dedup import minhash_signatures
+
+        docs = _t(s, d, "documents")
+        out = minhash_signatures(docs, n_hashes=16, hash_fn="md5")
+        return out.orderBy("doc_id").select(
+            "doc_id", *[f"mh{i}" for i in range(16)])
+
+    q["dedup_minhash_md5_sig"] = dedup_minhash_md5_sig_q
 
     def dedup_simhash_md5_q(s: SparkSession, d: str) -> DataFrame:
         # the md5-hashed 60-bit SimHash: bit-identical across engines,
@@ -4592,6 +4604,39 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         english_light_list_sql,
         synonym_topk_sql,
     )
+
+    # md5-minhash twin: identical shingles (1-based inclusive list
+    # slice == Spark's slice), identical 32-bit md5-prefix base hash,
+    # identical affine constants from the same seeded numpy stream
+    import numpy as _np
+
+    _mh_rng = _np.random.default_rng(42)
+    _M31 = (1 << 31) - 1
+    _mh_coeffs = [
+        (int(_mh_rng.integers(1, _M31)), int(_mh_rng.integers(0, _M31)))
+        for _ in range(16)]
+    _mh_mins = ",\n".join(
+        f"  min((h * {a} + {b}) % {_M31}) AS mh{i}"
+        for i, (a, b) in enumerate(_mh_coeffs))
+    o["dedup_minhash_md5_sig"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(0, greatest(len(ts) - 3, 0)),
+           i -> array_to_string(ts[i + 1 : i + 3], ' ')))) AS shingle
+  FROM t),
+h AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_M31})
+          + {_M31}) % {_M31} AS h
+  FROM sh WHERE length(shingle) > 0)
+SELECT doc_id,
+{_mh_mins}
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
 
     # md5-simhash twin: identical 60 bit-sum columns; the hex->int
     # parse is verified byte-identical across engines

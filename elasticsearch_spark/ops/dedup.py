@@ -148,6 +148,7 @@ def minhash_signatures(
     n_hashes: int = 64,
     seed: int = 42,
     use_arrays: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature: n_hashes min-values of affine-permuted
     shingle hashes — all JVM-side (xxhash64 + arithmetic).
@@ -175,8 +176,18 @@ def minhash_signatures(
     ]
     if not use_arrays:
         sh = word_shingles(df, text_col, id_col, k)
-        # base hash, made non-negative for clean modular algebra
-        h = (F.xxhash64("shingle") % F.lit(_MERSENNE) + F.lit(_MERSENNE)) % F.lit(_MERSENNE)
+        # base hash, made non-negative for clean modular algebra.
+        # hash_fn="md5": 32-bit base from the md5 hex prefix — both
+        # engines compute it identically and the affine algebra below
+        # stays within int64 (h*a < 2^62), so the SIGNATURES themselves
+        # become oracle-hash-checkable (the xxhash64 default remains
+        # rows-only: seeded JVM hash with no DuckDB twin).
+        if hash_fn == "md5":
+            base = F.conv(
+                F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+        else:
+            base = F.xxhash64("shingle")
+        h = (base % F.lit(_MERSENNE) + F.lit(_MERSENNE)) % F.lit(_MERSENNE)
         sh = sh.select(F.col(id_col), h.alias("h"))
         mins = [
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
