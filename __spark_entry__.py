@@ -89,7 +89,7 @@ _R04_DRIVER_CHECKED = (
 # followed by this round's new operators — all ahead of the remaining
 # never-driver-checked pool.
 _R05_PRIORITY = (
-    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter", "dedup_simhash_md5", "dedup_minhash_md5_sig",
+    "agg_date_range", "agg_ip_range", "match_copy_to", "multi_match_phrase", "more_like_this_text", "post_filter", "dedup_simhash_md5", "dedup_minhash_md5_sig", "ann_lsh_buckets",
     "ml_high_count", "ml_distinct_count", "bulk_api",
     "ingest_network_direction", "agg_filters_other", "agg_terms_missing_param", "term_suggest_popular", "span_multi", "span_field_masking",
     "script_query_filter", "agg_ext_stats_bucket", "agg_percentiles_bucket",
@@ -516,6 +516,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     q["match_synonym_index"] = match_synonym_index
+
+    def ann_lsh_buckets_q(s: SparkSession, d: str) -> DataFrame:
+        # hyperplane-LSH bucket codes: the plane matrix is a seeded
+        # constant, so the sign-pattern buckets are oracle-checkable
+        # (the self-join pair stage stays rows-only — bucket-local
+        # numpy top-k has no tractable SQL twin)
+        from elasticsearch_spark.ops.similarity import (
+            hyperplane_signatures,
+        )
+
+        emb = _t(s, d, "embeddings")
+        sig = hyperplane_signatures(emb, dim=64, n_planes=8, seed=42,
+                                    n_tables=2)
+        return sig.orderBy("vec_id", "table")
+
+    q["ann_lsh_buckets"] = ann_lsh_buckets_q
 
     def dedup_minhash_md5_sig_q(s: SparkSession, d: str) -> DataFrame:
         # md5-hashed MinHash signatures: the exact per-doc min values
@@ -4604,6 +4620,26 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         english_light_list_sql,
         synonym_topk_sql,
     )
+
+    # LSH-bucket twin: the same seeded plane constants, embedded as
+    # list literals; bucket bit j = (embedding . plane_j) > 0
+    import numpy as _np_lsh
+
+    _lsh_planes = _np_lsh.random.default_rng(42).standard_normal(
+        (2, 64, 8))
+    _lsh_rows = []
+    for _t_i in range(2):
+        _bits = " + ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(float(x)) for x in _lsh_planes[_t_i, :, _j])
+            + f"]) > 0 THEN 1::BIGINT ELSE 0 END << {_j})"
+            for _j in range(8))
+        _lsh_rows.append(
+            f"SELECT vec_id, {_t_i} AS \"table\", ({_bits}) AS bucket "
+            "FROM embeddings")
+    o["ann_lsh_buckets"] = (
+        "SELECT * FROM (" + " UNION ALL ".join(_lsh_rows)
+        + ") ORDER BY vec_id, \"table\"")
 
     # md5-minhash twin: identical shingles (1-based inclusive list
     # slice == Spark's slice), identical 32-bit md5-prefix base hash,
