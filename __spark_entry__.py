@@ -100,7 +100,8 @@ _R05_PRIORITY = (
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
     "essql_pivot", "rollup_search",
     "eql_text_sequence", "eql_join",
-    "update_by_query_painless", "percolate", "transform_latest",
+    "update_by_query_painless", "percolate", "percolate_nested",
+    "percolate_verify", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
@@ -435,6 +436,40 @@ PERCOLATE_STORED = [
         {"term": {"lang": "en"}}]}}),
     (16, {"geo_bounding_box": {"loc": {"top_left": (70.0, 150.0),
                                        "bottom_right": (-70.0, -150.0)}}}),
+]
+
+# stored queries OUTSIDE the requirement-decomposable subset — routed
+# through the universal verify path (candidate pruning + compiled
+# per-query verification; search/percolate.py percolate_verified,
+# reference PercolateQuery's candidate/verify two-phase weight)
+PERCOLATE_NESTED_STORED = [
+    (1, {"nested": {"path": "orders", "query": {"bool": {"must": [
+        {"term": {"orders.status": "F"}},
+        {"range": {"orders.total": {"gte": 250000.0}}}]}}}}),
+    (2, {"bool": {"must": [{"term": {"segment": "building"}}],
+                  "must_not": [{"nested": {"path": "orders", "query":
+                                {"term": {"orders.priority":
+                                          "1-urgent"}}}}]}}),
+    (3, {"bool": {"must": [
+        {"range": {"bal": {"gte": 9000.0}}},
+        {"nested": {"path": "orders", "query": {"bool": {"must": [
+            {"term": {"orders.priority": "5-low"}},
+            {"range": {"orders.total": {"lt": 50000.0}}}]}}}}]}}),
+]
+
+PERCOLATE_VERIFY_STORED = [
+    # pure-negative: extraction fails -> verify-all candidates
+    (1, {"bool": {"must_not": [{"match": {"text": "merge"}}]}}),
+    # double negation: NOT(hash AND NOT window)
+    (2, {"bool": {"must": [{"term": {"lang": "en"}}],
+                  "must_not": [{"bool": {
+                      "must": [{"match": {"text": "hash"}}],
+                      "must_not": [{"match": {"text": "window"}}]}}]}}),
+    # regexp over analyzed tokens (anchored, whole-term)
+    (3, {"regexp": {"text": "quer(y|ies)"}}),
+    # scoring wrapper around a fuzzy keyword clause
+    (4, {"function_score": {"query": {"fuzzy": {
+        "lang": {"value": "enn", "fuzziness": 1}}}}}),
 ]
 
 
@@ -2142,6 +2177,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("long"), F.col("query_id").cast("long"))
 
     q["percolate"] = percolate_q
+
+    def percolate_nested_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.percolate import percolate_verified
+
+        cust = _t(s, d, "customer")
+        nest = (_t(s, d, "orders")
+                .groupBy("o_custkey")
+                .agg(F.collect_list(F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_totalprice").alias("total"))).alias("orders")))
+        docs = (cust.join(nest, cust.c_custkey == nest.o_custkey, "left")
+                .select(F.col("c_custkey").alias("doc_id"),
+                        F.col("c_mktsegment").alias("segment"),
+                        F.col("c_acctbal").alias("bal"), "orders"))
+        out = percolate_verified(
+            s, docs, PERCOLATE_NESTED_STORED, text_fields=[],
+            keyword_fields=["segment"], numeric_fields=["bal"],
+            nested_fields={"orders": {"keyword": ["status", "priority"],
+                                      "numeric": ["total"]}})
+        return out.select(F.col("doc_id").cast("long"),
+                          F.col("query_id").cast("long"))
+
+    q["percolate_nested"] = percolate_nested_q
+
+    def percolate_verify_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.search.percolate import percolate_verified
+
+        out = percolate_verified(
+            s, _t(s, d, "documents"), PERCOLATE_VERIFY_STORED,
+            text_fields=["text"], keyword_fields=["lang", "source"],
+            numeric_fields=["n_chars"])
+        return out.select(F.col("doc_id").cast("long"),
+                          F.col("query_id").cast("long"))
+
+    q["percolate_verify"] = percolate_verify_q
 
     DECOMP_DICT = ["col", "umn", "wind", "order", "val", "ream", "park"]
 
@@ -5929,6 +6000,46 @@ ORDER BY distance_km ASC, doc_id ASC LIMIT 20
         keyword_fields=["lang", "source", "opt_tag"],
         numeric_fields=["n_chars", "loc.lat", "loc.lon"],
     )
+
+    # verify-path twins: each stored query hand-expressed as one SQL
+    # predicate (nested -> EXISTS over the child table; token clauses
+    # -> the shared \b / unnest-token expressions)
+    o["percolate_nested"] = """
+SELECT c_custkey AS doc_id, CAST(1 AS BIGINT) AS query_id FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+              AND lower(o.o_orderstatus) = 'f'
+              AND o.o_totalprice >= 250000.0)
+UNION ALL
+SELECT c_custkey, 2 FROM customer
+WHERE lower(c_mktsegment) = 'building'
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND lower(o.o_orderpriority) = '1-urgent')
+UNION ALL
+SELECT c_custkey, 3 FROM customer
+WHERE c_acctbal >= 9000.0
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+              AND lower(o.o_orderpriority) = '5-low'
+              AND o.o_totalprice < 50000.0)
+"""
+
+    o["percolate_verify"] = r"""
+WITH t AS (SELECT doc_id, lower(text) AS lt, lower(lang) AS ll
+           FROM documents)
+SELECT doc_id, CAST(1 AS BIGINT) AS query_id FROM t
+WHERE NOT coalesce(regexp_matches(lt, '\bmerge\b'), FALSE)
+UNION ALL
+SELECT doc_id, 2 FROM t
+WHERE ll = 'en'
+  AND NOT (coalesce(regexp_matches(lt, '\bhash\b'), FALSE)
+           AND NOT coalesce(regexp_matches(lt, '\bwindow\b'), FALSE))
+UNION ALL
+SELECT doc_id, 3 FROM t
+WHERE EXISTS (SELECT 1
+              FROM unnest(regexp_extract_all(lt, '[a-z0-9_]+')) AS u(tok)
+              WHERE regexp_matches(tok, '^(?:quer(y|ies))$'))
+UNION ALL
+SELECT doc_id, 4 FROM t WHERE levenshtein(coalesce(ll, ''), 'enn') <= 1
+"""
 
     from elasticsearch_spark.ops.text import pii_scrub_sql as _pii_sql
 

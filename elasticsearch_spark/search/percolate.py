@@ -895,3 +895,521 @@ def percolate_prepared(
                & (F.col("neg_hit") == 0))
         .select(id_col, "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Universal verify path: candidate pruning + compiled per-query verification
+#
+# The reference percolates queries OUTSIDE the extractable subset by
+# pre-filtering candidates with whatever terms the QueryAnalyzer could
+# extract (or matching ALL docs when extraction "failed" —
+# PercolatorFieldMapper.java extraction_result=failed) and then running
+# the real query against a single-doc MemoryIndex
+# (PercolateQueryBuilder.java:83, PercolateQuery's verified/candidate
+# two-phase weight).  The Spark-first analogue keeps both phases inside
+# ONE Catalyst plan: candidates come from the same (doc, field, term)
+# equi-join the fast path uses, and verification is a per-query boolean
+# expression compiled once on the driver and dispatched with a CASE
+# chain on query_id — whole-stage codegen, no per-doc Python, no
+# MemoryIndex.  Cost scales as O(candidate pairs), exactly like the
+# reference's verify phase.
+# ---------------------------------------------------------------------------
+
+
+def _field_type(
+    field: str,
+    text_fields: set[str],
+    keyword_fields: set[str],
+    numeric_fields: set[str],
+) -> str:
+    if field in text_fields:
+        return "text"
+    if field in keyword_fields:
+        return "keyword"
+    if field in numeric_fields:
+        return "numeric"
+    raise ValueError(
+        f"percolator verify: field {field!r} not declared in "
+        "text_fields / keyword_fields / numeric_fields / nested_fields")
+
+
+def compile_verify_predicate(
+    dsl: dict,
+    *,
+    text_fields: set[str],
+    keyword_fields: set[str],
+    numeric_fields: set[str],
+    id_col: str = "doc_id",
+    resolve=None,
+):
+    """Compile one stored query to a boolean Column with the SAME
+    matching semantics as the requirement-decomposition fast path
+    (analyzed-token membership for text fields, lowercased equality for
+    keyword fields, double-cast numerics), extended to the constructs
+    the fast path refuses: arbitrary bool nesting (incl. nested
+    must_not / pure-negative), ``nested`` sub-document queries
+    (ESToParentBlockJoinQuery in filter context: ANY array element
+    satisfies the inner query), regexp / fuzzy / ids, and scoring
+    wrappers.  ES NULL-field semantics: a predicate over a missing
+    field is False, never NULL (BooleanQuery set semantics)."""
+    if resolve is None:
+        resolve = F.col
+
+    def _false_if_null(pred):
+        return F.coalesce(pred, F.lit(False))
+
+    def toks(field: str, distinct: bool = False):
+        ftype = _field_type(field, text_fields, keyword_fields,
+                            numeric_fields)
+        c = resolve(field)
+        if ftype == "text":
+            arr = F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE), 0)
+            return F.array_distinct(arr) if distinct else arr
+        if ftype == "keyword":
+            return F.filter(F.array(F.lower(c.cast("string"))),
+                            lambda x: x.isNotNull())
+        raise ValueError(
+            f"percolator verify: term-level clause on numeric field "
+            f"{field!r} (use range/term with a number)")
+
+    def num(field: str):
+        _field_type(field, text_fields, keyword_fields, numeric_fields)
+        return resolve(field).cast("double")
+
+    def build(node: dict):
+        if len(node) != 1:
+            raise ValueError(
+                f"query object must have exactly one key: {node}")
+        (kind, body), = node.items()
+
+        if kind == "match_all":
+            return F.lit(True)
+        if kind == "match_none":
+            return F.lit(False)
+        if kind in ("constant_score", "function_score", "boosting",
+                    "wrapper"):
+            if kind == "wrapper":
+                import base64
+                import json as _json
+                return build(_json.loads(base64.b64decode(body["query"])))
+            inner = (body.get("query") if kind == "function_score"
+                     else body.get("filter") if kind == "constant_score"
+                     else body.get("positive"))
+            if inner is None:
+                raise ValueError(
+                    f"percolator verify: {kind} needs its inner query")
+            return build(inner)
+        if kind == "ids":
+            return F.col(id_col).isin(list(body["values"]))
+        if kind == "term":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            ftype = _field_type(field, text_fields, keyword_fields,
+                                numeric_fields)
+            if ftype == "numeric":
+                return _false_if_null(num(field) == F.lit(float(value)))
+            return _false_if_null(F.array_contains(
+                toks(field, distinct=True), str(value).lower()))
+        if kind == "terms":
+            (field, values), = body.items()
+            ftype = _field_type(field, text_fields, keyword_fields,
+                                numeric_fields)
+            if ftype == "numeric":
+                return _false_if_null(
+                    num(field).isin([float(v) for v in values]))
+            return _false_if_null(F.arrays_overlap(
+                toks(field, distinct=True),
+                F.array(*[F.lit(str(v).lower()) for v in values])))
+        if kind == "match":
+            (field, body2), = body.items()
+            terms, msm = _match_terms(field, body2)
+            if not terms:
+                return F.lit(False)
+            return _false_if_null(
+                F.size(F.array_intersect(
+                    toks(field, distinct=True),
+                    F.array(*[F.lit(t) for t in terms]))) >= F.lit(msm))
+        if kind == "match_phrase":
+            (field, body2), = body.items()
+            if isinstance(body2, dict):
+                if int(body2.get("slop", 0)) != 0:
+                    raise ValueError(
+                        "percolator verify: match_phrase supports "
+                        "slop=0 only")
+                text = body2["query"]
+            else:
+                text = body2
+            ptoks = [t for t, _ in analyze(text, "ascii_word")]
+            if not ptoks:
+                return F.lit(False)
+            joined = F.concat(F.lit(" "),
+                              F.array_join(toks(field), " "), F.lit(" "))
+            return _false_if_null(
+                joined.contains(" " + " ".join(ptoks) + " "))
+        if kind == "prefix":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return _false_if_null(F.exists(
+                toks(field, distinct=True),
+                lambda t: t.startswith(str(value).lower())))
+        if kind == "wildcard":
+            (field, spec), = body.items()
+            if isinstance(spec, dict):
+                value = spec.get("value", spec.get("wildcard"))
+            else:
+                value = spec
+            from elasticsearch_spark.search.dsl import _wildcard_to_regex
+            rx = _wildcard_to_regex(str(value).lower())
+            return _false_if_null(F.exists(
+                toks(field, distinct=True), lambda t: t.rlike(rx)))
+        if kind == "regexp":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return _false_if_null(F.exists(
+                toks(field, distinct=True),
+                lambda t: t.rlike(f"^(?:{value})$")))
+        if kind == "fuzzy":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            fuzz = (int(spec.get("fuzziness", 2))
+                    if isinstance(spec, dict) else 2)
+            return _false_if_null(F.exists(
+                toks(field, distinct=True),
+                lambda t: F.levenshtein(t, F.lit(str(value).lower()))
+                <= F.lit(fuzz)))
+        if kind == "exists":
+            field = body["field"] if isinstance(body, dict) else body
+            ftype = _field_type(field, text_fields, keyword_fields,
+                                numeric_fields)
+            if ftype == "text":
+                return _false_if_null(F.size(toks(field)) > 0)
+            return resolve(field).isNotNull()
+        if kind == "range":
+            (field, bounds), = body.items()
+            c = num(field)
+            conds = []
+            if "gte" in bounds:
+                conds.append(c >= F.lit(float(bounds["gte"])))
+            if "gt" in bounds:
+                conds.append(c > F.lit(float(bounds["gt"])))
+            if "lte" in bounds:
+                conds.append(c <= F.lit(float(bounds["lte"])))
+            if "lt" in bounds:
+                conds.append(c < F.lit(float(bounds["lt"])))
+            if not conds:
+                return resolve(field).isNotNull()
+            out = conds[0]
+            for x in conds[1:]:
+                out = out & x
+            return _false_if_null(out)
+        if kind == "geo_bounding_box":
+            (field, box), = body.items()
+
+            def _pt(p):
+                if isinstance(p, dict):
+                    return float(p["lat"]), float(p["lon"])
+                return float(p[0]), float(p[1])
+
+            top, left = _pt(box["top_left"])
+            bottom, right = _pt(box["bottom_right"])
+            lat = resolve(f"{field}.lat").cast("double")
+            lon = resolve(f"{field}.lon").cast("double")
+            lat_ok = (lat >= F.lit(bottom)) & (lat <= F.lit(top))
+            if left <= right:
+                lon_ok = (lon >= F.lit(left)) & (lon <= F.lit(right))
+            else:  # crosses the antimeridian
+                lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
+            return _false_if_null(lat_ok & lon_ok)
+        if kind == "nested":
+            path = body["path"]
+            inner = body["query"]
+            prefix = path + "."
+            sub = {f[len(prefix):]
+                   for f in (text_fields | keyword_fields | numeric_fields)
+                   if f.startswith(prefix)}
+            if not sub:
+                raise ValueError(
+                    f"percolator verify: nested path {path!r} has no "
+                    "declared subfields (declare them as "
+                    f"'{path}.<field>' in the field lists)")
+
+            def make_resolver(x):
+                def r(f: str):
+                    return x[f[len(prefix):]] if f.startswith(prefix) \
+                        else resolve(f)
+                return r
+
+            def inner_pred(x):
+                return compile_verify_predicate(
+                    inner,
+                    text_fields=text_fields,
+                    keyword_fields=keyword_fields,
+                    numeric_fields=numeric_fields,
+                    id_col=id_col, resolve=make_resolver(x))
+
+            return _false_if_null(F.exists(resolve(path), inner_pred))
+        if kind == "bool":
+            unsupported = set(body) - {"must", "filter", "should",
+                                       "must_not", "minimum_should_match"}
+            if unsupported:
+                raise ValueError(
+                    "percolator verify: unsupported bool sections "
+                    f"{sorted(unsupported)}")
+            clauses = []
+            for q_ in list(body.get("must") or []) + list(
+                    body.get("filter") or []):
+                clauses.append(_false_if_null(build(q_)))
+            has_positive = bool(clauses)
+            should = list(body.get("should") or [])
+            if should:
+                msm = body.get("minimum_should_match")
+                if msm is None:
+                    msm = 0 if has_positive else 1
+                if int(msm) > 0:
+                    n = sum(_false_if_null(build(q_)).cast("int")
+                            for q_ in should)
+                    clauses.append(n >= F.lit(int(msm)))
+            for q_ in body.get("must_not") or []:
+                clauses.append(~_false_if_null(build(q_)))
+            if not clauses:
+                return F.lit(True)
+            out = clauses[0]
+            for c in clauses[1:]:
+                out = out & c
+            return out
+        raise ValueError(
+            f"percolator verify: unsupported query kind {kind!r}")
+
+    return build(dsl)
+
+
+def extract_candidate_terms(
+    dsl: dict,
+    numeric_fields: set[str] = frozenset(),
+) -> frozenset | None:
+    """Best-effort extraction of a pruning term set for one stored
+    query: a doc can only match if it contains AT LEAST ONE of the
+    returned (field, term) pairs.  ``None`` means extraction failed
+    (the reference's extraction_result=failed) and every doc is a
+    candidate; an EMPTY set means the query is unsatisfiable (no doc
+    is a candidate).  Mirrors percolator QueryAnalyzer.java: must_not
+    never constrains candidates, a conjunction is covered by the union
+    of its extractable conjuncts, a disjunction only extracts when
+    EVERY disjunct does."""
+
+    def ext(node: dict):
+        (kind, body), = node.items()
+        if kind in ("constant_score", "function_score", "boosting",
+                    "wrapper"):
+            if kind == "wrapper":
+                import base64
+                import json as _json
+                return ext(_json.loads(base64.b64decode(body["query"])))
+            inner = (body.get("query") if kind == "function_score"
+                     else body.get("filter") if kind == "constant_score"
+                     else body.get("positive"))
+            return ext(inner) if inner is not None else None
+        if kind == "term":
+            (field, spec), = body.items()
+            if field in numeric_fields:
+                return None
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return {(field, str(value).lower())}
+        if kind == "terms":
+            (field, values), = body.items()
+            if field in numeric_fields:
+                return None
+            return {(field, str(v).lower()) for v in values}
+        if kind == "match":
+            (field, body2), = body.items()
+            terms, _ = _match_terms(field, body2)
+            return {(field, t) for t in terms}
+        if kind == "match_phrase":
+            (field, body2), = body.items()
+            text = body2["query"] if isinstance(body2, dict) else body2
+            return {(field, t) for t, _ in analyze(text, "ascii_word")}
+        if kind == "match_none":
+            return set()
+        if kind == "nested":
+            # inner fields are written with their full dotted path, so
+            # the extracted pairs join the nested doc-term rows as-is
+            return ext(body["query"])
+        if kind == "bool":
+            pos = list(body.get("must") or []) + list(
+                body.get("filter") or [])
+            got = [ext(q_) for q_ in pos]
+            succ = [g for g in got if g is not None]
+            if any(g == set() for g in succ):
+                return set()  # an unsatisfiable conjunct: never matches
+            should = list(body.get("should") or [])
+            msm = body.get("minimum_should_match")
+            gating = bool(should) and (msm is not None or not pos)
+            if gating:
+                sg = [ext(q_) for q_ in should]
+                if all(g is not None for g in sg):
+                    u = set()
+                    for g in sg:
+                        u |= g
+                    succ.append(u)
+                elif not succ:
+                    return None
+            if succ:
+                u = set()
+                for g in succ:
+                    u |= g
+                return frozenset(u)
+            return None
+        # range / exists / prefix / wildcard / regexp / fuzzy / ids /
+        # geo / script / match_all: no safe term superset
+        return None
+
+    out = ext(dsl)
+    return frozenset(out) if out is not None else None
+
+
+def _doc_term_frame(
+    docs: DataFrame,
+    text_fields: list[str],
+    keyword_fields: list[str],
+    nested_fields: dict[str, dict[str, list[str]]] | None,
+    id_col: str,
+) -> DataFrame:
+    """(doc, field, term) rows: one tokenize pass per text field,
+    lowercased identity for keyword fields, and the same per-element
+    for nested paths (field name = the dotted path)."""
+    parts = []
+    for fld in text_fields:
+        parts.append(docs.select(
+            F.col(id_col), F.lit(fld).alias("field"),
+            F.explode(F.array_distinct(F.regexp_extract_all(
+                F.lower(F.col(fld)), F.lit(_TOKEN_RE), 0))).alias("term")))
+    for fld in keyword_fields:
+        parts.append(docs.select(
+            F.col(id_col), F.lit(fld).alias("field"),
+            F.lower(F.col(fld).cast("string")).alias("term"),
+        ).where(F.col("term").isNotNull()))
+    for path, spec in (nested_fields or {}).items():
+        ex = docs.select(F.col(id_col),
+                         F.explode(F.col(path)).alias("__e"))
+        for sub in spec.get("text", []):
+            parts.append(ex.select(
+                F.col(id_col), F.lit(f"{path}.{sub}").alias("field"),
+                F.explode(F.array_distinct(F.regexp_extract_all(
+                    F.lower(F.col(f"__e.{sub}")), F.lit(_TOKEN_RE), 0)),
+                ).alias("term")))
+        for sub in spec.get("keyword", []):
+            parts.append(ex.select(
+                F.col(id_col), F.lit(f"{path}.{sub}").alias("field"),
+                F.lower(F.col(f"__e.{sub}").cast("string")).alias("term"),
+            ).where(F.col("term").isNotNull()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def percolate_verified(
+    spark: SparkSession,
+    docs: DataFrame,
+    stored: list[tuple[Any, dict]],
+    text_fields: list[str],
+    keyword_fields: list[str] = (),
+    numeric_fields: list[str] = (),
+    nested_fields: dict[str, dict[str, list[str]]] | None = None,
+    id_col: str = "doc_id",
+    mode: str = "auto",
+    chunk: int = 100,
+) -> DataFrame:
+    """Percolate with universal coverage: requirement-decomposable
+    stored queries run through the set-algebra fast path
+    (:func:`percolate`), everything else — nested, double negation,
+    pure-negative, regexp/fuzzy/ids, free bool nesting — through
+    candidate pruning + compiled verification.  ``mode="verify"``
+    forces every query through the verify path (parity testing).
+
+    Scale shape: candidates come from the SAME single tokenize pass
+    and broadcast term join as the fast path; verification is a CASE
+    chain over compiled per-query predicates evaluated only on
+    candidate (doc, query) pairs, chunked ``chunk`` queries per plan
+    branch so codegen stays bounded for large stored-query registries.
+    Extraction-failed queries verify against every doc, exactly like
+    the reference's extraction_result=failed candidates."""
+    if mode not in ("auto", "verify"):
+        raise ValueError(f"percolate_verified: unknown mode {mode!r}")
+    tset = set(text_fields)
+    kset = set(keyword_fields)
+    nset = set(numeric_fields)
+    for path, spec in (nested_fields or {}).items():
+        tset |= {f"{path}.{s}" for s in spec.get("text", [])}
+        kset |= {f"{path}.{s}" for s in spec.get("keyword", [])}
+        nset |= {f"{path}.{s}" for s in spec.get("numeric", [])}
+
+    fast: list[tuple[Any, dict]] = []
+    verify: list[tuple[Any, dict]] = []
+    if mode == "verify":
+        verify = list(stored)
+    else:
+        for qid, dsl in stored:
+            try:
+                decompose_queries([(qid, dsl)])
+                fast.append((qid, dsl))
+            except ValueError:
+                verify.append((qid, dsl))
+
+    qid_type = "string" if isinstance(stored[0][0], str) else "long"
+    outs: list[DataFrame] = []
+    if fast:
+        outs.append(percolate(
+            spark, docs, fast, text_fields=list(text_fields),
+            keyword_fields=list(keyword_fields),
+            numeric_fields=list(numeric_fields), id_col=id_col))
+
+    if verify:
+        extracted = [(qid, dsl,
+                      extract_candidate_terms(dsl, numeric_fields=nset))
+                     for qid, dsl in verify]
+        req_rows = [(qid, f, t) for qid, _, terms in extracted
+                    if terms is not None for f, t in sorted(terms)]
+        all_qids = [qid for qid, _, terms in extracted if terms is None]
+
+        cand_parts: list[DataFrame] = []
+        if req_rows:
+            reqs = spark.createDataFrame(
+                req_rows,
+                f"query_id {qid_type}, field string, term string")
+            doc_terms = _doc_term_frame(
+                docs, list(text_fields), list(keyword_fields),
+                nested_fields, id_col)
+            cand_parts.append(
+                doc_terms.join(F.broadcast(reqs), ["field", "term"])
+                .select(id_col, "query_id").distinct())
+        if all_qids:
+            allq = spark.createDataFrame(
+                [(qid,) for qid in all_qids], f"query_id {qid_type}")
+            cand_parts.append(
+                docs.select(id_col).crossJoin(F.broadcast(allq)))
+        cands = cand_parts[0]
+        for p in cand_parts[1:]:
+            cands = cands.unionByName(p)
+
+        preds = {qid: compile_verify_predicate(
+            dsl, text_fields=tset, keyword_fields=kset,
+            numeric_fields=nset, id_col=id_col)
+            for qid, dsl, _ in extracted}
+        qids = [qid for qid, _, _ in extracted]
+        for i in range(0, len(qids), chunk):
+            batch = qids[i:i + chunk]
+            pred = F.lit(False)
+            cond = None
+            for qid in batch:
+                c = F.col("query_id") == F.lit(qid)
+                cond = c if cond is None else (cond | c)
+                pred = F.when(c, preds[qid]).otherwise(pred)
+            outs.append(
+                docs.join(cands.where(cond), id_col)
+                .where(pred).select(id_col, "query_id"))
+
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out

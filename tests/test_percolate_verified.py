@@ -1,0 +1,199 @@
+"""Universal percolator verify path: candidate pruning + compiled
+per-query verification (reference: PercolateQueryBuilder.java two-phase
+candidate/verify weight; PercolatorFieldMapper extraction_result=failed
+-> verify-every-doc).
+
+The load-bearing property: for every query the FAST set-algebra path
+accepts, forcing it through the verify path returns identical
+(doc, query) pairs — the two phases implement one semantics.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.search.percolate import (
+    extract_candidate_terms,
+    percolate,
+    percolate_verified,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en", 10.0),
+            (2, "quick quick shard index merge", "en", 55.0),
+            (3, "posting lists compress well", "de", 90.0),
+            (4, "fox index shard routing", "fr", 30.0),
+            (5, None, "en", None),
+            (6, "brown shard", None, 70.0),
+        ],
+        "doc_id long, text string, lang string, score double",
+    )
+
+
+DECOMPOSABLE = [
+    (1, {"term": {"text": "fox"}}),
+    (2, {"terms": {"lang": ["en", "de"]}}),
+    (3, {"match": {"text": {"query": "quick shard", "operator": "and"}}}),
+    (4, {"match": {"text": {"query": "fox posting merge",
+                            "minimum_should_match": 2}}}),
+    (5, {"match_phrase": {"text": "quick brown"}}),
+    (6, {"prefix": {"text": "post"}}),
+    (7, {"wildcard": {"text": "sh?rd"}}),
+    (8, {"range": {"score": {"gte": 50, "lt": 90}}}),
+    (9, {"exists": {"field": "lang"}}),
+    (10, {"bool": {"must": [{"term": {"lang": "en"}}],
+                   "must_not": [{"term": {"text": "merge"}}]}}),
+    (11, {"bool": {"should": [{"term": {"text": "fox"}},
+                              {"term": {"text": "merge"}},
+                              {"term": {"text": "compress"}}],
+                   "minimum_should_match": 2}}),
+    (12, {"constant_score": {"filter": {"term": {"text": "posting"}}}}),
+]
+
+
+def _pairs(df):
+    return sorted((r["doc_id"], r["query_id"]) for r in df.collect())
+
+
+def test_verify_path_matches_fast_path(spark, docs):
+    """Every decomposable query: verify-forced == fast set algebra."""
+    kw = dict(text_fields=["text"], keyword_fields=["lang"],
+              numeric_fields=["score"])
+    fast = percolate(spark, docs, DECOMPOSABLE, **kw)
+    ver = percolate_verified(spark, docs, DECOMPOSABLE, mode="verify", **kw)
+    assert _pairs(fast) == _pairs(ver)
+    # and auto mode routes them all through the fast path, same answer
+    auto = percolate_verified(spark, docs, DECOMPOSABLE, **kw)
+    assert _pairs(auto) == _pairs(fast)
+
+
+def test_pure_negative_and_double_negation(spark, docs):
+    stored = [
+        # pure-negative: refused by the fast path, verify-all here
+        (1, {"bool": {"must_not": [{"match": {"text": "shard"}}]}}),
+        # double negation: NOT(index AND NOT shard)
+        (2, {"bool": {
+            "must": [{"term": {"lang": "en"}}],
+            "must_not": [{"bool": {
+                "must": [{"match": {"text": "index"}}],
+                "must_not": [{"match": {"text": "quick"}}]}}]}}),
+    ]
+    with pytest.raises(ValueError):
+        percolate(spark, docs, stored, text_fields=["text"],
+                  keyword_fields=["lang"])
+    out = percolate_verified(spark, docs, stored, text_fields=["text"],
+                             keyword_fields=["lang"])
+    # q1: docs without token "shard" = 1, 3, 5 (null text never matches
+    # the positive, so NOT matches)
+    # q2: en docs = 1, 2, 5; doc 2 has index AND quick -> inner false
+    #     -> kept; doc 1/5 no index -> kept
+    assert _pairs(out) == [(1, 1), (1, 2), (2, 2), (3, 1), (5, 1), (5, 2)]
+
+
+def test_regexp_fuzzy_ids_only_verify(spark, docs):
+    stored = [
+        (1, {"regexp": {"text": "shard(ing|s)?"}}),
+        (2, {"fuzzy": {"lang": {"value": "enn", "fuzziness": 1}}}),
+        (3, {"ids": {"values": [3, 5]}}),
+    ]
+    out = percolate_verified(spark, docs, stored, text_fields=["text"],
+                             keyword_fields=["lang"])
+    assert _pairs(out) == [(1, 2), (2, 1), (2, 2), (3, 3), (4, 1),
+                           (5, 2), (5, 3), (6, 1)]
+
+
+def test_nested_stored_query(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "building", [("F", 100.0), ("O", 900.0)]),
+            (2, "metal", [("O", 50.0)]),
+            (3, "building", []),
+            (4, "building", None),
+            (5, "metal", [("F", 800.0), ("F", 20.0)]),
+        ],
+        "doc_id long, seg string, "
+        "orders array<struct<status string, total double>>",
+    )
+    stored = [
+        (1, {"nested": {"path": "orders", "query": {"bool": {"must": [
+            {"term": {"orders.status": "F"}},
+            {"range": {"orders.total": {"gte": 500}}}]}}}}),
+        (2, {"bool": {
+            "must": [{"term": {"seg": "building"}}],
+            "must_not": [{"nested": {"path": "orders", "query":
+                          {"term": {"orders.status": "O"}}}}]}}),
+    ]
+    out = percolate_verified(
+        spark, docs, stored, text_fields=[], keyword_fields=["seg"],
+        numeric_fields=[],
+        nested_fields={"orders": {"keyword": ["status"],
+                                  "numeric": ["total"]}})
+    # q1: any order with status F and total >= 500 -> doc 5 only
+    # q2: building docs with NO "O" order -> 3 (empty), 4 (null)
+    assert _pairs(out) == [(3, 2), (4, 2), (5, 1)]
+
+
+def test_candidate_extraction_rules():
+    # conjunction: union of extractable conjuncts (any-of superset)
+    got = extract_candidate_terms({"bool": {"must": [
+        {"match": {"text": "quick fox"}},
+        {"range": {"score": {"gte": 1}}}]}})
+    assert got == frozenset({("text", "quick"), ("text", "fox")})
+    # disjunction with a non-extractable disjunct: failed
+    assert extract_candidate_terms({"bool": {"should": [
+        {"term": {"text": "a"}}, {"range": {"score": {"gte": 1}}}],
+        "minimum_should_match": 1}}) is None
+    # must_not never constrains candidates: pure-negative fails
+    assert extract_candidate_terms(
+        {"bool": {"must_not": [{"term": {"text": "a"}}]}}) is None
+    # numeric term has no term superset
+    assert extract_candidate_terms(
+        {"term": {"score": 5}}, numeric_fields={"score"}) is None
+    # nested extracts through, keeping the dotted field path
+    assert extract_candidate_terms(
+        {"nested": {"path": "o", "query": {"term": {"o.status": "F"}}}}
+    ) == frozenset({("o.status", "f")})
+    # unsatisfiable conjunct -> empty candidate set
+    assert extract_candidate_terms({"bool": {"must": [
+        {"match_none": {}}, {"term": {"text": "a"}}]}}) == frozenset()
+
+
+def test_pruning_is_lossless(spark, docs):
+    """Candidate pruning must be a pure superset filter: results with
+    pruning == results with every query forced to verify-all."""
+    stored = [
+        (1, {"bool": {"must": [{"match": {"text": "fox"}},
+                               {"regexp": {"lang": "e."}}]}}),
+    ]
+    kw = dict(text_fields=["text"], keyword_fields=["lang"])
+    pruned = percolate_verified(spark, docs, stored, mode="verify", **kw)
+
+    import elasticsearch_spark.search.percolate as pp
+    orig = pp.extract_candidate_terms
+    try:
+        pp.extract_candidate_terms = lambda *a, **k: None
+        full = percolate_verified(spark, docs, stored, mode="verify", **kw)
+    finally:
+        pp.extract_candidate_terms = orig
+    assert _pairs(pruned) == _pairs(full)
+
+
+def test_function_score_wrapper_gates_on_inner(spark, docs):
+    stored = [(1, {"function_score": {
+        "query": {"bool": {"must_not": [{"term": {"lang": "en"}}]}},
+        "functions": [{"weight": 3.0}]}})]
+    out = percolate_verified(spark, docs, stored, text_fields=["text"],
+                             keyword_fields=["lang"])
+    assert _pairs(out) == [(3, 1), (4, 1), (6, 1)]
+
+
+def test_unknown_field_raises(spark, docs):
+    with pytest.raises(ValueError, match="not declared"):
+        percolate_verified(
+            spark, docs, [(1, {"bool": {"must_not": [
+                {"term": {"nope": "x"}}]}})],
+            text_fields=["text"], keyword_fields=["lang"])
