@@ -101,7 +101,7 @@ _R05_PRIORITY = (
     "essql_pivot", "rollup_search",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "percolate_nested",
-    "percolate_verify", "transform_latest",
+    "percolate_verify", "match_phrase_slop", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
@@ -2213,6 +2213,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("query_id").cast("long"))
 
     q["percolate_verify"] = percolate_verify_q
+
+    def match_phrase_slop_q(s: SparkSession, d: str) -> DataFrame:
+        # filter-context sloppy phrase (Lucene PhraseQuery slop
+        # semantics: offset-shifted positions fit a slop-wide window;
+        # transposition costs 2) — SQL twin is a token-position join
+        from elasticsearch_spark.search.dsl import filter_query
+
+        docs = _t(s, d, "documents")
+        cases = [
+            (1, {"match_phrase": {"text": {"query": "fast table",
+                                           "slop": 0}}}),
+            (2, {"match_phrase": {"text": {"query": "fast table",
+                                           "slop": 2}}}),
+            (3, {"match_phrase": {"text": {"query": "data stream filter",
+                                           "slop": 1}}}),
+        ]
+        out = None
+        for qid, dsl in cases:
+            part = (filter_query(docs, dsl)
+                    .select(F.col("doc_id").cast("long"),
+                            F.lit(qid).cast("int").alias("qid")))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    q["match_phrase_slop"] = match_phrase_slop_q
 
     DECOMP_DICT = ["col", "umn", "wind", "order", "val", "ream", "park"]
 
@@ -6039,6 +6064,30 @@ WHERE EXISTS (SELECT 1
               WHERE regexp_matches(tok, '^(?:quer(y|ies))$'))
 UNION ALL
 SELECT doc_id, 4 FROM t WHERE levenshtein(coalesce(ll, ''), 'enn') <= 1
+"""
+
+    o["match_phrase_slop"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+         generate_subscripts(
+           regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents)
+SELECT DISTINCT doc_id, CAST(1 AS INT) AS qid
+FROM toks a JOIN toks b USING (doc_id)
+WHERE a.tok = 'fast' AND b.tok = 'table'
+  AND greatest(a.pos, b.pos - 1) - least(a.pos, b.pos - 1) <= 0
+UNION ALL
+SELECT DISTINCT doc_id, 2
+FROM toks a JOIN toks b USING (doc_id)
+WHERE a.tok = 'fast' AND b.tok = 'table'
+  AND greatest(a.pos, b.pos - 1) - least(a.pos, b.pos - 1) <= 2
+UNION ALL
+SELECT DISTINCT doc_id, 3
+FROM toks a JOIN toks b USING (doc_id) JOIN toks c USING (doc_id)
+WHERE a.tok = 'data' AND b.tok = 'stream' AND c.tok = 'filter'
+  AND greatest(a.pos, b.pos - 1, c.pos - 2)
+      - least(a.pos, b.pos - 1, c.pos - 2) <= 1
 """
 
     from elasticsearch_spark.ops.text import pii_scrub_sql as _pii_sql

@@ -212,8 +212,10 @@ def _scored_df(
         analyzer = (spec.get("analyzer") if isinstance(spec, dict) else None) or \
             index_meta(index.path)["fields"].get(field, "standard")
         terms = [t for t, _ in analyze(text, analyzer)]
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
-        df = phrase_topk(index, field, terms, k=None, params=params)
+        df = phrase_topk(index, field, terms, k=None, params=params,
+                         slop=slop)
         df = df.select("doc_id", "score")
         if allowed is not None:
             df = df.join(allowed.select("doc_id"), "doc_id", "left_semi")
@@ -450,9 +452,10 @@ def _leaf_topk(
         analyzer = (spec.get("analyzer") if isinstance(spec, dict) else None) or \
             index_meta(index.path)["fields"].get(field, "standard")
         terms = [t for t, _ in analyze(text, analyzer)]
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         b = float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
-        df = phrase_topk(index, field, terms, k=k, params=params) \
-            .select("doc_id", "score")
+        df = phrase_topk(index, field, terms, k=k, params=params,
+                         slop=slop).select("doc_id", "score")
     else:  # pragma: no cover - guarded by _max_disjunction_leaves
         raise ValueError(f"non-decomposable leaf: {kind}")
     if b != 1.0:

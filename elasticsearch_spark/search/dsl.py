@@ -42,6 +42,53 @@ def _not_null(pred: Column) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def sloppy_phrase_pred(
+    tokens: Column, terms: list[str], slop: int = 0
+) -> Column:
+    """Sloppy-phrase containment over an analyzed-token array column.
+
+    Lucene PhraseQuery match semantics (PhraseQuery.java javadoc /
+    SloppyPhraseMatcher): the phrase matches iff there is a choice of
+    occurrence positions p_i for each phrase term t_i such that the
+    OFFSET-SHIFTED positions fit in a ``slop``-wide window:
+    ``max_i(p_i - i) - min_i(p_i - i) <= slop`` (so a transposition
+    costs 2, an in-order gap costs its width). Repeated phrase terms
+    must sit at distinct positions. Compiled as nested higher-order
+    EXISTS over per-term position arrays — pure codegen, no UDF; cost
+    is the product of the terms' tfs, bounded in practice by tiny
+    per-doc position lists."""
+    if not terms:
+        return F.lit(False)
+    def _positions_of(t: str) -> Column:
+        return F.filter(
+            F.transform(tokens, lambda x, i: F.when(x == F.lit(t), i)),
+            lambda p: p.isNotNull(),
+        )
+
+    pos_arrays = [_positions_of(t) for t in terms]
+    dup_pairs = [
+        (i, j)
+        for i in range(len(terms))
+        for j in range(i + 1, len(terms))
+        if terms[i] == terms[j]
+    ]
+
+    def rec(i: int, raw: list[Column]) -> Column:
+        if i == len(pos_arrays):
+            shifted = [p - F.lit(k) for k, p in enumerate(raw)]
+            if len(shifted) == 1:
+                window = F.lit(0)
+            else:
+                window = F.greatest(*shifted) - F.least(*shifted)
+            cond = window <= F.lit(int(slop))
+            for a, b in dup_pairs:
+                cond = cond & (raw[a] != raw[b])
+            return cond
+        return F.exists(pos_arrays[i], lambda p: rec(i + 1, raw + [p]))
+
+    return F.coalesce(rec(0, []), F.lit(False))
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     """ES wildcard (* any, ? one) -> anchored Java regex."""
     out = []
@@ -95,6 +142,19 @@ def compile_filter(
         for c in conds[1:]:
             out = (out & c) if operator == "and" else (out | c)
         return out
+    if kind == "match_phrase":
+        # MatchPhraseQueryBuilder in filter context over a source
+        # column: analyzed-token positions must fit a slop-wide
+        # shifted window (Lucene PhraseQuery semantics; slop=0 is
+        # exact adjacency). SQL twin: a per-term position self-join
+        # with the same greatest-least window bound.
+        field, spec = next(iter(body.items()))
+        text = spec["query"] if isinstance(spec, dict) else spec
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        toks = re.findall(r"[a-z0-9_]+", str(text).lower())
+        tokens = F.regexp_extract_all(
+            F.lower(resolve(field)), F.lit("[a-z0-9_]+"), 0)
+        return sloppy_phrase_pred(tokens, toks, slop)
     if kind == "term":
         # case_insensitive: TermQueryBuilder.java:33 (and the other
         # term-level builders) — fold both sides, still pushdown-able

@@ -698,27 +698,73 @@ def match_topk_batch(
     )
 
 
+def _sloppy_phrase_freq(plists: list, slop: int) -> float:
+    """Sloppy phrase frequency over per-term position lists (one sorted
+    array per phrase term, raw token positions).
+
+    Lucene SloppyPhraseMatcher semantics for non-repeating phrases: a
+    min-heap sweep over OFFSET-SHIFTED positions; every sweep state
+    whose shifted window fits in ``slop`` counts one match weighted
+    ``1/(1+matchLength)`` (PhraseWeight's sloppyWeight), then the
+    minimal list advances. At slop=0 this counts exact adjacencies with
+    weight 1.0 — identical to the intersection path (property-tested).
+    Overlapping-match tie-breaks can diverge from Lucene's repeat
+    handling; repeated phrase terms therefore refuse at the API layer.
+    """
+    import heapq
+
+    shifted = [np.asarray(p, dtype=np.int64) - i for i, p in enumerate(plists)]
+    if any(s.size == 0 for s in shifted):
+        return 0.0
+    idx = [0] * len(shifted)
+    heap = [(int(s[0]), j) for j, s in enumerate(shifted)]
+    heapq.heapify(heap)
+    cur_max = max(v for v, _ in heap)
+    freq = 0.0
+    while True:
+        mn, j = heap[0]
+        window = cur_max - mn
+        if window <= slop:
+            freq += 1.0 / (1.0 + float(window))
+        idx[j] += 1
+        if idx[j] >= shifted[j].size:
+            return freq
+        nxt = int(shifted[j][idx[j]])
+        heapq.heapreplace(heap, (nxt, j))
+        if nxt > cur_max:
+            cur_max = nxt
+
+
 def phrase_topk(
     index: InvertedIndex,
     field: str,
     terms: list[str],
     k: int | None = 10,
     params: BM25Params | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """match_phrase: exact-adjacency phrase top-k.
+    """match_phrase: phrase top-k (exact adjacency, or sloppy when
+    ``slop`` > 0).
 
     Reference: MatchQueryParser.java:243 createPhraseQuery -> Lucene
     PhraseQuery. Scoring follows Lucene's PhraseWeight: tf = number of
-    phrase occurrences, idf = SUM of the terms' idfs, same tf/dl
-    normalization as a term query.
+    phrase occurrences (slop=0) or the sum of ``1/(1+matchLength)``
+    sloppy weights (slop>0, SloppyPhraseMatcher), idf = SUM of the
+    terms' idfs, same tf/dl normalization as a term query.
 
     Physical plan: same as match_topk (blocks of the phrase's terms,
     one groupBy(part_id)), plus per-candidate position-list
     intersection: cand = pos(t0); cand = (cand+1) ∩ pos(t1); ...
     |cand| = phrase frequency. Candidates are docs containing ALL terms
-    (conjunction prunes before any position decode).
+    (conjunction prunes before any position decode). The sloppy path
+    swaps the intersection for the min-heap window sweep
+    (:func:`_sloppy_phrase_freq`) on the same decoded lists.
     """
     params = params or BM25Params()
+    if slop and len(set(terms)) != len(terms):
+        raise ValueError(
+            "phrase_topk: slop>0 with repeated phrase terms is not "
+            "supported (Lucene repeat-group handling not implemented)")
     spark = index.spark
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
@@ -763,14 +809,21 @@ def phrase_topk(
             return empty
         out_ids, out_scores = [], []
         for doc in cand_docs:
-            cand = per_term[ordered_terms[0]][doc]
-            for i, t in enumerate(ordered_terms[1:], start=1):
-                cand = np.intersect1d(cand + 1, per_term[t][doc], assume_unique=True)
+            if slop:
+                tf = _sloppy_phrase_freq(
+                    [per_term[t][doc] for t in ordered_terms], slop)
+                if tf == 0.0:
+                    continue
+            else:
+                cand = per_term[ordered_terms[0]][doc]
+                for i, t in enumerate(ordered_terms[1:], start=1):
+                    cand = np.intersect1d(
+                        cand + 1, per_term[t][doc], assume_unique=True)
+                    if cand.size == 0:
+                        break
                 if cand.size == 0:
-                    break
-            if cand.size == 0:
-                continue
-            tf = float(cand.size)
+                    continue
+                tf = float(cand.size)
             dl = dl_map[doc]
             dl_eff = float(bm25.quantize_dl(np.array([dl]))[0]) if quant else float(dl)
             tfn = tf / (tf + k1 * (1.0 - b + b * dl_eff / avgdl))

@@ -1031,17 +1031,19 @@ def compile_verify_predicate(
                     F.array(*[F.lit(t) for t in terms]))) >= F.lit(msm))
         if kind == "match_phrase":
             (field, body2), = body.items()
+            slop = 0
             if isinstance(body2, dict):
-                if int(body2.get("slop", 0)) != 0:
-                    raise ValueError(
-                        "percolator verify: match_phrase supports "
-                        "slop=0 only")
+                slop = int(body2.get("slop", 0))
                 text = body2["query"]
             else:
                 text = body2
             ptoks = [t for t, _ in analyze(text, "ascii_word")]
             if not ptoks:
                 return F.lit(False)
+            if slop > 0:
+                from elasticsearch_spark.search.dsl import \
+                    sloppy_phrase_pred
+                return sloppy_phrase_pred(toks(field), ptoks, slop)
             joined = F.concat(F.lit(" "),
                               F.array_join(toks(field), " "), F.lit(" "))
             return _false_if_null(
