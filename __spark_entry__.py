@@ -101,7 +101,8 @@ _R05_PRIORITY = (
     "essql_pivot", "rollup_search",
     "eql_text_sequence", "eql_join",
     "update_by_query_painless", "percolate", "percolate_nested",
-    "percolate_verify", "match_phrase_slop", "transform_latest",
+    "percolate_verify", "percolate_spans", "match_phrase_slop",
+    "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
@@ -2238,6 +2239,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
 
     q["match_phrase_slop"] = match_phrase_slop_q
+
+    def percolate_spans_q(s: SparkSession, d: str) -> DataFrame:
+        # span stored queries through the percolator verify path
+        # (SpanNearQuery / SpanFirstQuery / SpanOrQuery semantics as
+        # compiled position-array predicates)
+        from elasticsearch_spark.search.percolate import percolate_verified
+
+        stored = [
+            (1, {"span_near": {"clauses": [
+                {"span_term": {"text": "data"}},
+                {"span_term": {"text": "filter"}}],
+                "slop": 2, "in_order": True}}),
+            (2, {"span_near": {"clauses": [
+                {"span_term": {"text": "table"}},
+                {"span_term": {"text": "join"}}],
+                "slop": 1, "in_order": False}}),
+            (3, {"span_first": {"match": {"span_term": {"text": "key"}},
+                                "end": 3}}),
+            (4, {"span_or": {"clauses": [
+                {"span_term": {"text": "stream"}},
+                {"span_term": {"text": "merge"}}]}}),
+        ]
+        out = percolate_verified(
+            s, _t(s, d, "documents"), stored, text_fields=["text"])
+        return out.select(F.col("doc_id").cast("long"),
+                          F.col("query_id").cast("long"))
+
+    q["percolate_spans"] = percolate_spans_q
 
     DECOMP_DICT = ["col", "umn", "wind", "order", "val", "ream", "park"]
 
@@ -6088,6 +6117,30 @@ FROM toks a JOIN toks b USING (doc_id) JOIN toks c USING (doc_id)
 WHERE a.tok = 'data' AND b.tok = 'stream' AND c.tok = 'filter'
   AND greatest(a.pos, b.pos - 1, c.pos - 2)
       - least(a.pos, b.pos - 1, c.pos - 2) <= 1
+"""
+
+    o["percolate_spans"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+         generate_subscripts(
+           regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS pos
+  FROM documents)
+SELECT DISTINCT doc_id, CAST(1 AS BIGINT) AS query_id
+FROM toks a JOIN toks b USING (doc_id)
+WHERE a.tok = 'data' AND b.tok = 'filter'
+  AND b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 2
+UNION ALL
+SELECT DISTINCT doc_id, 2
+FROM toks a JOIN toks b USING (doc_id)
+WHERE a.tok = 'table' AND b.tok = 'join' AND a.pos <> b.pos
+  AND (greatest(a.pos, b.pos) - least(a.pos, b.pos) + 1) - 2 <= 1
+UNION ALL
+SELECT DISTINCT doc_id, 3 FROM toks
+WHERE tok = 'key' AND pos <= 3
+UNION ALL
+SELECT DISTINCT doc_id, 4 FROM toks
+WHERE tok IN ('stream', 'merge')
 """
 
     from elasticsearch_spark.ops.text import pii_scrub_sql as _pii_sql

@@ -933,6 +933,14 @@ def _field_type(
         "text_fields / keyword_fields / numeric_fields / nested_fields")
 
 
+def _span_positions(tokens, term: str):
+    """Positions of ``term`` in an ordered token-array Column."""
+    return F.filter(
+        F.transform(tokens, lambda x, i: F.when(x == F.lit(term), i)),
+        lambda p: p.isNotNull(),
+    )
+
+
 def compile_verify_predicate(
     dsl: dict,
     *,
@@ -1122,6 +1130,83 @@ def compile_verify_predicate(
             else:  # crosses the antimeridian
                 lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
             return _false_if_null(lat_ok & lon_ok)
+        if kind == "span_term":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return _false_if_null(F.array_contains(
+                toks(field, distinct=True), str(value).lower()))
+        if kind == "span_or":
+            subs = [build(c) for c in body["clauses"]]
+            out = subs[0]
+            for c in subs[1:]:
+                out = out | c
+            return _false_if_null(out)
+        if kind == "span_first":
+            # SpanFirstQuery: a match ending within the first ``end``
+            # positions; for a span_term leaf that is position < end
+            (sk, sb), = body["match"].items()
+            if sk != "span_term":
+                raise ValueError(
+                    "percolator verify: span_first supports span_term "
+                    "match only")
+            (field, spec), = sb.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            end = int(body["end"])
+            arr = _span_positions(toks(field), str(value).lower())
+            return _false_if_null(
+                F.exists(arr, lambda p: p < F.lit(end)))
+        if kind == "span_near":
+            # SpanNearQuery over span_term clauses: sub-spans must not
+            # overlap (single-position spans -> strictly increasing
+            # when ordered, pairwise distinct when not) and the
+            # uncovered width must fit in slop:
+            # (max - min + 1) - n <= slop  (spans.py _near semantics)
+            clauses = body["clauses"]
+            slop = int(body.get("slop", 0))
+            in_order = bool(body.get("in_order", True))
+            terms_f: list[tuple[str, str]] = []
+            for c in clauses:
+                (ck, cb), = c.items()
+                if ck != "span_term":
+                    raise ValueError(
+                        "percolator verify: span_near supports "
+                        "span_term clauses only")
+                (field, spec), = cb.items()
+                value = spec["value"] if isinstance(spec, dict) else spec
+                terms_f.append((field, str(value).lower()))
+            fields = {f for f, _ in terms_f}
+            if len(fields) != 1:
+                raise ValueError(
+                    "percolator verify: span_near clauses must share "
+                    f"one field, got {sorted(fields)}")
+            arrs = [_span_positions(toks(f), t) for f, t in terms_f]
+            n = len(arrs)
+
+            if in_order:
+                def rec_o(i, first, prev):
+                    if i == n:
+                        return (prev - first + F.lit(1 - n)) \
+                            <= F.lit(slop)
+
+                    def step(p):
+                        c = rec_o(i + 1, p if first is None else first, p)
+                        return c if prev is None else ((p > prev) & c)
+                    return F.exists(arrs[i], step)
+
+                return _false_if_null(rec_o(0, None, None))
+
+            def rec_u(i, raw):
+                if i == n:
+                    width = (F.greatest(*raw) - F.least(*raw)
+                             + F.lit(1)) if n > 1 else F.lit(1)
+                    cond = (width - F.lit(n)) <= F.lit(slop)
+                    for a in range(n):
+                        for b_ in range(a + 1, n):
+                            cond = cond & (raw[a] != raw[b_])
+                    return cond
+                return F.exists(arrs[i], lambda p: rec_u(i + 1, raw + [p]))
+
+            return _false_if_null(rec_u(0, []))
         if kind == "nested":
             path = body["path"]
             inner = body["query"]
@@ -1232,6 +1317,30 @@ def extract_candidate_terms(
             return {(field, t) for t, _ in analyze(text, "ascii_word")}
         if kind == "match_none":
             return set()
+        if kind == "span_term":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            return {(field, str(value).lower())}
+        if kind == "span_near":
+            # conjunction of its clauses: union of any extractable one
+            got = [ext(c) for c in body.get("clauses", [])]
+            succ = [g for g in got if g is not None]
+            if not succ:
+                return None
+            u = set()
+            for g in succ:
+                u |= g
+            return u
+        if kind == "span_or":
+            got = [ext(c) for c in body.get("clauses", [])]
+            if any(g is None for g in got) or not got:
+                return None
+            u = set()
+            for g in got:
+                u |= g
+            return u
+        if kind == "span_first":
+            return ext(body["match"])
         if kind == "nested":
             # inner fields are written with their full dotted path, so
             # the extracted pairs join the nested doc-term rows as-is

@@ -197,3 +197,58 @@ def test_unknown_field_raises(spark, docs):
             spark, docs, [(1, {"bool": {"must_not": [
                 {"term": {"nope": "x"}}]}})],
             text_fields=["text"], keyword_fields=["lang"])
+
+
+def test_span_stored_queries_vs_eval_span(spark):
+    """Span percolation cross-check: the compiled HOF predicates must
+    agree with the reference span algebra (spans.eval_span) evaluated
+    per doc on the same token positions."""
+    import re as _re
+
+    import numpy as np
+
+    from elasticsearch_spark.search.spans import eval_span
+
+    rng = np.random.default_rng(7)
+    vocab = ["quick", "fox", "brown", "merge", "posting", "x"]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 12)))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def st(t):
+        return {"span_term": {"text": t}}
+
+    stored = [
+        (1, {"span_near": {"clauses": [st("quick"), st("fox")],
+                           "slop": 1, "in_order": True}}),
+        (2, {"span_near": {"clauses": [st("fox"), st("quick")],
+                           "slop": 2, "in_order": False}}),
+        (3, {"span_first": {"match": st("brown"), "end": 2}}),
+        (4, {"span_or": {"clauses": [st("merge"), st("posting")]}}),
+        (5, {"span_near": {"clauses": [st("quick"), st("x"), st("fox")],
+                           "slop": 0, "in_order": True}}),
+    ]
+    out = percolate_verified(spark, docs, stored, text_fields=["text"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+
+    expected = []
+    for doc_id, text in rows:
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        pos = {}
+        for p, t in enumerate(toks):
+            pos.setdefault(("text", t), []).append(p)
+        pos = {k: np.array(v) for k, v in pos.items()}
+        for qid, tree in stored:
+            if eval_span(tree, pos):
+                expected.append((doc_id, qid))
+    assert got == sorted(expected)
+
+
+def test_span_near_mixed_fields_refuses(spark, docs):
+    with pytest.raises(ValueError, match="share one field"):
+        percolate_verified(
+            spark, docs,
+            [(1, {"span_near": {"clauses": [
+                {"span_term": {"text": "fox"}},
+                {"span_term": {"lang": "en"}}], "slop": 1}})],
+            text_fields=["text"], keyword_fields=["lang"])
