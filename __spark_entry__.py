@@ -100,11 +100,14 @@ _R05_PRIORITY = (
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
     "essql_pivot", "rollup_search",
     "eql_text_sequence", "eql_join",
-    "update_by_query_painless", "percolate", "percolate_nested",
-    "percolate_verify", "percolate_spans", "match_phrase_slop",
-    "transform_latest",
+    "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
+    # round-5 late additions (verify-path percolator + sloppy phrase):
+    # queued directly behind the VERDICT-requested names so the 50-slot
+    # driver gate certifies those first; these stay replica-checked
+    "percolate_nested", "percolate_verify", "percolate_spans",
+    "match_phrase_slop",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
