@@ -107,7 +107,7 @@ _R05_PRIORITY = (
     # queued directly behind the VERDICT-requested names so the 50-slot
     # driver gate certifies those first; these stay replica-checked
     "percolate_nested", "percolate_verify", "percolate_spans",
-    "match_phrase_slop",
+    "match_phrase_slop", "ml_influencers", "ml_overall_buckets",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
@@ -3674,6 +3674,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_anomaly").orderBy("entity", "bucket")
 
     q["ml_multi_metric"] = ml_multi_metric_q
+
+    # influencers: per-anomalous-bucket influencer field values scored
+    # by the deviation share their removal explains
+    def ml_influencers_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import influencers
+
+        ev = _t(s, d, "events")
+        out = influencers(ev, "event_type", span="day", threshold=1.5)
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            "influencer",
+            F.round("bucket_score", 6).alias("bucket_score"),
+            F.round("influencer_score", 6).alias("influencer_score"),
+        ).orderBy("bucket", "influencer")
+
+    q["ml_influencers"] = ml_influencers_q
+
+    # overall buckets: top-n average of per-job scores per bucket
+    def ml_overall_buckets_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import (
+            multi_metric_anomalies,
+            overall_buckets,
+        )
+
+        ev = _t(s, d, "events")
+        jobs = multi_metric_anomalies(ev, "event_type", span="day")
+        out = overall_buckets(jobs, job_col="entity", top_n=2)
+        return out.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("overall_score", 6).alias("overall_score"),
+            F.col("jobs_counted").cast("long").alias("jobs_counted"),
+        ).orderBy("bucket")
+
+    q["ml_overall_buckets"] = ml_overall_buckets_q
 
     # DFA regression training: one Gram-matrix aggregation + driver
     # solve (exact least squares; single-feature twin = regr_slope)
@@ -7807,6 +7841,30 @@ WITH r AS ({multi_metric_anomalies_sql(entity_col='event_type',
 SELECT entity, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        round(metric, 3) AS metric, round(score, 6) AS score, is_anomaly
 FROM r ORDER BY entity, bucket
+"""
+
+    from elasticsearch_spark.ops.anomaly import influencers_sql
+
+    o["ml_influencers"] = f"""
+WITH r AS ({influencers_sql(influencer_col='event_type', span='day',
+                            threshold=1.5)})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, influencer,
+       round(bucket_score, 6) AS bucket_score,
+       round(influencer_score, 6) AS influencer_score
+FROM r ORDER BY bucket, influencer
+"""
+
+    o["ml_overall_buckets"] = f"""
+WITH r AS ({multi_metric_anomalies_sql(entity_col='event_type',
+                                       span='day')}),
+t AS (SELECT bucket, score,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY score DESC, entity ASC) AS rn
+      FROM r)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(avg(score), 6) AS overall_score,
+       count(*)::BIGINT AS jobs_counted
+FROM t WHERE rn <= 2 GROUP BY bucket ORDER BY bucket
 """
 
     o["ml_eval_classification"] = """

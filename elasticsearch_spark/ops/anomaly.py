@@ -499,3 +499,121 @@ SELECT last_bucket + h * {iv} AS bucket,
        s + h * b + {z} * rmse * sqrt(h) AS upper
 FROM last_fit, steps
 """
+
+
+def influencers(
+    df: DataFrame, influencer_col: str, ts_col: str = "ts",
+    value_col: str = "value", span: str = "hour",
+    threshold: float = 3.0, func: str = "sum",
+) -> DataFrame:
+    """ml.get_influencers analogue (x-pack/plugin/ml Influencer
+    results; job config ``influencers``): for every ANOMALOUS bucket,
+    score each influencer field value by how much of the bucket's
+    deviation it carries — influence_raw = the drop in |metric - med|
+    when that value's contribution is removed, normalized on the same
+    MAD sigma scale as the bucket score. Additive detector functions
+    only (sum/count), where "removing a contribution" is exact
+    subtraction; the reference's non-additive influencer model is out
+    of scope (documented).
+
+    Scale shape: the (bucket, influencer) partial aggregation is the
+    only big shuffle; bucket stats stay broadcast-sized exactly as in
+    :func:`single_metric_anomalies`.
+    """
+    if func not in ("sum", "count"):
+        raise ValueError(
+            "influencers: additive detector functions only (sum/count)")
+    agg = (F.sum(value_col) if func == "sum"
+           else F.count(F.lit(1)).cast("double"))
+    b = (df.groupBy(F.date_trunc(span, F.col(ts_col)).alias("bucket"))
+         .agg(agg.alias("metric")))
+    stats = b.agg(F.percentile("metric", F.lit(0.5)).alias("med"))
+    dev = (b.crossJoin(F.broadcast(stats))
+           .select("bucket", "metric", "med",
+                   F.abs(F.col("metric") - F.col("med")).alias("adev")))
+    mad = dev.agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    buckets = dev.crossJoin(F.broadcast(mad))
+    score = _mad_score()
+    anomalous = (buckets.select("bucket", "metric", "med", "mad", "adev",
+                                score.alias("bucket_score"))
+                 .where(F.col("bucket_score") > threshold))
+    part = (df.groupBy(F.date_trunc(span, F.col(ts_col)).alias("bucket"),
+                       F.col(influencer_col).alias("influencer"))
+            .agg(agg.alias("part")))
+    j = part.join(anomalous, "bucket")
+    influence_raw = F.greatest(
+        F.col("adev")
+        - F.abs(F.col("metric") - F.col("part") - F.col("med")),
+        F.lit(0.0))
+    j = j.withColumn("influence_raw", influence_raw)
+    iscore = (
+        F.when(F.col("mad") > 0,
+               F.col("influence_raw") / (F.lit(MAD_SIGMA) * F.col("mad")))
+        .when(F.col("influence_raw") == 0, F.lit(0.0))
+        .otherwise(F.lit(float("inf"))))
+    return (j.select("bucket", "influencer", "bucket_score",
+                     iscore.alias("influencer_score"))
+            .where(F.col("influencer_score") > 0))
+
+
+def influencers_sql(
+    table: str = "events", influencer_col: str = "event_type",
+    ts_col: str = "ts", value_col: str = "value", span: str = "hour",
+    threshold: float = 3.0, func: str = "sum",
+) -> str:
+    """DuckDB twin of :func:`influencers` (same pipeline + algebra)."""
+    agg = (f"sum({value_col})" if func == "sum"
+           else "CAST(count(*) AS DOUBLE)")
+    bscore = ("CASE WHEN mad > 0 THEN adev / (1.4826 * mad) "
+              "WHEN adev = 0 THEN 0.0 "
+              "ELSE CAST('infinity' AS DOUBLE) END")
+    return f"""
+WITH b AS (
+  SELECT date_trunc('{span}', {ts_col}) AS bucket, {agg} AS metric
+  FROM {table} GROUP BY 1),
+s AS (SELECT median(metric) AS med FROM b),
+d AS (SELECT bucket, metric, med, abs(metric - med) AS adev FROM b, s),
+m AS (SELECT median(adev) AS mad FROM d),
+a AS (SELECT bucket, metric, med, mad, adev, {bscore} AS bucket_score
+      FROM d, m
+      WHERE {bscore} > {threshold}),
+p AS (
+  SELECT date_trunc('{span}', {ts_col}) AS bucket,
+         {influencer_col} AS influencer, {agg} AS part
+  FROM {table} GROUP BY 1, 2),
+r AS (
+  SELECT p.bucket, p.influencer, a.bucket_score, a.mad,
+         greatest(a.adev - abs(a.metric - p.part - a.med), 0.0)
+           AS influence_raw
+  FROM p JOIN a ON a.bucket = p.bucket)
+SELECT bucket, influencer, bucket_score,
+       CASE WHEN mad > 0 THEN influence_raw / (1.4826 * mad)
+            WHEN influence_raw = 0 THEN 0.0
+            ELSE CAST('infinity' AS DOUBLE) END AS influencer_score
+FROM r
+WHERE CASE WHEN mad > 0 THEN influence_raw / (1.4826 * mad)
+           WHEN influence_raw = 0 THEN 0.0
+           ELSE CAST('infinity' AS DOUBLE) END > 0
+"""
+
+
+def overall_buckets(
+    scores: DataFrame, job_col: str = "entity", top_n: int = 1,
+) -> DataFrame:
+    """ml.get_overall_buckets analogue
+    (x-pack/plugin/ml/.../OverallBucket.java): per bucket timestamp,
+    overall_score = the AVERAGE of the ``top_n`` highest per-job
+    anomaly scores in that bucket. ``scores`` is any frame with
+    (job_col, bucket, score) — e.g. the multi-metric output, one "job"
+    per entity. One window + one aggregation, no shuffle beyond the
+    bucket key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("score"), F.asc(job_col))
+    return (scores
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_n)
+            .groupBy("bucket")
+            .agg(F.avg("score").alias("overall_score"),
+                 F.count("*").alias("jobs_counted")))

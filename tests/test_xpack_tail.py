@@ -419,3 +419,54 @@ def test_watch_transform_and_throttle(spark, tmp_path):
     bad = Watch(watch_id="w2", input_fn=inp, throttle_period_s=10.0)
     with _pytest.raises(ValueError, match="status_dir"):
         execute_watch(spark, bad).collect()
+
+
+def test_influencers_attribute_the_spike(spark):
+    """ml.get_influencers analogue: in a spiked bucket, the influencer
+    value that carries the spike scores high; background values whose
+    removal does not reduce the deviation score 0 (filtered out)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.anomaly import influencers
+
+    rows = []
+    # 10 calm hours: svc_a steady at 50, svc_b wobbles 40/60 (so the
+    # MAD scale is non-degenerate)
+    for h in range(10):
+        rows.append((f"2024-01-01 {h:02d}:15:00", "svc_a", 50.0))
+        rows.append((f"2024-01-01 {h:02d}:15:00", "svc_b",
+                     40.0 if h % 2 else 60.0))
+    # hour 10: svc_b explodes, svc_a stays calm
+    rows.append(("2024-01-01 10:15:00", "svc_a", 50.0))
+    rows.append(("2024-01-01 10:15:00", "svc_b", 900.0))
+    df = spark.createDataFrame(rows, "ts string, svc string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = influencers(df, "svc", threshold=3.0).collect()
+    got = {(str(r["bucket"]), r["influencer"]): r["influencer_score"]
+           for r in out}
+    # only the anomalous bucket emits
+    assert {b for b, _ in got} == {"2024-01-01 10:00:00"}
+    # svc_b carries (nearly) all of the spike's deviation
+    a = got.get(("2024-01-01 10:00:00", "svc_a"), 0.0)
+    b = got[("2024-01-01 10:00:00", "svc_b")]
+    assert b > 3.0 and b > 10 * a
+    # additive-only guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="additive"):
+        influencers(df, "svc", func="mean")
+
+
+def test_overall_buckets_topn_average(spark):
+    from elasticsearch_spark.ops.anomaly import overall_buckets
+
+    scores = spark.createDataFrame(
+        [("j1", "b1", 10.0), ("j2", "b1", 4.0), ("j3", "b1", 1.0),
+         ("j1", "b2", 2.0)],
+        "entity string, bucket string, score double")
+    top1 = {r["bucket"]: (r["overall_score"], r["jobs_counted"])
+            for r in overall_buckets(scores, top_n=1).collect()}
+    assert top1 == {"b1": (10.0, 1), "b2": (2.0, 1)}
+    top2 = {r["bucket"]: (r["overall_score"], r["jobs_counted"])
+            for r in overall_buckets(scores, top_n=2).collect()}
+    assert top2 == {"b1": (7.0, 2), "b2": (2.0, 1)}
