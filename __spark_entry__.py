@@ -108,6 +108,7 @@ _R05_PRIORITY = (
     # driver gate certifies those first; these stay replica-checked
     "percolate_nested", "percolate_verify", "percolate_spans",
     "match_phrase_slop", "ml_influencers", "ml_overall_buckets",
+    "essql_cursor",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
@@ -3608,6 +3609,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "click", "view", "purchase")
 
     q["essql_pivot"] = essql_pivot_q
+
+    def essql_cursor_q(s: SparkSession, d: str) -> DataFrame:
+        # sql.query cursor paging: walk to page 3 via opaque cursors
+        # (statement-digest + offset), return that page
+        from elasticsearch_spark.ops.essql import essql_page
+
+        sql = ("SELECT o_orderkey, o_totalprice FROM orders "
+               "ORDER BY o_orderkey")
+        cursor = None
+        for _ in range(3):
+            page, cursor = essql_page(s, sql, d, fetch_size=40,
+                                      cursor=cursor)
+        return page.select(F.col("o_orderkey").cast("long"),
+                           F.round("o_totalprice", 4)
+                           .alias("o_totalprice"))
+
+    q["essql_cursor"] = essql_cursor_q
 
     def essql_match_or_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.essql import essql_fulltext
@@ -7756,6 +7774,13 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS month,
        round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
            AS purchase
 FROM events GROUP BY 1 ORDER BY month
+"""
+
+    # cursor paging: page 3 at fetch_size 40 == rows 81-120 of the
+    # totally ordered statement
+    o["essql_cursor"] = """
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 40 OFFSET 80
 """
 
     # ML single-metric: the shared MAD pipeline builder, day buckets

@@ -373,3 +373,65 @@ def essql_meta(
         rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         return spark.createDataFrame(rows, "column string, type string")
     return None
+
+
+# -- cursor paging (sql.query fetch_size + cursor / sql.clear_cursor) --
+
+_HAS_ORDER = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def essql_page(
+    spark: SparkSession, sql: str, sf_dir: str,
+    fetch_size: int = 1000, cursor: str | None = None,
+    tables: tuple[str, ...] = TABLES,
+) -> tuple[DataFrame, str | None]:
+    """sql.query with ``fetch_size`` / ``cursor`` (x-pack/plugin/sql
+    TextFormatterCursor + SqlQueryRequest paging): returns one page and
+    an opaque cursor for the next.
+
+    The reference pages a server-held scroll; a stateless engine
+    re-executes deterministically instead, so the cursor encodes
+    (statement digest, row offset) and the statement MUST carry a
+    total ORDER BY — refused loudly otherwise (the same reason ES
+    refuses scroll-less paging on unsorted composite output). Deep
+    pages re-run the sort, exactly like ES's documented
+    deep-pagination cost; the plan itself stays one
+    TakeOrderedAndProject per page.
+    """
+    import base64
+    import hashlib
+    import json
+
+    if fetch_size <= 0:
+        raise ValueError("essql_page: fetch_size must be positive")
+    if not _HAS_ORDER.search(sql):
+        raise ValueError(
+            "essql_page: cursor paging needs a deterministic ORDER BY")
+    digest = hashlib.sha256(sql.encode()).hexdigest()[:16]
+    offset = 0
+    if cursor is not None:
+        state = json.loads(base64.b64decode(cursor))
+        if state.get("sig") != digest:
+            raise ValueError(
+                "essql_page: cursor does not belong to this statement")
+        offset = int(state["offset"])
+    df = essql(spark, sql, sf_dir, tables)
+    page = df.offset(offset).limit(fetch_size)
+    n = page.count()
+    nxt = None
+    if n == fetch_size:
+        nxt = base64.b64encode(json.dumps(
+            {"sig": digest, "offset": offset + fetch_size}
+        ).encode()).decode()
+    return page, nxt
+
+
+def essql_clear_cursor(cursor: str) -> bool:
+    """sql.clear_cursor: cursors are stateless (statement digest +
+    offset), so there is nothing server-side to free — returns True
+    for any well-formed cursor, mirroring the endpoint's contract."""
+    import base64
+    import json
+
+    state = json.loads(base64.b64decode(cursor))
+    return "sig" in state and "offset" in state

@@ -470,3 +470,36 @@ def test_overall_buckets_topn_average(spark):
     top2 = {r["bucket"]: (r["overall_score"], r["jobs_counted"])
             for r in overall_buckets(scores, top_n=2).collect()}
     assert top2 == {"b1": (7.0, 2), "b2": (2.0, 1)}
+
+
+def test_essql_cursor_paging(spark):
+    from elasticsearch_spark.ops.essql import (
+        essql,
+        essql_clear_cursor,
+        essql_page,
+    )
+
+    sql = "SELECT doc_id, lang FROM documents ORDER BY doc_id"
+    full = [tuple(r) for r in essql(spark, sql, SF).collect()]
+
+    pages, cursor, seen = 0, None, []
+    while True:
+        page, cursor = essql_page(spark, sql, SF, fetch_size=150,
+                                  cursor=cursor)
+        seen.extend(tuple(r) for r in page.collect())
+        pages += 1
+        if cursor is None:
+            break
+    assert seen == full
+    assert pages == len(full) // 150 + 1
+
+    # cursors are statement-bound
+    _, c1 = essql_page(spark, sql, SF, fetch_size=1)
+    assert essql_clear_cursor(c1) is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not belong"):
+        essql_page(spark, "SELECT doc_id FROM documents ORDER BY doc_id",
+                   SF, fetch_size=1, cursor=c1)
+    with _pytest.raises(ValueError, match="ORDER BY"):
+        essql_page(spark, "SELECT doc_id FROM documents", SF)
