@@ -108,7 +108,7 @@ _R05_PRIORITY = (
     # driver gate certifies those first; these stay replica-checked
     "percolate_nested", "percolate_verify", "percolate_spans",
     "match_phrase_slop", "ml_influencers", "ml_overall_buckets",
-    "essql_cursor",
+    "essql_cursor", "ml_calendar",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
@@ -3726,6 +3726,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("bucket")
 
     q["ml_overall_buckets"] = ml_overall_buckets_q
+
+    # calendar scheduled events: suppress anomaly flags in the window
+    def ml_calendar_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import (
+            apply_calendar,
+            single_metric_anomalies,
+        )
+
+        ev = _t(s, d, "events")
+        base = single_metric_anomalies(ev, span="day", threshold=1.0)
+        cal = apply_calendar(base, [("2024-01-05 00:00:00",
+                                     "2024-01-09 00:00:00")])
+        return cal.select(
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("metric", 3).alias("metric"),
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("bucket")
+
+    q["ml_calendar"] = ml_calendar_q
 
     # DFA regression training: one Gram-matrix aggregation + driver
     # solve (exact least squares; single-feature twin = regr_slope)
@@ -7890,6 +7909,16 @@ SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
        round(avg(score), 6) AS overall_score,
        count(*)::BIGINT AS jobs_counted
 FROM t WHERE rn <= 2 GROUP BY bucket ORDER BY bucket
+"""
+
+    o["ml_calendar"] = f"""
+WITH r AS ({single_metric_anomalies_sql(span='day', threshold=1.0)})
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(metric, 3) AS metric, round(score, 6) AS score,
+       is_anomaly AND NOT (bucket >= TIMESTAMP '2024-01-05 00:00:00'
+                           AND bucket < TIMESTAMP '2024-01-09 00:00:00')
+           AS is_anomaly
+FROM r ORDER BY bucket
 """
 
     o["ml_eval_classification"] = """

@@ -617,3 +617,26 @@ def overall_buckets(
             .groupBy("bucket")
             .agg(F.avg("score").alias("overall_score"),
                  F.count("*").alias("jobs_counted")))
+
+
+def apply_calendar(
+    anomalies: DataFrame, events: list[tuple[str, str]],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ml calendars (ml.put_calendar + ScheduledEvent.java): buckets
+    inside a scheduled-event window keep their rows but have their
+    anomaly flag suppressed (the reference's skip_result rule — the
+    model still sees the data, results are not reported as anomalous).
+
+    ``events``: [(start, end)] ISO timestamps, end exclusive. Compiled
+    to one OR-chain predicate — pure codegen, pushdown-friendly."""
+    if not events:
+        return anomalies
+    b = F.col(bucket_col)
+    in_event = F.lit(False)
+    for start, end in events:
+        in_event = in_event | (
+            (b >= F.to_timestamp(F.lit(start)))
+            & (b < F.to_timestamp(F.lit(end))))
+    return anomalies.withColumn(
+        "is_anomaly", F.col("is_anomaly") & ~in_event)

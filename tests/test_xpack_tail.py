@@ -503,3 +503,29 @@ def test_essql_cursor_paging(spark):
                    SF, fetch_size=1, cursor=c1)
     with _pytest.raises(ValueError, match="ORDER BY"):
         essql_page(spark, "SELECT doc_id FROM documents", SF)
+
+
+def test_calendar_suppresses_scheduled_windows(spark):
+    """ml calendars: anomalies inside a scheduled-event window are
+    reported non-anomalous (skip_result); rows and scores unchanged."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.anomaly import (
+        apply_calendar,
+        single_metric_anomalies,
+    )
+
+    rows = [(f"2024-01-01 {h:02d}:30:00", 100.0) for h in range(10)]
+    rows.append(("2024-01-01 10:30:00", 5000.0))   # maintenance spike
+    rows.append(("2024-01-02 03:30:00", 4000.0))   # real anomaly
+    df = spark.createDataFrame(rows, "ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    base = single_metric_anomalies(df, threshold=3.0)
+    cal = apply_calendar(base, [("2024-01-01 10:00:00",
+                                 "2024-01-01 11:00:00")])
+    got = {str(r["bucket"]): r["is_anomaly"] for r in cal.collect()}
+    assert got["2024-01-01 10:00:00"] is False      # suppressed
+    assert got["2024-01-02 03:00:00"] is True       # still reported
+    assert cal.count() == base.count()              # rows kept
+    # empty calendar is the identity
+    assert apply_calendar(base, []) is base
