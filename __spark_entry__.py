@@ -108,7 +108,7 @@ _R05_PRIORITY = (
     # driver gate certifies those first; these stay replica-checked
     "percolate_nested", "percolate_verify", "percolate_spans",
     "match_phrase_slop", "ml_influencers", "ml_overall_buckets",
-    "essql_cursor", "ml_calendar",
+    "essql_cursor", "ml_calendar", "ml_detector_rules",
     "ml_rare", "ml_train_classification", "update_by_query_loop",
     "retriever_rrf", "retriever_linear",
     "highlight_plain_type", "highlight_fvh_phrase",
@@ -3745,6 +3745,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_anomaly").orderBy("bucket")
 
     q["ml_calendar"] = ml_calendar_q
+
+    # detector custom rules: conditional skip_result with entity scope
+    def ml_detector_rules_q(s: SparkSession, d: str) -> DataFrame:
+        from elasticsearch_spark.ops.anomaly import (
+            apply_detector_rules,
+            multi_metric_anomalies,
+        )
+
+        ev = _t(s, d, "events")
+        base = multi_metric_anomalies(ev, "event_type", span="day",
+                                      threshold=1.0)
+        out = apply_detector_rules(base, [{
+            "actions": ["skip_result"],
+            "conditions": [{"applies_to": "actual", "operator": "lt",
+                            "value": 3000.0}],
+            "scope": {"event_type": {"filter_values": ["click", "view"],
+                                     "filter_type": "include"}},
+        }], entity_col="event_type")
+        return out.select(
+            "entity", F.col("bucket").cast("string").alias("bucket"),
+            F.round("metric", 3).alias("metric"),
+            F.round("score", 6).alias("score"),
+            "is_anomaly").orderBy("entity", "bucket")
+
+    q["ml_detector_rules"] = ml_detector_rules_q
 
     # DFA regression training: one Gram-matrix aggregation + driver
     # solve (exact least squares; single-feature twin = regr_slope)
@@ -7919,6 +7944,17 @@ SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
                            AND bucket < TIMESTAMP '2024-01-09 00:00:00')
            AS is_anomaly
 FROM r ORDER BY bucket
+"""
+
+    o["ml_detector_rules"] = f"""
+WITH r AS ({multi_metric_anomalies_sql(entity_col='event_type',
+                                       span='day', threshold=1.0)})
+SELECT entity, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(metric, 3) AS metric, round(score, 6) AS score,
+       is_anomaly AND NOT (metric < 3000.0
+                           AND entity IN ('click', 'view'))
+           AS is_anomaly
+FROM r ORDER BY entity, bucket
 """
 
     o["ml_eval_classification"] = """

@@ -640,3 +640,59 @@ def apply_calendar(
             & (b < F.to_timestamp(F.lit(end))))
     return anomalies.withColumn(
         "is_anomaly", F.col("is_anomaly") & ~in_event)
+
+
+_RULE_OPS = {"lt": "<", "lte": "<=", "gt": ">", "gte": ">="}
+_RULE_FIELDS = {"actual": "metric", "score": "score"}
+
+
+def apply_detector_rules(
+    anomalies: DataFrame, rules: list[dict],
+    entity_col: str | None = None,
+) -> DataFrame:
+    """ml detector custom rules (DetectionRule.java + RuleCondition +
+    RuleScope/FilterRef; job config ``custom_rules``): suppress the
+    anomaly flag where a rule applies. A rule applies when ALL its
+    ``conditions`` hold (applies_to actual|score, operator
+    lt/lte/gt/gte) AND its ``scope`` matches (filter_type include:
+    entity in filter_values; exclude: entity not in). Only the
+    skip_result action is meaningful post-hoc (skip_model_update is a
+    model-state action — the MAD baseline here is recomputed per run,
+    so it is accepted and a no-op, documented). Rules OR together,
+    mirroring the reference."""
+    if not rules:
+        return anomalies
+    any_rule = F.lit(False)
+    for rule in rules:
+        acts = rule.get("actions", ["skip_result"])
+        unknown = set(acts) - {"skip_result", "skip_model_update"}
+        if unknown:
+            raise ValueError(f"detector rule: unknown actions {unknown}")
+        applies = F.lit(True)
+        for cond in rule.get("conditions", []):
+            field = _RULE_FIELDS.get(cond["applies_to"])
+            if field is None:
+                raise ValueError(
+                    f"detector rule: applies_to {cond['applies_to']!r} "
+                    "not supported (actual/score)")
+            op = _RULE_OPS[cond["operator"]]
+            applies = applies & F.expr(
+                f"{field} {op} {float(cond['value'])!r}")
+        scope = rule.get("scope")
+        if scope:
+            if entity_col is None:
+                raise ValueError(
+                    "detector rule: scope needs entity_col")
+            (fld, ref), = scope.items()
+            if fld != entity_col:
+                raise ValueError(
+                    f"detector rule: scope field {fld!r} != entity_col")
+            vals = list(ref["filter_values"])
+            member = F.col("entity").isin(vals)
+            applies = applies & (
+                member if ref.get("filter_type", "include") == "include"
+                else ~member)
+        if "skip_result" in acts:
+            any_rule = any_rule | applies
+    return anomalies.withColumn(
+        "is_anomaly", F.col("is_anomaly") & ~any_rule)

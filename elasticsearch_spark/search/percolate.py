@@ -1130,6 +1130,17 @@ def compile_verify_predicate(
             else:  # crosses the antimeridian
                 lon_ok = (lon >= F.lit(left)) | (lon <= F.lit(right))
             return _false_if_null(lat_ok & lon_ok)
+        if kind == "intervals":
+            # IntervalsSourceProvider -> the shared span compiler; the
+            # resulting flat span tree verifies below (nested all_of
+            # composition refuses loudly via the span_near clause check)
+            from elasticsearch_spark.search.spans import (
+                _bind_field,
+                intervals_to_span,
+            )
+
+            (field, src), = body.items()
+            return build(_bind_field(intervals_to_span(src), field))
         if kind == "span_term":
             (field, spec), = body.items()
             value = spec["value"] if isinstance(spec, dict) else spec
@@ -1317,6 +1328,14 @@ def extract_candidate_terms(
             return {(field, t) for t, _ in analyze(text, "ascii_word")}
         if kind == "match_none":
             return set()
+        if kind == "intervals":
+            from elasticsearch_spark.search.spans import (
+                _bind_field,
+                intervals_to_span,
+            )
+
+            (field, src), = body.items()
+            return ext(_bind_field(intervals_to_span(src), field))
         if kind == "span_term":
             (field, spec), = body.items()
             value = spec["value"] if isinstance(spec, dict) else spec

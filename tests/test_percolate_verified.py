@@ -252,3 +252,47 @@ def test_span_near_mixed_fields_refuses(spark, docs):
                 {"span_term": {"text": "fox"}},
                 {"span_term": {"lang": "en"}}], "slop": 1}})],
             text_fields=["text"], keyword_fields=["lang"])
+
+
+def test_intervals_stored_query(spark):
+    """Intervals stored queries compile through the shared span
+    compiler; verified against eval_span per doc."""
+    import re as _re
+
+    import numpy as np
+
+    from elasticsearch_spark.search.spans import (
+        _bind_field,
+        eval_span,
+        intervals_to_span,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 10)))))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stored = [
+        (1, {"intervals": {"text": {"match": {
+            "query": "alpha beta", "max_gaps": 1, "ordered": True}}}}),
+        (2, {"intervals": {"text": {"any_of": {"intervals": [
+            {"match": {"query": "gamma"}},
+            {"match": {"query": "delta"}}]}}}}),
+    ]
+    out = percolate_verified(spark, docs, stored, text_fields=["text"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+
+    expected = []
+    for doc_id, text in rows:
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        pos = {}
+        for p, t in enumerate(toks):
+            pos.setdefault(("text", t), []).append(p)
+        pos = {k: np.array(v) for k, v in pos.items()}
+        for qid, dsl in stored:
+            (_, body), = dsl.items()
+            (field, src), = body.items()
+            tree = _bind_field(intervals_to_span(src), field)
+            if eval_span(tree, pos):
+                expected.append((doc_id, qid))
+    assert got == sorted(expected)

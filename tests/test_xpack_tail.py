@@ -529,3 +529,54 @@ def test_calendar_suppresses_scheduled_windows(spark):
     assert cal.count() == base.count()              # rows kept
     # empty calendar is the identity
     assert apply_calendar(base, []) is base
+
+
+def test_detector_custom_rules(spark):
+    """DetectionRule: conditions on actual/score AND an entity scope,
+    rules OR together, skip_result suppresses the flag only."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.ops.anomaly import (
+        apply_detector_rules,
+        multi_metric_anomalies,
+    )
+
+    rows = []
+    for h in range(10):
+        rows.append((f"2024-01-01 {h:02d}:30:00", "a", 100.0))
+        rows.append((f"2024-01-01 {h:02d}:30:00", "b", 100.0))
+    rows.append(("2024-01-01 10:30:00", "a", 900.0))   # small-ish spike
+    rows.append(("2024-01-01 11:30:00", "a", 9000.0))  # big spike
+    rows.append(("2024-01-01 10:30:00", "b", 900.0))   # scoped out
+    df = spark.createDataFrame(rows, "ts string, ent string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    base = multi_metric_anomalies(df, "ent", threshold=3.0)
+
+    rules = [{
+        "actions": ["skip_result"],
+        "conditions": [{"applies_to": "actual", "operator": "lt",
+                        "value": 1000.0}],
+        "scope": {"ent": {"filter_values": ["a"],
+                          "filter_type": "include"}},
+    }]
+    out = apply_detector_rules(base, rules, entity_col="ent")
+    got = {(r["entity"], str(r["bucket"])): r["is_anomaly"]
+           for r in out.collect()}
+    # a@10 suppressed (actual 900 < 1000, in scope); a@11 kept (9000);
+    # b@10 kept (scope excludes it)
+    assert got[("a", "2024-01-01 10:00:00")] is False
+    assert got[("a", "2024-01-01 11:00:00")] is True
+    assert got[("b", "2024-01-01 10:00:00")] is True
+    # exclude scope flips it
+    rules[0]["scope"]["ent"]["filter_type"] = "exclude"
+    out2 = apply_detector_rules(base, rules, entity_col="ent")
+    got2 = {(r["entity"], str(r["bucket"])): r["is_anomaly"]
+            for r in out2.collect()}
+    assert got2[("a", "2024-01-01 10:00:00")] is True
+    assert got2[("b", "2024-01-01 10:00:00")] is False
+    # no rules = identity; unknown action refuses
+    assert apply_detector_rules(base, []) is base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown actions"):
+        apply_detector_rules(base, [{"actions": ["explode"]}])
