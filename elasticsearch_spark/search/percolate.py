@@ -1543,3 +1543,60 @@ def percolate_verified(
     for p in outs[1:]:
         out = out.unionByName(p)
     return out
+
+
+def percolate_matches_column(
+    stored: list[tuple[Any, dict]],
+    text_fields: list[str],
+    keyword_fields: list[str] = (),
+    numeric_fields: list[str] = (),
+    nested_fields: dict[str, dict[str, list[str]]] | None = None,
+    id_col: str = "doc_id",
+):
+    """Array-of-matching-query-ids Column over a doc row — every
+    stored query compiled once, evaluated inline. Stateless (no join,
+    no aggregation), so the same expression serves static frames and
+    Structured Streaming micro-batches."""
+    tset = set(text_fields)
+    kset = set(keyword_fields)
+    nset = set(numeric_fields)
+    for path, spec in (nested_fields or {}).items():
+        tset |= {f"{path}.{s}" for s in spec.get("text", [])}
+        kset |= {f"{path}.{s}" for s in spec.get("keyword", [])}
+        nset |= {f"{path}.{s}" for s in spec.get("numeric", [])}
+    cells = [
+        F.when(compile_verify_predicate(
+            dsl, text_fields=tset, keyword_fields=kset,
+            numeric_fields=nset, id_col=id_col), F.lit(qid))
+        for qid, dsl in stored
+    ]
+    return F.filter(F.array(*cells), lambda x: x.isNotNull())
+
+
+def percolate_stream(
+    docs: DataFrame,
+    stored: list[tuple[Any, dict]],
+    text_fields: list[str],
+    keyword_fields: list[str] = (),
+    numeric_fields: list[str] = (),
+    nested_fields: dict[str, dict[str, list[str]]] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming percolation (the reference's percolator + watcher
+    alerting shape): ``docs`` may be a Structured Streaming frame; the
+    output streams one (doc, query) row per match, ready for any alert
+    sink. Completely stateless — no watermark, no state store, exactly
+    the per-record evaluation the reference performs per indexed doc.
+
+    Scale note: every stored query's compiled predicate evaluates per
+    record (no candidate pruning — pruning needs a doc-terms join,
+    which is a per-batch concern). Right for alerting registries up to
+    a few thousand queries; for percolating a huge registry over a
+    stream, run :func:`percolate_verified` inside foreachBatch
+    instead, where the candidate term join amortizes per micro-batch.
+    """
+    matched = percolate_matches_column(
+        stored, text_fields, keyword_fields, numeric_fields,
+        nested_fields, id_col)
+    return docs.select(F.col(id_col),
+                       F.explode(matched).alias("query_id"))

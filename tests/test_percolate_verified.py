@@ -296,3 +296,38 @@ def test_intervals_stored_query(spark):
             if eval_span(tree, pos):
                 expected.append((doc_id, qid))
     assert got == sorted(expected)
+
+
+def test_percolate_stream_matches_static(spark, docs, tmp_path):
+    """Streaming percolation: the stateless inline-predicate plan over
+    a file-source stream produces exactly the static verify-path
+    pairs, end-to-end through a memory sink."""
+    from elasticsearch_spark.search.percolate import percolate_stream
+
+    stored = [
+        (1, {"bool": {"must_not": [{"match": {"text": "shard"}}]}}),
+        (2, {"match_phrase": {"text": {"query": "quick fox",
+                                       "slop": 2}}}),
+        (3, {"bool": {"must": [{"term": {"lang": "en"}},
+                               {"range": {"score": {"gte": 50}}}]}}),
+    ]
+    kw = dict(text_fields=["text"], keyword_fields=["lang"],
+              numeric_fields=["score"])
+    want = _pairs(percolate_verified(spark, docs, stored,
+                                     mode="verify", **kw))
+
+    src = str(tmp_path / "perc_src")
+    docs.coalesce(2).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = percolate_stream(stream, stored, **kw)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("perc_alerts")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in spark.sql("SELECT * FROM perc_alerts").collect())
+    assert got == want and want  # non-empty
