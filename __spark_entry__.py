@@ -121,6 +121,7 @@ _R05_PRIORITY = (
     "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
     "agg_date_histogram_offset", "agg_histogram_empty", "range_date_math",
     "ml_eval_classification", "ml_eval_regression", "ml_eval_auc",
+    "update_by_query_fn",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -4440,6 +4441,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["update_by_query_painless"] = update_by_query_painless_q
 
+    def update_by_query_fn_q(s: SparkSession, d: str) -> DataFrame:
+        # painless USER-DEFINED FUNCTIONS (modules/lang-painless function
+        # grammar): bodies inline at call sites during symbolic
+        # execution, so the whole script still compiles to one codegen
+        # CASE expression shared with the DuckDB twin.
+        from elasticsearch_spark.ops.scan import apply_update_script
+
+        li = _t(s, d, "lineitem")
+        script = {
+            "source": (
+                "double taxed(double p, double r) {"
+                "  if (r > 0.05) { return p * (1.0 + r); }"
+                "  return p;"
+                "}"
+                "int tier(int qty) {"
+                "  if (qty >= 40) { return 3; }"
+                "  if (qty >= 20) { return 2; }"
+                "  return 1;"
+                "}"
+                " ctx._source.l_extendedprice ="
+                "   taxed(ctx._source.l_extendedprice, ctx._source.l_tax);"
+                " ctx._source.l_linestatus ="
+                "   tier(ctx._source.l_quantity) >= 2 ? 'B' : 'S';"),
+        }
+        out = apply_update_script(li, script)
+        return (out.select(
+                    "l_orderkey", "l_linenumber", "l_linestatus",
+                    F.round("l_extendedprice", 2).alias("price"))
+                .orderBy("l_orderkey", "l_linenumber").limit(200))
+
+    q["update_by_query_fn"] = update_by_query_fn_q
+
     # -- painless loops + Map subset: classic counter for / while /
     #    do-while unroll at compile time (constant-foldable conditions,
     #    locals re-folded to literals each iteration), HashMap locals
@@ -8401,6 +8434,21 @@ SELECT l_orderkey, l_linenumber,
                   ELSE l_extendedprice END, 2) AS price
 FROM lineitem
 WHERE NOT (l_quantity < 45 AND l_quantity <= 2)
+ORDER BY l_orderkey, l_linenumber
+LIMIT 200
+"""
+
+    # user functions inline: taxed() is a tax-conditional price, tier()
+    # a quantity band; the twin mirrors the inlined CASE chains
+    o["update_by_query_fn"] = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN (CASE WHEN l_quantity >= 40 THEN 3
+                       WHEN l_quantity >= 20 THEN 2
+                       ELSE 1 END) >= 2
+            THEN 'B' ELSE 'S' END AS l_linestatus,
+       round(CASE WHEN l_tax > 0.05 THEN l_extendedprice * (1.0 + l_tax)
+                  ELSE l_extendedprice END, 2) AS price
+FROM lineitem
 ORDER BY l_orderkey, l_linenumber
 LIMIT 200
 """

@@ -125,7 +125,9 @@ class _Parser:
     def __init__(self, tokens: list[tuple[str, str]], params: dict,
                  score_col: str, dialect: str,
                  locals_: dict | None = None,
-                 ctx_src: dict | None = None):
+                 ctx_src: dict | None = None,
+                 funcs: dict | None = None,
+                 execer: "Any" = None):
         self.toks = tokens
         self.pos = 0
         self.params = params
@@ -137,6 +139,10 @@ class _Parser:
         # context, where locals/ctx are rejected.
         self.locals = locals_
         self.ctx_src = ctx_src
+        # user-defined functions (name -> (param_names, body_stmts)) and
+        # the _SymExec that inlines their bodies at call sites
+        self.funcs = funcs or {}
+        self.execer = execer
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.pos]
@@ -230,9 +236,52 @@ class _Parser:
             if isinstance(val, dict):
                 return self._map_access(v, val)
             return val
+        if v in self.funcs and self.peek()[1] == "(":
+            return self._call(v)
         # bare identifier: a runtime-field/bucket-path reference
         # (bucket_script paths arrive as bare names)
         return v
+
+    def _call(self, name: str) -> str:
+        """User-defined function call — the body is INLINED at the call
+        site by symbolically executing it with the argument SQL bound to
+        the parameter names (call-by-value substitution; painless user
+        functions are static: they see only their parameters, never
+        doc/ctx — enforced at definition parse time). Recursion has no
+        SQL analogue and refuses."""
+        self.expect("(")
+        args = []
+        if self.peek()[1] != ")":
+            args.append(self.ternary())
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.ternary())
+        self.expect(")")
+        pnames, body = self.funcs[name]
+        if len(args) != len(pnames):
+            raise PainlessError(
+                f"painless: {name}() takes {len(pnames)} args, "
+                f"got {len(args)}")
+        ex = self.execer
+        if ex is None:
+            raise PainlessError(
+                "painless: function calls need statement context")
+        if name in ex._callstack:
+            raise PainlessError(
+                f"painless: recursive function {name!r} is not supported")
+        ex._callstack.append(name)
+        try:
+            varz = {p: f"({a})" for p, a in zip(pnames, args)}
+            f_src, f_op, ret = ex.run(list(body), varz, {}, "'index'")
+        finally:
+            ex._callstack.pop()
+        if f_src or f_op != "'index'":
+            raise PainlessError(
+                f"painless: function {name!r} may not mutate ctx")
+        if ret is None:
+            raise PainlessError(
+                f"painless: function {name!r} must return a value")
+        return f"({ret})"
 
     def _map_access(self, name: str, m: dict) -> str:
         """Read access on a Map-typed local. Keys are compile-time
@@ -480,6 +529,8 @@ class _StmtParser:
             self.next()
             return ("return", self.expr_until_semi())
         if v in _TYPES and self.peek(1)[0] == "name":
+            if self.peek(2)[1] == "(":
+                return self.func_()
             self.next()
             _, name = self.next()
             if self.peek()[1] == "=":
@@ -503,6 +554,44 @@ class _StmtParser:
             raise PainlessError(
                 f"painless: expected an assignment operator, got {aop!r}")
         return ("assign", target, aop, self.expr_until_semi())
+
+    def func_(self):
+        """User-defined function: ``<type> <name>(<type> <pname>, ...)
+        block`` (reference: modules/lang-painless function grammar —
+        painless user functions are static and see only their
+        parameters). Body statements may not touch doc/ctx/params —
+        token-scanned here so the refusal is at definition, not at some
+        later call site."""
+        start = self.pos
+        self.next()                       # return type
+        _, name = self.next()
+        self.expect("(")
+        pnames = []
+        if self.peek()[1] != ")":
+            while True:
+                k, t = self.next()
+                if t not in _TYPES:
+                    raise PainlessError(
+                        f"painless: function parameter needs a type, "
+                        f"got {t!r}")
+                k, pn = self.next()
+                if k != "name":
+                    raise PainlessError(
+                        "painless: function parameter needs a name")
+                pnames.append(pn)
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+        self.expect(")")
+        body_start = self.pos
+        body = self.block()
+        for kk, vv in self.toks[body_start:self.pos]:
+            if kk == "name" and vv in ("doc", "ctx", "params", "_score"):
+                raise PainlessError(
+                    f"painless: function {name!r} may only use its "
+                    f"parameters (found {vv!r}; pass values as arguments)")
+        return ("func", name, pnames, body)
 
     def target(self):
         k, v = self.next()
@@ -650,14 +739,18 @@ class _SymExec:
     (each if-branch executes the remainder of the program), so early
     returns and post-if assignments merge correctly."""
 
-    def __init__(self, params: dict, score_col: str, dialect: str):
+    def __init__(self, params: dict, score_col: str, dialect: str,
+                 funcs: dict | None = None):
         self.params = params
         self.score_col = score_col
         self.dialect = dialect
+        self.funcs = funcs or {}
+        self._callstack: list[str] = []
 
     def expr(self, toks: list, varz: dict, src: dict) -> str:
         p = _Parser(toks + [("eof", "")], self.params, self.score_col,
-                    self.dialect, locals_=varz, ctx_src=src)
+                    self.dialect, locals_=varz, ctx_src=src,
+                    funcs=self.funcs, execer=self)
         out = p.ternary()
         if p.peek()[0] != "eof":
             raise PainlessError(
@@ -851,6 +944,9 @@ class _SymExec:
                 varz[var] = saved
             else:
                 varz.pop(var, None)
+        elif kind == "func":
+            raise PainlessError(
+                "painless: functions must be declared at the top level")
         else:  # pragma: no cover - parser emits only the kinds above
             raise PainlessError(f"painless: bad statement {kind!r}")
         return op
@@ -885,10 +981,26 @@ def compile_painless_update(
     'index'|'noop'|'delete' per row (None when the script never touches
     ctx.op). Reference: update-by-query script contract,
     server/src/main/java/org/elasticsearch/action/update/UpdateHelper.java."""
-    stmts = _StmtParser(_tokenize(source)).parse_program()
-    ex = _SymExec(params if params is not None else {}, "score", dialect)
+    funcs, stmts = _split_funcs(
+        _StmtParser(_tokenize(source)).parse_program())
+    ex = _SymExec(params if params is not None else {}, "score", dialect,
+                  funcs=funcs)
     src, op, _ret = ex.run(stmts, {}, {}, "'index'")
     return {"set": src, "op": None if op == "'index'" else op}
+
+
+def _split_funcs(stmts: list) -> tuple[dict, list]:
+    """Separate top-level function definitions from the program body."""
+    funcs, body = {}, []
+    for s in stmts:
+        if s[0] == "func":
+            if s[1] in funcs:
+                raise PainlessError(
+                    f"painless: duplicate function {s[1]!r}")
+            funcs[s[1]] = (s[2], s[3])
+        else:
+            body.append(s)
+    return funcs, body
 
 
 def compile_painless_program(
@@ -904,8 +1016,10 @@ def compile_painless_program(
     or never returns."""
     if not is_statement_script(source):
         return compile_painless(source, params, score_col, dialect)
-    stmts = _StmtParser(_tokenize(source)).parse_program()
-    ex = _SymExec(params if params is not None else {}, score_col, dialect)
+    funcs, stmts = _split_funcs(
+        _StmtParser(_tokenize(source)).parse_program())
+    ex = _SymExec(params if params is not None else {}, score_col, dialect,
+                  funcs=funcs)
     src, op, ret = ex.run(stmts, {}, {}, "'index'")
     if src or op != "'index'":
         raise PainlessError(

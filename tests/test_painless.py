@@ -305,3 +305,74 @@ def test_stmt_loop_end_to_end(spark):
     })
     got = {r["id"]: r["adj"] for r in out.collect()}
     assert got == {1: 100.0 * 3.5 + 7, 2: 200.0 * 3.5 + 7}
+
+
+def test_stmt_user_functions():
+    """User-defined functions inline at call sites (modules/lang-painless
+    function grammar; static semantics — parameters only)."""
+    from elasticsearch_spark.scripts import compile_painless_program
+
+    sql = compile_painless_program(
+        "double boost(double s, double w) {"
+        "  if (s > 10) { return s * w * 2; }"
+        "  return s * w;"
+        "}"
+        " return boost(doc['p'].value, params.w) + 1;", {"w": 0.5})
+    rows = duckdb.sql(
+        f"SELECT {sql} AS v FROM (VALUES (4.0), (40.0)) t(p) ORDER BY p"
+    ).fetchall()
+    assert [r[0] for r in rows] == [3.0, 41.0]
+
+    # zero-arg + nested calls + call from an update context
+    from elasticsearch_spark.scripts import compile_painless_update
+
+    plan = compile_painless_update(
+        "int cap() { return 100; }"
+        "int clamp(int x) { if (x > cap()) { return cap(); } return x; }"
+        " ctx._source.qty = clamp(ctx._source.qty + 5);")
+    got = duckdb.sql(
+        f"SELECT {plan['set']['qty']} AS v FROM (VALUES (3), (200)) t(qty)"
+        " ORDER BY qty").fetchall()
+    assert [r[0] for r in got] == [8, 100]
+
+
+def test_stmt_user_function_errors():
+    from elasticsearch_spark.scripts import compile_painless_program
+    from elasticsearch_spark.scripts.painless import PainlessError
+
+    with pytest.raises(PainlessError, match="recursive"):
+        compile_painless_program(
+            "int f(int x) { return f(x); } return f(1);")
+    with pytest.raises(PainlessError, match="takes 1 args"):
+        compile_painless_program(
+            "int f(int x) { return x; } return f(1, 2);")
+    with pytest.raises(PainlessError, match="only use its parameters"):
+        compile_painless_program(
+            "int f(int x) { return x + doc['y'].value; } return f(1);")
+    with pytest.raises(PainlessError, match="must return"):
+        compile_painless_program(
+            "int f(int x) { int y = x; } return f(1);")
+    with pytest.raises(PainlessError, match="duplicate function"):
+        compile_painless_program(
+            "int f(int x) { return x; } int f(int y) { return y; }"
+            " return f(1);")
+    with pytest.raises(PainlessError, match="top level"):
+        compile_painless_program(
+            "if (params.a > 0) { int f(int x) { return x; } } return 1;",
+            {"a": 1})
+
+
+def test_stmt_user_function_loops_inside():
+    """A loop inside a function body unrolls per call site."""
+    from elasticsearch_spark.scripts import compile_painless_program
+
+    sql = compile_painless_program(
+        "double poly(double x) {"
+        "  double acc = 0; for (int i = 1; i < 4; ++i) { acc = acc * x + i; }"
+        "  return acc;"
+        "}"
+        " return poly(doc['p'].value);")
+    rows = duckdb.sql(
+        f"SELECT {sql} AS v FROM (VALUES (2.0)) t(p)").fetchall()
+    # ((0*2+1)*2+2)*2+3 = 11
+    assert rows[0][0] == 11.0
