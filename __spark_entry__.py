@@ -121,7 +121,7 @@ _R05_PRIORITY = (
     "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
     "agg_date_histogram_offset", "agg_histogram_empty", "range_date_math",
     "ml_eval_classification", "ml_eval_regression", "ml_eval_auc",
-    "update_by_query_fn",
+    "update_by_query_fn", "runtime_field_string",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -2436,6 +2436,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["runtime_field"] = runtime_field_q
+
+    def runtime_field_string_q(s: SparkSession, d: str) -> DataFrame:
+        # runtime field from a painless script USING String methods
+        # (java.lang.String whitelist) — compiled once to codegen SQL
+        from elasticsearch_spark.scripts import compile_painless_program
+
+        expr = compile_painless_program(
+            "String t = doc['o_orderpriority'].value.trim().toLowerCase();"
+            " if (t.contains('urgent') || t.endsWith('low')) {"
+            "   return t.substring(2); }"
+            " return t.substring(0, 1);")
+        li = _t(s, d, "orders").withColumn("tag", F.expr(expr))
+        return (li.groupBy("tag")
+                .agg(F.count("*").cast("long").alias("doc_count"))
+                .orderBy(F.desc("doc_count"), "tag").limit(10))
+
+    q["runtime_field_string"] = runtime_field_string_q
 
     def terms_lookup_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search.dsl import terms_lookup
@@ -6553,6 +6570,18 @@ SELECT doc_id,
              * 1.0 / n_chars, 6) AS tokens_per_char
 FROM documents
 WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) * 1.0 / n_chars > 0.18
+"""
+    from elasticsearch_spark.scripts import compile_painless_program \
+        as _cpp
+    _rf_str = _cpp(
+        "String t = doc['o_orderpriority'].value.trim().toLowerCase();"
+        " if (t.contains('urgent') || t.endsWith('low')) {"
+        "   return t.substring(2); }"
+        " return t.substring(0, 1);", dialect="duckdb")
+    o["runtime_field_string"] = f"""
+SELECT {_rf_str} AS tag, count(*)::BIGINT AS doc_count
+FROM orders
+GROUP BY 1 ORDER BY doc_count DESC, tag LIMIT 10
 """
     o["terms_lookup"] = """
 SELECT l_orderkey, l_linenumber FROM lineitem

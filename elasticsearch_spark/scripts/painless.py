@@ -84,6 +84,32 @@ _MATH_FNS = {
 
 _MATH_CONSTS = {"PI": "pi()", "E": "exp(1)"}
 
+# painless String methods -> SQL (postfix method calls on any value
+# expression; (min_args, max_args, emit(expr, args, dialect))). The
+# instr-based forms are 1-indexed SQL translated back to Java's
+# 0-indexed contract. startsWith/endsWith differ by one underscore
+# between the engines — the ONLY dialect-split entries.
+_STR_METHODS = {
+    "toLowerCase": (0, 0, lambda e, a, d: f"lower({e})"),
+    "toUpperCase": (0, 0, lambda e, a, d: f"upper({e})"),
+    "trim": (0, 0, lambda e, a, d: f"trim({e})"),
+    "length": (0, 0, lambda e, a, d: f"length({e})"),
+    "isEmpty": (0, 0, lambda e, a, d: f"(length({e}) = 0)"),
+    "contains": (1, 1, lambda e, a, d: f"(instr({e}, {a[0]}) > 0)"),
+    "indexOf": (1, 1, lambda e, a, d: f"(instr({e}, {a[0]}) - 1)"),
+    "startsWith": (1, 1, lambda e, a, d:
+                   (f"startswith({e}, {a[0]})" if d == "spark"
+                    else f"starts_with({e}, {a[0]})")),
+    "endsWith": (1, 1, lambda e, a, d:
+                 (f"endswith({e}, {a[0]})" if d == "spark"
+                  else f"ends_with({e}, {a[0]})")),
+    "replace": (2, 2, lambda e, a, d: f"replace({e}, {a[0]}, {a[1]})"),
+    "equals": (1, 1, lambda e, a, d: f"({e} = {a[0]})"),
+    "substring": (1, 2, lambda e, a, d:
+                  (f"substring({e}, ({a[0]}) + 1)" if len(a) == 1 else
+                   f"substring({e}, ({a[0]}) + 1, ({a[1]}) - ({a[0]}))")),
+}
+
 
 class PainlessError(ValueError):
     """Script outside the supported painless expression subset."""
@@ -202,7 +228,36 @@ class _Parser:
         if v == "!":
             self.next()
             return f"(NOT {self.unary()})"
-        return self.primary()
+        return self._postfix(self.primary())
+
+    def _postfix(self, e: str) -> str:
+        """String method calls chained onto any value expression
+        (``doc['f'].value.toLowerCase().contains('x')``). Only fires on
+        ``.name(`` where name is a known String method — a trailing
+        plain ``.attr`` belongs to whichever primary produced ``e``."""
+        while (self.peek()[1] == "."
+               and self.toks[min(self.pos + 1, len(self.toks) - 1)][1]
+               in _STR_METHODS
+               and self.toks[min(self.pos + 2, len(self.toks) - 1)][1]
+               == "("):
+            self.next()
+            _, name = self.next()
+            self.next()  # '('
+            args = []
+            if self.peek()[1] != ")":
+                args.append(self.ternary())
+                while self.peek()[1] == ",":
+                    self.next()
+                    args.append(self.ternary())
+            self.expect(")")
+            lo, hi, emit = _STR_METHODS[name]
+            if not lo <= len(args) <= hi:
+                raise PainlessError(
+                    f"painless: .{name}() takes {lo}"
+                    + (f"-{hi}" if hi != lo else "")
+                    + f" args, got {len(args)}")
+            e = emit(e, args, self.dialect)
+        return e
 
     # -- primaries -------------------------------------------------------
     def primary(self) -> str:

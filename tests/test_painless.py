@@ -376,3 +376,65 @@ def test_stmt_user_function_loops_inside():
         f"SELECT {sql} AS v FROM (VALUES (2.0)) t(p)").fetchall()
     # ((0*2+1)*2+2)*2+3 = 11
     assert rows[0][0] == 11.0
+
+
+def test_string_methods():
+    """Painless String methods -> shared SQL postfix calls
+    (java.lang.String surface painless whitelists)."""
+    got = compile_painless("doc['lang'].value.toLowerCase() == 'java'")
+    assert got == "(lower(lang) = 'java')"
+    assert compile_painless("doc['p'].value.contains('src')") == \
+        "(instr(p, 'src') > 0)"
+    assert compile_painless("doc['p'].value.indexOf('/')") == \
+        "(instr(p, '/') - 1)"
+    assert compile_painless(
+        "doc['p'].value.substring(1, 3)") == "substring(p, (1) + 1, (3) - (1))"
+    # dialect split: startsWith/endsWith
+    assert compile_painless("doc['p'].value.startsWith('a')") == \
+        "startswith(p, 'a')"
+    assert compile_painless("doc['p'].value.startsWith('a')",
+                            dialect="duckdb") == "starts_with(p, 'a')"
+    # chaining + use inside a larger expression
+    got = compile_painless(
+        "doc['p'].value.trim().toUpperCase().endsWith('.JAVA') ? 2 : 1",
+        dialect="duckdb")
+    row = duckdb.sql(
+        f"SELECT {got} AS v FROM (VALUES (' x.java ')) t(p)").fetchone()
+    assert row[0] == 2
+    # java 0-indexed substring/indexOf semantics against duckdb
+    got = compile_painless("doc['p'].value.substring(2)", dialect="duckdb")
+    assert duckdb.sql(
+        f"SELECT {got} FROM (VALUES ('abcdef')) t(p)").fetchone()[0] == "cdef"
+    got = compile_painless("doc['p'].value.substring(1, 4)",
+                           dialect="duckdb")
+    assert duckdb.sql(
+        f"SELECT {got} FROM (VALUES ('abcdef')) t(p)").fetchone()[0] == "bcd"
+    with pytest.raises(PainlessError, match="takes 1 args"):
+        compile_painless("doc['p'].value.contains('a', 'b')")
+
+
+def test_string_methods_in_statements(spark):
+    """String methods + user functions + update context end-to-end on
+    BOTH engines."""
+    from elasticsearch_spark.scripts import compile_painless_update
+    from elasticsearch_spark.scripts.painless import compile_painless
+
+    plan = compile_painless_update(
+        "String norm(String s) { return s.trim().toLowerCase(); }"
+        " ctx._source.tag = norm(ctx._source.tag);"
+        " if (ctx._source.tag.startsWith('x')) { ctx.op = 'delete'; }")
+    rows = duckdb.sql(
+        "SELECT "
+        + compile_painless_update(
+            "String norm(String s) { return s.trim().toLowerCase(); }"
+            " ctx._source.tag = norm(ctx._source.tag);",
+            dialect="duckdb")["set"]["tag"]
+        + " AS v FROM (VALUES (' Py '), ('XL')) t(tag) ORDER BY tag"
+    ).fetchall()
+    assert [r[0] for r in rows] == ["py", "xl"]
+    import pyspark.sql.functions as F
+    sdf = spark.createDataFrame([(" Py ",), ("XL",)], ["tag"])
+    got = sorted(r["v"] for r in sdf.select(
+        F.expr(plan["set"]["tag"]).alias("v")).collect())
+    assert got == ["py", "xl"]
+    assert "startswith(" in plan["op"]  # spark dialect default
