@@ -984,6 +984,128 @@ def compile_verify_predicate(
         _field_type(field, text_fields, keyword_fields, numeric_fields)
         return resolve(field).cast("double")
 
+    def _span_eff_fields(node: dict) -> set:
+        """Effective field(s) of a span tree (span_field_masking rebinds
+        its subtree's field, Lucene SpanQuery.getField contract); every
+        combiner requires ONE shared effective field."""
+        (kind, body), = node.items()
+        if kind == "span_term":
+            (field, _spec), = body.items()
+            return {field}
+        if kind == "span_field_masking":
+            inner = _span_eff_fields(body["query"])
+            if len(inner) != 1:
+                raise ValueError(
+                    "percolator verify: span_field_masking inner query "
+                    f"must be single-field, got {sorted(inner)}")
+            return {body["field"]}
+        children = {
+            "span_or": lambda b: list(b["clauses"]),
+            "span_near": lambda b: list(b["clauses"]),
+            "span_not": lambda b: [b["include"], b["exclude"]],
+            "span_within": lambda b: [b["little"], b["big"]],
+            "span_containing": lambda b: [b["little"], b["big"]],
+            "span_first": lambda b: [b["match"]],
+        }
+        if kind not in children:
+            raise ValueError(
+                f"percolator verify: unsupported span query {kind!r}")
+        fields = set()
+        for c in children[kind](body):
+            fields |= _span_eff_fields(c)
+        if len(fields) != 1:
+            raise ValueError(
+                f"percolator verify: {kind} clauses must share "
+                f"one field, got {sorted(fields)}")
+        return fields
+
+    def _spans(node: dict):
+        """Span tree -> Column array<struct<s,e,c>> of matching spans
+        over the analyzed token positions — the column-compiled twin of
+        spans.eval_span (same (start, end, covered) algebra), so ANY
+        span composition verifies, including nesting under span_near."""
+        (kind, body), = node.items()
+        if kind == "span_term":
+            (field, spec), = body.items()
+            value = spec["value"] if isinstance(spec, dict) else spec
+            pos = _span_positions(toks(field), str(value).lower())
+            return F.transform(pos, lambda p: F.struct(
+                p.cast("int").alias("s"), p.cast("int").alias("e"),
+                F.lit(1).alias("c")))
+        if kind == "span_field_masking":
+            # positions come from the INNER field verbatim
+            return _spans(body["query"])
+        if kind == "span_or":
+            arrs = [_spans(c) for c in body["clauses"]]
+            return arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+        if kind == "span_first":
+            end = int(body["end"])
+            return F.filter(_spans(body["match"]),
+                            lambda x: x["e"] < F.lit(end))
+        if kind == "span_not":
+            inc, exc = _spans(body["include"]), _spans(body["exclude"])
+            return F.filter(inc, lambda i: ~F.coalesce(
+                F.exists(exc, lambda x:
+                         (x["s"] <= i["e"]) & (x["e"] >= i["s"])),
+                F.lit(False)))
+        if kind == "span_within":
+            little, big = _spans(body["little"]), _spans(body["big"])
+            return F.filter(little, lambda l: F.coalesce(
+                F.exists(big, lambda b:
+                         (b["s"] <= l["s"]) & (l["e"] <= b["e"])),
+                F.lit(False)))
+        if kind == "span_containing":
+            little, big = _spans(body["little"]), _spans(body["big"])
+            return F.filter(big, lambda b: F.coalesce(
+                F.exists(little, lambda l:
+                         (b["s"] <= l["s"]) & (l["e"] <= b["e"])),
+                F.lit(False)))
+        if kind == "span_near":
+            slop = int(body.get("slop", 0))
+            in_order = bool(body.get("in_order", True))
+            arrs = [_spans(c) for c in body["clauses"]]
+            n = len(arrs)
+            if n == 1:
+                return arrs[0]
+
+            def combos(i: int, chosen: list):
+                # cross-product over sub-span choices via nested
+                # transform + flatten; each full choice folds to one
+                # composite span (or NULL when the combination is
+                # invalid), filtered at the top. Candidate-pair-only
+                # evaluation bounds the product by per-doc term
+                # frequency.
+                if i == n:
+                    min_s = F.least(*[c["s"] for c in chosen])
+                    max_e = F.greatest(*[c["e"] for c in chosen])
+                    width = max_e - min_s + F.lit(1)
+                    csum = chosen[0]["c"]
+                    for c in chosen[1:]:
+                        csum = csum + c["c"]
+                    if in_order:
+                        cond = chosen[1]["s"] > chosen[0]["e"]
+                        for a in range(1, n - 1):
+                            cond = cond & (
+                                chosen[a + 1]["s"] > chosen[a]["e"])
+                    else:
+                        cond = F.lit(True)
+                        for a in range(n):
+                            for b_ in range(a + 1, n):
+                                cond = cond & (
+                                    (chosen[a]["s"] > chosen[b_]["e"])
+                                    | (chosen[b_]["s"] > chosen[a]["e"]))
+                    cond = cond & ((width - csum) <= F.lit(slop))
+                    return F.array(F.when(cond, F.struct(
+                        min_s.cast("int").alias("s"),
+                        max_e.cast("int").alias("e"),
+                        width.cast("int").alias("c"))))
+                return F.flatten(F.transform(
+                    arrs[i], lambda x: combos(i + 1, chosen + [x])))
+
+            return F.filter(combos(0, []), lambda x: x.isNotNull())
+        raise ValueError(
+            f"percolator verify: unsupported span query {kind!r}")
+
     def build(node: dict):
         if len(node) != 1:
             raise ValueError(
@@ -1132,8 +1254,8 @@ def compile_verify_predicate(
             return _false_if_null(lat_ok & lon_ok)
         if kind == "intervals":
             # IntervalsSourceProvider -> the shared span compiler; the
-            # resulting flat span tree verifies below (nested all_of
-            # composition refuses loudly via the span_near clause check)
+            # resulting span tree (nested all_of included) verifies
+            # through the full span-algebra combinators below
             from elasticsearch_spark.search.spans import (
                 _bind_field,
                 intervals_to_span,
@@ -1141,83 +1263,15 @@ def compile_verify_predicate(
 
             (field, src), = body.items()
             return build(_bind_field(intervals_to_span(src), field))
-        if kind == "span_term":
-            (field, spec), = body.items()
-            value = spec["value"] if isinstance(spec, dict) else spec
-            return _false_if_null(F.array_contains(
-                toks(field, distinct=True), str(value).lower()))
-        if kind == "span_or":
-            subs = [build(c) for c in body["clauses"]]
-            out = subs[0]
-            for c in subs[1:]:
-                out = out | c
-            return _false_if_null(out)
-        if kind == "span_first":
-            # SpanFirstQuery: a match ending within the first ``end``
-            # positions; for a span_term leaf that is position < end
-            (sk, sb), = body["match"].items()
-            if sk != "span_term":
-                raise ValueError(
-                    "percolator verify: span_first supports span_term "
-                    "match only")
-            (field, spec), = sb.items()
-            value = spec["value"] if isinstance(spec, dict) else spec
-            end = int(body["end"])
-            arr = _span_positions(toks(field), str(value).lower())
-            return _false_if_null(
-                F.exists(arr, lambda p: p < F.lit(end)))
-        if kind == "span_near":
-            # SpanNearQuery over span_term clauses: sub-spans must not
-            # overlap (single-position spans -> strictly increasing
-            # when ordered, pairwise distinct when not) and the
-            # uncovered width must fit in slop:
-            # (max - min + 1) - n <= slop  (spans.py _near semantics)
-            clauses = body["clauses"]
-            slop = int(body.get("slop", 0))
-            in_order = bool(body.get("in_order", True))
-            terms_f: list[tuple[str, str]] = []
-            for c in clauses:
-                (ck, cb), = c.items()
-                if ck != "span_term":
-                    raise ValueError(
-                        "percolator verify: span_near supports "
-                        "span_term clauses only")
-                (field, spec), = cb.items()
-                value = spec["value"] if isinstance(spec, dict) else spec
-                terms_f.append((field, str(value).lower()))
-            fields = {f for f, _ in terms_f}
-            if len(fields) != 1:
-                raise ValueError(
-                    "percolator verify: span_near clauses must share "
-                    f"one field, got {sorted(fields)}")
-            arrs = [_span_positions(toks(f), t) for f, t in terms_f]
-            n = len(arrs)
-
-            if in_order:
-                def rec_o(i, first, prev):
-                    if i == n:
-                        return (prev - first + F.lit(1 - n)) \
-                            <= F.lit(slop)
-
-                    def step(p):
-                        c = rec_o(i + 1, p if first is None else first, p)
-                        return c if prev is None else ((p > prev) & c)
-                    return F.exists(arrs[i], step)
-
-                return _false_if_null(rec_o(0, None, None))
-
-            def rec_u(i, raw):
-                if i == n:
-                    width = (F.greatest(*raw) - F.least(*raw)
-                             + F.lit(1)) if n > 1 else F.lit(1)
-                    cond = (width - F.lit(n)) <= F.lit(slop)
-                    for a in range(n):
-                        for b_ in range(a + 1, n):
-                            cond = cond & (raw[a] != raw[b_])
-                    return cond
-                return F.exists(arrs[i], lambda p: rec_u(i + 1, raw + [p]))
-
-            return _false_if_null(rec_u(0, []))
+        if kind in ("span_term", "span_or", "span_first", "span_near",
+                    "span_not", "span_within", "span_containing",
+                    "span_field_masking"):
+            # Full span algebra, compiled to array<struct<s,e,c>>
+            # combinators mirroring spans.eval_span exactly (Lucene
+            # SpanQuery semantics: non-overlap, ordered chains, slop =
+            # uncovered width, composed spans count their whole width).
+            _span_eff_fields(node)
+            return _false_if_null(F.size(_spans(node)) > 0)
         if kind == "nested":
             path = body["path"]
             inner = body["query"]
@@ -1360,6 +1414,20 @@ def extract_candidate_terms(
             return u
         if kind == "span_first":
             return ext(body["match"])
+        if kind == "span_not":
+            return ext(body["include"])  # exclude is not necessary
+        if kind in ("span_within", "span_containing"):
+            # conjunction of little and big: union of any extractable
+            got = [ext(body["little"]), ext(body["big"])]
+            succ = [g for g in got if g is not None]
+            if not succ:
+                return None
+            u = set()
+            for g in succ:
+                u |= g
+            return u
+        if kind == "span_field_masking":
+            return ext(body["query"])
         if kind == "nested":
             # inner fields are written with their full dotted path, so
             # the extracted pairs join the nested doc-term rows as-is

@@ -331,3 +331,89 @@ def test_percolate_stream_matches_static(spark, docs, tmp_path):
     got = sorted((r["doc_id"], r["query_id"])
                  for r in spark.sql("SELECT * FROM perc_alerts").collect())
     assert got == want and want  # non-empty
+
+
+def test_nested_span_compositions_vs_eval_span(spark):
+    """NESTED span algebra through the verify path: span_or /
+    span_near / span_not / span_within / span_containing composed
+    under span_near, cross-checked against spans.eval_span per doc."""
+    import re as _re
+
+    import numpy as np
+
+    from elasticsearch_spark.search.spans import eval_span
+
+    rng = np.random.default_rng(11)
+    vocab = ["quick", "fox", "brown", "merge", "posting", "x"]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(3, 14)))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def st(t):
+        return {"span_term": {"text": t}}
+
+    stored = [
+        # span_or nested under span_near
+        (1, {"span_near": {"clauses": [
+            {"span_or": {"clauses": [st("quick"), st("brown")]}},
+            st("fox")], "slop": 1, "in_order": True}}),
+        # span_near nested under span_near (composite spans count
+        # their whole width)
+        (2, {"span_near": {"clauses": [
+            {"span_near": {"clauses": [st("quick"), st("fox")],
+                           "slop": 0, "in_order": True}},
+            st("merge")], "slop": 3, "in_order": False}}),
+        # span_not at the top
+        (3, {"span_not": {
+            "include": {"span_near": {"clauses": [st("quick"), st("fox")],
+                                      "slop": 2, "in_order": True}},
+            "exclude": st("brown")}}),
+        # span_within / span_containing
+        (4, {"span_within": {
+            "little": st("posting"),
+            "big": {"span_near": {"clauses": [st("merge"), st("x")],
+                                  "slop": 4, "in_order": False}}}}),
+        (5, {"span_containing": {
+            "little": st("x"),
+            "big": {"span_near": {"clauses": [st("fox"), st("brown")],
+                                  "slop": 5, "in_order": False}}}}),
+        # span_first over a nested or
+        (6, {"span_first": {"match": {"span_or": {"clauses": [
+            st("merge"), st("fox")]}}, "end": 3}}),
+    ]
+    out = percolate_verified(spark, docs, stored, text_fields=["text"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+
+    expected = []
+    for doc_id, text in rows:
+        toks = _re.findall(r"[a-z0-9_]+", text.lower())
+        pos = {}
+        for p, t in enumerate(toks):
+            pos.setdefault(("text", t), []).append(p)
+        pos = {k: np.array(v) for k, v in pos.items()}
+        for qid, tree in stored:
+            if eval_span(tree, pos):
+                expected.append((doc_id, qid))
+    assert got == sorted(expected)
+
+
+def test_span_field_masking_verify(spark):
+    """span_field_masking: positions come from the inner field, the
+    mask only satisfies the shared-field rule."""
+    rows = [(1, "quick fox", "fox quick"), (2, "fox brown", "quick fox")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, alt string")
+    stored = [
+        (1, {"span_near": {"clauses": [
+            {"span_term": {"text": "quick"}},
+            {"span_field_masking": {
+                "query": {"span_term": {"alt": "quick"}},
+                "field": "text"}}],
+            "slop": 2, "in_order": False}}),
+    ]
+    out = percolate_verified(spark, docs, stored,
+                             text_fields=["text", "alt"])
+    got = sorted((r["doc_id"], r["query_id"]) for r in out.collect())
+    # doc 1: text quick@0, alt quick@1 -> distinct positions, near ok
+    # doc 2: text has no 'quick'; alt quick@0 -> missing clause
+    assert got == [(1, 1)]
