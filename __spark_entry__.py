@@ -2265,6 +2265,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (4, {"span_or": {"clauses": [
                 {"span_term": {"text": "stream"}},
                 {"span_term": {"text": "merge"}}]}}),
+            # nested composition: span_or under span_near (full span
+            # algebra on the verify path)
+            (5, {"span_near": {"clauses": [
+                {"span_or": {"clauses": [
+                    {"span_term": {"text": "stream"}},
+                    {"span_term": {"text": "merge"}}]}},
+                {"span_term": {"text": "table"}}],
+                "slop": 3, "in_order": True}}),
+            # span_not: ordered pair with no 'key' inside the span
+            (6, {"span_not": {
+                "include": {"span_near": {"clauses": [
+                    {"span_term": {"text": "table"}},
+                    {"span_term": {"text": "join"}}],
+                    "slop": 2, "in_order": True}},
+                "exclude": {"span_term": {"text": "key"}}}}),
         ]
         out = percolate_verified(
             s, _t(s, d, "documents"), stored, text_fields=["text"])
@@ -6290,6 +6305,19 @@ WHERE tok = 'key' AND pos <= 3
 UNION ALL
 SELECT DISTINCT doc_id, 4 FROM toks
 WHERE tok IN ('stream', 'merge')
+UNION ALL
+SELECT DISTINCT doc_id, 5
+FROM toks a JOIN toks b USING (doc_id)
+WHERE a.tok IN ('stream', 'merge') AND b.tok = 'table'
+  AND b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 3
+UNION ALL
+SELECT DISTINCT a.doc_id, 6
+FROM toks a JOIN toks b USING (doc_id)
+WHERE a.tok = 'table' AND b.tok = 'join'
+  AND b.pos > a.pos AND (b.pos - a.pos + 1) - 2 <= 2
+  AND NOT EXISTS (SELECT 1 FROM toks c
+                  WHERE c.doc_id = a.doc_id AND c.tok = 'key'
+                    AND c.pos BETWEEN a.pos AND b.pos)
 """
 
     from elasticsearch_spark.ops.text import pii_scrub_sql as _pii_sql
