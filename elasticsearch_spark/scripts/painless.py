@@ -115,6 +115,27 @@ class PainlessError(ValueError):
     """Script outside the supported painless expression subset."""
 
 
+_STRINGY_RE = re.compile(
+    r"^\(*(?:'|(?:lower|upper|trim|concat|substring|replace)\()")
+
+
+def _is_stringy(sql: str) -> bool:
+    """True when an emitted SQL fragment is evidently string-typed — a
+    string literal or a string-function result (possibly parenthesized
+    or CASE-merged with string arms)."""
+    if _STRINGY_RE.match(sql):
+        return True
+    if sql.startswith("CASE WHEN "):
+        # a CASE merged from branches: string iff its THEN arm is
+        m = re.search(r" THEN (.+) ELSE ", sql)
+        return bool(m and _is_stringy(m.group(1)))
+    return False
+
+
+def _as_string(sql: str) -> str:
+    return sql if _is_stringy(sql) else f"CAST({sql} AS STRING)"
+
+
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, i = [], 0
     while i < len(src):
@@ -215,7 +236,23 @@ class _Parser:
             self.additive, {"<": "<", "<=": "<=", ">": ">", ">=": ">="})
 
     def additive(self) -> str:
-        return self._binop(self.multiplicative, {"+": "+", "-": "-"})
+        # Java '+' is string concatenation when either operand is a
+        # String. Symbolic SQL has no type inference, so the subset is
+        # SYNTACTICALLY-EVIDENT strings: literals and string-function
+        # results (covers the 'prefix' + x / x.substring(..) + y.trim()
+        # idiom painless scripts actually use); an all-numeric-looking
+        # '+' stays arithmetic. CAST(.. AS STRING) parses identically
+        # in Spark SQL and DuckDB (STRING is a VARCHAR alias there).
+        left = self.multiplicative()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            right = self.multiplicative()
+            if op == "+" and (_is_stringy(left) or _is_stringy(right)):
+                left = (f"concat({_as_string(left)}, "
+                        f"{_as_string(right)})")
+            else:
+                left = f"({left} {op} {right})"
+        return left
 
     def multiplicative(self) -> str:
         return self._binop(self.unary, {"*": "*", "/": "/", "%": "%"})

@@ -438,3 +438,27 @@ def test_string_methods_in_statements(spark):
         F.expr(plan["set"]["tag"]).alias("v")).collect())
     assert got == ["py", "xl"]
     assert "startswith(" in plan["op"]  # spark dialect default
+
+
+def test_string_concat_plus():
+    """Java '+' concatenation for syntactically-evident strings."""
+    assert compile_painless("'v' + doc['x'].value") == \
+        "concat('v', CAST(x AS STRING))"
+    assert compile_painless(
+        "doc['a'].value.substring(0, 2) + '-' + doc['b'].value"
+        ".toLowerCase()") == \
+        "concat(concat(substring(a, (0) + 1, (2) - (0)), '-'), lower(b))"
+    # all-numeric '+' stays arithmetic
+    assert compile_painless("doc['x'].value + 1") == "(x + 1)"
+    row = duckdb.sql(
+        "SELECT " + compile_painless("'id:' + doc['k'].value",
+                                     dialect="duckdb")
+        + " AS v FROM (VALUES (7)) t(k)").fetchone()
+    assert row[0] == "id:7"
+    # inside a statement script with a user function
+    from elasticsearch_spark.scripts import compile_painless_program
+    sql = compile_painless_program(
+        "String label(String p) { return p + ':' + 'tail'; }"
+        " return label(doc['s'].value.trim());", dialect="duckdb")
+    assert duckdb.sql(
+        f"SELECT {sql} FROM (VALUES (' a ')) t(s)").fetchone()[0] == "a:tail"
