@@ -99,7 +99,7 @@ _R05_PRIORITY = (
     "essql_match_or", "essql_not_match", "match_after_split",
     "ml_forecast", "ann_int8_topk", "chunk_documents", "essql_histogram",
     "essql_pivot", "rollup_search",
-    "eql_text_sequence", "eql_join",
+    "eql_text_sequence", "eql_join", "eql_sample",
     "update_by_query_painless", "percolate", "transform_latest",
     "highlight_query", "highlight_matched_fields", "ml_multi_metric",
     "ml_population_anomaly", "completion_geo", "ml_train_regression",
@@ -368,6 +368,12 @@ EQL_TEXT_JOIN = (
     '[ any where event_type == "click" and value >= 120 ] '
     '[ any where event_type == "error" ] '
     'until [ any where event_type == "signup" ]'
+)
+
+EQL_TEXT_SAMPLE = (
+    'sample by user_id '
+    '[ purchase where value >= 150 ] '
+    '[ signup where true ]'
 )
 
 # user_agent processor fixtures: both engines pick the same UA string
@@ -1550,6 +1556,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return eql(ev, EQL_TEXT_JOIN).select("user_id", "id_0", "id_1")
 
     q["eql_join"] = eql_join_q
+
+    def eql_sample_q(s: SparkSession, d: str) -> DataFrame:
+        # EQL `sample by`: one event per filter per key, ANY order, no
+        # time window (x-pack/plugin/eql samples); deterministic
+        # earliest-per-step exhibit
+        from elasticsearch_spark.ops.eql import eql
+
+        ev = _t(s, d, "events")
+        return eql(ev, EQL_TEXT_SAMPLE).select("user_id", "id_0", "id_1")
+
+    q["eql_sample"] = eql_sample_q
 
     def rollup_hourly_q(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.ops.rollup import rollup
@@ -5840,6 +5857,20 @@ j AS (
   WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
 SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
 ORDER BY ts_0 ASC, id_0 ASC LIMIT 20
+"""
+
+    o["eql_sample"] = """
+WITH s0 AS (SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+       FROM events WHERE event_type = 'purchase' AND value >= 150),
+s1 AS (SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS rn
+       FROM events WHERE event_type = 'signup')
+SELECT s0.user_id, s0.event_id AS id_0, s1.event_id AS id_1
+FROM s0 JOIN s1 ON s1.user_id = s0.user_id
+WHERE s0.rn = 1 AND s1.rn = 1
 """
 
     o["eql_join"] = """

@@ -284,11 +284,13 @@ def parse_eql(text: str) -> dict:
         p.expect("]")
         return {"type": typ, "cond": cond}
 
-    if kind in ("sequence", "join"):
+    if kind in ("sequence", "join", "sample"):
         if (p.peek() or "").lower() == "by":
             p.next()
             plan["by"] = p.next()
         if (p.peek() or "").lower() == "with":
+            if kind == "sample":
+                raise ValueError("sample takes no with-options")
             p.next()
             t = p.next().lower()
             if not t.startswith("maxspan"):
@@ -302,8 +304,30 @@ def parse_eql(text: str) -> dict:
             plan["maxspan"] = (int(span[:-1]) * _SPAN_UNIT[unit]
                                if unit in _SPAN_UNIT else int(span))
         while p.peek() == "[":
-            plan["steps"].append(parse_step())
+            step = parse_step()
+            runs = 1
+            if (p.peek() or "").lower() == "with":
+                # `[...] with runs=N` (EqlParser sequence-term runs):
+                # the step repeats N times, so the matcher needs N
+                # successive hits — duplicating the step is exactly the
+                # reference's plan expansion
+                p.next()
+                t = p.next().lower()
+                if not t.startswith("runs"):
+                    raise ValueError(f"unsupported step option {t!r}")
+                if "=" in t and t != "runs":
+                    runs = int(t.split("=", 1)[1])
+                else:
+                    p.expect("=")
+                    runs = int(p.next())
+                if kind != "sequence":
+                    raise ValueError("runs is only valid in sequence")
+                if not 1 <= runs <= 100:
+                    raise ValueError(f"runs must be in [1, 100], got {runs}")
+            plan["steps"].extend([dict(step) for _ in range(runs)])
         if (p.peek() or "").lower() == "until":
+            if kind == "sample":
+                raise ValueError("sample takes no until")
             p.next()
             plan["until"] = parse_step()
         if len(plan["steps"]) < 2:
@@ -417,6 +441,11 @@ def eql(
                        type_col=type_col, maxspan_seconds=plan["maxspan"],
                        until=until)
     else:
+        # `join` and `sample` share the one-event-per-step-any-order
+        # plan; sample differs in the reference only by which concrete
+        # events it exhibits (up to 10 heuristic samples per key vs our
+        # deterministic earliest-per-step sample — documented
+        # divergence; the matching KEY SET is identical).
         out = join_keys(events, plan["steps"], by=key, ts_col=ts_col,
                         id_col=id_col, type_col=type_col,
                         until=plan["until"])

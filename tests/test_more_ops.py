@@ -763,3 +763,55 @@ def test_bulk_apply_frames(spark):
         [(2, "x"), (2, "y")], "doc_id long, name string")
     with _pytest.raises(ValueError, match="duplicate ids"):
         bulk_apply_frames(docs, upserts=dup)
+
+
+def test_eql_sample_and_runs(spark):
+    """EQL `sample by` (non-temporal one-per-step groups) and
+    `with runs=N` step repetition (EqlParser sequence-term runs)."""
+    from elasticsearch_spark.ops.eql import eql, parse_eql
+
+    p = parse_eql('sample by user_id [ click where true ] '
+                  '[ error where true ]')
+    assert p["kind"] == "sample" and p["by"] == "user_id"
+    assert len(p["steps"]) == 2
+
+    p = parse_eql('sequence by user_id with maxspan=2h '
+                  '[ click where true ] with runs=2 [ error where true ]')
+    assert [s["type"] for s in p["steps"]] == ["click", "click", "error"]
+
+    with pytest.raises(ValueError, match="no with-options"):
+        parse_eql('sample by k with maxspan=2h [ a where true ] '
+                  '[ b where true ]')
+    with pytest.raises(ValueError, match="no until"):
+        parse_eql('sample by k [ a where true ] [ b where true ] '
+                  'until [ c where true ]')
+    with pytest.raises(ValueError, match="only valid in sequence"):
+        parse_eql('join by k [ a where true ] with runs=2 '
+                  '[ b where true ]')
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    types = sorted(r["event_type"]
+                   for r in ev.select("event_type").distinct().collect())[:2]
+    a, b = types
+    got = sorted(
+        r["user_id"] for r in
+        eql(ev, f'sample by user_id [ {a} where true ] '
+                f'[ {b} where true ]').collect())
+    import duckdb as _duckdb
+    con = _duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    want = sorted(r[0] for r in con.execute(f"""
+        SELECT user_id FROM events GROUP BY user_id
+        HAVING bool_or(event_type = '{a}') AND bool_or(event_type = '{b}')
+    """).fetchall())
+    assert got == want
+
+    # runs=2: needs two successive hits of the first step; every match
+    # of the expanded plan orders ts_0 < ts_1 < ts_2
+    m = eql(ev, f'sequence by user_id with maxspan=1000000s '
+                f'[ {a} where true ] with runs=2 [ {b} where true ]')
+    rows = m.collect()
+    assert rows
+    for r in rows:
+        assert r["ts_0"] < r["ts_1"] < r["ts_2"]
