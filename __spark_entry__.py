@@ -121,7 +121,7 @@ _R05_PRIORITY = (
     "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
     "agg_date_histogram_offset", "agg_histogram_empty", "range_date_math",
     "ml_eval_classification", "ml_eval_regression", "ml_eval_auc",
-    "update_by_query_fn", "runtime_field_string",
+    "update_by_query_fn", "runtime_field_string", "agg_terms_script",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -1244,6 +1244,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["agg_terms_metrics"] = agg_terms_metrics
+
+    def agg_terms_script_q(s: SparkSession, d: str) -> DataFrame:
+        # script value sources: the terms KEY and the metric INPUT are
+        # both painless scripts compiled to codegen expressions
+        # (ValuesSourceAggregationBuilder.script)
+        from elasticsearch_spark.aggs import aggregate
+
+        li = _t(s, d, "lineitem")
+        out = aggregate(li, {"by_band": {
+            "terms": {"script": {
+                "source": ("doc['l_quantity'].value >= params.hi"
+                           " ? 'high' : 'low'"),
+                "params": {"hi": 25}}, "order": {"_key": "asc"}},
+            "aggs": {"rev": {"sum": {"script":
+                "doc['l_extendedprice'].value"
+                " * (1 - doc['l_discount'].value)"}}},
+        }})
+        return out.select(
+            "key", F.col("doc_count").cast("long").alias("doc_count"),
+            F.round("rev", 2).alias("rev"))
+
+    q["agg_terms_script"] = agg_terms_script_q
 
     q["agg_terms_topn"] = lambda s, d: aggregate(
         _t(s, d, "orders"),
@@ -5857,6 +5879,13 @@ j AS (
   WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
 SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
 ORDER BY ts_0 ASC, id_0 ASC LIMIT 20
+"""
+
+    o["agg_terms_script"] = """
+SELECT CASE WHEN l_quantity >= 25 THEN 'high' ELSE 'low' END AS key,
+       count(*)::BIGINT AS doc_count,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+FROM lineitem GROUP BY 1 ORDER BY key
 """
 
     o["eql_sample"] = """

@@ -50,10 +50,26 @@ _CAL_TRUNC = {
 }
 
 
+def _script_col(script) -> Column:
+    """Script value source (ValuesSourceAggregationBuilder.script,
+    server/src/main/java/org/elasticsearch/search/aggregations/support/
+    ValuesSourceAggregationBuilder.java): the painless script compiles
+    ONCE to a Catalyst expression, so scripted aggs stay inside
+    whole-stage codegen like field-sourced ones."""
+    from elasticsearch_spark.scripts import compile_painless_program
+
+    if isinstance(script, str):
+        script = {"source": script}
+    return F.expr(compile_painless_program(
+        script["source"], script.get("params")))
+
+
 def _metric_cols(name: str, spec: dict[str, Any]) -> list[Column]:
     kind, body = next(iter(spec.items()))
     f = body.get("field") if isinstance(body, dict) else None
     c = F.col(f) if f else None
+    if c is None and isinstance(body, dict) and "script" in body:
+        c = _script_col(body["script"])
     if c is not None and isinstance(body, dict) and "missing" in body:
         # ValuesSourceAggregationBuilder.missing: substitute for NULLs
         # so they participate instead of being skipped
@@ -132,7 +148,9 @@ def _bucket_key(
     the input column (used to re-apply the bucket rounding to literal
     extended_bounds values)."""
     if kind == "terms" or kind == "rare_terms":
-        c = F.col(body["field"])
+        c = (_script_col(body["script"])
+             if "field" not in body and "script" in body
+             else F.col(body["field"]))
         if "missing" in body:
             # the `missing` param (TermsAggregationBuilder): NULL field
             # values bucket under the substitute instead of dropping
@@ -141,7 +159,12 @@ def _bucket_key(
     if kind == "histogram":
         interval = float(body["interval"])
         offset = float(body.get("offset", 0.0))
-        c = col if col is not None else F.col(body["field"])
+        if col is not None:
+            c = col
+        elif "field" not in body and "script" in body:
+            c = _script_col(body["script"])
+        else:
+            c = F.col(body["field"])
         return (
             F.floor((c - F.lit(offset)) / F.lit(interval)) * F.lit(interval)
             + F.lit(offset)

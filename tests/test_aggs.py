@@ -415,3 +415,41 @@ def test_terms_order_by_agg_path(spark):
         "field": "g", "order": {"m.avg": "desc"}},
         "aggs": {"m": {"stats": {"field": "v"}}}}}).collect()
     assert [r["key"] for r in out] == ["b", "c", "a"]
+
+
+def test_script_value_sources(tables, duck):
+    """Script value sources (ValuesSourceAggregationBuilder.script):
+    painless compiles to the agg's input expression — terms key,
+    histogram key, and metric inputs."""
+    out = aggregate(
+        tables["lineitem"],
+        {"by_band": {
+            "terms": {"script": {
+                "source": ("doc['l_quantity'].value >= params.hi"
+                           " ? 'high' : 'low'"),
+                "params": {"hi": 25}}, "order": {"_key": "asc"}},
+            "aggs": {
+                "rev": {"sum": {"script":
+                        "doc['l_extendedprice'].value"
+                        " * (1 - doc['l_discount'].value)"}},
+            },
+        }},
+    ).collect()
+    want = duck.execute("""
+        SELECT CASE WHEN l_quantity >= 25 THEN 'high' ELSE 'low' END AS k,
+               count(*), sum(l_extendedprice * (1 - l_discount))
+        FROM lineitem GROUP BY 1 ORDER BY k
+    """).fetchall()
+    rows_match([(r["key"], r["doc_count"], r["rev"]) for r in out], want,
+               float_tol=1e-9)
+
+    out = aggregate(
+        tables["lineitem"],
+        {"h": {"histogram": {
+            "script": "doc['l_quantity'].value * 2", "interval": 20.0}}},
+    ).collect()
+    want = duck.execute("""
+        SELECT floor(l_quantity * 2 / 20) * 20 AS k, count(*)
+        FROM lineitem GROUP BY 1 ORDER BY k
+    """).fetchall()
+    rows_match([(r["key"], r["doc_count"]) for r in out], want)
