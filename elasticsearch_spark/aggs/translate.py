@@ -550,11 +550,15 @@ def adjacency_matrix(df: DataFrame, filters: dict[str, dict]) -> DataFrame:
 
 def median_absolute_deviation(df: DataFrame, field: str, exact: bool = True) -> DataFrame:
     """MAD (reference: TDigest-approximate; exact two-pass here, approx
-    via percentile_approx for the scale path)."""
+    via percentile_approx for the scale path). Pure-plan: the median is
+    a one-row broadcast cross join rather than a driver collect, so the
+    agg stays composable and lazily re-evaluates with its input."""
     pfun = F.percentile if exact else F.percentile_approx
-    med = df.agg(pfun(F.col(field), F.lit(0.5)).alias("m")).collect()[0]["m"]
-    return df.agg(
-        pfun(F.abs(F.col(field) - F.lit(med)), F.lit(0.5)).alias("mad")
+    med = df.agg(pfun(F.col(field), F.lit(0.5)).alias("_mad_m"))
+    return (
+        df.crossJoin(F.broadcast(med))
+        .agg(pfun(F.abs(F.col(field) - F.col("_mad_m")),
+                  F.lit(0.5)).alias("mad"))
     )
 
 
