@@ -121,7 +121,7 @@ _R05_PRIORITY = (
     "agg_terms_shard_error", "dedup_semantic", "agg_date_histogram_tz",
     "agg_date_histogram_offset", "agg_histogram_empty", "range_date_math",
     "ml_eval_classification", "ml_eval_regression", "ml_eval_auc",
-    "update_by_query_fn", "runtime_field_string", "agg_terms_script",
+    "update_by_query_fn", "runtime_field_string", "agg_terms_script", "knn_text_embedding",
 )
 
 # Documented rows-only entries (seeded hashing — not SQL-twinnable).  The
@@ -3212,6 +3212,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_search_cosine"] = knn_cosine_q
 
+    _QVB_TEXT = "merge sorted posting lists into the stream table"
+
+    def knn_text_embedding_q(s: SparkSession, d: str) -> DataFrame:
+        # text_embedding inference model + knn query_vector_builder
+        # (KnnSearchBuilder.queryVectorBuilder / x-pack ml
+        # TextEmbeddingQueryVectorBuilder): docs embedded by the
+        # md5-hashed-sign model at ingest, the query text through the
+        # SAME model at search time
+        from elasticsearch_spark.ops.similarity import (
+            embed_texts,
+            knn_search,
+            register_text_embedding_model,
+        )
+
+        register_text_embedding_model("mini-embed", dims=8,
+                                      max_tokens=64)
+        docs = _t(s, d, "documents").select("doc_id", "text")
+        emb = embed_texts(docs, "text", model_id="mini-embed")
+        emb = emb.filter(F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x * x) > 0)
+        hits = knn_search(
+            emb, None, k=10, id_col="doc_id",
+            query_vector_builder={"text_embedding": {
+                "model_id": "mini-embed", "model_text": _QVB_TEXT}})
+        return hits.select(F.col("doc_id").cast("long"),
+                           F.round("score", 6).alias("score"))
+
+    q["knn_text_embedding"] = knn_text_embedding_q
+
     def knn_l2_filtered_q(s: SparkSession, d: str) -> DataFrame:
         # pre-filter applied DURING candidate collection: only even
         # labels compete for the k slots (not a post-filter of them)
@@ -5879,6 +5908,34 @@ j AS (
   WHERE b.ts > a.ts AND epoch(b.ts) - epoch(a.ts) <= 86400)
 SELECT user_id, id_0, id_1 FROM j WHERE rn = 1
 ORDER BY ts_0 ASC, id_0 ASC LIMIT 20
+"""
+
+    from elasticsearch_spark.ops.similarity import (
+        text_embedding_vector as _tev)
+    _qv = _tev("merge sorted posting lists into the stream table",
+               dims=8, max_tokens=64)
+    _qn = repr(float(sum(x * x for x in _qv)) ** 0.5)
+    _qvals = ", ".join(f"({j}, {v!r})" for j, v in enumerate(_qv))
+    o["knn_text_embedding"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_slice(
+           regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 64)) AS t
+  FROM documents),
+comp AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN substr(md5(t || ':' || CAST(j AS VARCHAR)), 1, 1)
+                  IN ('0','1','2','3','4','5','6','7')
+             THEN 1.0 ELSE -1.0 END) AS v
+  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS j) GROUP BY 1, 2),
+qv(j, q) AS (VALUES {_qvals}),
+dotn AS (
+  SELECT c.doc_id, sum(c.v * qv.q) AS dot, sqrt(sum(c.v * c.v)) AS dn
+  FROM comp c JOIN qv ON qv.j = c.j GROUP BY 1)
+SELECT doc_id, round((1 + dot / (dn * {_qn})) / 2, 6) AS score
+FROM dotn WHERE dn > 0
+ORDER BY (1 + dot / (dn * {_qn})) / 2 DESC, doc_id
+LIMIT 10
 """
 
     o["agg_terms_script"] = """

@@ -344,7 +344,7 @@ def ann_self_join(
 
 def knn_search(
     df: DataFrame,
-    query_vector: list[float],
+    query_vector: list[float] | None,
     k: int = 10,
     num_candidates: int = 100,
     similarity: str = "cosine",
@@ -356,6 +356,7 @@ def knn_search(
     n_clusters: int = 8,
     iters: int = 1,
     min_similarity: float | None = None,
+    query_vector_builder: dict | None = None,
 ) -> DataFrame:
     """The top-level `knn` search section (reference:
     server/.../search/vectors/KnnSearchBuilder.java wrapping Lucene's
@@ -385,6 +386,11 @@ def knn_search(
     requires DISTANCE <= cutoff. The predicate sits below the top-k
     sort, so it prunes candidates, not finished hits.
     """
+    if query_vector is None:
+        if query_vector_builder is None:
+            raise ValueError(
+                "knn needs query_vector or query_vector_builder")
+        query_vector = resolve_query_vector_builder(query_vector_builder)
     q = [float(x) for x in query_vector]
     if strategy == "ivf":
         if similarity != "cosine":
@@ -613,3 +619,99 @@ def quantized_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------
+# text_embedding inference model + knn query_vector_builder
+# (reference: server/.../search/vectors/KnnSearchBuilder.java
+# queryVectorBuilder + x-pack/plugin/ml TextEmbeddingQueryVectorBuilder:
+# the query text runs through a deployed text-embedding model at search
+# time; documents were embedded by the same model at ingest).
+#
+# The model here is a REAL hashing-trick embedding (fastText-style
+# hashed bag of tokens): component j = sum over tokens of a +/-1 sign
+# drawn from md5(token ':' j). md5 is identical in Spark SQL, DuckDB
+# and hashlib, and the components are small integers, so doc-side
+# (codegen), oracle-side (SQL twin) and query-side (driver) embeddings
+# agree bit-for-bit. Vectors are unnormalized (cosine is
+# normalization-invariant; integer components keep cross-engine float
+# math exact).
+
+_TEXT_EMBED_MODELS: dict[str, dict] = {}
+
+_TOKEN_PATTERN = "[a-z0-9_]+"
+_POS_HEX = ("0", "1", "2", "3", "4", "5", "6", "7")
+
+
+def register_text_embedding_model(model_id: str, *, dims: int = 8,
+                                  max_tokens: int = 64) -> None:
+    """PUT _ml/trained_models analogue for a text_embedding task-type
+    model (deterministic hashed-sign embedding)."""
+    if not 1 <= dims <= 128:
+        raise ValueError(f"dims must be in [1, 128], got {dims}")
+    _TEXT_EMBED_MODELS[model_id] = {"dims": int(dims),
+                                    "max_tokens": int(max_tokens)}
+
+
+def text_embedding_expr(text_col, dims: int = 8,
+                        max_tokens: int = 64):
+    """array<double> embedding of a text Column, pure codegen."""
+    c = text_col if not isinstance(text_col, str) else F.col(text_col)
+    toks = F.slice(
+        F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_PATTERN), 0),
+        1, max_tokens)
+    def comp(j: int):
+        suffix = F.lit(f":{j}")
+        return F.aggregate(
+            toks, F.lit(0.0),
+            lambda acc, t: acc + F.when(
+                F.substring(F.md5(F.concat(t, suffix)), 1, 1)
+                .isin(*_POS_HEX), F.lit(1.0)).otherwise(F.lit(-1.0)))
+
+    return F.array(*[comp(j) for j in range(dims)])
+
+
+def embed_texts(df: DataFrame, text_col: str,
+                out_col: str = "embedding", *,
+                model_id: str | None = None,
+                dims: int = 8, max_tokens: int = 64) -> DataFrame:
+    """Ingest-side text_embedding inference: adds the embedding column
+    (the InferenceProcessor shape for a text_embedding model)."""
+    if model_id is not None:
+        m = _TEXT_EMBED_MODELS[model_id]
+        dims, max_tokens = m["dims"], m["max_tokens"]
+    return df.withColumn(
+        out_col, text_embedding_expr(text_col, dims, max_tokens))
+
+
+def text_embedding_vector(text: str, *, model_id: str | None = None,
+                          dims: int = 8,
+                          max_tokens: int = 64) -> list[float]:
+    """Driver-side twin of :func:`text_embedding_expr` (hashlib.md5 ==
+    SQL md5), used to build the QUERY vector once per request."""
+    import hashlib
+    import re as _re
+
+    if model_id is not None:
+        m = _TEXT_EMBED_MODELS[model_id]
+        dims, max_tokens = m["dims"], m["max_tokens"]
+    toks = _re.findall(_TOKEN_PATTERN, text.lower())[:max_tokens]
+    out = []
+    for j in range(dims):
+        s = 0.0
+        for t in toks:
+            h = hashlib.md5(f"{t}:{j}".encode()).hexdigest()[0]
+            s += 1.0 if h in _POS_HEX else -1.0
+        out.append(s)
+    return out
+
+
+def resolve_query_vector_builder(builder: dict) -> list[float]:
+    """knn section query_vector_builder -> concrete query vector.
+    Shape: {"text_embedding": {"model_id": ..., "model_text": ...}}."""
+    (kind, body), = builder.items()
+    if kind != "text_embedding":
+        raise ValueError(
+            f"unsupported query_vector_builder {kind!r}")
+    return text_embedding_vector(body["model_text"],
+                                 model_id=body.get("model_id"))

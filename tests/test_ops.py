@@ -603,3 +603,49 @@ def test_semantic_dedup_greedy_keep(spark, emb):
     )
     dup_row = out.filter(F.col("vec_id") >= 10_000_000).collect()[0]
     assert not dup_row["keep"]
+
+
+def test_text_embedding_model_and_builder(spark):
+    """text_embedding inference model + knn query_vector_builder
+    (KnnSearchBuilder.queryVectorBuilder / x-pack ml
+    TextEmbeddingQueryVectorBuilder): doc-side codegen embedding ==
+    driver-side query embedding, and a doc queried by its own text
+    ranks first with cosine score 1."""
+    from elasticsearch_spark.ops.similarity import (
+        embed_texts,
+        knn_search,
+        register_text_embedding_model,
+        text_embedding_vector,
+    )
+
+    register_text_embedding_model("mini-embed", dims=8, max_tokens=64)
+    rows = [
+        (1, "merge sorted posting lists into a term dictionary"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "vectorized arrow batches tokenize source code content"),
+        (4, "merge posting lists with delta compression"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = embed_texts(docs, "text", model_id="mini-embed")
+
+    # codegen embedding == driver twin, bit for bit
+    got = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    for i, text in rows:
+        assert got[i] == text_embedding_vector(text, model_id="mini-embed")
+
+    hits = knn_search(
+        emb, None, k=2, id_col="doc_id",
+        query_vector_builder={"text_embedding": {
+            "model_id": "mini-embed", "model_text": rows[0][1]}},
+    ).collect()
+    assert hits[0]["doc_id"] == 1
+    assert abs(hits[0]["score"] - 1.0) < 1e-12  # (1 + cos 1)/2
+    # the near-duplicate phrasing beats the unrelated sentences
+    assert hits[1]["doc_id"] == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="query_vector"):
+        knn_search(emb, None, k=2, id_col="doc_id")
+    with _pytest.raises(ValueError, match="unsupported query_vector"):
+        knn_search(emb, None, k=2, id_col="doc_id",
+                   query_vector_builder={"nope": {}})
