@@ -715,3 +715,36 @@ def resolve_query_vector_builder(builder: dict) -> list[float]:
             f"unsupported query_vector_builder {kind!r}")
     return text_embedding_vector(body["model_text"],
                                  model_id=body.get("model_id"))
+
+
+def map_semantic_text(df: DataFrame, field: str, *,
+                      model_id: str) -> DataFrame:
+    """semantic_text field mapping (reference: x-pack inference plugin
+    SemanticTextFieldMapper): mapping a field as semantic_text runs the
+    referenced text_embedding model at INDEX time and stores the
+    inference result alongside the source text. Here the embedding is
+    a sibling column ``<field>__inference`` (one codegen expression,
+    no inference round-trip)."""
+    return embed_texts(df, field, f"{field}__inference",
+                       model_id=model_id)
+
+
+def semantic_query(df: DataFrame, field: str, query: str, *,
+                   model_id: str, k: int = 10,
+                   id_col: str = "doc_id",
+                   filter_cond=None) -> DataFrame:
+    """The `semantic` query (reference: SemanticQueryBuilder): the
+    query text runs through the SAME model the semantic_text field was
+    mapped with, then scores as knn over the stored inference column."""
+    vec_col = f"{field}__inference"
+    if vec_col not in df.columns:
+        raise ValueError(
+            f"{field!r} is not mapped as semantic_text "
+            f"(missing {vec_col!r}; call map_semantic_text at index time)")
+    emb = df.filter(F.aggregate(
+        vec_col, F.lit(0.0), lambda a, x: a + x * x) > 0)
+    return knn_search(
+        emb, None, k=k, id_col=id_col, vec_col=vec_col,
+        filter_cond=filter_cond,
+        query_vector_builder={"text_embedding": {
+            "model_id": model_id, "model_text": query}})

@@ -649,3 +649,33 @@ def test_text_embedding_model_and_builder(spark):
     with _pytest.raises(ValueError, match="unsupported query_vector"):
         knn_search(emb, None, k=2, id_col="doc_id",
                    query_vector_builder={"nope": {}})
+
+
+def test_semantic_text_field_and_query(spark):
+    """semantic_text mapping + semantic query (x-pack inference
+    SemanticTextFieldMapper / SemanticQueryBuilder): index-time
+    embedding column + query-time same-model knn."""
+    from elasticsearch_spark.ops.similarity import (
+        map_semantic_text,
+        register_text_embedding_model,
+        semantic_query,
+    )
+
+    register_text_embedding_model("mini-embed", dims=8, max_tokens=64)
+    docs = spark.createDataFrame(
+        [(1, "posting lists merge into a term dictionary"),
+         (2, "quick brown fox jumps again"),
+         (3, "posting lists merge into one dictionary")],
+        "doc_id long, body string")
+    indexed = map_semantic_text(docs, "body", model_id="mini-embed")
+    assert "body__inference" in indexed.columns
+
+    hits = semantic_query(indexed, "body",
+                          "posting lists merge into a term dictionary",
+                          model_id="mini-embed", k=2).collect()
+    assert hits[0]["doc_id"] == 1 and abs(hits[0]["score"] - 1.0) < 1e-12
+    assert hits[1]["doc_id"] == 3  # near-paraphrase beats the fox
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not mapped as semantic_text"):
+        semantic_query(docs, "body", "x", model_id="mini-embed")
