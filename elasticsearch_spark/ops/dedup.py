@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from elasticsearch_spark.spread import spread_input
+
 # Mersenne prime 2^31-1: affine permutations (a*h+b) mod p over a base
 # hash give n_hashes independent-enough min-hash functions. 31-bit so
 # the product a*h stays within int64 (Spark ANSI mode errors on long
@@ -78,9 +80,7 @@ def word_shingles(
     Round-robin (no key): callers like ngram_containment pass a
     CONSTANT id for one side, which a hash re-spread would concentrate
     onto a single partition — the opposite of the intent."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread_input(df)
     toks_df = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias("_ts"),
@@ -437,7 +437,7 @@ def simhash(
     DuckDB ('0x'||substr(md5..))::BIGINT), making the signature
     oracle-hash-checkable end to end."""
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
-    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    t = spread_input(df).select(F.col(id_col), F.explode(toks).alias("tok"))
     tf = t.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     if hash_fn == "md5":
         n_bits = 60
@@ -692,9 +692,7 @@ def duplicate_substring_spans(
     of all-pairs substring matching never materializes because windows
     are grouped, not joined.
     """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread_input(df)
     toks = df.select(
         F.col(id_col),
         F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias("_ts"),

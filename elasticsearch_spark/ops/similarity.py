@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from elasticsearch_spark.spread import spread_input
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -46,7 +48,10 @@ def cosine_topk(
     Returns (id, cosine) ordered desc, id asc."""
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(np.dot(q, q)))
-    d = with_norm(df, vec_col)
+    # corpus side re-spread: the interpreted zip_with/aggregate fold is
+    # the per-row cost center and a 1-row-group parquet scan would run
+    # it on one core (guide §2.5; no-op on well-split inputs)
+    d = with_norm(spread_input(df), vec_col)
     qcol = F.array(*[F.lit(x) for x in q])
     cos = _dot(F.col("_vec"), qcol) / (F.col("_norm") * F.lit(qn))
     return (
@@ -67,7 +72,7 @@ def cosine_topk_batch(
 ) -> DataFrame:
     """Top-k per query for a (small, broadcastable) query batch: one
     scan of the corpus, crossJoin(broadcast(queries)), window top-k."""
-    d = with_norm(df, vec_col)
+    d = with_norm(spread_input(df), vec_col)
     q = with_norm(queries, q_vec_col).select(
         F.col(q_id_col),
         F.col("_vec").alias("_qvec"),
@@ -137,7 +142,7 @@ def vector_score_topk(
     derives in the script (e.g. 1/(1+l2norm)) is monotone in this
     ordering."""
     q = [float(x) for x in query_vec]
-    d = with_norm(df, vec_col)
+    d = with_norm(spread_input(df), vec_col)
     qcol = F.array(*[F.lit(x) for x in q])
     if fn == "cosine":
         qn = float(np.sqrt(np.dot(q, q)))
@@ -410,7 +415,7 @@ def knn_search(
         return (hits.select(F.col(id_col),
                             (score * F.lit(float(boost))).alias("score"))
                 .orderBy(F.desc("score"), F.asc(id_col)))
-    d = with_norm(df, vec_col)
+    d = with_norm(spread_input(df), vec_col)
     if filter_cond is not None:
         d = d.filter(filter_cond)
     qcol = F.array(*[F.lit(x) for x in q])
@@ -580,7 +585,7 @@ def quantized_topk(
     Returns (id, cosine) ordered desc, id asc — identical schema to
     :func:`cosine_topk`, so callers can swap paths."""
     q = [float(x) for x in query_vec]
-    d = quantize_int8(df, vec_col)
+    d = quantize_int8(spread_input(df), vec_col)
     scale = (F.col("_vmax") - F.col("_vmin")) / F.lit(255.0)
     qarr = F.array(*[F.lit(x) for x in q])
     qnrm = F.sqrt(_dot(qarr, qarr))  # in-plan: same fold as doc norms

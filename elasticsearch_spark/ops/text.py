@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from elasticsearch_spark.spread import spread_input
+
 WORD_RE = "[a-z0-9_]+"
 
 STOPWORDS = {
@@ -32,7 +34,10 @@ def tokens(text_col: str) -> Column:
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
-    return df.withColumn(out, F.size(tokens(text_col)))
+    # spread_input on every per-row regex operator here: the scan of a
+    # 1-row-group file would otherwise run the whole regex pass on one
+    # core (guide §2.5 input skew; no-op on well-split inputs)
+    return spread_input(df).withColumn(out, F.size(tokens(text_col)))
 
 
 def stopword_ratio(text_col: str, lang: str) -> Column:
@@ -54,7 +59,7 @@ def language_id(
     # build reversed so earlier langs win ties
     for lang in reversed(list(STOPWORDS)):
         expr = F.when((ratios[lang] > 0) & (ratios[lang] == best), F.lit(lang)).otherwise(expr)
-    return df.withColumn(out, expr)
+    return spread_input(df).withColumn(out, expr)
 
 
 def quality_score(
@@ -81,7 +86,7 @@ def quality_score(
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.2) * F.least(stop_en * 5, F.lit(1.0))
     )
-    return df.withColumn(out, F.round(q, 6))
+    return spread_input(df).withColumn(out, F.round(q, 6))
 
 
 def fingerprint(
@@ -90,7 +95,7 @@ def fingerprint(
     """ES fingerprint analyzer: sorted unique lowercase tokens joined by
     one space; hashed (md5) for compact comparison."""
     fp = F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")
-    return df.withColumn(out, F.md5(fp))
+    return spread_input(df).withColumn(out, F.md5(fp))
 
 
 # ---- SQL twins (DuckDB) -------------------------------------------------
@@ -134,7 +139,7 @@ def pii_scrub(
     col = F.col(text_col)
     for pat, rep in PII_PATTERNS:
         col = F.regexp_replace(col, pat, rep)
-    return df.withColumn(out, col)
+    return spread_input(df).withColumn(out, col)
 
 
 def pii_scrub_sql(table: str = "documents", text_col: str = "text") -> str:
