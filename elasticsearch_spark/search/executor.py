@@ -844,6 +844,11 @@ def phrase_topk(
             }
         )
 
+    # pin scorer parallelism to the shard count (same rationale as
+    # match_topk): the applyInPandas stage is CPU-bound and AQE's
+    # byte-targeted coalescing would fuse these small-but-expensive
+    # groups into a few fat tasks
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
     local = blocks.groupBy("part_id").applyInPandas(score_group, schema=TOPK_SCHEMA)
     if k is None:
         return local
@@ -958,6 +963,11 @@ def synonym_match_topk(
             "matched": acc_counts[order].astype(np.int32),
         })
 
+    # pin scorer parallelism to the shard count (same rationale as
+    # match_topk): the applyInPandas stage is CPU-bound and AQE's
+    # byte-targeted coalescing would fuse these small-but-expensive
+    # groups into a few fat tasks
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
     local = blocks.groupBy("part_id").applyInPandas(score_group, schema=TOPK_SCHEMA)
     if k is None:
         return local
@@ -1167,6 +1177,11 @@ def phrase_prefix_topk(
             "matched": np.full(order.size, m, dtype=np.int32),
         })
 
+    # pin scorer parallelism to the shard count (same rationale as
+    # match_topk): the applyInPandas stage is CPU-bound and AQE's
+    # byte-targeted coalescing would fuse these small-but-expensive
+    # groups into a few fat tasks
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
     local = blocks.groupBy("part_id").applyInPandas(score_group, schema=TOPK_SCHEMA)
     if k is None:
         return local
@@ -1259,6 +1274,7 @@ def intervals_match(
             "matched": np.full(ids.size, m, dtype=np.int32),
         })
 
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
     local = blocks.groupBy("part_id").applyInPandas(check_group, schema=TOPK_SCHEMA)
     if k is None:
         return local

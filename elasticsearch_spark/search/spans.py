@@ -308,6 +308,9 @@ def span_match(
             "matched": nm,
         })
 
+    # pin scorer parallelism to the shard count (match_topk rationale:
+    # AQE byte-coalescing would fuse the CPU-bound span-verify groups)
+    blocks = blocks.repartition(index.num_partitions(), "part_id")
     local = blocks.groupBy("part_id").applyInPandas(check_group, schema=TOPK_SCHEMA)
     if k is None:
         return local
