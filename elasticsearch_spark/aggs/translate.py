@@ -67,6 +67,14 @@ def _script_col(script) -> Column:
 def _metric_cols(name: str, spec: dict[str, Any]) -> list[Column]:
     kind, body = next(iter(spec.items()))
     f = body.get("field") if isinstance(body, dict) else None
+    if f and isinstance(body, dict) and "script" in body:
+        # the reference treats field+script as a VALUE script over the
+        # field; silently preferring the field would diverge — refuse
+        # loudly until value-script semantics exist
+        raise ValueError(
+            f"metric agg {name!r}: 'field' and 'script' together "
+            "(value-script semantics) are not supported — use a script "
+            "that reads doc['field'] instead")
     c = F.col(f) if f else None
     if c is None and isinstance(body, dict) and "script" in body:
         c = _script_col(body["script"])
@@ -554,10 +562,13 @@ def median_absolute_deviation(df: DataFrame, field: str, exact: bool = True) -> 
     a one-row broadcast cross join rather than a driver collect, so the
     agg stays composable and lazily re-evaluates with its input."""
     pfun = F.percentile if exact else F.percentile_approx
-    med = df.agg(pfun(F.col(field), F.lit(0.5)).alias("_mad_m"))
+    mcol = "_mad_m"
+    while mcol in df.columns:  # collision-proof alias for the join
+        mcol += "_"
+    med = df.agg(pfun(F.col(field), F.lit(0.5)).alias(mcol))
     return (
         df.crossJoin(F.broadcast(med))
-        .agg(pfun(F.abs(F.col(field) - F.col("_mad_m")),
+        .agg(pfun(F.abs(F.col(field) - F.col(mcol)),
                   F.lit(0.5)).alias("mad"))
     )
 

@@ -332,6 +332,13 @@ def parse_eql(text: str) -> dict:
             plan["until"] = parse_step()
         if len(plan["steps"]) < 2:
             raise ValueError(f"{kind} needs at least two steps")
+        if kind == "sample":
+            # reference grammar: sample REQUIRES a join key and takes
+            # 2-5 filters (EqlParser sampleQuery rule)
+            if plan["by"] is None:
+                raise ValueError("sample requires a `by` key")
+            if len(plan["steps"]) > 5:
+                raise ValueError("sample takes at most 5 filters")
     else:
         # simple event query: `<type> where <cond>`
         plan["kind"] = "event"

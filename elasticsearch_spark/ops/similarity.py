@@ -391,6 +391,11 @@ def knn_search(
     requires DISTANCE <= cutoff. The predicate sits below the top-k
     sort, so it prunes candidates, not finished hits.
     """
+    if query_vector is not None and query_vector_builder is not None:
+        # KnnSearchBuilder rejects specifying both; silently ignoring
+        # the builder would mask a caller bug
+        raise ValueError(
+            "knn takes query_vector OR query_vector_builder, not both")
     if query_vector is None:
         if query_vector_builder is None:
             raise ValueError(

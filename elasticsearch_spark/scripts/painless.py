@@ -623,13 +623,13 @@ class _StmtParser:
         if v in _TYPES and self.peek(1)[0] == "name":
             if self.peek(2)[1] == "(":
                 return self.func_()
-            self.next()
+            _, typ = self.next()
             _, name = self.next()
             if self.peek()[1] == "=":
                 self.next()
-                return ("decl", name, self.expr_until_semi())
+                return ("decl", name, self.expr_until_semi(), typ)
             self.expect(";")
-            return ("decl", name, None)
+            return ("decl", name, None, typ)
         if v in ("++", "--"):  # prefix increment statement
             self.next()
             target = self.target()
@@ -838,6 +838,29 @@ class _SymExec:
         self.dialect = dialect
         self.funcs = funcs or {}
         self._callstack: list[str] = []
+        # names declared `String`: their stored SQL is kept evidently
+        # stringy (concat-wrapped) so a later `s + x` concatenates
+        self.str_vars: set[str] = set()
+
+    def _string_typed(self, name: str, toks: list, val: str) -> str:
+        """A value flowing into a String-typed local must be evidently
+        string-typed. A '+' that compiled to ARITHMETIC here means the
+        operands were type-opaque (e.g. two bare doc refs): on string
+        fields the reference concatenates, while SQL '+' silently
+        yields NULL — refuse loudly instead of answering wrong
+        (ADVICE r5). A plain opaque value (no '+') is wrapped in
+        concat(), which is the identity on strings in both dialects
+        and marks the local stringy for downstream '+'."""
+        if _is_stringy(val):
+            return val
+        if any(v == "+" for _, v in toks):
+            raise PainlessError(
+                f"painless: String {name!r}: '+' over type-opaque "
+                "operands would compile to arithmetic (silent NULL on "
+                "string fields); make one operand evidently a string "
+                "(literal or String-typed local) or use concat-style "
+                "methods")
+        return f"concat({val})"
 
     def expr(self, toks: list, varz: dict, src: dict) -> str:
         p = _Parser(toks + [("eof", "")], self.params, self.score_col,
@@ -940,13 +963,18 @@ class _SymExec:
     def _simple(self, s, varz: dict, src: dict, op: str) -> str:
         kind = s[0]
         if kind == "decl":
-            _, name, toks = s
+            _, name, toks, typ = s
             if toks is not None and [v for _, v in toks] in (
                     ["new", "HashMap", "(", ")"], ["[", ":", "]"]):
                 varz[name] = {}
             else:
-                varz[name] = ("(" + self.expr(toks, varz, src) + ")"
-                              if toks is not None else "NULL")
+                val = (self.expr(toks, varz, src)
+                       if toks is not None else None)
+                if typ == "String" and val is not None:
+                    val = self._string_typed(name, toks, val)
+                varz[name] = f"({val})" if val is not None else "NULL"
+                if typ == "String":
+                    self.str_vars.add(name)
         elif kind in ("while", "dowhile", "cfor"):
             if kind == "cfor":
                 _, var, init, cond_toks, incr, body = s
@@ -1004,12 +1032,19 @@ class _SymExec:
             if target[0] == "var":
                 name = target[1]
                 if aop == "=":
+                    if name in self.str_vars:
+                        val = self._string_typed(name, toks, val)
                     varz[name] = f"({val})"
                 else:
                     if name not in varz:
                         raise PainlessError(
                             f"painless: {aop} on undeclared {name!r}")
-                    varz[name] = f"({varz[name]} {aop[0]} ({val}))"
+                    if name in self.str_vars and aop == "+=":
+                        # String += is concatenation, never arithmetic
+                        varz[name] = (f"(concat({varz[name]}, "
+                                      f"{_as_string(val)}))")
+                    else:
+                        varz[name] = f"({varz[name]} {aop[0]} ({val}))"
             else:  # ctx._source.field
                 f = target[1]
                 cur = src.get(f, f)

@@ -227,3 +227,75 @@ def test_word_shingles_respread_is_round_robin(spark):
     sh = word_shingles(df, "text", "doc_id", k=3)
     sizes = sh.rdd.glom().map(len).collect()
     assert sum(1 for s in sizes if s > 0) > 1, sizes
+
+
+def test_metric_agg_field_plus_script_refuses(spark):
+    """field+script together is value-script semantics the engine does
+    not implement — must refuse loudly, not silently prefer the field."""
+    from elasticsearch_spark.aggs import aggregate
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, k string, v double")
+    with pytest.raises(ValueError, match="value-script"):
+        aggregate(df, {"t": {
+            "terms": {"field": "k"},
+            "aggs": {"s": {"sum": {"field": "v",
+                                   "script": "doc['v'].value * 2"}}},
+        }})
+
+
+def test_mad_survives_existing_mad_m_column(spark):
+    from elasticsearch_spark.aggs.translate import median_absolute_deviation
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(1, 6)],
+        "v double, _mad_m double")
+    out = median_absolute_deviation(df, "v").collect()
+    assert out[0]["mad"] == 1.0
+
+
+def test_knn_rejects_vector_and_builder_together(spark):
+    from elasticsearch_spark.ops.similarity import knn_search
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not both"):
+        knn_search(df, query_vector=[1.0, 0.0],
+                   query_vector_builder={"text_embedding": {
+                       "model_id": "m", "model_text": "x"}}, k=1)
+
+
+def test_eql_sample_requires_by_and_filter_bound(spark):
+    from elasticsearch_spark.ops.eql import parse_eql
+
+    with pytest.raises(ValueError, match="requires a `by`"):
+        parse_eql('sample [ a where true ] [ b where true ]')
+    six = " ".join(f"[ e{i} where true ]" for i in range(6))
+    with pytest.raises(ValueError, match="at most 5"):
+        parse_eql(f'sample by k {six}')
+    ok = parse_eql('sample by k [ a where true ] [ b where true ]')
+    assert ok["by"] == "k" and len(ok["steps"]) == 2
+
+
+def test_painless_string_plus_opaque_refuses(spark):
+    """`String s = doc['a'].value + doc['b'].value` would compile to SQL
+    arithmetic (silent NULL on string fields) — must refuse loudly."""
+    from elasticsearch_spark.scripts.painless import (
+        PainlessError, compile_painless_program,
+    )
+
+    with pytest.raises(PainlessError, match="type-opaque"):
+        compile_painless_program(
+            "String s = doc['a'].value + doc['b'].value; return s;")
+
+
+def test_painless_string_local_concatenates(spark):
+    """A String-typed local makes downstream '+' concatenation, and a
+    string-literal operand always did — both must evaluate as concat."""
+    from elasticsearch_spark.scripts.painless import compile_painless_program
+
+    df = spark.createDataFrame([("ab", "cd")], "a string, b string")
+    expr = compile_painless_program(
+        "String s = doc['a'].value; return s + doc['b'].value;")
+    assert df.selectExpr(f"({expr}) AS r").first()["r"] == "abcd"
+    expr2 = compile_painless_program(
+        "String s = doc['a'].value; s += doc['b'].value; return s;")
+    assert df.selectExpr(f"({expr2}) AS r").first()["r"] == "abcd"
