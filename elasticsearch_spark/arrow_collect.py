@@ -94,12 +94,14 @@ def _materialize_column(col, dtype: DataType) -> list:
     return list(map(conv, col.to_pylist()))
 
 
+# rows per conversion slab: bounds the transient per-column Python
+# lists (a 36M-row frame would otherwise hold ~600 MB of intermediate
+# list storage on top of the rows themselves)
+_SLAB_ROWS = 4 << 20
+
+
 def rows_from_arrow(tbl, schema: StructType) -> list[Row]:
     fields = schema.fieldNames()
-    cols = [
-        _materialize_column(c, f.dataType)
-        for c, f in zip(tbl.columns, schema.fields)
-    ]
     # Row subclass with __fields__ on the CLASS: Row.__getattr__ /
     # asDict / __repr__ read self.__fields__, which resolves through
     # the class, so instances stay plain field-less tuples.
@@ -109,7 +111,21 @@ def rows_from_arrow(tbl, schema: StructType) -> list[Row]:
     if gc_was_enabled:
         gc.disable()  # building millions of tuples; re-enabled below
     try:
-        return list(map(mk, zip(*cols)))
+        if tbl.num_rows <= _SLAB_ROWS:
+            cols = [
+                _materialize_column(c, f.dataType)
+                for c, f in zip(tbl.columns, schema.fields)
+            ]
+            return list(map(mk, zip(*cols)))
+        out: list[Row] = []
+        for lo in range(0, tbl.num_rows, _SLAB_ROWS):
+            slab = tbl.slice(lo, _SLAB_ROWS)
+            cols = [
+                _materialize_column(c, f.dataType)
+                for c, f in zip(slab.columns, schema.fields)
+            ]
+            out.extend(map(mk, zip(*cols)))
+        return out
     finally:
         if gc_was_enabled:
             gc.enable()
@@ -136,8 +152,12 @@ class ArrowCollectDataFrame(DataFrame):
             return super().collect()
         try:
             tbl = super().toArrow()
-        except Exception:
-            # unsupported type / arrow failure: classic path still works
+        except Exception as ex:
+            # unsupported type / arrow failure: classic path still
+            # works — but is ~10x slower on big frames, so say so
+            import sys
+            print(f"arrow_collect: falling back to classic collect "
+                  f"({type(ex).__name__}: {ex})", file=sys.stderr)
             return super().collect()
         return rows_from_arrow(tbl, schema)
 
