@@ -446,7 +446,16 @@ def top_hits(
     tie_col: str | None = None,
 ) -> DataFrame:
     """top_hits agg: best ``size`` docs per bucket
-    (TopHitsAggregator.java:212 analogue) via window row_number."""
+    (TopHitsAggregator.java:212 analogue) via window row_number.
+
+    Input is re-spread first (spread.py): the rank-filter plan gets a
+    per-map-partition WindowGroupLimit whose required SORT dominates
+    on few-row-group inputs — 16x more map partitions measured
+    1.7-2.2 s -> 1.3-1.5 s at sf1.0, identical rows (interleaved A/B,
+    r6). No-op on well-split inputs."""
+    from elasticsearch_spark.spread import spread_input
+
+    df = spread_input(df)
     order = [F.asc(sort_col) if ascending else F.desc(sort_col)]
     if tie_col:
         order.append(F.asc(tie_col))

@@ -156,7 +156,9 @@ def chunk_documents(
         raise ValueError(f"overlap {overlap} must be < size {size}")
     stride = size - overlap
     toks = F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")
-    d = df.select(F.col(id_col), toks.alias("_toks"))
+    from elasticsearch_spark.spread import spread_input
+
+    d = spread_input(df).select(F.col(id_col), toks.alias("_toks"))
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("_toks") - overlap - 1, F.lit(0)),

@@ -154,7 +154,11 @@ def outlier_detection(
             })
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, vec_col).mapInPandas(
+    from elasticsearch_spark.spread import spread_input
+
+    # re-spread before the Python pass: a 1-row-group input would run
+    # every kNN chunk on one worker (guide §2.5; no-op at scale)
+    return spread_input(df.select(id_col, vec_col)).mapInPandas(
         score_part, schema=f"{id_col} {id_type}, outlier_score double")
 
 

@@ -333,7 +333,8 @@ def repetition_signals(
     top_bigram_share = F.when(
         tok_chars > 0, top_bigram_chars / tok_chars).otherwise(F.lit(0.0))
     return (
-        df.withColumn("dup_line_frac", F.round(dup_line_frac, 6))
+        spread_input(df)
+        .withColumn("dup_line_frac", F.round(dup_line_frac, 6))
         .withColumn("dup_line_char_frac", F.round(dup_line_char_frac, 6))
         .withColumn("dup_word_frac", F.round(dup_word_frac, 6))
         .withColumn("top_bigram_share", F.round(top_bigram_share, 6))
@@ -366,6 +367,7 @@ def ngram_lm_train(
     vocabulary size). Two hash aggregations (map-side partials — the
     shuffle carries one row per distinct n-gram per partition, never
     the corpus): the right shape when the reference corpus is TBs."""
+    corpus = spread_input(corpus)
     uni = (
         corpus.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w").agg(F.count("*").alias("c1"))
@@ -401,7 +403,7 @@ def ngram_lm_score(
     re-aggregation keyed by doc — ids and counts only, the document
     text never reshuffles. Docs with no bigram (0-1 tokens) score NULL.
     """
-    ex = docs.select(
+    ex = spread_input(docs).select(
         F.col(id_col), F.explode(_bigrams(text_col)).alias("b"))
     ex = ex.withColumn("w1", F.split(F.col("b"), " ").getItem(0))
     joined = (
@@ -514,7 +516,7 @@ def dedup_by_url(
     """Keep the lowest-id doc per canonical URL: one hash-partitioned
     min aggregation — at 100 TB the map-side partial reduces each
     split to its distinct canonical URLs before the exchange."""
-    return (df.withColumn("_curl", canonicalize_url(url_col))
+    return (spread_input(df).withColumn("_curl", canonicalize_url(url_col))
             .groupBy("_curl")
             .agg(F.min(id_col).alias(id_col))
             .withColumnRenamed("_curl", "canonical_url"))
@@ -575,7 +577,7 @@ def remove_boilerplate_lines(
     array_join over sort_array of (pos, line) structs. Shuffles carry
     lines and ids only — never whole documents.
     """
-    lines = df.select(
+    lines = spread_input(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
     line_df = (lines.where(F.length("line") >= min_chars)
