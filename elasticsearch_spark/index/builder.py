@@ -834,7 +834,12 @@ def build_index(
             build_docs = docs.filter(F.col("part_id").isin(todo_parts))
 
         needed = ["part_id", "doc_id"] + list(fields)
-        tokenized = build_docs.select(*needed).mapInPandas(
+        # re-spread few-split inputs before the tokenizer (guide §2.5):
+        # a 1-row-group parquet source would run the whole analysis
+        # pass on one core; no-op when the input is already well-split
+        from elasticsearch_spark.spread import spread_input
+
+        tokenized = spread_input(build_docs.select(*needed)).mapInPandas(
             _make_tokenizer(fields), schema=TOKENIZED_SCHEMA
         )
         # segment "merge": ONE wide shuffle keyed (part_id, field), one
