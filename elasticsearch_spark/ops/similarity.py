@@ -690,8 +690,12 @@ def embed_texts(df: DataFrame, text_col: str,
     if model_id is not None:
         m = _TEXT_EMBED_MODELS[model_id]
         dims, max_tokens = m["dims"], m["max_tokens"]
-    return df.withColumn(
-        out_col, text_embedding_expr(text_col, dims, max_tokens))
+    # record the producing model in column metadata so semantic_query
+    # can validate the query-side model matches the index-side one
+    expr = text_embedding_expr(text_col, dims, max_tokens)
+    meta = {"model_id": model_id} if model_id is not None else None
+    return df.withColumn(out_col, expr.alias(out_col, metadata=meta)
+                         if meta else expr)
 
 
 def text_embedding_vector(text: str, *, model_id: str | None = None,
@@ -751,6 +755,14 @@ def semantic_query(df: DataFrame, field: str, query: str, *,
         raise ValueError(
             f"{field!r} is not mapped as semantic_text "
             f"(missing {vec_col!r}; call map_semantic_text at index time)")
+    # SemanticQueryBuilder requires the query-side model to be the one
+    # the field was embedded with; a mismatch would silently score
+    # against incompatible vectors (ADVICE r5)
+    mapped = df.schema[vec_col].metadata.get("model_id")
+    if mapped is not None and mapped != model_id:
+        raise ValueError(
+            f"semantic query model {model_id!r} does not match the "
+            f"model {mapped!r} that mapped {field!r}")
     emb = df.filter(F.aggregate(
         vec_col, F.lit(0.0), lambda a, x: a + x * x) > 0)
     return knn_search(

@@ -299,3 +299,20 @@ def test_painless_string_local_concatenates(spark):
     expr2 = compile_painless_program(
         "String s = doc['a'].value; s += doc['b'].value; return s;")
     assert df.selectExpr(f"({expr2}) AS r").first()["r"] == "abcd"
+
+
+def test_semantic_query_validates_model_id(spark):
+    from elasticsearch_spark.ops.similarity import (
+        map_semantic_text, register_text_embedding_model, semantic_query,
+    )
+
+    register_text_embedding_model("m-a", dims=4)
+    register_text_embedding_model("m-b", dims=4)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, body string")
+    mapped = map_semantic_text(df, "body", model_id="m-a")
+    # matching model works
+    assert semantic_query(mapped, "body", "alpha", model_id="m-a",
+                          k=1).count() == 1
+    with pytest.raises(ValueError, match="does not match"):
+        semantic_query(mapped, "body", "alpha", model_id="m-b", k=1)
