@@ -2458,7 +2458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from elasticsearch_spark.search.completion import (
             completion_suggest_geo, index_geo_contexts)
 
-        sugg = _t(s, d, "documents").select(
+        from elasticsearch_spark.spread import spread_input
+
+        sugg = spread_input(_t(s, d, "documents")).select(
             F.explode(F.expr(
                 "slice(regexp_extract_all(lower(text), '[a-z0-9_]+', 0), 1, 5)"
             )).alias("suggestion"),
@@ -3226,10 +3228,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             register_text_embedding_model,
         )
 
+        from elasticsearch_spark.spread import materialize_fence
+
         register_text_embedding_model("mini-embed", dims=8,
                                       max_tokens=64)
         docs = _t(s, d, "documents").select("doc_id", "text")
-        emb = embed_texts(docs, "text", model_id="mini-embed")
+        # fence: the zero-norm filter below would otherwise be pushed
+        # under the embedding projection and re-evaluate the md5 folds
+        emb = materialize_fence(
+            embed_texts(docs, "text", model_id="mini-embed"))
         emb = emb.filter(F.aggregate(
             "embedding", F.lit(0.0), lambda a, x: a + x * x) > 0)
         hits = knn_search(
@@ -3616,7 +3623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    tokens by phonetic class, codegen expression on both engines
 
     def phonetic_match_q(s: SparkSession, d: str) -> DataFrame:
-        docs = _t(s, d, "documents")
+        from elasticsearch_spark.spread import spread_input
+
+        # soundex is a per-token regex chain; spread the 1-row-group
+        # scan so it parallelizes (results unchanged: grouped+ordered)
+        docs = spread_input(_t(s, d, "documents"))
         toks = docs.select(
             "doc_id", F.explode(text_ops.tokens("text")).alias("token"))
         return (toks
@@ -4135,8 +4146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _flattened_pairs(s: SparkSession, d: str) -> DataFrame:
         from elasticsearch_spark.search import flattened as fl
+        from elasticsearch_spark.spread import spread_input
 
-        ev = _t(s, d, "events")
+        # per-row JSON flattening parallelizes across the spread scan
+        ev = spread_input(_t(s, d, "events"))
         j = F.concat(F.lit('{"et":"'), F.col("event_type"),
                      F.lit('","nest":'), F.col("props"), F.lit("}"))
         return ev.select("event_id", fl.flattened(j).alias("f"))

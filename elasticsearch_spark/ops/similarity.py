@@ -694,8 +694,11 @@ def embed_texts(df: DataFrame, text_col: str,
     # can validate the query-side model matches the index-side one
     expr = text_embedding_expr(text_col, dims, max_tokens)
     meta = {"model_id": model_id} if model_id is not None else None
-    return df.withColumn(out_col, expr.alias(out_col, metadata=meta)
-                         if meta else expr)
+    # the embedding expression is an interpreted md5-per-(token, dim)
+    # fold — re-spread few-split inputs so inference parallelizes
+    # (guide §2.5; measured knn_text_embedding 27 s -> ~2 s at sf1.0)
+    return spread_input(df).withColumn(
+        out_col, expr.alias(out_col, metadata=meta) if meta else expr)
 
 
 def text_embedding_vector(text: str, *, model_id: str | None = None,
@@ -763,7 +766,12 @@ def semantic_query(df: DataFrame, field: str, query: str, *,
         raise ValueError(
             f"semantic query model {model_id!r} does not match the "
             f"model {mapped!r} that mapped {field!r}")
-    emb = df.filter(F.aggregate(
+    from elasticsearch_spark.spread import materialize_fence
+
+    # fence: when the inference column is still an expression (mapped
+    # in-plan), the zero-norm filter would be pushed beneath it and
+    # re-evaluate the embedding folds per row
+    emb = materialize_fence(df).filter(F.aggregate(
         vec_col, F.lit(0.0), lambda a, x: a + x * x) > 0)
     return knn_search(
         emb, None, k=k, id_col=id_col, vec_col=vec_col,

@@ -28,3 +28,24 @@ def spread_input(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def materialize_fence(df: DataFrame) -> DataFrame:
+    """Arrow-identity pass-through that pins the frame's columns as
+    MATERIALIZED values at this point in the plan.
+
+    Catalyst pushes filters below projections by inlining the aliased
+    expression into the predicate, so `withColumn(c, BIG).filter(
+    f(c))` evaluates BIG twice per row (guide §4.4 shows the UDF
+    variant; the same duplication hits big interpreted higher-order
+    expressions). Expressions cannot cross a mapInArrow boundary, so
+    everything below the fence runs exactly once. Costs one Arrow
+    round-trip of the fenced columns — use it only when the fenced
+    expression is far more expensive than serializing its result
+    (measured on the text-embedding knn at sf1.0: 12.7 s -> 4.4 s)."""
+    schema = df.schema
+
+    def _identity(batches):
+        yield from batches
+
+    return df.mapInArrow(_identity, schema)

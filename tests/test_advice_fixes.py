@@ -316,3 +316,49 @@ def test_semantic_query_validates_model_id(spark):
                           k=1).count() == 1
     with pytest.raises(ValueError, match="does not match"):
         semantic_query(mapped, "body", "alpha", model_id="m-b", k=1)
+
+
+def test_salted_block_join_pairs_identical(spark):
+    """The salted within-block pair join must produce exactly the
+    brute-force pair set (same blocks, same cosines)."""
+    import itertools
+    import math
+
+    from elasticsearch_spark.ops.dedup import embedding_cosine_pairs
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)], i % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_cosine_pairs(
+               df, threshold=-1.0, block_col="label").collect()}
+    want = {}
+    by_id = {i: (v, b) for i, v, b in rows}
+    for a, b in itertools.combinations(range(40), 2):
+        va, ba = by_id[a]
+        vb, bb = by_id[b]
+        if ba != bb:
+            continue
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        if na == 0 or nb == 0:
+            continue
+        want[(a, b)] = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_materialize_fence_preserves_rows_and_schema(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.spread import materialize_fence
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 1.5).alias("x"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"))
+    fenced = materialize_fence(df)
+    assert fenced.schema == df.schema
+    assert sorted(map(tuple, fenced.collect())) == \
+        sorted(map(tuple, df.collect()))
