@@ -124,18 +124,17 @@ def _metric_cols(name: str, spec: dict[str, Any]) -> list[Column]:
     if kind == "percentiles":
         percents = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
         fracs = [p / 100.0 for p in percents]
-        if body.get("exact"):
-            cols = [
-                F.percentile(c, F.lit(fr)).alias(f"{name}_p{str(p).replace('.', '_')}")
-                for p, fr in zip(percents, fracs)
-            ]
-        else:
-            cols = [
-                F.percentile_approx(c, F.lit(fr)).alias(
-                    f"{name}_p{str(p).replace('.', '_')}"
-                )
-                for p, fr in zip(percents, fracs)
-            ]
+        # array form: EVERY output column carries the IDENTICAL
+        # aggregate expression, which Catalyst deduplicates into one
+        # aggregation buffer — one counts-map (exact) / one sketch
+        # (approx) instead of one per requested percent; element
+        # values match the scalar calls exactly
+        pfun = F.percentile if body.get("exact") else F.percentile_approx
+        qarr = pfun(c, F.array(*[F.lit(fr) for fr in fracs]))
+        cols = [
+            qarr.getItem(i).alias(f"{name}_p{str(p).replace('.', '_')}")
+            for i, p in enumerate(percents)
+        ]
         return cols
     raise ValueError(f"unsupported metric agg: {kind}")
 
