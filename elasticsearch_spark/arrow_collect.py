@@ -37,6 +37,7 @@ contract queries at sf0.01).
 from __future__ import annotations
 
 import gc
+import os
 from functools import partial
 
 from pyspark.sql.classic.dataframe import DataFrame
@@ -99,6 +100,28 @@ def _materialize_column(col, dtype: DataType) -> list:
 # list storage on top of the rows themselves)
 _SLAB_ROWS = 4 << 20
 
+# Quiesce the driver JVM before materializing LARGE results: after
+# toArrow() ships the batches, the JVM holds the collect's garbage, and
+# its GC runs CONCURRENTLY with the fault-intensive Python row build.
+# Measured on a 36M-row frame (local[32], default G1): the build's
+# kernel time inflates from ~3 s to 16-66 s on repeat collects —
+# page-allocator contention between GC worker threads and the Python
+# process's fault storm (fault count identical, per-fault cost 1.6 us
+# -> up to 41 us; fewer GC threads monotonically reduce it, 1 thread
+# eliminates it). One explicit System.gc() between the Arrow fetch and
+# the build drains that work up front (~0.08 s) and keeps every repeat
+# at the fresh-process floor: 8.7-11.6 s flat vs 9.5/46/86 s without.
+# Only worth it when the build is long enough to overlap GC, hence the
+# row threshold; SPARK_GRAFT_COLLECT_QUIESCE=0 disables (A/B knob).
+_QUIESCE_MIN_ROWS = 1 << 20
+
+
+def _quiesce_jvm(spark) -> None:
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass  # best-effort: a failed quiesce only costs speed
+
 
 def rows_from_arrow(tbl, schema: StructType) -> list[Row]:
     fields = schema.fieldNames()
@@ -159,6 +182,9 @@ class ArrowCollectDataFrame(DataFrame):
             print(f"arrow_collect: falling back to classic collect "
                   f"({type(ex).__name__}: {ex})", file=sys.stderr)
             return super().collect()
+        if (tbl.num_rows >= _QUIESCE_MIN_ROWS
+                and os.environ.get("SPARK_GRAFT_COLLECT_QUIESCE") != "0"):
+            _quiesce_jvm(self.sparkSession)
         return rows_from_arrow(tbl, schema)
 
 

@@ -116,3 +116,27 @@ def test_contract_query_parity(spark, name):
     key = repr
     assert sorted((tuple(r) for r in arrow_rows), key=key) == \
         sorted((tuple(r) for r in classic_rows), key=key)
+
+
+def test_quiesce_path_parity(spark, monkeypatch):
+    # force the large-collect JVM quiesce on a small frame and check it
+    # changes nothing about the result (it only drains JVM garbage
+    # before the row build)
+    from elasticsearch_spark import arrow_collect as ac
+
+    monkeypatch.setattr(ac, "_QUIESCE_MIN_ROWS", 0)
+    df = (spark.range(0, 5_000)
+          .select(F.col("id"), (F.col("id") * 3).alias("y")))
+    a, c = _both(df)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, c))
+
+
+def test_quiesce_survives_broken_jvm_handle(spark, monkeypatch):
+    from elasticsearch_spark import arrow_collect as ac
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("no jvm")
+
+    # _quiesce_jvm must swallow any py4j failure (best-effort)
+    ac._quiesce_jvm(_Boom())
